@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.WordCount
+import graft.operators.{TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,12 @@ object SparkEntry {
     "q_wordcount_fmt" -> ((s, dir) =>
       WordCount.formatted(
         WordCount.byFrequency(documents(s, dir), col("text")))),
+    // ---- text-analysis extensions (north star) ----
+    "q_text_stats" -> ((s, dir) => TextOps.textStats(documents(s, dir))),
+    "q_text_quality" -> ((s, dir) => TextOps.textQuality(documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextOps.langIdQuery(documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
+    "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -73,5 +79,59 @@ object SparkEntry {
         |      WHERE word <> ''
         |      GROUP BY word)
         |ORDER BY cnt DESC, word""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS n_tokens_bpe,
+        |  length(text) AS n_chars_obs,
+        |  round(list_sum(list_transform(regexp_extract_all(text, '\S+'), x -> length(x)))::DOUBLE
+        |        / len(regexp_extract_all(text, '\S+')), 4) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, len(toks) AS n,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc
+        |  FROM t
+        |)
+        |SELECT doc_id, n AS n_tokens, sc AS stop_cnt,
+        |  round(sc::DOUBLE / n, 4) AS stop_ratio,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+        |  round(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
+        |        * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)), 4) AS quality
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS c_en,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','que','y','en','por'))) AS c_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS c_de,
+        |    len(list_filter(toks, x -> x IN ('le','les','et','des','une','est','dans'))) AS c_fr
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+        |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
   )
 }

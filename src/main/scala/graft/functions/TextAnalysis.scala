@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline
+  * extensions (beyond the reference's surface; north star in
+  * /root/repo/BASELINE.json). Everything here is built from codegen'd
+  * `functions._` array/regex expressions — no UDFs — so whole-stage
+  * codegen covers the hot path and the scan only reads the text column.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (`\S+` runs). */
+  val WsTokenRegex = "\\S+"
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and runs of
+    * other non-space symbols — the usual byte-pair-encoding input
+    * segmentation (cf. GPT-2's pre-tokenizer, simplified). */
+  val BpeTokenRegex = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** Characteristic stopwords per language for the n-gram/stopword
+    * language-ID heuristic. Order matters: ties resolve to the earlier
+    * entry. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "los", "las", "que", "y", "en", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans"),
+  )
+
+  def wsTokens(text: Column): Column =
+    regexp_extract_all(text, lit(WsTokenRegex), lit(0))
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRegex), lit(0))
+
+  def tokenCountWs(text: Column): Column = size(wsTokens(text))
+
+  def tokenCountBpe(text: Column): Column = size(bpeTokens(text))
+
+  /** Number of tokens contained in `words` (multiset count). */
+  def stopwordCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Mean token length = sum(len(token)) / n_tokens (double). */
+  def avgTokenLen(tokens: Column): Column =
+    aggregate(transform(tokens, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(tokens)
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      length(text)
+
+  /** Heuristic quality score in [0,1]: length credit saturating at 50
+    * tokens, discounted by stopword density, scaled by letter density.
+    * Deterministic arithmetic, mirrored exactly in the DuckDB oracle. */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio =
+      stopwordCount(toks, LangStopwords.head._2).cast("double") / n
+    least(lit(1.0), n / lit(50.0)) * (lit(1.0) - stopRatio) *
+      alphaRatio(text)
+  }
+
+  /** Stopword-list language ID: argmax of per-language stopword hits,
+    * ties to the earlier language in [[LangStopwords]], `unknown` when
+    * no list hits. */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(text)
+    val counts = LangStopwords.map { case (lang, words) =>
+      lang -> stopwordCount(toks, words)
+    }
+    val allZero = counts.map(_._2 === 0).reduce(_ && _)
+    // when-chain: first language whose count >= all later counts wins.
+    val chain = counts.tails.collect {
+      case (lang, c) +: rest if rest.nonEmpty =>
+        (lang, rest.map { case (_, o) => c >= o }.reduce(_ && _))
+    }.toSeq
+    val base = when(allZero, lit("unknown"))
+    chain.foldLeft(base) { case (acc, (lang, cond)) =>
+      acc.when(cond, lit(lang))
+    }.otherwise(lit(LangStopwords.last._1))
+  }
+
+  /** Whole-document fingerprints. md5/sha2 over the exact bytes —
+    * identical hex on any engine, the exact-dedup key at scale. */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+  def fingerprintSha256(text: Column): Column =
+    sha2(text.cast("binary"), 256)
+
+  /** Word n-gram shingles (arrays of n consecutive tokens, joined by a
+    * single space) — the input unit for MinHash / Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    // size < n: no shingles; otherwise indices 0..size-n, 1-based slice.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

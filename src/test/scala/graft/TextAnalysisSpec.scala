@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat", "en", "src0", 22L),
+    (2L, "el que los las y en por", "es", "src1", 23L),
+    (3L, "xyzzy plugh", "zz", "src0", 11L),
+    (4L, "a b!! 12 cd3", "en", "src1", 12L),
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val rows = TextOps.textStats(docs)
+      .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+      .as[(Long, Long, Long)].collect()
+    // "a b!! 12 cd3": ws = [a, b!!, 12, cd3] = 4;
+    // bpe = [a, b, !!, 12, cd, 3] = 6
+    assert(rows.find(_._1 == 4L).get == ((4L, 4L, 6L)))
+  }
+
+  test("language ID picks the max stopword list, unknown when none") {
+    val got = TextOps.langIdQuery(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "unknown")
+  }
+
+  test("quality score in [0,1], lower for stopword-heavy docs") {
+    val q = TextOps.textQuality(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // doc 1: 6 tokens, 2 stopwords ("the"×2), 17 letters / 22 chars:
+    // (6/50) * (1 - 2/6) * (17/22) = 0.0618182 -> 0.0618
+    assert(q(1L) == 0.0618)
+  }
+
+  test("md5 fingerprint matches known digest") {
+    val fp = TextOps.fingerprints(
+      Seq((1L, "hello", "en", "s", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("fp_md5").as[String].head()
+    assert(fp == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("shingles: 2-grams of 4 tokens = 3 shingles; short docs = none") {
+    val s = Seq("w x y z", "w").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 2).as("sh"))
+      .as[Seq[String]].collect()
+    assert(s(0) == Seq("w x", "x y", "y z"))
+    assert(s(1) == Seq.empty)
+  }
+
+  test("langStats groups by (lang, source) with conserved doc count") {
+    val r = TextOps.langStats(docs)
+    assert(r.agg(sum("n_docs")).as[Long].head() == 4L)
+  }
+}
