@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{TextOps, WordCount}
+import graft.operators.{Dedup, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,9 @@ object SparkEntry {
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -43,6 +46,16 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langIdQuery(documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
+    // ---- deduplication extensions ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(documents(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(documents(s, dir), n = 3, threshold = 0.8)),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -133,5 +146,57 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY fp_md5""".stripMargin,
+    // Exact 3-gram Jaccard >= 0.8 via inverted-index join. Also the
+    // oracle for q_dedup_minhash: LSH candidates are verified with the
+    // same exact Jaccard, and at r=4,b=16 the miss probability for
+    // s>=0.8 pairs is negligible on this corpus.
+    "q_dedup_ngram" -> DedupNgramOracle,
+    "q_dedup_minhash" -> DedupNgramOracle,
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
+        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
+        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM p
+        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // q_dedup_simhash: intentionally no oracle — signatures use Spark's
+    // xxhash64, which DuckDB does not implement (rows-only check).
   )
+
+  private val DedupNgramOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

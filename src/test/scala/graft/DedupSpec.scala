@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1/2 identical; doc 3 a near-dup of 1 (one word changed);
+  // doc 4 unrelated.
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val docs = Seq(
+    (1L, base, "en", "s", 10L),
+    (2L, base, "en", "s", 10L),
+    (3L, base.replace("epsilon", "omega"), "en", "s", 10L),
+    (4L, "one two three four five six seven eight nine ten", "en", "s", 10L),
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val r = Dedup.exact(docs).as[(String, Long, Long)].collect()
+    assert(r.length == 3)
+    val dupGroup = r.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L)
+  }
+
+  test("ngram Jaccard finds identical pair at 1.0, near-dup pair in between") {
+    val got = Dedup.ngramJaccard(docs, n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val asMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(asMap((1L, 2L)) == 1.0)
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) < 1.0)
+    assert(!asMap.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH (verified) equals exact ngram Jaccard on sf0.001 corpus") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.8)
+    val lsh = Dedup.minhashLsh(corpus, n = 3, threshold = 0.8)
+    assert(exact.count() == lsh.count())
+    assert(exact.exceptAll(lsh).isEmpty && lsh.exceptAll(exact).isEmpty)
+    assert(exact.count() > 0, "corpus should contain planted near-dups")
+  }
+
+  test("simhash: identical docs collide, hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("simhash near-dup has small distance; maxDocFreq caps fanout") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val ham13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val ham14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(ham13 < ham14)
+    // maxDocFreq=1 drops every shared shingle -> no pairs survive
+    val capped = Dedup.ngramJaccard(docs, 3, 0.1, maxDocFreq = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("embedding near-dup picks parallel vectors only") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(embs, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+    assert(got.head._3 > 0.99)
+  }
+}
