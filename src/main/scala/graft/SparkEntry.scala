@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextOps, WordCount}
+import graft.operators.{Dedup, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,11 @@ object SparkEntry {
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
+    // ---- similarity search extensions ----
+    "q_ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -175,6 +180,30 @@ object SparkEntry {
         |ORDER BY vec_a, vec_b""".stripMargin,
     // q_dedup_simhash: intentionally no oracle — signatures use Spark's
     // xxhash64, which DuckDB does not implement (rows-only check).
+    "q_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        |), p AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM q JOIN e ON vec_id <> query_id
+        |), s AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // q_ann_lsh: intentionally no oracle — approximate recall by design
+    // (rows-only check); its precision is asserted against the exact
+    // brute-force path in SimilaritySpec.
   )
 
   private val DedupNgramOracle: String =

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.Vectors
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Tiny corpus with known cosine geometry: q=vec 0 along x-axis;
+  // 1 is nearly parallel, 2 at 45 degrees, 3 orthogonal, 4 opposite.
+  private val embs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+  ).toDF("vec_id", "embedding", "label")
+
+  test("vector math: dot, norm, cosine") {
+    val r = embs.filter($"vec_id" === 2L)
+      .select(
+        Vectors.dot(Vectors.toDoubleVec($"embedding"),
+          Vectors.toDoubleVec($"embedding")).as("d"),
+        Vectors.cosine(Vectors.toDoubleVec($"embedding"),
+          Vectors.toDoubleVec($"embedding")).as("c"))
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 2.0) < 1e-9)
+    assert(math.abs(r._2 - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns exact ranking for a known geometry") {
+    val got = Similarity.bruteForceTopK(embs, col("vec_id") === 0L, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 3L)) // by descending cosine
+    assert(got.map(_._4) == Seq(1L, 2L, 3L)) // ranks are 1..k
+    assert(got(0)._3 > 0.99 && math.abs(got(1)._3 - 0.7071) < 1e-3)
+    assert(math.abs(got(2)._3) < 1e-9) // orthogonal
+  }
+
+  test("brute-force on sf0.001: k rows per query, self excluded") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
+    val perQuery = got.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(perQuery.length == 5 && perQuery.forall(_._2 == 10L))
+    assert(got.filter($"query_id" === $"vec_id").count() == 0)
+  }
+
+  test("LSH top-k: cosines match exact scoring; recall vs brute force is high") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(e, col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // every LSH-scored pair carries the same (exactly computed) cosine
+    lsh.foreach { case (q, v, c, _) =>
+      exact.get((q, v)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+    }
+    val hit = lsh.count { case (q, v, _, _) => exact.contains((q, v)) }
+    assert(hit >= (exact.size * 0.5).toInt,
+      s"LSH recall too low: $hit of ${exact.size}")
+  }
+
+  test("SRP bucket is deterministic and within [0, 2^nPlanes)") {
+    val planes = Similarity.hyperplanes(nPlanes = 8, dim = 4)
+    val b = embs.select(
+      Vectors.srpBucket(Vectors.toDoubleVec($"embedding"), planes).as("b"))
+      .as[Int].collect().toSeq
+    assert(b.forall(x => x >= 0 && x < 256))
+    val b2 = embs.select(
+      Vectors.srpBucket(Vectors.toDoubleVec($"embedding"),
+        Similarity.hyperplanes(8, 4)).as("b")).as[Int].collect().toSeq
+    assert(b == b2)
+  }
+}
