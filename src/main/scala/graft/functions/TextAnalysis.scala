@@ -93,12 +93,13 @@ object TextAnalysis {
 
   /** Word n-gram shingles (arrays of n consecutive tokens, joined by a
     * single space) — the input unit for MinHash / Jaccard dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(text)
-    // size < n: no shingles; otherwise indices 0..size-n, 1-based slice.
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // let-bind the token array: referenced from inside the transform
+    // lambda, an inlined regexp_extract_all would re-run per shingle.
+    ColumnOps.bind(wsTokens(text), toks =>
+      // size < n: no shingles; otherwise indices 0..size-n, 1-based slice.
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 }

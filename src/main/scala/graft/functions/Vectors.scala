@@ -2,12 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Dense-vector column math over `array<float>` embedding columns.
   * Everything is computed in double with a fixed left-to-right fold so
   * results are bit-reproducible across engines (the DuckDB oracles
-  * mirror the same summation order). Pure `functions._` expressions —
-  * codegen'd, no UDFs.
+  * mirror the same summation order). The dot-product kernel is a
+  * native codegen'd Catalyst expression ([[DotProduct]]) — the
+  * higher-order-function formulation is interpreted and ~100x slower
+  * in the all-pairs hot path.
   */
 object Vectors {
 
@@ -15,10 +18,10 @@ object Vectors {
   def toDoubleVec(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def normSq(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+  def normSq(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))

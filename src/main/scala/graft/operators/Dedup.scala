@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.functions.ColumnOps.pairsOf
 import graft.functions.TextAnalysis._
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline (north star;
@@ -11,17 +13,19 @@ import org.apache.spark.sql.functions._
   *   - exact dedup: one hash shuffle on the 16-byte fingerprint; partial
   *     aggregation kicks in map-side, so duplicate-heavy corpora shrink
   *     before the exchange.
-  *   - n-gram Jaccard: inverted-index self-join on shingles. `maxDocFreq`
-  *     caps posting-list length (drops shingles shared by more than that
-  *     many docs) — the standard skew guard: a stop-shingle appearing in
-  *     1M docs would otherwise explode into 10^12 join rows.
-  *   - MinHash+LSH: per-doc signatures are a map-only pass (array
-  *     expressions, no shuffle); candidate generation shuffles on
-  *     (band, bucket); verification joins candidates back to shingle
-  *     arrays and computes exact Jaccard — O(candidates), not O(n²).
-  *   - SimHash: one shuffle (groupBy doc) with 64 partial-agg sums;
-  *     pair generation blocks on 16-bit simhash bands (pigeonhole: any
-  *     pair within Hamming distance 3 shares one of the 4 bands).
+  *   - n-gram Jaccard / MinHash / SimHash candidate generation all use
+  *     the group-by-key -> emit-pairs-per-group shape instead of an
+  *     index self-join: one shuffle of the (small) keyed rows, and the
+  *     expensive upstream (tokenize, hash) is computed exactly once —
+  *     a self-join would recompute the whole lineage per branch.
+  *   - `maxDocFreq` caps posting-list length (drops shingles shared by
+  *     more than that many docs) — the standard skew guard: a
+  *     stop-shingle appearing in 1M docs would otherwise explode into
+  *     10^12 pairs.
+  *   - MinHash signatures: shingles explode to rows, 64 codegen'd
+  *     xxhash64 columns, `groupBy(doc_id).agg(min...)` — whole-stage
+  *     codegen + map-side combine; no interpreted higher-order
+  *     functions in the hot path.
   */
 object Dedup {
 
@@ -33,33 +37,36 @@ object Dedup {
       .agg(min("doc_id").as("keep_doc_id"), count("*").as("n_copies"))
       .orderBy("fp_md5")
 
+  /** (doc_id, sh: array<string>) distinct word n-gram shingle sets. */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   /** (doc_id, shingle) inverted-index rows: distinct word n-grams. */
   def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+    shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs >= threshold, via an
-    * inverted-index join. `maxDocFreq` (0 = off) drops shingles whose
-    * document frequency exceeds it, bounding join fan-out at scale. */
+    * inverted index: group by shingle, emit co-occurring doc pairs,
+    * count common shingles per pair. `maxDocFreq` (0 = off) drops
+    * shingles whose document frequency exceeds it, bounding pair
+    * fan-out at scale. */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
-    val idx0 = shingleIndex(docs, n)
-    val idx =
-      if (maxDocFreq <= 0) idx0
-      else {
-        val rare = idx0.groupBy("shingle")
-          .agg(count("*").as("df")).filter(col("df") <= maxDocFreq)
-          .select("shingle")
-        // using-join puts the key column first; restore (doc_id, shingle)
-        // order since downstream renames are positional.
-        idx0.join(rare, "shingle").select("doc_id", "shingle")
-      }
-    val sizes = idx.groupBy("doc_id").agg(count("*").as("n_sh"))
-    val a = idx.toDF("doc_a", "shingle")
-    val b = idx.toDF("doc_b", "shingle")
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count("*").as("common"))
+    val sets = shingleSets(docs, n)
+    val posting = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")) > 1)
+    val bounded =
+      if (maxDocFreq <= 0) posting
+      else posting.filter(size(col("ds")) <= maxDocFreq)
+    val common = bounded
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count("*").as("common"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
     common
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
@@ -71,12 +78,16 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature column: for hash i, min over shingles of
-    * xxhash64(shingle, i). Pure array expressions — map-only, no
-    * shuffle, whole-stage codegen. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+  /** MinHash signature relation: (doc_id, h0..h{numHashes-1}) where
+    * h_i = min over shingles of xxhash64(shingle, i). Shingles explode
+    * to rows; the mins are partial-aggregated map-side, so the shuffle
+    * carries one 8*numHashes-byte row per doc per map partition. */
+  def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
+    val rows = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    rows.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH banding + exact-Jaccard verification.
     * Output schema/semantics identical to [[ngramJaccard]]: because
@@ -87,25 +98,25 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val withShingles = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = withShingles.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
-    // (doc_id, band, bucket): bucket = hash of the band's r-slice.
-    val bucketsKeyed = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(slice(col("sig"), j * r + 1, lit(r)), j))))
+    val sets = shingleSets(docs, n)
+    val sig = minhashSignatures(sets, numHashes)
+    // (doc_id, band, bucket): bucket = hash of the band's r mins. The
+    // signature columns are Aggregate outputs — materialized attributes,
+    // so the band hashes cost 16 codegen'd xxhash64 calls per doc.
+    val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")) :+ lit(j): _*)
+        }: _*)))
       .toDF("doc_id", "band", "bucket")
-    val cand = bucketsKeyed.toDF("doc_a", "band", "bucket")
-      .join(bucketsKeyed.toDF("doc_b", "band", "bucket"),
-        Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = banded.groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
     // verify candidates with exact Jaccard on the shingle sets
-    val shA = withShingles.toDF("doc_a", "sh_a")
-    val shB = withShingles.toDF("doc_b", "sh_b")
-    cand.join(shA, "doc_a").join(shB, "doc_b")
+    cand.join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -140,13 +151,14 @@ object Dedup {
         posexplode(array((0 until 4).map(j =>
           shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("doc_id", "simhash", "band", "key")
-    val cand = banded.toDF("doc_a", "sh_a", "band", "key")
-      .join(banded.toDF("doc_b", "sh_b", "band", "key"), Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-    cand
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    banded.groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
@@ -154,20 +166,21 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs >= threshold. Exact all-pairs —
     * correct at verification scale; the LSH-bucketed path in
-    * [[Similarity]] is the 100 TB candidate generator. Cosine is
-    * computed in double with a fixed left-to-right summation order so
-    * the DuckDB oracle reproduces it bit-for-bit. */
+    * [[Similarity]] is the 100 TB candidate generator. Norms are
+    * precomputed per side (not per pair); the per-pair dot product is
+    * the codegen'd [[graft.functions.DotProduct]] kernel. Cosine is a
+    * fixed left-to-right summation so the DuckDB oracle reproduces it
+    * bit-for-bit. */
   def embeddingNearDup(embs: DataFrame, threshold: Double): DataFrame = {
     val e = embs.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val a = e.toDF("vec_a", "va")
-    val b = e.toDF("vec_b", "vb")
-    val dot = aggregate(zip_with(col("va"), col("vb"), _ * _),
-      lit(0.0), _ + _)
-    val na = aggregate(transform(col("va"), x => x * x), lit(0.0), _ + _)
-    val nb = aggregate(transform(col("vb"), x => x * x), lit(0.0), _ + _)
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.normSq(col("v")))
+    val a = e.toDF("vec_a", "va", "na")
+    val b = e.toDF("vec_b", "vb", "nb")
+    val cos = Vectors.dot(col("va"), col("vb")) /
+      (sqrt(col("na")) * sqrt(col("nb")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cos", cos)
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")

@@ -77,15 +77,19 @@ object Similarity {
         struct(lit(t).as("t"), srpBucket(col("v"), p).as("bucket"))
       }: _*)))
       .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
-    // all bit-flip masks with popcount <= probeHamming, precomputed
+    // all bit-flip masks with popcount <= probeHamming, precomputed;
+    // each table's bucket is computed once and the masks applied via a
+    // transform over a literal array (one bucket expression per table,
+    // not per probe — keeps generated code small).
     val masks = (0 until (1 << nPlanes))
       .filter(m => Integer.bitCount(m) <= probeHamming)
     val q = e.filter(queryPred).toDF("query_id", "qv")
-      .withColumn("tb", explode(array(tables.flatMap { case (t, p) =>
-        masks.map(m => struct(lit(t).as("t"),
-          srpBucket(col("qv"), p).bitwiseXOR(lit(m)).as("bucket")))
+      .withColumn("tq", explode(array(tables.map { case (t, p) =>
+        struct(lit(t).as("t"), srpBucket(col("qv"), p).as("qbucket"))
       }: _*)))
-      .select(col("query_id"), col("qv"), col("tb.t"), col("tb.bucket"))
+      .select(col("query_id"), col("qv"), col("tq.t"),
+        explode(transform(typedlit(masks),
+          m => col("tq.qbucket").bitwiseXOR(m))).as("bucket"))
     val cand = idx.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "qv", "vec_id", "v")

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column <-> Catalyst Expression
+  * conversions, so graft can expose custom codegen'd expressions as
+  * ordinary `Column`s. Lives under `org.apache.spark.sql` purely for
+  * access scope — the standard pattern for third-party Spark
+  * expression libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
