@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextOps, WordCount}
+import graft.operators.{Dedup, EventOps, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,9 @@ object SparkEntry {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -61,6 +64,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // ---- event analytics (batch forms; streaming in graft.streaming) ----
+    "q_events_tumbling" -> ((s, dir) => EventOps.tumblingCounts(events(s, dir))),
+    "q_events_sliding" -> ((s, dir) => EventOps.slidingCounts(events(s, dir))),
+    "q_events_session" -> ((s, dir) => EventOps.sessionCounts(events(s, dir))),
+    "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
+    "q_events_top_users" -> ((s, dir) =>
+      EventOps.topUsersPerType(events(s, dir), 5)),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -204,6 +214,64 @@ object SparkEntry {
     // q_ann_lsh: intentionally no oracle — approximate recall by design
     // (rows-only check); its precision is asserted against the exact
     // brute-force path in SimilaritySpec.
+    "q_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // Spark's sliding window(ts, 1h, 15m): event belongs to the 4
+    // windows starting at trunc15(ts) - k*15min, k = 0..3, whose span
+    // still covers ts.
+    "q_events_sliding" ->
+      """SELECT w_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - to_minutes(CAST(k.k * 15 AS BIGINT)) AS w_start,
+        |         event_type, value, ts
+        |  FROM events, (SELECT unnest(range(4)) AS k) k
+        |) t
+        |WHERE ts < w_start + INTERVAL '60 minutes'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // Gaps-and-islands reconstruction of session_window(ts, 30 min):
+    // session end = last event + gap.
+    "q_events_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+    "q_events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin,
+    "q_events_top_users" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, user_id, n_events,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_events DESC, user_id) AS rank
+        |FROM c
+        |QUALIFY rank <= 5
+        |ORDER BY event_type, rank""".stripMargin,
   )
 
   private val DedupNgramOracle: String =

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (ts, user_id,
+  * event_type, value, props). Batch forms here; the same aggregations
+  * run unchanged over a streaming source in
+  * [[graft.streaming.EventStreams]] — Structured Streaming's
+  * batch/stream unification means one definition serves both.
+  *
+  * Scale posture: every query is a single hash shuffle on its group
+  * key (window buckets are computed map-side by codegen'd expressions,
+  * not exploded rows — except sliding windows, which fan out
+  * window/slide rows per event exactly like Spark's native
+  * TimeWindowing rule). Session windows shuffle once on user_id then
+  * sort within partitions — Spark's UpdatingSessionsExec handles
+  * merge; no driver-side state.
+  */
+object EventOps {
+
+  /** Shared window-agg body (unsorted — streaming sinks can't take a
+    * global sort; [[graft.streaming.EventStreams]] reuses this with a
+    * watermark, the batch wrappers below add the ORDER BY). */
+  def windowedCounts(events: DataFrame, windowDur: String,
+      slideDur: Option[String] = None): DataFrame = {
+    val w = slideDur.fold(window(col("ts"), windowDur))(
+      window(col("ts"), windowDur, _))
+    events
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Tumbling-window counts + value sums per event_type. */
+  def tumblingCounts(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    windowedCounts(events, windowDur).orderBy("w_start", "event_type")
+
+  /** Sliding-window counts: `windowDur` windows every `slideDur`. */
+  def slidingCounts(events: DataFrame, windowDur: String = "1 hour",
+      slideDur: String = "15 minutes"): DataFrame =
+    windowedCounts(events, windowDur, Some(slideDur))
+      .orderBy("w_start", "event_type")
+
+  /** Per-user sessions with a max-gap timeout: Spark's session_window
+    * (session end = last event + gap, matching the oracle's
+    * gaps-and-islands SQL). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(col("user_id"), col("s.start").as("s_start"),
+        col("s.end").as("s_end"), col("n_events"))
+      .orderBy("user_id", "s_start")
+
+  /** JSON property extraction + aggregation: props is a JSON string
+    * column; `$.k` is pulled with get_json_object (codegen'd Jackson
+    * path eval — no UDF). */
+  def propStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count("*").as("n_events"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k")
+
+  /** Analytic window function: top-`k` users by event count within
+    * each event_type (rank over a pre-aggregated relation — the
+    * window input is |types| x |users|, not |events|). */
+  def topUsersPerType(events: DataFrame, k: Int = 5): DataFrame = {
+    val counts = events.groupBy("event_type", "user_id")
+      .agg(count("*").as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("user_id"), col("n_events"), col("rank"))
+      .orderBy("event_type", "rank")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.EventOps
+import java.sql.Timestamp
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // 6 events, 2 users, 2 types, spanning 2 hours.
+  private lazy val events = Seq(
+    (0L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0, """{"k": 1}"""),
+    (1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0, """{"k": 1}"""),
+    (2L, ts("2024-01-01 00:40:00"), 2L, "view", 3.0, """{"k": 2}"""),
+    (3L, ts("2024-01-01 01:10:00"), 1L, "click", 4.0, """{"k": 2}"""),
+    (4L, ts("2024-01-01 01:15:00"), 2L, "view", 5.0, """{"k": 1}"""),
+    (5L, ts("2024-01-01 03:00:00"), 2L, "view", 6.0, """{"k": 2}"""),
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("tumbling 1h windows: counts and sums per type") {
+    val got = EventOps.tumblingCounts(events)
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (ts("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 00:00:00"), "view", 1L, 3.0),
+      (ts("2024-01-01 01:00:00"), "click", 1L, 4.0),
+      (ts("2024-01-01 01:00:00"), "view", 1L, 5.0),
+      (ts("2024-01-01 03:00:00"), "view", 1L, 6.0)))
+  }
+
+  test("sliding 1h/15m: each event lands in exactly 4 windows") {
+    val got = EventOps.slidingCounts(events)
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(got.map(_._3).sum == 4L * events.count())
+    // the 00:05 event's earliest window starts 23:15 the day before
+    assert(got.head._1 == ts("2023-12-31 23:15:00"))
+  }
+
+  test("session windows: 30m gap splits sessions, end = last + gap") {
+    val got = EventOps.sessionCounts(events)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      // user 1: 00:05 + 00:20 merge (15m gap); 01:10 is its own session
+      (1L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:50:00"), 2L),
+      (1L, ts("2024-01-01 01:10:00"), ts("2024-01-01 01:40:00"), 1L),
+      // user 2: 00:40 + 01:15 split (35m gap); 03:00 alone
+      (2L, ts("2024-01-01 00:40:00"), ts("2024-01-01 01:10:00"), 1L),
+      (2L, ts("2024-01-01 01:15:00"), ts("2024-01-01 01:45:00"), 1L),
+      (2L, ts("2024-01-01 03:00:00"), ts("2024-01-01 03:30:00"), 1L)))
+  }
+
+  test("json prop extraction groups by k") {
+    val got = EventOps.propStats(events)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 3L, 8.0 / 3), (2, 3L, 13.0 / 3)).map {
+      case (k, n, a) => (k, n, math.rint(a * 1e4) / 1e4) })
+  }
+
+  test("top users per type ranks by count desc, user asc") {
+    val got = EventOps.topUsersPerType(events, 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 1L, 3L, 1L),
+      ("view", 2L, 3L, 1L)))
+  }
+
+  test("sliding windows on sf0.001 conserve event count x4") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val total = EventOps.slidingCounts(e)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
+    assert(total == 4L * e.count())
+  }
+}
