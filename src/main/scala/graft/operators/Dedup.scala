@@ -56,13 +56,21 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
     val sets = shingleSets(docs, n)
-    val posting = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Skew guard BEFORE the collect_list: document frequency is a
+    // partial-aggregated count (tiny shuffle rows), and the semi-join
+    // drops stop-shingles before any posting list is materialized — a
+    // post-hoc filter would still buffer the 1M-doc list first.
+    val bounded =
+      if (maxDocFreq <= 0) exploded
+      else {
+        val keep = exploded.groupBy("shingle").agg(count("*").as("df"))
+          .filter(col("df") <= maxDocFreq).select("shingle")
+        exploded.join(keep, Seq("shingle"), "left_semi")
+      }
+    val common = bounded
       .groupBy("shingle").agg(collect_list("doc_id").as("ds"))
       .filter(size(col("ds")) > 1)
-    val bounded =
-      if (maxDocFreq <= 0) posting
-      else posting.filter(size(col("ds")) <= maxDocFreq)
-    val common = bounded
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count("*").as("common"))

@@ -62,7 +62,9 @@ object EventOps {
     events
       .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .agg(count("*").as("n_events"), round(avg("value"), 4).as("avg_value"))
-      .orderBy("k")
+      // NULLS LAST to match DuckDB's ASC default (Spark defaults to
+      // nulls first) — a malformed/missing props key must not reorder.
+      .orderBy(asc_nulls_last("k"))
 
   /** Analytic window function: top-`k` users by event count within
     * each event_type (rank over a pre-aggregated relation — the

@@ -66,7 +66,7 @@ class EventOpsSpec extends SparkSpec {
   }
 
   test("sliding windows on sf0.001 conserve event count x4") {
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = graft.sources.Tables.events(spark, sfDir)
     val total = EventOps.slidingCounts(e)
       .agg(org.apache.spark.sql.functions.sum("n_events")).as[Long].head()
     assert(total == 4L * e.count())
