@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventOps, Similarity, TextOps, WordCount}
+import graft.operators.{Dedup, EventOps, RelationalOps, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  import graft.sources.Tables.{documents, embeddings, events}
+  import graft.sources.Tables.{documents, embeddings, events, table}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -64,6 +64,32 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
       EventOps.topUsersPerType(events(s, dir), 5)),
+    // ---- relational suite over the TPC-H-ish star schema ----
+    "q_rel_pricing" -> ((s, dir) =>
+      RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
+    "q_rel_topn" -> ((s, dir) =>
+      RelationalOps.shippingPriority(table(s, dir, "customer"),
+        table(s, dir, "orders"), table(s, dir, "lineitem"))),
+    "q_rel_nation_rev" -> ((s, dir) =>
+      RelationalOps.revenueByNation(table(s, dir, "lineitem"),
+        table(s, dir, "supplier"), table(s, dir, "nation"),
+        table(s, dir, "region"))),
+    "q_rel_rollup" -> ((s, dir) =>
+      RelationalOps.orderRollup(table(s, dir, "orders"))),
+    "q_rel_semi" -> ((s, dir) =>
+      RelationalOps.customersWithOrders(table(s, dir, "customer"),
+        table(s, dir, "orders"))),
+    "q_rel_anti" -> ((s, dir) =>
+      RelationalOps.customersWithoutOrders(table(s, dir, "customer"),
+        table(s, dir, "orders"))),
+    "q_rel_setops" -> ((s, dir) =>
+      RelationalOps.customerSetOps(table(s, dir, "customer"),
+        table(s, dir, "orders"))),
+    "q_rel_window" -> ((s, dir) =>
+      RelationalOps.topCustomersPerNation(table(s, dir, "customer"),
+        table(s, dir, "nation"))),
+    "q_rel_runsum" -> ((s, dir) =>
+      RelationalOps.runningCustomerSpend(table(s, dir, "orders"))),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -265,6 +291,91 @@ object SparkEntry {
         |FROM c
         |QUALIFY rank <= 5
         |ORDER BY event_type, rank""".stripMargin,
+    "q_rel_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_rel_topn" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_rel_nation_rev" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_rel_rollup" ->
+      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_rel_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rel_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rel_setops" ->
+      """WITH by_seg AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |), by_ord AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT 'union' AS op, k
+        |FROM (SELECT k FROM by_seg UNION SELECT k FROM by_ord)
+        |UNION ALL
+        |SELECT 'intersect', k
+        |FROM (SELECT k FROM by_seg INTERSECT SELECT k FROM by_ord)
+        |UNION ALL
+        |SELECT 'except', k
+        |FROM (SELECT k FROM by_seg EXCEPT SELECT k FROM by_ord)
+        |ORDER BY op, k""".stripMargin,
+    "q_rel_window" ->
+      """SELECT n_name, rank, c_custkey, acctbal FROM (
+        |  SELECT n_name,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rank,
+        |    c_custkey, round(c_acctbal, 4) AS acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rank <= 3
+        |ORDER BY n_name, rank""".stripMargin,
+    "q_rel_runsum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
   )
 
   private val DedupNgramOracle: String =

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query operators over the TPC-H-ish star schema
+  * (`lineitem orders customer supplier part nation region`) — the
+  * general-purpose analytics surface of the engine, beyond the
+  * reference's single word-count pipeline (the reference has no joins,
+  * no multi-agg group-bys, no windows; SURVEY.md §2 "ABSENT" list).
+  *
+  * Scale posture (100 TB):
+  *   - Fact-table filters sit directly on the scan so Parquet row-group
+  *     pruning + predicate pushdown fire (`PushedFilters` in explain).
+  *   - Dimension joins (`nation`, `region`, filtered `customer`/
+  *     `supplier`) are explicit `broadcast()`s — no shuffle of the fact
+  *     table for a kB-to-MB side; at 1000 executors a shuffled dim join
+  *     would move the whole fact table instead.
+  *   - Fact-fact joins (`orders` ⋈ `lineitem`) shuffle on the join key
+  *     once; AQE handles skew splitting at runtime.
+  *   - Aggregations are all partial-aggregated map-side before the
+  *     exchange (sum/count/avg over group keys of low cardinality).
+  *   - Top-N is `orderBy.limit(n)`: Spark plans TakeOrderedAndProject —
+  *     per-partition heaps + a driver merge of n rows, never a full
+  *     global sort.
+  */
+object RelationalOps {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: single scan of `lineitem` with the
+    * date predicate pushed to Parquet, one hash aggregation on two
+    * low-cardinality keys. */
+  def pricingSummary(lineitem: DataFrame,
+      cutoff: String = "2000-12-31"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count("*").as("n_items"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: broadcast the filtered customer
+    * dimension into orders, shuffle-join the two fact tables, top-10 by
+    * revenue via TakeOrderedAndProject (no global sort). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      date: String = "1998-01-01", n: Int = 10): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    orders
+      .filter(col("o_orderdate") < lit(date).cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(
+        lineitem.filter(col("l_shipdate") > lit(date).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(revenue), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(n)
+  }
+
+  /** TPC-H Q5-style revenue rollup by region/nation: the supplier →
+    * nation → region dimension chain collapses to one broadcast against
+    * the lineitem scan (three broadcast hash joins, zero fact
+    * shuffles before the final small aggregation). */
+  def revenueByNation(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(revenue), 4).as("revenue"), count("*").as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  /** ROLLUP aggregation over orders: per (status, priority), per
+    * status, and grand total, disambiguated by grouping_id — subtotals
+    * computed in one pass, not three scans. */
+  def orderRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count("*").as("n_orders"),
+        round(sum("o_totalprice"), 4).as("sum_price"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n_orders",
+        "sum_price")
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
+  /** Left-semi join: customers holding at least one order matching
+    * `pred` — only the key column of the filtered orders crosses the
+    * wire, and each customer row is emitted at most once (no
+    * join-then-distinct blowup). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame,
+      priority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === priority)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with NO order matching the priority —
+    * the complement of [[customersWithOrders]], same single-shuffle
+    * shape. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+      priority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === priority)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Set operations over customer-key sets: UNION / INTERSECT / EXCEPT
+    * of (customers in `segment`) vs (customers with an order of
+    * `priority`), each tagged and stacked with UNION ALL. Spark plans
+    * intersect/except as left-semi/anti joins after dedup — no
+    * driver-side set logic. */
+  def customerSetOps(customer: DataFrame, orders: DataFrame,
+      segment: String = "BUILDING",
+      priority: String = "1-URGENT"): DataFrame = {
+    val bySeg = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey").as("k"))
+    val byOrd = orders.filter(col("o_orderpriority") === priority)
+      .select(col("o_custkey").as("k")).distinct()
+    bySeg.union(byOrd).distinct().withColumn("op", lit("union"))
+      .unionByName(bySeg.intersect(byOrd).withColumn("op", lit("intersect")))
+      .unionByName(bySeg.except(byOrd).withColumn("op", lit("except")))
+      .select("op", "k")
+      .orderBy("op", "k")
+  }
+
+  /** Analytic window: top-`n` customers by account balance per nation
+    * (nation broadcast into customer, rank within each nation
+    * partition). */
+  def topCustomersPerNation(customer: DataFrame, nation: DataFrame,
+      n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("n_name"), col("rank"), col("c_custkey"),
+        round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("n_name", "rank")
+  }
+
+  /** Running-total window: cumulative order spend per customer in
+    * order-date order (orderkey tie-break makes the summation order —
+    * and thus the float result — deterministic on any engine). */
+  def runningCustomerSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 4).as("cum_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+}

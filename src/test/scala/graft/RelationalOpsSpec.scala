@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.RelationalOps
+import graft.sources.Tables.table
+import org.apache.spark.sql.Row
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def customers = table(spark, sfDir, "customer")
+  private def orders = table(spark, sfDir, "orders")
+
+  test("rollup emits detail, subtotal, and grand-total levels") {
+    val r = RelationalOps.orderRollup(orders).collect()
+    val byGid = r.groupBy(_.getAs[Long]("gid"))
+    // gid 0 = detail rows, 1 = per-status subtotals, 3 = grand total
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    assert(byGid(3L).length == 1)
+    val total = byGid(3L).head.getAs[Long]("n_orders")
+    assert(total == orders.count())
+    // each level partitions the same order count
+    assert(byGid(0L).map(_.getAs[Long]("n_orders")).sum == total)
+    assert(byGid(1L).map(_.getAs[Long]("n_orders")).sum == total)
+    // null-ness of the group columns matches the grouping level
+    assert(byGid(1L).forall(row => row.isNullAt(row.fieldIndex("o_orderpriority"))
+      && !row.isNullAt(row.fieldIndex("o_orderstatus"))))
+  }
+
+  test("semi and anti join partition the customer table") {
+    val withU = RelationalOps.customersWithOrders(customers, orders)
+    val without = RelationalOps.customersWithoutOrders(customers, orders)
+    assert(withU.count() + without.count() == customers.count())
+    // disjoint key sets
+    assert(withU.select("c_custkey")
+      .intersect(without.select("c_custkey")).count() == 0)
+    // semi never duplicates a customer with many matching orders
+    assert(withU.select("c_custkey").distinct().count() == withU.count())
+  }
+
+  test("set ops: union = intersect + except of either side") {
+    val ops = RelationalOps.customerSetOps(customers, orders)
+      .groupBy("op").count().as[(String, Long)].collect().toMap
+    val seg = customers.filter($"c_mktsegment" === "BUILDING").count()
+    assert(ops("intersect") + ops("except") == seg)
+    assert(ops("union") >= seg && ops.getOrElse("intersect", 0L) >= 0)
+  }
+
+  test("top customers per nation: at most n per nation, ranked by acctbal") {
+    val r = RelationalOps.topCustomersPerNation(customers,
+      table(spark, sfDir, "nation"), n = 3).collect()
+    r.groupBy(_.getAs[String]("n_name")).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val bals = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("acctbal"))
+      assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("running spend is monotone per customer and ends at the total") {
+    val rows = RelationalOps.runningCustomerSpend(orders).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    val totals = orders.groupBy("o_custkey")
+      .sum("o_totalprice").as[(Long, Double)].collect().toMap
+    byCust.foreach { case (ck, rs) =>
+      val cum = rs.map(_.getAs[Double]("cum_spend")) // already output-ordered
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+      assert(math.abs(cum.last - totals(ck)) < 0.01)
+    }
+  }
+
+  test("pricing summary covers every (returnflag, linestatus) exactly once") {
+    val li = table(spark, sfDir, "lineitem")
+    val r = RelationalOps.pricingSummary(li).collect()
+    assert(r.map(row => (row.getString(0), row.getString(1))).distinct.length
+      == r.length)
+    assert(r.map(_.getAs[Long]("n_items")).sum
+      == li.filter($"l_shipdate" <= "2000-12-31").count())
+  }
+
+  test("shipping priority returns at most n rows, revenue-descending") {
+    val r = RelationalOps.shippingPriority(customers, orders,
+      table(spark, sfDir, "lineitem"), n = 10).collect()
+    assert(r.length <= 10)
+    val rev = r.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+}
