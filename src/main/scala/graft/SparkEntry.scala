@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventOps, RelationalOps, Similarity, TextOps, WordCount}
+import graft.operators.{Dedup, EventOps, MultiModal, RelationalOps, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,13 @@ object SparkEntry {
         table(s, dir, "nation"))),
     "q_rel_runsum" -> ((s, dir) =>
       RelationalOps.runningCustomerSpend(table(s, dir, "orders"))),
+    // ---- multimodal binary-column extensions ----
+    "q_mm_meta" -> ((s, dir) =>
+      MultiModal.mediaMeta(MultiModal.asMedia(documents(s, dir)))),
+    "q_mm_frames" -> ((s, dir) =>
+      MultiModal.frameSample(MultiModal.asMedia(documents(s, dir)))),
+    "q_mm_features" -> ((s, dir) =>
+      MultiModal.featureQuery(MultiModal.asMedia(documents(s, dir)))),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -376,6 +383,34 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    // Multimodal: payload = UTF-8 bytes of text (ASCII corpus, so
+    // DuckDB's encode() produces the same bytes Spark's cast-to-binary
+    // does); hex slices compare the binary frames engine-neutrally.
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS fp_md5,
+        |  substring(hex(encode(text)), 1, 8) AS magic
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |), f AS (
+        |  SELECT doc_id, hx,
+        |    unnest(range(0, ((length(hx) // 2 - 1) // 64) + 1)) AS frame_idx
+        |  FROM m WHERE length(hx) > 0
+        |)
+        |SELECT doc_id, frame_idx,
+        |  substring(hx, frame_idx * 128 + 1, 128) AS frame_hex
+        |FROM f WHERE frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // q_mm_features: intentionally no oracle — the feature vector comes
+    // from the batched mapPartitions decode path (rows-only check);
+    // its determinism and shape are pinned in MultiModalSpec.
   )
 
   private val DedupNgramOracle: String =

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{MediaRow, MultiModal}
+import graft.sources.Tables.documents
+
+class MultiModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = MultiModal.asMedia(documents(spark, sfDir))
+
+  test("payload is the UTF-8 bytes of text; meta reports byte length") {
+    val df = Seq((1L, "héllo"), (2L, "")).toDF("doc_id", "text")
+    val meta = MultiModal.mediaMeta(MultiModal.asMedia(df)).collect()
+    // 'é' is 2 bytes in UTF-8 → 6 bytes total, not 5 chars
+    assert(meta(0).getAs[Long]("n_bytes") == 6L)
+    assert(meta(1).getAs[Long]("n_bytes") == 0L)
+    assert(meta(0).getAs[String]("mime") == "audio/wav") // 1 % 3
+  }
+
+  test("frames with every=1 reassemble to the full payload hex") {
+    val df = Seq((7L, "x" * 150)).toDF("doc_id", "text")
+    val frames = MultiModal.frameSample(MultiModal.asMedia(df),
+      frameBytes = 64, every = 1).collect()
+    assert(frames.length == 3) // ceil(150/64)
+    val reassembled = frames.sortBy(_.getAs[Long]("frame_idx"))
+      .map(_.getAs[String]("frame_hex")).mkString
+    assert(reassembled == "78" * 150)
+    // tail frame is short, not padded
+    assert(frames.last.getAs[String]("frame_hex").length == (150 - 128) * 2)
+  }
+
+  test("frame sampling keeps every 2nd frame") {
+    val idx = MultiModal.frameSample(media, frameBytes = 64, every = 2)
+      .select("frame_idx").as[Long].collect()
+    assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
+  }
+
+  test("decodeFeatures is deterministic and histogram-normalized") {
+    val a = MultiModal.decodeFeatures(media, batchSize = 8).collect()
+      .sortBy(_.doc_id)
+    val b = MultiModal.decodeFeatures(media, batchSize = 64,
+      parallelism = Some(2)).collect().sortBy(_.doc_id)
+    // same features regardless of batch shape or partitioning
+    assert(a.length == b.length && a.length == media.count())
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.doc_id == y.doc_id && x.features.sameElements(y.features))
+    }
+    a.foreach { f =>
+      assert(f.features.length == MultiModal.FakeCodec.Bins)
+      assert(f.width >= 16 && f.height >= 16)
+      if (f.n_bytes > 0)
+        assert(math.abs(f.features.sum - 1f) < 1e-3)
+    }
+  }
+
+  test("codec batch entry point sees decoder-sized batches") {
+    val rows = (1L to 10L).map(i => MediaRow(i, "image/png", Array[Byte](i.toByte)))
+    val batches = rows.iterator.grouped(4).map(_.size).toSeq
+    assert(batches == Seq(4, 4, 2)) // the shape decodeFeatures feeds FakeCodec
+    assert(MultiModal.FakeCodec.decodeBatch(rows).map(_.doc_id) == (1L to 10L))
+  }
+}
