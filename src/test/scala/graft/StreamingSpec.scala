@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Batch-vs-stream equivalence: the streaming forms must produce the
+  * batch answers once the whole input is consumed — Spark's unified
+  * planning makes this a semantics test of our shared aggregation
+  * bodies, watermarking, and the ns→µs source normalization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToCompletion(df: DataFrame, mode: String,
+      name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** The streaming file source wants a directory; the testdata table is
+    * a single ns-timestamp parquet file — expose it via a symlink. */
+  private lazy val nsEventsDir: String = {
+    val dir = Files.createTempDirectory("graft-ns-events")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    dir.toString
+  }
+
+  test("streaming word count equals batch word count over text files") {
+    val dir = Files.createTempDirectory("graft-lines").toFile
+    val lines = Seq("to be or not to be", "that is the question",
+      "to be is to do", "do be do")
+    // several files → several micro-batches with maxFilesPerTrigger
+    lines.zipWithIndex.foreach { case (l, i) =>
+      Files.writeString(new java.io.File(dir, s"part-$i.txt").toPath, l + "\n")
+    }
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(dir.getAbsolutePath)
+    val got = runToCompletion(EventStreams.wordCountStream(stream),
+      "complete", "wc_stream")
+    val want = spark.read.text(dir.getAbsolutePath)
+      .transform(d => EventStreams.wordCountStream(d))
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("streaming tumbling windows over ns-timestamp events equal batch") {
+    // real source dir: Parquet TIMESTAMP(NANOS) — exercises readEvents'
+    // schema + normalization against files we did not write ourselves
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.windowedCounts(stream), "complete", "ev_stream")
+    val want = EventOps.windowedCounts(Tables.events(spark, sfDir), "1 hour")
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("incremental accumulation across micro-batches matches batch") {
+    // re-write events as many µs-timestamp files → many micro-batches
+    val batch = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-events").toString
+    batch.repartition(5).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEventsMicros(spark, dir,
+      maxFilesPerTrigger = 1)
+    val got = runToCompletion(
+      EventStreams.windowedCounts(stream), "complete", "ev_incr")
+    val want = EventOps.windowedCounts(spark.read.parquet(dir), "1 hour")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("append mode with watermark emits only closed windows, all correct") {
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.windowedCounts(stream, watermark = Some("1 hour")),
+      "append", "ev_wm")
+    val want = EventOps.windowedCounts(Tables.events(spark, sfDir), "1 hour")
+    val wantSet = sortedRows(want).toSet
+    val gotRows = sortedRows(got)
+    // every emitted window is finalized and exactly equals its batch row
+    assert(gotRows.nonEmpty)
+    assert(gotRows.forall(wantSet.contains))
+    // only the tail windows still inside the watermark may be withheld
+    assert(gotRows.size >= want.count() - 8)
+  }
+
+  test("mapGroupsWithState running counts converge to batch totals") {
+    val batch = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-events-st").toString
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEventsMicros(spark, dir,
+      maxFilesPerTrigger = 1)
+    val got = runToCompletion(
+      EventStreams.userRunningCounts(stream).toDF(), "update", "ev_run")
+    // update-mode sink keeps every intermediate total; the max per user
+    // is the final state and must equal the batch count
+    val finals = got.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = batch.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(finals == want)
+  }
+
+  test("flatMapGroupsWithState sessions match closed batch sessions") {
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.userSessions(stream).toDF(), "append", "ev_sess")
+    val want = EventOps.sessionCounts(Tables.events(spark, sfDir))
+      .select("user_id", "s_start", "s_end", "n_events")
+    val wantSet = sortedRows(want).toSet
+    val gotRows = sortedRows(got.select("user_id", "s_start", "s_end", "n_events"))
+    // every emitted (closed) session must agree exactly with the batch
+    // session_window result; open tail sessions may be withheld
+    assert(gotRows.nonEmpty)
+    assert(gotRows.forall(wantSet.contains))
+  }
+}
