@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: pay session/codegen/scheduler startup (~4s) before any
+    // timer starts, so the first query's number is the query's, not
+    // the JVM's.
+    spark.range(1000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
     // noop sink: materializes every row (incl. sorts/projections that a
     // bare count() would let the optimizer elide) without disk I/O.
     // A failed query records -1, never its elapsed time — a failure must

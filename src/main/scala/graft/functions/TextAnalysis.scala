@@ -35,9 +35,14 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpeTokenRegex), lit(0))
 
-  def tokenCountWs(text: Column): Column = size(wsTokens(text))
+  /** Token counts via regexp_count: no token-array materialization —
+    * one codegen'd scan per count (the extract_all + size route
+    * allocates every token string just to count them). */
+  def tokenCountWs(text: Column): Column =
+    regexp_count(text, lit(WsTokenRegex))
 
-  def tokenCountBpe(text: Column): Column = size(bpeTokens(text))
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRegex))
 
   /** Number of tokens contained in `words` (multiset count). */
   def stopwordCount(tokens: Column, words: Seq[String]): Column =
@@ -47,6 +52,15 @@ object TextAnalysis {
   def avgTokenLen(tokens: Column): Column =
     aggregate(transform(tokens, t => length(t)), lit(0), (acc, x) => acc + x)
       .cast("double") / size(tokens)
+
+  /** Mean token length without materializing tokens: every char is
+    * whitespace or inside a `\S+` token, so sum(len(token)) =
+    * len(text) - #whitespace chars. Two codegen'd regexp_counts
+    * replace the interpreted transform+aggregate of [[avgTokenLen]];
+    * identical value. */
+  def avgTokenLenFast(text: Column): Column =
+    (length(text) - regexp_count(text, lit("\\s"))).cast("double") /
+      tokenCountWs(text)
 
   /** Fraction of characters that are ASCII letters. */
   def alphaRatio(text: Column): Column =
@@ -68,22 +82,31 @@ object TextAnalysis {
   /** Stopword-list language ID: argmax of per-language stopword hits,
     * ties to the earlier language in [[LangStopwords]], `unknown` when
     * no list hits. */
-  def langId(text: Column): Column = {
-    val toks = wsTokens(text)
-    val counts = LangStopwords.map { case (lang, words) =>
-      lang -> stopwordCount(toks, words)
-    }
-    val allZero = counts.map(_._2 === 0).reduce(_ && _)
-    // when-chain: first language whose count >= all later counts wins.
-    val chain = counts.tails.collect {
-      case (lang, c) +: rest if rest.nonEmpty =>
-        (lang, rest.map { case (_, o) => c >= o }.reduce(_ && _))
-    }.toSeq
-    val base = when(allZero, lit("unknown"))
-    chain.foldLeft(base) { case (acc, (lang, cond)) =>
-      acc.when(cond, lit(lang))
-    }.otherwise(lit(LangStopwords.last._1))
-  }
+  def langId(text: Column): Column =
+    // double let-binding: tokenize once, count each list once — the
+    // when-chain references every count several times, and without the
+    // binds CollapseProject re-inlines (and re-runs) the tokenization
+    // and filters per reference.
+    ColumnOps.bind(wsTokens(text), toks =>
+      ColumnOps.bind(
+        struct(LangStopwords.map { case (lang, words) =>
+          stopwordCount(toks, words).as(s"c_$lang")
+        }: _*),
+        cs => {
+          val counts = LangStopwords.map { case (lang, _) =>
+            lang -> cs.getField(s"c_$lang")
+          }
+          val allZero = counts.map(_._2 === 0).reduce(_ && _)
+          // when-chain: first language whose count >= all later counts wins.
+          val chain = counts.tails.collect {
+            case (lang, c) +: rest if rest.nonEmpty =>
+              (lang, rest.map { case (_, o) => c >= o }.reduce(_ && _))
+          }.toSeq
+          val base = when(allZero, lit("unknown"))
+          chain.foldLeft(base) { case (acc, (lang, cond)) =>
+            acc.when(cond, lit(lang))
+          }.otherwise(lit(LangStopwords.last._1))
+        }))
 
   /** Whole-document fingerprints. md5/sha2 over the exact bytes —
     * identical hex on any engine, the exact-dedup key at scale. */

@@ -56,7 +56,12 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
     val sets = shingleSets(docs, n)
-    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Each doc's set size rides along with every exploded row (one int
+    // per row) so the pair aggregation needs NO size joins afterwards —
+    // the old sizes-join shape recomputed the tokenize/shingle lineage
+    // twice more and added two shuffles.
+    val exploded = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
     // Skew guard BEFORE the collect_list: document frequency is a
     // partial-aggregated count (tiny shuffle rows), and the semi-join
     // drops stop-shingles before any posting list is materialized — a
@@ -68,16 +73,14 @@ object Dedup {
           .filter(col("df") <= maxDocFreq).select("shingle")
         exploded.join(keep, Seq("shingle"), "left_semi")
       }
-    val common = bounded
-      .groupBy("shingle").agg(collect_list("doc_id").as("ds"))
+    bounded
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
       .agg(count("*").as("common"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    common
-      .join(sizes.toDF("doc_a", "na"), "doc_a")
-      .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")))

@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.functions.TextAnalysis._
+import graft.functions.TextProfile
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Document-level text-analysis queries over the `documents` table
   * (training-data pipeline extensions). All single-pass, narrow
@@ -13,15 +15,24 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Per-document token counts (whitespace + BPE-ish) and mean token
-    * length. */
-  def textStats(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
-      tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"),
-      length(col("text")).cast("long").as("n_chars_obs"),
-      round(avgTokenLen(wsTokens(col("text"))), 4).as("avg_token_len"),
-    ).orderBy("doc_id")
+    * length — one single-pass [[graft.functions.TextProfile]] scan per
+    * document (the two-step select keeps CollapseProject from
+    * duplicating the non-cheap profile into every output column). */
+  def textStats(docs: DataFrame): DataFrame = {
+    val profile = ColumnBridge.column(
+      TextProfile(ColumnBridge.expression(col("text"))))
+    docs
+      .select(col("doc_id"), profile.as("p"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+      .select(
+        col("doc_id"),
+        col("p.n_tokens_ws").cast("long").as("n_tokens_ws"),
+        col("p.n_tokens_bpe").cast("long").as("n_tokens_bpe"),
+        col("n_chars_obs"),
+        round(col("p.n_nonws").cast("double") / col("p.n_tokens_ws"), 4)
+          .as("avg_token_len"),
+      ).orderBy("doc_id")
+  }
 
   /** Per-document quality features + composite score. */
   def textQuality(docs: DataFrame): DataFrame = {

@@ -5,6 +5,32 @@ import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("TextProfile single-pass counts match the regex definitions") {
+    import graft.functions.{TextAnalysis, TextProfile}
+    import org.apache.spark.sql.functions.{col, regexp_count, lit}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import spark.implicits._
+    val texts = Seq(
+      "hello world", "  leading and trailing  ", "", "   ",
+      "abc123def", "a1!b2?c", "tabs\tand\nnewlines\r\nhere",
+      "héllo wörld über café", "42 + 7 = 49!!", "one",
+      "mixed: 3.14, x_y-z (q)", "ça va? très bien!",
+    )
+    val df = texts.toDF("text")
+    val profiled = df.select(
+      ColumnBridge.column(TextProfile(ColumnBridge.expression(col("text")))).as("p"),
+      regexp_count(col("text"), lit(TextAnalysis.WsTokenRegex)).as("ws"),
+      regexp_count(col("text"), lit(TextAnalysis.BpeTokenRegex)).as("bpe"),
+      (org.apache.spark.sql.functions.length(col("text"))
+        - regexp_count(col("text"), lit("\\s"))).as("nonws"))
+    profiled.collect().foreach { r =>
+      val p = r.getStruct(0)
+      assert(p.getInt(0) == r.getInt(1), s"ws mismatch: $r")
+      assert(p.getInt(1) == r.getInt(2), s"bpe mismatch: $r")
+      assert(p.getInt(2) == r.getInt(3), s"nonws mismatch: $r")
+    }
+  }
   import spark.implicits._
 
   private val docs = Seq(
