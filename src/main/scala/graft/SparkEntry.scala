@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventOps, MultiModal, RelationalOps, Similarity, TextOps, WordCount}
+import graft.operators.{AsofJoin, Dedup, EventOps, MultiModal, RelationalOps, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,10 @@ object SparkEntry {
         table(s, dir, "nation"))),
     "q_rel_runsum" -> ((s, dir) =>
       RelationalOps.runningCustomerSpend(table(s, dir, "orders"))),
+    "q_rel_quantiles" -> ((s, dir) =>
+      RelationalOps.orderValueQuantiles(table(s, dir, "orders"))),
+    // As-of join: purchases looked up against the user's latest click.
+    "q_events_asof" -> ((s, dir) => AsofJoin.eventAsof(events(s, dir))),
     // ---- multimodal binary-column extensions ----
     "q_mm_meta" -> ((s, dir) =>
       MultiModal.mediaMeta(MultiModal.asMedia(documents(s, dir)))),
@@ -383,6 +387,31 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_rel_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_events_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS ev_id, p.user_id, p.ts AS ev_ts,
+        |  c.event_id AS asof_id, c.ts AS asof_ts,
+        |  round(CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS DOUBLE) / 1e6, 4) AS gap_s
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY ev_id""".stripMargin,
     // Multimodal: payload = UTF-8 bytes of text (ASCII corpus, so
     // DuckDB's encode() produces the same bytes Spark's cast-to-binary
     // does); hex slices compare the binary frames engine-neutrally.

@@ -156,6 +156,22 @@ object RelationalOps {
       .orderBy("n_name", "rank")
   }
 
+  /** Exact interpolated percentiles of order value per status — the
+    * sort-based `percentile` aggregate (both engines interpolate
+    * linearly, so results compare exactly). At 100 TB the approximate
+    * sketch (`approx_percentile`, fixed-size state, mergeable) replaces
+    * it — same query shape, no sort buffer. */
+  def orderValueQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count("*").as("n_orders"))
+      .orderBy("o_orderstatus")
+
   /** Running-total window: cumulative order spend per customer in
     * order-date order (orderkey tie-break makes the summation order —
     * and thus the float result — deterministic on any engine). */

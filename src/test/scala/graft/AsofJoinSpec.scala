@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+import graft.sources.Tables
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asof picks the latest right row at-or-before each left time") {
+    val left = Seq((1L, ts(10), "l10"), (1L, ts(20), "l20"),
+      (1L, ts(5), "l5"), (2L, ts(10), "l2"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, ts(8), 100L), (1L, ts(10), 101L),
+      (1L, ts(15), 102L), (3L, ts(1), 999L))
+      .toDF("k", "t", "rid")
+    val got = AsofJoin.asof(left, right, "k", "t", Seq("rid"))
+      .select("k", "t", "name", "asof_rid").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, "l10", Some(101L)), // tie: rt == lt is included
+      (1L, 20L, "l20", Some(102L)),
+      (1L, 5L, "l5", None),         // nothing at-or-before
+      (2L, 10L, "l2", None),        // key with no right rows at all
+    ))
+  }
+
+  test("asof output has exactly one row per left row") {
+    val e = Tables.events(spark, sfDir)
+    val out = AsofJoin.eventAsof(e)
+    val purchases = e.filter($"event_type" === "purchase")
+    assert(out.count() == purchases.count())
+    assert(out.select("ev_id").distinct().count() == purchases.count())
+  }
+
+  test("gap is non-negative and asof_ts <= ev_ts whenever matched") {
+    val out = AsofJoin.eventAsof(Tables.events(spark, sfDir))
+      .filter($"asof_id".isNotNull)
+    assert(out.count() > 0)
+    assert(out.filter($"gap_s" < 0).count() == 0)
+    assert(out.filter($"asof_ts" > $"ev_ts").count() == 0)
+  }
+}
