@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format breadth beyond the harness's parquet: CSV, JSON lines,
+  * and plain text, with explicit schemas on read (schema inference
+  * costs a full extra pass at scale and races on changing data — a
+  * 100 TB pipeline always declares its schema).
+  *
+  * Writers default to snappy parquet elsewhere; these exist for
+  * interchange with non-columnar producers/consumers. All paths are
+  * directories of part files (distributed write) — single-file output
+  * is the sink's job (see [[graft.sinks.FormattedTextSink]]).
+  */
+object Formats {
+
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readText(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Formats, Tables}
+
+/** End-to-end reference-binary parity (text file in → two formatted
+  * output files) and file-format round-trips. */
+class AppAndFormatsSpec extends SparkSpec {
+
+  test("WordCountApp reproduces the reference's two output files exactly") {
+    val dir = Files.createTempDirectory("graft-app")
+    val input = dir.resolve("input.txt")
+    Files.writeString(input,
+      """the quick brown fox
+        |the lazy dog; the end.
+        |Fox fox!
+        |""".stripMargin)
+    WordCountApp.main(Array(input.toString, dir.toString))
+    val alpha = Files.readString(dir.resolve("output.txt"))
+    val freq = Files.readString(dir.resolve("output2.txt"))
+    // golden: byte order (capitals first), case-sensitive counts
+    assert(alpha ==
+      """=== Final Word Counts (A → Z) ===
+        |Fox -> 1
+        |brown -> 1
+        |dog -> 1
+        |end -> 1
+        |fox -> 2
+        |lazy -> 1
+        |quick -> 1
+        |the -> 3
+        |""".stripMargin)
+    assert(freq ==
+      """=== Final Word Counts (High → Low) ===
+        |the -> 3
+        |fox -> 2
+        |Fox -> 1
+        |brown -> 1
+        |dog -> 1
+        |end -> 1
+        |lazy -> 1
+        |quick -> 1
+        |""".stripMargin)
+  }
+
+  test("csv and jsonl round-trip the orders table with explicit schema") {
+    val orders = Tables.table(spark, sfDir, "orders")
+    val sorted = orders.orderBy("o_orderkey")
+    val want = sorted.collect().map(_.toString).toSeq
+
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    Formats.writeCsv(sorted, csvDir)
+    val backCsv = Formats.readCsv(spark, csvDir, orders.schema)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(backCsv == want)
+
+    val jsonDir = Files.createTempDirectory("graft-json").toString
+    Formats.writeJsonl(sorted, jsonDir)
+    val backJson = Formats.readJsonl(spark, jsonDir, orders.schema)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(backJson == want)
+  }
+}
