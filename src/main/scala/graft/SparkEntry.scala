@@ -32,6 +32,11 @@ object SparkEntry {
     // README's comparison use case: top-k head of the frequency output.
     "q_wordcount_topk" -> ((s, dir) =>
       WordCount.topK(documents(s, dir), col("text"), 20)),
+    // Misra-Gries heavy hitters; capacity 64 > the corpus's distinct
+    // word count, so the summary is provably exact here and shares the
+    // exact-frequency oracle (eviction regime is spec-tested).
+    "q_wordcount_heavy" -> ((s, dir) =>
+      WordCount.heavyHitters(documents(s, dir), col("text"), 64)),
     // K7: formatted sink rows ("word -> count").
     "q_wordcount_fmt" -> ((s, dir) =>
       WordCount.formatted(
@@ -121,6 +126,13 @@ object SparkEntry {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY word""".stripMargin,
+    "q_wordcount_heavy" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt DESC, word""".stripMargin,
     "q_wordcount_topk" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word

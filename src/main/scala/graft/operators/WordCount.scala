@@ -1,8 +1,9 @@
 package graft.operators
 
-import graft.functions.Tokenizer
+import graft.functions.{HeavyHitters, Tokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** The reference's entire pipeline (SURVEY.md §2 S1→T2→A3/X4→O5/O6/K7),
   * re-expressed declaratively so Catalyst plans it:
@@ -44,6 +45,23 @@ object WordCount {
     * per-partition heaps + driver merge, no full sort at scale. */
   def topK(df: DataFrame, text: Column, k: Int): DataFrame =
     byFrequency(df, text).limit(k)
+
+  /** Approximate top frequencies via the Misra–Gries summary
+    * ([[graft.functions.HeavyHitters]]): one pass, `capacity` entries
+    * of state per map partition regardless of dictionary size — the
+    * scale path when distinct keys are too many to shuffle. With
+    * `capacity` >= the true distinct count the result is exact
+    * (no evictions), which is how the oracle checks it. */
+  def heavyHitters(df: DataFrame, text: Column, capacity: Int): DataFrame = {
+    val agg = ColumnBridge.column(
+      HeavyHitters(ColumnBridge.expression(col("word")), capacity)
+        .toAggregateExpression())
+    words(df, text)
+      .agg(agg.as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+  }
 
   /** Formatted sink rows (K7): `word -> count` (main.cpp:233,263-265).
     * Header lines are emitted by the writer (FormattedTextSink), not the

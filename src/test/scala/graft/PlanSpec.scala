@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, RelationalOps, Similarity, WordCount}
+import graft.sources.Tables.{documents, embeddings, table}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB posture, pinned.
+  * A query that silently loses its pushdown, broadcast, or partial
+  * aggregation still returns correct rows at sf0.01; these tests are
+  * what fails instead of a production cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the date filter into the parquet scan") {
+    val p = plan(RelationalOps.pricingSummary(table(spark, sfDir, "lineitem")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // and the scan reads only the needed columns, not the whole row
+    assert(!p.contains("l_partkey"), "column pruning lost: scan reads l_partkey")
+  }
+
+  test("word count scan reads only the text column") {
+    val p = plan(WordCount.byFrequency(documents(spark, sfDir), col("text")))
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"scan is not pruned to text:\n$p")
+  }
+
+  test("word count aggregates partially before the exchange") {
+    val p = plan(WordCount.counts(documents(spark, sfDir), col("text")))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstAgg >= 0 && exchange >= 0,
+      s"expected hash agg + hash exchange in:\n$p")
+    // partial agg appears below (after, in toString order) the exchange;
+    // final agg above — i.e. two HashAggregates around one exchange
+    assert(p.indexOf("HashAggregate", firstAgg + 1) >= 0,
+      s"expected partial+final HashAggregate pair in:\n$p")
+  }
+
+  test("dimension-chain join broadcasts, never shuffles the fact table") {
+    val p = plan(RelationalOps.revenueByNation(
+      table(spark, sfDir, "lineitem"), table(spark, sfDir, "supplier"),
+      table(spark, sfDir, "nation"), table(spark, sfDir, "region")))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact table must not shuffle for dimension joins:\n$p")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(WordCount.topK(documents(spark, sfDir), col("text"), 20))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = plan(Similarity.bruteForceTopK(
+      embeddings(spark, sfDir), col("vec_id") < 5, k = 10))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("exact dedup is one hash aggregation, no join") {
+    val p = plan(Dedup.exact(documents(spark, sfDir)))
+    assert(!p.contains("Join"), s"dedup must not join:\n$p")
+    assert(p.contains("HashAggregate"), s"dedup must hash-aggregate:\n$p")
+  }
+
+  test("whole-stage codegen covers the word count hot path") {
+    val df = WordCount.counts(documents(spark, sfDir), col("text"))
+    df.collect() // AQE finalizes the plan (and codegen markers) on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage-codegen span in:\n$p")
+  }
+}
