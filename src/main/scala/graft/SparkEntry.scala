@@ -69,6 +69,8 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
       EventOps.topUsersPerType(events(s, dir), 5)),
+    "q_events_distinct" -> ((s, dir) =>
+      EventOps.distinctUsersPerType(events(s, dir))),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -314,6 +316,11 @@ object SparkEntry {
         |FROM c
         |QUALIFY rank <= 5
         |ORDER BY event_type, rank""".stripMargin,
+    "q_events_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_rel_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -106,7 +106,8 @@ object Dedup {
     * the exact join only by LSH misses (prob ~(1-s^r)^b; ~1e-22 for
     * s=0.99, r=4, b=16) — so it shares the same oracle. */
   def minhashLsh(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val sets = shingleSets(docs, n)
@@ -119,9 +120,12 @@ object Dedup {
           xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")) :+ lit(j): _*)
         }: _*)))
       .toDF("doc_id", "band", "bucket")
+    // `maxBucket` caps pair fan-out per LSH bucket (a degenerate bucket
+    // of B docs emits B²/2 candidates): standard practice is to skip
+    // such buckets — near-dups that common are caught by other bands.
     val cand = banded.groupBy("band", "bucket")
       .agg(collect_list("doc_id").as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -156,7 +160,8 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming` (<= 3 guaranteed found:
     * 4 disjoint 16-bit bands, pigeonhole). Output: doc_a, doc_b,
     * hamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(j =>
@@ -164,7 +169,7 @@ object Dedup {
       .toDF("doc_id", "simhash", "band", "key")
     banded.groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))

@@ -66,6 +66,20 @@ object EventOps {
       // nulls first) — a malformed/missing props key must not reorder.
       .orderBy(asc_nulls_last("k"))
 
+  /** Exact distinct users per event type, in the explicit two-stage
+    * shape: stage 1 dedupes on (event_type, user_id) — the shuffle key
+    * includes the high-cardinality column, so a hot event_type spreads
+    * over all reducers instead of hammering one — stage 2 counts the
+    * deduped rows per type. Equivalent to countDistinct, written as the
+    * skew-safe form that also generalizes to distinct-heavy aggregates
+    * Spark does not rewrite (collect_set, distinct sums of structs). */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(count("*").as("n_users"))
+      .orderBy("event_type")
+
   /** Analytic window function: top-`k` users by event count within
     * each event_type (rank over a pre-aggregated relation — the
     * window input is |types| x |users|, not |events|). */
