@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{HeavyHitters, TextProfile, Tokenizer}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the pure kernels (no Spark session —
+  * these pin semantics the Spark specs then rely on). */
+object KernelProps extends Properties("graft.kernels") {
+
+  // ---- generators ----------------------------------------------------
+
+  private val wordChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaChar, 2 -> Gen.oneOf('ä', 'ö', 'é', 'ß', 'ü'))
+  private val delimChar: Gen[Char] = Gen.oneOf(
+    ' ', '\t', '-', '.', ',', '!', '0', '7', ';', '(')
+  private val line: Gen[String] = Gen.listOf(
+    Gen.frequency(3 -> wordChar, 1 -> delimChar)).map(_.mkString)
+  private val mixedText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '\r'),
+    1 -> Gen.oneOf('!', '.', 'é', 'ß', '€', '-', '_'))).map(_.mkString)
+
+  // ---- reference tokenizer (main.cpp byte semantics) -----------------
+
+  property("tokens are non-empty and all word-bytes") = forAll(line) { s =>
+    Tokenizer.tokenizeBytes(s).forall { t =>
+      t.nonEmpty && t.getBytes("UTF-8").forall { b =>
+        val u = b & 0xff
+        (u >= 'A' && u <= 'Z') || (u >= 'a' && u <= 'z') || u >= 0x80
+      }
+    }
+  }
+
+  property("concatenation via a delimiter = token list concatenation") =
+    forAll(line, line) { (a, b) =>
+      Tokenizer.tokenizeBytes(a + " " + b) ==
+        Tokenizer.tokenizeBytes(a) ++ Tokenizer.tokenizeBytes(b)
+    }
+
+  property("delimiter padding never changes tokens") = forAll(line) { s =>
+    Tokenizer.tokenizeBytes("..." + s + "\t") == Tokenizer.tokenizeBytes(s)
+  }
+
+  property("token bytes total <= line bytes") = forAll(line) { s =>
+    Tokenizer.tokenizeBytes(s).map(_.getBytes("UTF-8").length).sum <=
+      s.getBytes("UTF-8").length
+  }
+
+  // ---- TextProfile vs the regex model --------------------------------
+
+  property("TextProfile == regex token/char counts") = forAll(mixedText) { s =>
+    val row = TextProfile.profile(UTF8String.fromString(s))
+    val ws = ("\\S+".r).findAllIn(s).size
+    val bpe = ("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+".r).findAllIn(s).size
+    val nonWs = s.codePointCount(0, s.length) -
+      ("\\s".r).findAllIn(s).size
+    row.getInt(0) == ws && row.getInt(1) == bpe && row.getInt(2) == nonWs
+  }
+
+  // ---- Misra-Gries buffers (update/merge used directly) --------------
+
+  private val stream: Gen[List[String]] = Gen.listOf(Gen.frequency(
+    5 -> Gen.const("hot"),
+    3 -> Gen.oneOf("warm1", "warm2"),
+    4 -> Gen.choose(0, 50).map(i => s"cold$i")))
+
+  property("MG guarantee: heavy items present, counts within n/(k+1)") =
+    forAll(stream, Gen.choose(2, 12)) { (xs, k) =>
+      val agg = HeavyHitters(null, k)
+      // split the stream arbitrarily, update two buffers, merge — the
+      // distributed shape
+      val (l, r) = xs.splitAt(xs.length / 2)
+      def fill(part: List[String]) = {
+        val buf = agg.createAggregationBuffer()
+        part.foreach { w =>
+          val key = UTF8String.fromString(w)
+          buf.get(key) match {
+            case Some(c) => buf.update(key, c + 1)
+            case None if buf.size < k => buf.update(key, 1L)
+            case None =>
+              buf.mapValuesInPlace((_, c) => c - 1)
+              buf.filterInPlace((_, c) => c > 0)
+          }
+        }
+        buf
+      }
+      val merged = agg.merge(fill(l), fill(r))
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val slack = xs.size.toLong / (k + 1)
+      merged.size <= k &&
+        exact.forall { case (w, c) =>
+          val got = merged.getOrElse(UTF8String.fromString(w), 0L)
+          got <= c && (c <= slack || got >= c - slack)
+        }
+    }
+}
