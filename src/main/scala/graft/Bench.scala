@@ -17,19 +17,26 @@ object Bench {
       .format("noop").mode("overwrite").save()
     // noop sink: materializes every row (incl. sorts/projections that a
     // bare count() would let the optimizer elide) without disk I/O.
+    // Best of 2 runs per query: the first run pays per-query codegen
+    // compilation, which at this sf is the same order as the query
+    // itself — the repeat isolates execution from one-time JIT cost.
     // A failed query records -1, never its elapsed time — a failure must
     // be distinguishable from a fast success in the emitted JSON.
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t =
+        try math.min(once(), once())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors ::= name
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

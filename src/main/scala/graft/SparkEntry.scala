@@ -57,6 +57,11 @@ object SparkEntry {
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
+    // LSH-bucketed variant: exact-verified candidates, approximate
+    // recall by construction — rows-only check; recall pinned vs the
+    // exact path in DedupSpec.
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(embeddings(s, dir), threshold = 0.4)),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),

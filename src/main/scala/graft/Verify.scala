@@ -26,6 +26,10 @@ object Verify {
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
+    // failures also land in the dump dir — a missing per-query parquet
+    // must be attributable without scraping stderr
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -201,4 +201,47 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Embedding near-dup, LSH-bucketed — the 100 TB path. Candidate
+    * pairs come from co-occurrence in a signed-random-projection bucket
+    * in ANY of `nTables` tables (OR-amplification); each candidate is
+    * then verified with the exact codegen'd cosine, so every emitted
+    * pair is correct — only recall is approximate: a pair at angle θ is
+    * missed with probability (1-(1-θ/π)^nPlanes)^nTables. Short codes +
+    * many tables (default 4 planes × 16 tables) keep recall ≈ 94% even
+    * at cos = 0.4 (θ = 66°); a high-similarity dedup (cos >= 0.9) would
+    * run 16-bit codes × 32 tables for 65k-way bucket pruning instead.
+    * Same output schema as [[embeddingNearDup]]; the all-pairs O(n²)
+    * join is replaced by per-bucket fan-out, `maxBucket`-capped. */
+  def embeddingNearDupLsh(embs: DataFrame, threshold: Double,
+      nPlanes: Int = 4, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val tables = (0 until nTables)
+      .map(t => t -> Similarity.hyperplanes(nPlanes, dim, seed + t))
+    val e = embs.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    // bucket IDs only — posting lists and pair fan-out carry an 8-byte
+    // id, not the 512-byte vector; vectors are joined back just for the
+    // deduped candidate set (two hash joins of a much smaller relation)
+    val banded = e.select(col("vec_id"),
+        posexplode(array(tables.map { case (_, p) =>
+          Vectors.srpBucket(col("v"), p)
+        }: _*)))
+      .toDF("vec_id", "t", "bucket")
+    val cand = banded.groupBy("t", "bucket")
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
+    val cos = Vectors.dot(col("va"), col("vb")) /
+      (sqrt(Vectors.normSq(col("va"))) * sqrt(Vectors.normSq(col("vb"))))
+    cand
+      .join(e.toDF("vec_a", "va"), "vec_a")
+      .join(e.toDF("vec_b", "vb"), "vec_b")
+      .withColumn("cos", cos)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
 }

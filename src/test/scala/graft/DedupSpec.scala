@@ -57,6 +57,18 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("embedding LSH near-dup: subset of exact pairs, high recall") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Dedup.embeddingNearDup(embs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(embs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // every emitted pair is exact-verified
+    assert(exact.nonEmpty)
+    assert(lsh.size >= exact.size * 9 / 10, // OR-amplified recall
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("embedding near-dup picks parallel vectors only") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
