@@ -25,10 +25,10 @@ object ColumnOps {
   /** All unordered pairs of a (pre-sorted) array column, as
     * `array<struct<a, b>>` with a < b in array order. O(k^2) output for
     * a k-element array — callers bound k (bucket size) upstream.
-    */
+    * Backed by the codegen'd [[AllPairs]] kernel (the equivalent
+    * higher-order-function chain is interpreted per element and was the
+    * dedup operators' hot spot). */
   def pairsOf(arr: Column): Column =
-    bind(arr, a =>
-      flatten(transform(a, (x, i) =>
-        transform(slice(a, i + 2, greatest(size(a) - i - 1, lit(0))),
-          y => struct(x.as("a"), y.as("b"))))))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      AllPairs(org.apache.spark.sql.graft.ColumnBridge.expression(arr)))
 }
