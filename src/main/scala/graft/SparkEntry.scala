@@ -76,6 +76,8 @@ object SparkEntry {
       EventOps.topUsersPerType(events(s, dir), 5)),
     "q_events_distinct" -> ((s, dir) =>
       EventOps.distinctUsersPerType(events(s, dir))),
+    "q_events_attrib" -> ((s, dir) =>
+      EventOps.purchaseAttribution(events(s, dir))),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -321,6 +323,14 @@ object SparkEntry {
         |FROM c
         |QUALIFY rank <= 5
         |ORDER BY event_type, rank""".stripMargin,
+    "q_events_attrib" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  c.event_id AS click_id, c.ts AS c_ts
+        |FROM events p
+        |JOIN events c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q_events_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events

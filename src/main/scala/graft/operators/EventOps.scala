@@ -66,6 +66,29 @@ object EventOps {
       // nulls first) — a malformed/missing props key must not reorder.
       .orderBy(asc_nulls_last("k"))
 
+  /** Interval join: each purchase attributed to every click by the
+    * same user within the preceding `window`. Batch form of the
+    * stream-stream join in
+    * [[graft.streaming.EventStreams.purchaseAttribution]] — one hash
+    * shuffle on user_id; the range predicate filters inside the join.
+    * Total order on (purchase, click) ids for the oracle. */
+  def purchaseAttribution(events: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** Exact distinct users per event type, in the explicit two-stage
     * shape: stage 1 dedupes on (event_type, user_id) — the shuffle key
     * includes the high-cardinality column, so a hot event_type spreads

@@ -96,6 +96,31 @@ object EventStreams {
       .groupBy("word")
       .agg(count("*").as("cnt"))
 
+  /** Stream-stream interval join: purchases attributed to same-user
+    * clicks in the preceding `window`, incrementally. Watermarks bound
+    * BOTH sides' join state — clicks older than watermark - window can
+    * never match a future purchase and are evicted; inner-join matches
+    * emit as soon as both rows arrive (append mode). Identical join
+    * predicate to the batch [[graft.operators.EventOps
+    * .purchaseAttribution]], which StreamingSpec pins as its oracle. */
+  def purchaseAttribution(events: DataFrame, window: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Custom arbitrary state via `mapGroupsWithState`: per-user running
     * event totals carried across micro-batches. Run with
     * [[OutputMode.Update]] — each trigger emits only the users whose

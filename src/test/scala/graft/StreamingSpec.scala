@@ -96,6 +96,15 @@ class StreamingSpec extends SparkSpec {
     assert(gotRows.size >= want.count() - 8)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.purchaseAttribution(stream), "append", "ev_attrib")
+    val want = EventOps.purchaseAttribution(Tables.events(spark, sfDir))
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("mapGroupsWithState running counts converge to batch totals") {
     val batch = Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("graft-events-st").toString
