@@ -106,6 +106,19 @@ object SparkEntry {
       RelationalOps.runningCustomerSpend(table(s, dir, "orders"))),
     "q_rel_quantiles" -> ((s, dir) =>
       RelationalOps.orderValueQuantiles(table(s, dir, "orders"))),
+    // The spark.sql entry path: a correlated scalar subquery (Catalyst
+    // decorrelates it into an aggregate + join); the oracle runs the
+    // equivalent SQL in DuckDB.
+    "q_rel_sql" -> ((s, dir) => {
+      table(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT p_partkey, p_brand, round(p_retailprice, 4) AS price
+          |FROM part p
+          |WHERE p_retailprice > 1.2 * (SELECT avg(p2.p_retailprice)
+          |                             FROM part p2
+          |                             WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin)
+    }),
     // As-of join: purchases looked up against the user's latest click.
     "q_events_asof" -> ((s, dir) => AsofJoin.eventAsof(events(s, dir))),
     // ---- multimodal binary-column extensions ----
@@ -431,6 +444,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_rel_sql" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice, 4) AS price
+        |FROM part p
+        |WHERE p_retailprice > 1.2 * (SELECT avg(p2.p_retailprice)
+        |                             FROM part p2
+        |                             WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q_events_asof" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events
