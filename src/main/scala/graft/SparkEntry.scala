@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Dedup, EventOps, MultiModal, RelationalOps, Similarity, TextOps, WordCount}
+import graft.operators.{AsofJoin, Dedup, EventOps, MultiModal, RelationalOps, Salting, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,11 @@ object SparkEntry {
         table(s, dir, "nation"))),
     "q_rel_runsum" -> ((s, dir) =>
       RelationalOps.runningCustomerSpend(table(s, dir, "orders"))),
+    // Salted join: result provably identical to the unsalted join —
+    // the oracle is the plain SQL join.
+    "q_rel_salted" -> ((s, dir) =>
+      Salting.supplierRevenueSalted(table(s, dir, "lineitem"),
+        table(s, dir, "supplier"))),
     "q_rel_quantiles" -> ((s, dir) =>
       RelationalOps.orderValueQuantiles(table(s, dir, "orders"))),
     // The spark.sql entry path: a correlated scalar subquery (Catalyst
@@ -444,6 +449,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_rel_salted" ->
+      """SELECT s_suppkey, s_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
     "q_rel_sql" ->
       """SELECT p_partkey, p_brand, round(p_retailprice, 4) AS price
         |FROM part p

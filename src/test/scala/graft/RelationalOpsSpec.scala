@@ -67,6 +67,29 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join result equals the unsalted join, and salt spreads keys") {
+    import graft.operators.Salting
+    val li = table(spark, sfDir, "lineitem")
+    val sup = table(spark, sfDir, "supplier")
+    val salted = Salting.supplierRevenueSalted(li, sup, salt = 8)
+      .collect().map(_.toString).toSeq
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum(
+          li("l_extendedprice") * (org.apache.spark.sql.functions.lit(1.0)
+            - li("l_discount"))), 4).as("revenue"),
+        org.apache.spark.sql.functions.count("*").as("n_items"))
+      .orderBy("s_suppkey").collect().map(_.toString).toSeq
+    assert(salted == plain)
+    // the salt really fans a single hot key over multiple values
+    val salts = Salting.saltedJoin(
+      li.limit(2000).select("l_suppkey", "l_quantity"),
+      sup.select("s_suppkey").withColumnRenamed("s_suppkey", "l_suppkey"),
+      "l_suppkey", 8)
+    assert(salts.count() == 2000)
+  }
+
   test("pricing summary covers every (returnflag, linestatus) exactly once") {
     val li = table(spark, sfDir, "lineitem")
     val r = RelationalOps.pricingSummary(li).collect()
