@@ -49,6 +49,8 @@ object SparkEntry {
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
     // ---- deduplication extensions ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(documents(s, dir))),
+    "q_dedup_keep" -> ((s, dir) =>
+      Dedup.dropDuplicatesKeepFirst(documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -236,6 +238,12 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY fp_md5""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     // Exact 3-gram Jaccard >= 0.8 via inverted-index join. Also the
     // oracle for q_dedup_minhash: LSH candidates are verified with the
     // same exact Jaccard, and at r=4,b=16 the miss probability for

@@ -37,6 +37,21 @@ object Dedup {
       .agg(min("doc_id").as("keep_doc_id"), count("*").as("n_copies"))
       .orderBy("fp_md5")
 
+  /** The corpus after exact dedup: full rows, one survivor per distinct
+    * text (smallest doc_id wins — deterministic). The window runs over
+    * the 16-byte fingerprint, so the shuffle carries (fp, doc_id) order
+    * keys, not a second pass over text. */
+  def dropDuplicatesKeepFirst(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprintMd5(col("text")))
+      .orderBy(col("doc_id").asc)
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, sh: array<string>) distinct word n-gram shingle sets. */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),

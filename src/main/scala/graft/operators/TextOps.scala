@@ -34,20 +34,29 @@ object TextOps {
       ).orderBy("doc_id")
   }
 
-  /** Per-document quality features + composite score. */
+  /** Per-document quality features + composite score. Staged selects
+    * act as CollapseProject barriers (non-cheap exprs referenced more
+    * than once are not inlined), so the tokenization, stopword filter,
+    * and alpha-ratio regex each run ONCE per row — the single-select
+    * form re-derived the token array per output column. */
   def textQuality(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
     val stopWords = graft.functions.TextAnalysis.LangStopwords.head._2
-    val n = size(toks)
-    val stopCnt = stopwordCount(toks, stopWords)
-    docs.select(
-      col("doc_id"),
-      n.cast("long").as("n_tokens"),
-      stopCnt.cast("long").as("stop_cnt"),
-      round(stopCnt.cast("double") / n, 4).as("stop_ratio"),
-      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
-      round(qualityScore(col("text")), 4).as("quality"),
-    ).orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n"),
+        stopwordCount(col("toks"), stopWords).as("sc"),
+        alphaRatio(col("text")).as("ar"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("sc").cast("long").as("stop_cnt"),
+        round(col("sc").cast("double") / col("n"), 4).as("stop_ratio"),
+        round(col("ar"), 4).as("alpha_ratio"),
+        round(least(lit(1.0), col("n").cast("double") / lit(50.0))
+          * (lit(1.0) - col("sc").cast("double") / col("n"))
+          * col("ar"), 4).as("quality"),
+      ).orderBy("doc_id")
   }
 
   /** Stopword-heuristic language ID next to the labeled lang. */
