@@ -115,14 +115,12 @@ object TextAnalysis {
     sha2(text.cast("binary"), 256)
 
   /** Word n-gram shingles (arrays of n consecutive tokens, joined by a
-    * single space) — the input unit for MinHash / Jaccard dedup. */
+    * single space) — the input unit for MinHash / Jaccard dedup.
+    * Backed by the codegen'd [[WordShingles]] kernel; the equivalent
+    * transform/slice/concat_ws chain is interpreted per shingle
+    * (KernelProps pins the equivalence). */
   def shingles(text: Column, n: Int): Column =
-    // let-bind the token array: referenced from inside the transform
-    // lambda, an inlined regexp_extract_all would re-run per shingle.
-    ColumnOps.bind(wsTokens(text), toks =>
-      // size < n: no shingles; otherwise indices 0..size-n, 1-based slice.
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 }

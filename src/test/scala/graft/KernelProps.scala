@@ -59,6 +59,22 @@ object KernelProps extends Properties("graft.kernels") {
     row.getInt(0) == ws && row.getInt(1) == bpe && row.getInt(2) == nonWs
   }
 
+  // ---- WordShingles vs the sliding-window model ----------------------
+
+  property("WordShingles == sliding window over \\S+ tokens") =
+    forAll(mixedText, Gen.choose(1, 4)) { (s, n) =>
+      val got = {
+        val arr = graft.functions.WordShingles
+          .shingles(UTF8String.fromString(s), n)
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      }
+      val toks = ("\\S+".r).findAllIn(s).toList
+      val want =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toList
+      got == want
+    }
+
   // ---- Misra-Gries buffers (update/merge used directly) --------------
 
   private val stream: Gen[List[String]] = Gen.listOf(Gen.frequency(
