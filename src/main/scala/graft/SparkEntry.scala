@@ -69,6 +69,10 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // IVF: rows-only like the LSH path (approximate recall by design);
+    // recall pinned vs brute force in SimilaritySpec.
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     // ---- event analytics (batch forms; streaming in graft.streaming) ----
     "q_events_tumbling" -> ((s, dir) => EventOps.tumblingCounts(events(s, dir))),
     "q_events_sliding" -> ((s, dir) => EventOps.slidingCounts(events(s, dir))),

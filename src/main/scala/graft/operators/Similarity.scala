@@ -53,6 +53,54 @@ object Similarity {
     scoredTopK(scored, k)
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nCells` Voronoi cells around centroid vectors; queries score
+    * only the vectors in their `nProbe` closest cells.
+    *
+    * Centroids here are the first `nCells` corpus vectors (normalized,
+    * collected to the driver like the SRP hyperplanes — nCells rows,
+    * not data); a production index swaps in sampled k-means|| centroids
+    * without touching the query path. Cell assignment is an argmax over
+    * `nCells` codegen'd dot products per row, entirely map-side; the
+    * candidate join is a hash join on the cell id. Candidate volume per
+    * query ~= nProbe/nCells of the corpus — the classic recall/cost
+    * dial. Output schema matches [[bruteForceTopK]]; recall < 1 by
+    * construction (spec-pinned vs brute force).
+    */
+  def ivfTopK(embs: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nProbe <= nCells)
+    val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    // centroids: deterministic, tiny driver collect (like hyperplanes)
+    val cents: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+      .map { c =>
+        val norm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / norm)
+      }
+    def cellScores(v: Column): Column =
+      array(cents.map(c => dot(v, typedlit(c.toSeq))): _*)
+    // |v| is constant across cells, so argmax of dot-with-unit-centroid
+    // IS the nearest cell by cosine
+    val idx = e
+      .withColumn("cs", cellScores(col("v")))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .select("vec_id", "v", "cell")
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cell").asc)
+    val probes = e.filter(queryPred).toDF("query_id", "qv")
+      .select(col("query_id"), col("qv"),
+        posexplode(cellScores(col("qv")))).toDF("query_id", "qv", "cell", "score")
+      .withColumn("r", row_number().over(probeRank))
+      .filter(col("r") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val cand = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    scoredTopK(cand, k)
+  }
+
   /** SRP-LSH approximate top-k: bucket the corpus into `nTables`
     * independent signed-random-projection tables (OR-amplification),
     * multi-probe each table's buckets within `probeHamming` bit flips,

@@ -62,6 +62,23 @@ class SimilaritySpec extends SparkSpec {
       s"LSH recall too low: $hit of ${exact.size}")
   }
 
+  test("IVF top-k: exact cosines, self excluded, useful recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(e, col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, v, _, _) => q != v })
+    ivf.foreach { case (q, v, c, _) =>
+      exact.get((q, v)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+    }
+    val hit = ivf.count { case (q, v, _, _) => exact.contains((q, v)) }
+    assert(hit >= (exact.size * 0.4).toInt,
+      s"IVF recall too low: $hit of ${exact.size}")
+  }
+
   test("SRP bucket is deterministic and within [0, 2^nPlanes)") {
     val planes = Similarity.hyperplanes(nPlanes = 8, dim = 4)
     val b = embs.select(
