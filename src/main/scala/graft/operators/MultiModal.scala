@@ -106,6 +106,22 @@ object MultiModal {
     * (batching, encoders, schema) works unchanged. */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = ???
 
+  /** Resize: payloads normalized to a fixed byte budget (`w*h`), the
+    * shape of an image-resize stage — oversized payloads truncate,
+    * undersized ones zero-pad, so downstream batch decode sees uniform
+    * buffers. The byte surgery is the deterministic stand-in for a real
+    * pixel resampler (which would slot into the same mapPartitions);
+    * the schema/batching contract is what's real here. */
+  def resizeStub(media: DataFrame, w: Int = 64, h: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val target = w * h
+    media.select("doc_id", "mime", "payload").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out = java.util.Arrays.copyOf(r.payload, target)
+        r.copy(payload = out)
+      })
+  }
+
   /** Deterministic fake codec: "dimensions" derived from payload
     * length and first bytes, "features" a 16-bin normalized byte
     * histogram — stable across JVMs/runs, so specs can pin outputs

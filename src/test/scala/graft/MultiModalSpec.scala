@@ -53,6 +53,20 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("resize normalizes every payload to the byte budget") {
+    val out = MultiModal.resizeStub(media, w = 8, h = 8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.payload.length == 64))
+    // prefix preserved for payloads that were truncated
+    val orig = media.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.foreach { r =>
+      val o = orig(r.doc_id)
+      val n = math.min(o.length, 64)
+      assert(r.payload.take(n).sameElements(o.take(n)))
+    }
+  }
+
   test("codec batch entry point sees decoder-sized batches") {
     val rows = (1L to 10L).map(i => MediaRow(i, "image/png", Array[Byte](i.toByte)))
     val batches = rows.iterator.grouped(4).map(_.size).toSeq
