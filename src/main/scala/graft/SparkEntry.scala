@@ -96,6 +96,8 @@ object SparkEntry {
         table(s, dir, "region"))),
     "q_rel_rollup" -> ((s, dir) =>
       RelationalOps.orderRollup(table(s, dir, "orders"))),
+    "q_rel_cube" -> ((s, dir) =>
+      RelationalOps.orderCube(table(s, dir, "orders"))),
     "q_rel_semi" -> ((s, dir) =>
       RelationalOps.customersWithOrders(table(s, dir, "customer"),
         table(s, dir, "orders"))),
@@ -405,6 +407,13 @@ object SparkEntry {
         |  round(sum(o_totalprice), 4) AS sum_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_rel_cube" ->
+      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     "q_rel_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c

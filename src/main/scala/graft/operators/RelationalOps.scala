@@ -95,6 +95,20 @@ object RelationalOps {
         "sum_price")
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
+  /** CUBE aggregation: all 2² grouping combinations of
+    * (status, priority) in one pass — rollup's lattice completed with
+    * the priority-only subtotals (gid=2). */
+  def orderCube(orders: DataFrame): DataFrame =
+    orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count("*").as("n_orders"),
+        round(sum("o_totalprice"), 4).as("sum_price"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n_orders",
+        "sum_price")
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
   /** Left-semi join: customers holding at least one order matching
     * `pred` — only the key column of the filtered orders crosses the
     * wire, and each customer row is emitted at most once (no
