@@ -47,6 +47,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langIdQuery(documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
+    "q_text_ngrams" -> ((s, dir) => TextOps.ngramCounts(documents(s, dir))),
     // ---- deduplication extensions ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(documents(s, dir))),
     "q_dedup_keep" -> ((s, dir) =>
@@ -238,6 +239,19 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "q_text_ngrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT unnest(list_transform(range(len(t) - 1),
+        |    i -> t[i+1] || ' ' || t[i+2])) AS ngram
+        |  FROM toks WHERE len(t) >= 2
+        |)
+        |SELECT ngram, count(*) AS cnt
+        |FROM sh
+        |GROUP BY ngram
+        |ORDER BY cnt DESC, ngram
+        |LIMIT 50""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

@@ -75,6 +75,17 @@ object TextOps {
       fingerprintSha256(col("text")).as("fp_sha256"),
     ).orderBy("doc_id")
 
+  /** Corpus-wide word n-gram frequencies, top `k` — the phrase-level
+    * counterpart of word count (same partial-agg → shuffle → top-k
+    * shape; the shingle construction is the codegen'd
+    * [[graft.functions.WordShingles]] kernel). */
+  def ngramCounts(docs: DataFrame, n: Int = 2, k: Int = 50): DataFrame =
+    docs
+      .select(explode(shingles(col("text"), n)).as("ngram"))
+      .groupBy("ngram").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
   /** Corpus stats by (lang, source): doc counts, char volume, mean
     * token count. One shuffle on the group keys; partial agg map-side. */
   def langStats(docs: DataFrame): DataFrame =
