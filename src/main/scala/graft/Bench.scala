@@ -24,19 +24,20 @@ object Bench {
     // be distinguishable from a fast success in the emitted JSON.
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t =
-        try math.min(once(), once())
-        catch { case e: Throwable =>
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors ::= name
-          -1.0
+          None
         }
-      name -> t
+      // runs are caught independently: one transient failure must not
+      // discard the other run's successful measurement
+      val runs = Seq(once(), once()).flatten
+      if (runs.isEmpty) errors ::= name
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,20 +48,6 @@ object TextAnalysis {
   def stopwordCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
-  /** Mean token length = sum(len(token)) / n_tokens (double). */
-  def avgTokenLen(tokens: Column): Column =
-    aggregate(transform(tokens, t => length(t)), lit(0), (acc, x) => acc + x)
-      .cast("double") / size(tokens)
-
-  /** Mean token length without materializing tokens: every char is
-    * whitespace or inside a `\S+` token, so sum(len(token)) =
-    * len(text) - #whitespace chars. Two codegen'd regexp_counts
-    * replace the interpreted transform+aggregate of [[avgTokenLen]];
-    * identical value. */
-  def avgTokenLenFast(text: Column): Column =
-    (length(text) - regexp_count(text, lit("\\s"))).cast("double") /
-      tokenCountWs(text)
-
   /** Fraction of characters that are ASCII letters. */
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed as-of join — for each left row, the most recent right
   * row with `rightTime <= leftTime` within the same key (the
@@ -38,30 +39,32 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String]): DataFrame = {
     val lOther = left.columns.filterNot(c => c == key || c == time).toList
+    // ONE struct carries the whole right-row payload: a per-column
+    // last(ignoreNulls) would skip a null field independently and stitch
+    // fields from DIFFERENT right rows when payload values are nullable.
+    // The struct itself is never null for right rows (even if every
+    // field is), so last(ignoreNulls) always picks one whole row.
+    val payloadType = StructType(payload.map(c => right.schema(c)))
     val rTagged = right.select(
       col(key) :: col(time) :: lit(0).as("__tag") ::
-        payload.toList.map(c => col(c).as(s"__p_$c")) :::
+        struct(payload.map(col): _*).as("__p") ::
         lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lTagged = left.select(
       col(key) :: col(time) :: lit(1).as("__tag") ::
-        payload.toList.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) :::
+        lit(null).cast(payloadType).as("__p") ::
         lOther.map(col): _*)
-    // tie-break right-vs-right rows at equal time by the first payload
-    // column so `last` is deterministic (left rows sort after either
-    // way — their tag is higher).
+    // tie-break right-vs-right rows at equal time by the payload struct
+    // so `last` is deterministic (left rows sort after either way —
+    // their tag is higher).
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("__tag").asc,
-        col(s"__p_${payload.head}").asc_nulls_last)
+      .orderBy(col(time).asc, col("__tag").asc, col("__p").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rTagged.unionByName(lTagged)
-      .select(
-        (col(key) :: col(time) :: col("__tag") :: lOther.map(col)) ++
-          payload.map(c =>
-            last(col(s"__p_$c"), ignoreNulls = true).over(w)
-              .as(s"asof_$c")): _*)
+      .withColumn("__last_p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(
+        (col(key) :: col(time) :: lOther.map(col)) ++
+          payload.map(c => col(s"__last_p.$c").as(s"asof_$c")): _*)
   }
 
   /** Event-stream application: each `queryType` event joined to the

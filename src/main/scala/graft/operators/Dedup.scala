@@ -80,7 +80,11 @@ object Dedup {
     // Skew guard BEFORE the collect_list: document frequency is a
     // partial-aggregated count (tiny shuffle rows), and the semi-join
     // drops stop-shingles before any posting list is materialized — a
-    // post-hoc filter would still buffer the 1M-doc list first.
+    // post-hoc filter would still buffer the 1M-doc list first. This
+    // deliberately costs a second pass over the shingle lineage: the
+    // single-pass alternative (collect_list + count in one groupBy,
+    // filter after) re-introduces exactly the stop-shingle buffer this
+    // guard exists to prevent.
     val bounded =
       if (maxDocFreq <= 0) exploded
       else {

@@ -66,28 +66,41 @@ object EventOps {
       // nulls first) — a malformed/missing props key must not reorder.
       .orderBy(asc_nulls_last("k"))
 
-  /** Interval join: each purchase attributed to every click by the
-    * same user within the preceding `window`. Batch form of the
-    * stream-stream join in
-    * [[graft.streaming.EventStreams.purchaseAttribution]] — one hash
-    * shuffle on user_id; the range predicate filters inside the join.
-    * Total order on (purchase, click) ids for the oracle. */
-  def purchaseAttribution(events: DataFrame,
-      window: String = "1 hour"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
+  /** Click-side projection for the attribution join (shared with the
+    * streaming form so the predicates cannot drift apart). */
+  def attributionClicks(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("user_id"), col("ts").as("p_ts"),
+
+  /** Purchase-side projection for the attribution join. */
+  def attributionPurchases(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
+
+  /** The attribution join body: every (purchase, click) by the same
+    * user with the click inside the preceding `window`. One definition
+    * serves batch and stream — the streaming caller watermarks the two
+    * sides first, nothing else differs. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      window: String): DataFrame =
     purchases.join(clicks,
         col("user_id") === col("c_user") &&
           col("c_ts") <= col("p_ts") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("click_id"), col("c_ts"))
+
+  /** Interval join: each purchase attributed to every click by the
+    * same user within the preceding `window` — one hash shuffle on
+    * user_id; the range predicate filters inside the join. Total order
+    * on (purchase, click) ids for the oracle. */
+  def purchaseAttribution(events: DataFrame,
+      window: String = "1 hour"): DataFrame =
+    attributionJoin(attributionPurchases(events), attributionClicks(events),
+      window)
       .orderBy("purchase_id", "click_id")
-  }
 
   /** Exact distinct users per event type, in the explicit two-stage
     * shape: stage 1 dedupes on (event_type, user_id) — the shuffle key
@@ -98,6 +111,8 @@ object EventOps {
     * Spark does not rewrite (collect_set, distinct sums of structs). */
   def distinctUsersPerType(events: DataFrame): DataFrame =
     events
+      // null user_id is not a user — count(DISTINCT) semantics
+      .filter(col("user_id").isNotNull)
       .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(count("*").as("n_users"))

@@ -31,7 +31,7 @@ final case class SessionState(start: Long, last: Long, n: Long)
   * store size is bounded by watermark eviction; file sources split by
   * file, `maxFilesPerTrigger` bounds per-batch volume.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** Schema of the events table (streaming file sources must declare
     * their schema up front — no inference race at scale). `ts` is
@@ -104,22 +104,13 @@ object EventStreams {
     * predicate to the batch [[graft.operators.EventOps
     * .purchaseAttribution]], which StreamingSpec pins as its oracle. */
   def purchaseAttribution(events: DataFrame, window: String = "1 hour",
-      watermarkDelay: String = "2 hours"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", watermarkDelay)
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", watermarkDelay)
-    purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
-      .select(col("purchase_id"), col("user_id"), col("p_ts"),
-        col("click_id"), col("c_ts"))
-  }
+      watermarkDelay: String = "2 hours"): DataFrame =
+    EventOps.attributionJoin(
+      EventOps.attributionPurchases(events)
+        .withWatermark("p_ts", watermarkDelay),
+      EventOps.attributionClicks(events)
+        .withWatermark("c_ts", watermarkDelay),
+      window)
 
   /** Custom arbitrary state via `mapGroupsWithState`: per-user running
     * event totals carried across micro-batches. Run with
@@ -159,44 +150,55 @@ object EventStreams {
     }
     def close(user: Long, s: SessionState): UserSession =
       UserSession(user, tsOf(s.start), tsOf(s.last + gapUs), s.n)
+
+    // Insert one event into the gap-separated interval list (sorted by
+    // start): extends a touched session in EITHER direction, and an
+    // extension may bridge the session into its successors. Strict
+    // < gap matches session_window's [start, last + gap) bound.
+    def mergeForward(cur: SessionState,
+        rest: List[SessionState]): List[SessionState] = rest match {
+      case s :: tail if s.start - cur.last < gapUs =>
+        mergeForward(
+          SessionState(cur.start, cur.last max s.last, cur.n + s.n), tail)
+      case _ => cur :: rest
+    }
+    def insert(ss: List[SessionState], t: Long): List[SessionState] = {
+      val (before, after) = ss.span(s => s.last + gapUs <= t)
+      after match {
+        case s :: tail if t > s.start - gapUs =>
+          // t touches the first not-strictly-before session (from the
+          // left OR the right); the extension may bridge into tail
+          before ::: mergeForward(
+            SessionState(s.start min t, s.last max t, s.n + 1), tail)
+        case _ =>
+          before ::: SessionState(t, t, 1) :: after
+      }
+    }
+
     events
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[(Long, Long, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[List[SessionState], UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Long, Timestamp)],
-            state: GroupState[SessionState]) =>
-          if (!rows.hasNext && state.hasTimedOut) {
-            // watermark passed the open session's end — close and emit
-            val s = state.get
-            state.remove()
-            Iterator.single(close(user, s))
-          } else {
-            // fold this batch's events (sorted — micro-batches are not
-            // ordered) into the open session, emitting any closed ones.
-            // Strict < gap matches session_window's [start, end) bound.
-            val ts = rows.map(_._2).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[UserSession]
-            ts.foreach { t =>
-              open = open match {
-                case Some(s) if t - s.last < gapUs =>
-                  Some(SessionState(s.start, t max s.last, s.n + 1))
-                case Some(s) =>
-                  closed += close(user, s)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // fire when the watermark passes session end (ms API)
-              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
-            }
-            closed.result().iterator
-          }
+            state: GroupState[List[SessionState]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, t, _) => sessions = insert(sessions, t) }
+          // a session is emitted ONLY once the watermark passes its end
+          // — an earlier-but-in-watermark event in a later micro-batch
+          // may still extend or bridge anything younger than that
+          // (Spark drops sub-watermark rows before they reach us)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition(s => s.last + gapUs <= wmUs)
+          if (open.nonEmpty) {
+            state.update(open)
+            val fireMs = (open.map(_.last + gapUs).min / 1000L) max
+              (state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(fireMs)
+          } else state.remove()
+          closed.sortBy(_.start).map(close(user, _)).iterator
       }
   }
 }

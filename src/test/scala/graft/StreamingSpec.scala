@@ -123,6 +123,38 @@ class StreamingSpec extends SparkSpec {
     assert(finals == want)
   }
 
+  test("sessions absorb late-but-in-watermark events from later micro-batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, user: Long, ts: String) =
+      (id, Timestamp.valueOf(ts), user, "click", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft-ooo").toString
+    // batch 1: two events at 10:00 / 10:10
+    Seq(ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:10:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(dir)
+    // batch 2 (later file): events EARLIER than batch 1's — one extends
+    // the session backward, one lands inside it; a far-future sentinel
+    // advances the watermark so the session closes
+    Seq(ev(3, 1, "2024-01-01 09:50:00"), ev(4, 1, "2024-01-01 10:05:00"),
+      ev(5, 99, "2024-01-01 20:00:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventsMicros(spark, dir,
+      maxFilesPerTrigger = 1)
+    val got = runToCompletion(
+      EventStreams.userSessions(stream).toDF(), "append", "ev_ooo")
+      .collect()
+    // one closed session: [09:50, 10:10 + 30min) with all 4 events —
+    // the per-batch-fold implementation would emit [10:00, 10:40) n=2
+    // plus a spurious [09:50, ...) session
+    assert(got.length == 1, got.mkString("; "))
+    val r = got.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Timestamp]("s_start") == Timestamp.valueOf("2024-01-01 09:50:00"))
+    assert(r.getAs[Timestamp]("s_end") == Timestamp.valueOf("2024-01-01 10:40:00"))
+    assert(r.getAs[Long]("n_events") == 4L)
+  }
+
   test("flatMapGroupsWithState sessions match closed batch sessions") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
