@@ -99,6 +99,8 @@ object SparkEntry {
       RelationalOps.orderRollup(table(s, dir, "orders"))),
     "q_rel_cube" -> ((s, dir) =>
       RelationalOps.orderCube(table(s, dir, "orders"))),
+    "q_rel_pivot" -> ((s, dir) =>
+      RelationalOps.ordersByPriorityPivot(table(s, dir, "orders"))),
     "q_rel_semi" -> ((s, dir) =>
       RelationalOps.customersWithOrders(table(s, dir, "customer"),
         table(s, dir, "orders"))),
@@ -415,6 +417,17 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_rel_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS F_n,
+        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4) AS F_price,
+        |  count(*) FILTER (o_orderstatus = 'O') AS O_n,
+        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4) AS O_price,
+        |  count(*) FILTER (o_orderstatus = 'P') AS P_n,
+        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4) AS P_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_rel_rollup" ->
       """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
         |  o_orderstatus, o_orderpriority, count(*) AS n_orders,

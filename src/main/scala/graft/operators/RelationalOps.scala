@@ -109,6 +109,20 @@ object RelationalOps {
         "sum_price")
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
+  /** Pivot (crosstab): order counts and value by priority, one column
+    * per status. The status values are pinned explicitly — at scale an
+    * unpinned pivot runs a distinct-values job first AND makes the
+    * output schema data-dependent; production pivots always declare
+    * their columns. */
+  def ordersByPriorityPivot(orders: DataFrame,
+      statuses: Seq[String] = Seq("F", "O", "P")): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      // count(lit(1)): pivot rejects the '*' star form
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("price"))
+      .orderBy("o_orderpriority")
+
   /** Left-semi join: customers holding at least one order matching
     * `pred` — only the key column of the filtered orders crosses the
     * wire, and each customer row is emitted at most once (no
