@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for the headline queries — the
+  * plan-review artifact behind PLANS.md (PlanSpec asserts the
+  * load-bearing shapes; this is the human-readable form).
+  *
+  * Usage: `sbt "runMain graft.Plans [sfDir]"`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val headline = Seq(
+      "q_wordcount_freq", "q_rel_pricing", "q_rel_topn", "q_rel_nation_rev",
+      "q_events_asof", "q_dedup_minhash", "q_ann_bruteforce", "q_mm_frames")
+    headline.foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}
