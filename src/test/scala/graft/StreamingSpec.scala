@@ -123,6 +123,43 @@ class StreamingSpec extends SparkSpec {
     assert(finals == want)
   }
 
+  test("checkpointed parquet sink: exactly-once windows across a restart") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfDir).orderBy("ts")
+    val n = events.count()
+    val first = events.limit((n / 2).toInt)
+    val second = events.exceptAll(first)
+    val src = Files.createTempDirectory("graft-sink-src").toString
+    val out = Files.createTempDirectory("graft-sink-out").toString
+    val chk = Files.createTempDirectory("graft-sink-chk").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.windowedCounts(
+          EventStreams.readEventsMicros(spark, src),
+          watermark = Some("1 hour"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1 sees only the first half; the checkpoint then carries the
+    // source offset and watermark into run 2, which processes ONLY the
+    // newly arrived files
+    first.coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    second.coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val sunk = spark.read.parquet(out)
+    // exactly-once: no window emitted twice across the two runs
+    val dups = sunk.groupBy("w_start", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0)
+    // and every emitted row matches the batch answer exactly
+    val want = sortedRows(EventOps.windowedCounts(
+      spark.read.parquet(src), "1 hour")).toSet
+    val got = sortedRows(sunk)
+    assert(got.nonEmpty && got.forall(want.contains))
+  }
+
   test("sessions absorb late-but-in-watermark events from later micro-batches") {
     import java.sql.Timestamp
     import spark.implicits._
