@@ -35,4 +35,10 @@ object Formats {
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -60,5 +60,11 @@ class AppAndFormatsSpec extends SparkSpec {
     val backJson = Formats.readJsonl(spark, jsonDir, orders.schema)
       .orderBy("o_orderkey").collect().map(_.toString).toSeq
     assert(backJson == want)
+
+    val orcDir = Files.createTempDirectory("graft-orc").toString
+    Formats.writeOrc(sorted, orcDir)
+    val backOrc = Formats.readOrc(spark, orcDir)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(backOrc == want)
   }
 }
