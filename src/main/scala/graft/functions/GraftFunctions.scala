@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL registration for the graft kernels: after
+  * `GraftFunctions.register(spark)`, plain SQL can call
+  *
+  *   - `graft_dot(a, b)`            — codegen'd array dot product
+  *   - `graft_text_profile(text)`   — single-pass token/char counters
+  *   - `graft_all_pairs(arr)`       — candidate pairs of an array
+  *   - `graft_shingles(text, n)`    — word n-gram shingles
+  *   - `graft_heavy_hitters(col, k)`— Misra–Gries top frequencies
+  *
+  * so the engine's SQL entry point ([[graft.SparkEntry]] `q_rel_sql`
+  * style queries) reaches the same kernels the DataFrame API uses. In a
+  * deployment these registrations live in a
+  * `SparkSessionExtensions` (`spark.sql.extensions`) so every session
+  * gets them at startup; `register` applies the identical bindings to
+  * an already-running session (which is what tests and notebooks have).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "graft_dot",
+      es => DotProduct(es(0), es(1)))
+    ColumnBridge.registerFunction(spark, "graft_text_profile",
+      es => TextProfile(es(0)))
+    ColumnBridge.registerFunction(spark, "graft_all_pairs",
+      es => AllPairs(es(0)))
+    ColumnBridge.registerFunction(spark, "graft_shingles",
+      es => WordShingles(es(0), intArg(es(1), "graft_shingles")))
+    ColumnBridge.registerFunction(spark, "graft_heavy_hitters",
+      es => HeavyHitters(es(0), intArg(es(1), "graft_heavy_hitters"))
+        .toAggregateExpression())
+  }
+}

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Bind a SQL-callable temp function backed by a Catalyst expression
+    * builder (`sessionState.functionRegistry` is private[sql] — this is
+    * the whole reason the bridge package exists). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("graft_dot from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+
+  test("graft_text_profile from SQL") {
+    val r = spark.sql(
+      "SELECT graft_text_profile('ab 12 c!') AS p").select("p.*")
+      .as[(Int, Int, Int)].head()
+    assert(r == ((3, 4, 6))) // ws tokens, bpe tokens (ab|12|c|!), non-ws
+  }
+
+  test("graft_shingles and graft_all_pairs from SQL") {
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 2) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+    val pairs = spark.sql(
+      "SELECT graft_all_pairs(array(1, 2, 3)) AS p").select("p")
+      .as[Seq[(Int, Int)]].head()
+    assert(pairs == Seq((1, 2), (1, 3), (2, 3)))
+  }
+
+  test("graft_heavy_hitters aggregates from SQL") {
+    Seq("a", "b", "a", "c", "a").toDF("w").createOrReplaceTempView("words")
+    val top = spark.sql(
+      "SELECT graft_heavy_hitters(w, 8) AS hh FROM words")
+      .selectExpr("inline(hh)")
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+  }
+}
