@@ -226,12 +226,17 @@ object Dedup {
     * in ANY of `nTables` tables (OR-amplification); each candidate is
     * then verified with the exact codegen'd cosine, so every emitted
     * pair is correct — only recall is approximate: a pair at angle θ is
-    * missed with probability (1-(1-θ/π)^nPlanes)^nTables. Short codes +
-    * many tables (default 4 planes × 16 tables) keep recall ≈ 94% even
-    * at cos = 0.4 (θ = 66°); a high-similarity dedup (cos >= 0.9) would
-    * run 16-bit codes × 32 tables for 65k-way bucket pruning instead.
-    * Same output schema as [[embeddingNearDup]]; the all-pairs O(n²)
-    * join is replaced by per-bucket fan-out, `maxBucket`-capped. */
+    * missed with probability (1-(1-θ/π)^nPlanes)^nTables.
+    *
+    * Parameter honesty: candidate volume per table is ~n²/2^nPlanes, so
+    * the defaults (4-bit codes × 16 tables — needed for ≈94% recall at
+    * this corpus's low cos = 0.4 threshold) prune little; SRP-LSH
+    * cannot give both high recall at 66° angles AND sub-quadratic
+    * candidates. The operator earns its 100 TB keep at real NEAR-DUP
+    * thresholds (cos >= 0.9, θ <= 26°), where 16-bit codes × 32 tables
+    * yield 65k-way pruning at ~99% recall — pass those parameters
+    * there. Same output schema as [[embeddingNearDup]];
+    * `maxBucket` caps degenerate buckets either way. */
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
