@@ -48,6 +48,11 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
     "q_text_ngrams" -> ((s, dir) => TextOps.ngramCounts(documents(s, dir))),
+    // Winnowed rolling-hash fingerprints: custom 64-bit polynomial
+    // hash, no DuckDB equivalent — rows-only; invariants (coverage
+    // guarantee, subset, monotone positions) pinned in KernelProps.
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      TextOps.rollingFingerprints(documents(s, dir))),
     // ---- deduplication extensions ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(documents(s, dir))),
     "q_dedup_keep" -> ((s, dir) =>

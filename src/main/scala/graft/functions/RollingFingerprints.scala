@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowed rolling-hash document fingerprints (the MOSS scheme):
+  * Rabin–Karp hashes of every `k`-byte gram, then one fingerprint per
+  * window of `w` consecutive grams — the rightmost minimum — deduped
+  * across overlapping windows.
+  *
+  * Output `array<struct<pos int, fp long>>` in position order. The
+  * winnowing guarantee: any match of length >= w + k - 1 bytes between
+  * two documents shares at least one fingerprint, while only ~2/(w+1)
+  * of grams are kept — the document-similarity sketch that works by
+  * CONTENT OVERLAP (plagiarism/quotation detection) where shingle-set
+  * Jaccard works by whole-document similarity.
+  *
+  * One pass, codegen'd via the static-kernel pattern
+  * ([[TextProfile]]); hashes use fixed 64-bit polynomial arithmetic
+  * (base 1000003, natural overflow) so fingerprints are stable across
+  * engines and runs.
+  */
+case class RollingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1)
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))))
+
+  override def prettyName: String = "graft_rolling_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingFingerprints.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingFingerprints.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingFingerprints = copy(child = newChild)
+}
+
+object RollingFingerprints {
+
+  val Base = 1000003L
+
+  /** Rabin–Karp hashes of all k-grams of the UTF-8 bytes, then
+    * rightmost-min winnowing over windows of `w` grams. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L // Base^(k-1)
+    var i = 0
+    while (i < k) {
+      h = h * Base + (bytes(i) & 0xff)
+      if (i < k - 1) pow *= Base
+      i += 1
+    }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * Base + (bytes(i + k - 1) & 0xff)
+      hashes(i) = h
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    var lastPicked = -1
+    // fewer grams than a window: the whole doc is one window
+    val nWindows = math.max(1, n - w + 1)
+    var j = 0
+    while (j < nWindows) {
+      val end = math.min(j + w, n)
+      var best = j
+      var m = j
+      while (m < end) { // rightmost minimum (robust winnowing)
+        if (hashes(m) <= hashes(best)) best = m
+        m += 1
+      }
+      if (best != lastPicked) {
+        out.add(new GenericInternalRow(Array[Any](best, hashes(best))))
+        lastPicked = best
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -86,6 +86,21 @@ object TextOps {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
 
+  /** Winnowed rolling-hash fingerprints per document
+    * ([[graft.functions.RollingFingerprints]]): the content-overlap
+    * sketch — two docs sharing any run of >= w+k-1 bytes share a
+    * fingerprint. Exploded to (doc_id, pos, fp) rows; at scale the
+    * groupBy(fp) inverted index over these rows finds cross-document
+    * overlap without any pairwise comparison. */
+  def rollingFingerprints(docs: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(ColumnBridge.column(graft.functions.RollingFingerprints(
+          ColumnBridge.expression(col("text")), k, w))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
+      .orderBy("doc_id", "pos")
+
   /** Corpus stats by (lang, source): doc counts, char volume, mean
     * token count. One shuffle on the group keys; partial agg map-side. */
   def langStats(docs: DataFrame): DataFrame =

@@ -75,6 +75,35 @@ object KernelProps extends Properties("graft.kernels") {
       got == want
     }
 
+  // ---- RollingFingerprints winnowing invariants ----------------------
+
+  property("winnowing: subset of gram hashes, sorted, window-covering") =
+    forAll(mixedText, Gen.choose(2, 6), Gen.choose(1, 5)) { (s, k, w) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      val arr = graft.functions.RollingFingerprints
+        .winnow(UTF8String.fromString(s), k, w)
+      val picked = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getInt(0), r.getLong(1))
+      }
+      val bytes = s.getBytes("UTF-8")
+      val n = bytes.length - k + 1
+      if (n <= 0) picked.isEmpty
+      else {
+        // model: all gram hashes, straight polynomial
+        val all = (0 until n).map { i =>
+          (i, bytes.slice(i, i + k).foldLeft(0L)((h, b) =>
+            h * graft.functions.RollingFingerprints.Base + (b & 0xff)))
+        }
+        val pos = picked.map(_._1)
+        picked.forall { case (p, f) => all(p) == (p, f) } && // true gram hashes
+          pos == pos.sorted && pos.distinct == pos &&        // ordered, deduped
+          // winnowing guarantee: every window of w grams contains a pick
+          (0 until math.max(1, n - w + 1)).forall(j =>
+            pos.exists(p => p >= j && p < j + w))
+      }
+    }
+
   // ---- Misra-Gries buffers (update/merge used directly) --------------
 
   private val stream: Gen[List[String]] = Gen.listOf(Gen.frequency(
