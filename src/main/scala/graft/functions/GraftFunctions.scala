@@ -22,23 +22,34 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object GraftFunctions {
 
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${es.length}")
+
+  /** Resolve a foldable int argument (literal, CAST of literal,
+    * constant arithmetic — the builder runs before constant folding, so
+    * evaluate rather than pattern-match on Literal). */
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
+    case f if f.foldable && f.dataType == org.apache.spark.sql.types.IntegerType =>
+      f.eval().asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
-      s"$fn expects a literal int argument, got $other")
+      s"$fn expects a constant int argument, got $other")
   }
 
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "graft_dot",
-      es => DotProduct(es(0), es(1)))
+      es => { arity("graft_dot", es, 2); DotProduct(es(0), es(1)) })
     ColumnBridge.registerFunction(spark, "graft_text_profile",
-      es => TextProfile(es(0)))
+      es => { arity("graft_text_profile", es, 1); TextProfile(es(0)) })
     ColumnBridge.registerFunction(spark, "graft_all_pairs",
-      es => AllPairs(es(0)))
+      es => { arity("graft_all_pairs", es, 1); AllPairs(es(0)) })
     ColumnBridge.registerFunction(spark, "graft_shingles",
-      es => WordShingles(es(0), intArg(es(1), "graft_shingles")))
+      es => { arity("graft_shingles", es, 2)
+        WordShingles(es(0), intArg(es(1), "graft_shingles")) })
     ColumnBridge.registerFunction(spark, "graft_heavy_hitters",
-      es => HeavyHitters(es(0), intArg(es(1), "graft_heavy_hitters"))
-        .toAggregateExpression())
+      es => { arity("graft_heavy_hitters", es, 2)
+        HeavyHitters(es(0), intArg(es(1), "graft_heavy_hitters"))
+          .toAggregateExpression() })
   }
 }

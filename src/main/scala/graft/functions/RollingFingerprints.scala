@@ -73,24 +73,30 @@ object RollingFingerprints {
       hashes(i) = h
       i += 1
     }
+    // O(n) monotonic-deque sliding minimum. Popping `>=` from the back
+    // makes ties resolve to the NEWER index — exactly rightmost-min
+    // (robust) winnowing. Fewer grams than a window: one window.
     val out = new java.util.ArrayList[Any]()
     var lastPicked = -1
-    // fewer grams than a window: the whole doc is one window
-    val nWindows = math.max(1, n - w + 1)
-    var j = 0
-    while (j < nWindows) {
-      val end = math.min(j + w, n)
-      var best = j
-      var m = j
-      while (m < end) { // rightmost minimum (robust winnowing)
-        if (hashes(m) <= hashes(best)) best = m
-        m += 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i2 = 0
+    val firstWindowEnd = math.min(w, n)
+    while (i2 < n) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i2)) tail -= 1
+      deque(tail) = i2
+      tail += 1
+      val j = i2 - w + 1 // window start once i2 completes a window
+      if (j > 0 && deque(head) < j) head += 1
+      if (i2 >= firstWindowEnd - 1) {
+        val best = deque(head)
+        if (best != lastPicked) {
+          out.add(new GenericInternalRow(Array[Any](best, hashes(best))))
+          lastPicked = best
+        }
       }
-      if (best != lastPicked) {
-        out.add(new GenericInternalRow(Array[Any](best, hashes(best))))
-        lastPicked = best
-      }
-      j += 1
+      i2 += 1
     }
     new GenericArrayData(out.toArray)
   }

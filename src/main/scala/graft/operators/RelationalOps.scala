@@ -115,13 +115,20 @@ object RelationalOps {
     * output schema data-dependent; production pivots always declare
     * their columns. */
   def ordersByPriorityPivot(orders: DataFrame,
-      statuses: Seq[String] = Seq("F", "O", "P")): DataFrame =
-    orders
+      statuses: Seq[String] = Seq("F", "O", "P")): DataFrame = {
+    val pivoted = orders
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", statuses)
       // count(lit(1)): pivot rejects the '*' star form
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("price"))
+    // an empty (priority, status) cell comes back NULL from PivotFirst;
+    // a COUNT must read 0 (sums stay NULL — no rows, no sum)
+    pivoted
+      .select(col("o_orderpriority") +: statuses.flatMap(s => Seq(
+        coalesce(col(s"${s}_n"), lit(0L)).as(s"${s}_n"),
+        col(s"${s}_price"))): _*)
       .orderBy("o_orderpriority")
+  }
 
   /** Left-semi join: customers holding at least one order matching
     * `pred` — only the key column of the filtered orders crosses the

@@ -31,6 +31,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(pairs == Seq((1, 2), (1, 3), (2, 3)))
   }
 
+  test("foldable int args resolve; wrong arity raises a clear error") {
+    val sh = spark.sql("SELECT graft_shingles('a b c', 1 + 1) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot expects 2 argument"))
+  }
+
   test("graft_heavy_hitters aggregates from SQL") {
     Seq("a", "b", "a", "c", "a").toDF("w").createOrReplaceTempView("words")
     val top = spark.sql(

@@ -79,7 +79,6 @@ object KernelProps extends Properties("graft.kernels") {
 
   property("winnowing: subset of gram hashes, sorted, window-covering") =
     forAll(mixedText, Gen.choose(2, 6), Gen.choose(1, 5)) { (s, k, w) =>
-      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
       val arr = graft.functions.RollingFingerprints
         .winnow(UTF8String.fromString(s), k, w)
       val picked = (0 until arr.numElements()).map { i =>

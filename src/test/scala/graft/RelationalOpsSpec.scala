@@ -90,6 +90,21 @@ class RelationalOpsSpec extends SparkSpec {
     assert(salts.count() == 2000)
   }
 
+  test("pivot reports 0 (not null) for an empty count cell") {
+    // craft orders with NO 'P' rows: the pinned 'P' columns must read
+    // n=0 / price=null, matching the FILTER-aggregate oracle semantics
+    val df = Seq(("1-URGENT", "F", 10.0), ("1-URGENT", "O", 20.0),
+      ("5-LOW", "F", 30.0))
+      .toDF("o_orderpriority", "o_orderstatus", "o_totalprice")
+    val r = graft.operators.RelationalOps.ordersByPriorityPivot(df).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("P_n") == 0L)
+      assert(row.isNullAt(row.fieldIndex("P_price")))
+    }
+    assert(r.head.getAs[Long]("F_n") == 1L)
+  }
+
   test("pricing summary covers every (returnflag, linestatus) exactly once") {
     val li = table(spark, sfDir, "lineitem")
     val r = RelationalOps.pricingSummary(li).collect()

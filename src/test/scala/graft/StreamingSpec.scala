@@ -139,7 +139,9 @@ class StreamingSpec extends SparkSpec {
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      val done = q.awaitTermination(120000)
+      if (!done) q.stop() // don't let run 2 race a live query on the checkpoint
+      assert(done, "availableNow run did not finish within 120s")
     }
     // run 1 sees only the first half; the checkpoint then carries the
     // source offset and watermark into run 2, which processes ONLY the
