@@ -29,8 +29,7 @@ object Salting {
       salt: Int): DataFrame = {
     require(salt > 0)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(to_json(struct(big.columns.map(col): _*))), lit(salt))
-        .cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
