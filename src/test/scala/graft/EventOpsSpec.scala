@@ -65,6 +65,32 @@ class EventOpsSpec extends SparkSpec {
       ("view", 2L, 3L, 1L)))
   }
 
+  test("distinct users per type: bounded by total users, ignores nulls") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val r = EventOps.distinctUsersPerType(e)
+      .as[(String, Long)].collect().toMap
+    val totalUsers = e.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(r.nonEmpty && r.values.forall(n => n > 0 && n <= totalUsers))
+    // null users never counted
+    val withNull = e.limit(10)
+      .withColumn("user_id", org.apache.spark.sql.functions
+        .lit(null).cast("long"))
+    assert(EventOps.distinctUsersPerType(withNull).count() == 0)
+  }
+
+  test("purchase attribution: every pair is same-user, click within the hour") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val r = EventOps.purchaseAttribution(e)
+    assert(r.count() > 0)
+    assert(r.filter(col("c_ts") > col("p_ts")).count() == 0)
+    assert(r.filter(
+      col("c_ts") < col("p_ts") - org.apache.spark.sql.functions
+        .expr("INTERVAL 1 hour")).count() == 0)
+  }
+
   test("sliding windows on sf0.001 conserve event count x4") {
     val e = graft.sources.Tables.events(spark, sfDir)
     val total = EventOps.slidingCounts(e)

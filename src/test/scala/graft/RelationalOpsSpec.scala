@@ -90,6 +90,16 @@ class RelationalOpsSpec extends SparkSpec {
     assert(salts.count() == 2000)
   }
 
+  test("quantiles interpolate linearly on a known distribution") {
+    val df = Seq(("O", 10.0), ("O", 20.0), ("O", 30.0), ("O", 40.0))
+      .toDF("o_orderstatus", "o_totalprice")
+    val r = RelationalOps.orderValueQuantiles(df).collect().head
+    assert(r.getAs[Double]("p25") == 17.5) // 10 + 0.75*(20-10)
+    assert(r.getAs[Double]("p50") == 25.0)
+    assert(r.getAs[Double]("p75") == 32.5)
+    assert(r.getAs[Long]("n_orders") == 4L)
+  }
+
   test("pivot reports 0 (not null) for an empty count cell") {
     // craft orders with NO 'P' rows: the pinned 'P' columns must read
     // n=0 / price=null, matching the FILTER-aggregate oracle semantics
