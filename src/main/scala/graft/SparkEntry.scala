@@ -526,8 +526,8 @@ object SparkEntry {
         |)
         |SELECT p.event_id AS ev_id, p.user_id, p.ts AS ev_ts,
         |  c.event_id AS asof_id, c.ts AS asof_ts,
-        |  round(CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
-        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS DOUBLE) / 1e6, 4) AS gap_s
+        |  epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY ev_id""".stripMargin,

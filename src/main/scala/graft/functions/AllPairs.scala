@@ -64,6 +64,13 @@ object AllPairs {
 
   def pairs(arr: ArrayData, et: DataType): ArrayData = {
     val n = arr.numElements()
+    // n*(n-1)/2 in Int overflows (to a negative array size) past ~65k
+    // elements; internal callers cap buckets at 10k but the
+    // SQL-registered graft_all_pairs is unbounded, so fail actionably.
+    require(n <= 65535,
+      s"graft_all_pairs: input array has $n elements; the pair count " +
+        s"n*(n-1)/2 would exceed Int range. Cap the group (e.g. a " +
+        s"maxBucket filter) before generating pairs.")
     val elems = new Array[Any](n)
     var i = 0
     while (i < n) { elems(i) = copyOf(arr.get(i, et)); i += 1 }

@@ -69,7 +69,10 @@ object AsofJoin {
 
   /** Event-stream application: each `queryType` event joined to the
     * same user's most recent `refType` event at-or-before it, with the
-    * gap in seconds (null when the user never did `refType` before). */
+    * gap in whole microseconds (null when the user never did `refType`
+    * before). The gap is an exact BIGINT — a seconds-double rounded to
+    * 4 places differs between engines on exact half-values (HALF_UP vs
+    * HALF_EVEN), so the µs-native integer is the engine-neutral form. */
   def eventAsof(events: DataFrame, queryType: String = "purchase",
       refType: String = "click"): DataFrame = {
     val q = events.filter(col("event_type") === queryType)
@@ -80,8 +83,7 @@ object AsofJoin {
     asof(q, r, key = "user_id", time = "ts", payload = Seq("r_id", "r_ts"))
       .select(col("ev_id"), col("user_id"), col("ts").as("ev_ts"),
         col("asof_r_id").as("asof_id"), col("asof_r_ts").as("asof_ts"),
-        round((unix_micros(col("ts")) - unix_micros(col("asof_r_ts")))
-          .cast("double") / 1e6, 4).as("gap_s"))
+        (unix_micros(col("ts")) - unix_micros(col("asof_r_ts"))).as("gap_us"))
       .orderBy("ev_id")
   }
 }

@@ -92,12 +92,18 @@ object MultiModal {
     }
   }
 
-  /** Feature rows as a DataFrame query (histogram flattened for
-    * parquet-friendly output), totally ordered for the harness. */
+  /** Feature rows as a DataFrame query, totally ordered for the
+    * harness. The histogram is serialized to a CSV string (6 decimal
+    * places — exact for float→double widening) because the harness
+    * sorts/hashes rows and an array column is unhashable there; the
+    * typed `Array[Float]` stays on the [[decodeFeatures]] Dataset
+    * path for API users. */
   def featureQuery(media: DataFrame): DataFrame =
     decodeFeatures(media).toDF()
       .select(col("doc_id"), col("mime"), col("n_bytes"),
-        col("width"), col("height"), col("features"))
+        col("width"), col("height"),
+        array_join(transform(col("features"),
+          f => format_string("%.6f", f)), ",").as("features_csv"))
       .orderBy("doc_id")
 
   /** STUB — the real-codec hook. Decoding actual image bytes needs an

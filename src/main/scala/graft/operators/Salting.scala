@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Inner equi-join of `big` ⋈ `small` on `key`, salted `salt` ways.
-    * The big side's salt is derived deterministically from xxhash64 of
-    * the whole row (via to_json) so retried tasks re-derive identical
-    * salts — a rand() salt is also correct but breaks task-retry
-    * determinism guarantees for downstream zipWith-style consumers. */
+    * The big side's salt is derived deterministically from xxhash64
+    * over the row's columns directly so retried tasks re-derive
+    * identical salts — a rand() salt is also correct but breaks
+    * task-retry determinism guarantees for downstream zipWith-style
+    * consumers. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 0)

@@ -42,7 +42,7 @@ class AsofJoinSpec extends SparkSpec {
     val out = AsofJoin.eventAsof(Tables.events(spark, sfDir))
       .filter($"asof_id".isNotNull)
     assert(out.count() > 0)
-    assert(out.filter($"gap_s" < 0).count() == 0)
+    assert(out.filter($"gap_us" < 0).count() == 0)
     assert(out.filter($"asof_ts" > $"ev_ts").count() == 0)
   }
 }

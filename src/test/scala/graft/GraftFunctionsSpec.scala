@@ -31,6 +31,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(pairs == Seq((1, 2), (1, 3), (2, 3)))
   }
 
+  test("graft_all_pairs over-65k input fails actionably, not with a JVM error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_all_pairs(sequence(1, 70000))").collect()
+    }
+    assert(e.getMessage.contains("graft_all_pairs"))
+    assert(e.getMessage.contains("maxBucket"))
+  }
+
   test("foldable int args resolve; wrong arity raises a clear error") {
     val sh = spark.sql("SELECT graft_shingles('a b c', 1 + 1) AS s")
       .as[Seq[String]].head()

@@ -53,6 +53,23 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("featureQuery serializes the histogram to a sortable CSV string") {
+    val rows = MultiModal.featureQuery(media).collect()
+    assert(rows.length == media.count())
+    val csv = rows.head.getAs[String]("features_csv")
+    val parts = csv.split(",")
+    assert(parts.length == MultiModal.FakeCodec.Bins)
+    assert(parts.forall(_.matches("""-?\d+\.\d{6}""")))
+    // matches the typed path bit-for-bit after %.6f formatting
+    val typed = MultiModal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    rows.foreach { r =>
+      val expect = typed(r.getAs[Long]("doc_id"))
+        .map(f => f"$f%.6f").mkString(",")
+      assert(r.getAs[String]("features_csv") == expect)
+    }
+  }
+
   test("resize normalizes every payload to the byte budget") {
     val out = MultiModal.resizeStub(media, w = 8, h = 8).collect()
     assert(out.nonEmpty)
