@@ -53,6 +53,11 @@ object SparkEntry {
     // guarantee, subset, monotone positions) pinned in KernelProps.
     "q_fingerprint_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(documents(s, dir))),
+    // Same winnowing selection rule over engine-neutral md5 gram
+    // hashes + window functions -> DuckDB-oracled witness for the
+    // kernel path above.
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      TextOps.rollingFingerprintsPortable(documents(s, dir))),
     // ---- deduplication extensions ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(documents(s, dir))),
     "q_dedup_keep" -> ((s, dir) =>
@@ -62,7 +67,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
+      Dedup.simhashPairsPortable(documents(s, dir), maxHamming = 3)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
     // LSH-bucketed variant: exact-verified candidates, approximate
@@ -239,6 +244,27 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // Winnowing (k=8, w=4): rightmost-min of each 4-gram-hash window;
+    // min by (hash, -pos) picks the rightmost tie exactly like the
+    // Spark window (and the kernel's deque rule).
+    "q_fingerprint_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) - 7 AS ng
+        |  FROM documents WHERE length(text) >= 8
+        |), g AS (
+        |  SELECT doc_id, ng, i AS p,
+        |    ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT AS h
+        |  FROM d, unnest(range(ng)) AS t(i)
+        |), sel AS (
+        |  SELECT doc_id, ng, p,
+        |    min(struct_pack(h := h, np := -p)) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id, -s.np AS pos, s.h AS fp
+        |FROM sel WHERE p >= 3 OR p = ng - 1
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(n_chars)::BIGINT AS total_chars,
@@ -292,8 +318,32 @@ object SparkEntry {
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
-    // q_dedup_simhash: intentionally no oracle — signatures use Spark's
-    // xxhash64, which DuckDB does not implement (rows-only check).
+    // q_dedup_simhash: the 60-bit md5-derived token hash is computed
+    // identically by both engines; the oracle is the brute-force
+    // self-join, which equals the banded query exactly for
+    // maxHamming <= 3 (pigeonhole over 4 disjoint 15-bit bands).
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |), bitsum AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, unnest(range(60)) AS b(i)
+        |  GROUP BY doc_id, i
+        |), fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |  FROM bitsum GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -29,6 +29,16 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans"),
   )
 
+  /** Engine-neutral 60-bit string hash: the first 15 hex digits of
+    * md5, parsed base-16 (always positive, fits a BIGINT). DuckDB
+    * computes the identical value — `('0x' || substr(md5(s),1,15))
+    * ::BIGINT` — which is what lets md5-hashed operators (SimHash,
+    * portable winnowing) carry cross-engine oracles. xxhash64 stays
+    * the production default where no oracle is needed (one 8-byte
+    * hash vs a full md5). */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   def wsTokens(text: Column): Column =
     regexp_extract_all(text, lit(WsTokenRegex), lit(0))
 

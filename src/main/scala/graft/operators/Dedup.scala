@@ -159,32 +159,42 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document: bit i is set iff the token-frequency-
-    * weighted sum of (+1/-1 for bit i of xxhash64(token)) is positive.
-    * One shuffle (groupBy doc_id) with 64 partial-aggregated sums. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** `bits`-wide SimHash per document: bit i is set iff the token-
+    * frequency-weighted sum of (+1/-1 for bit i of hasher(token)) is
+    * positive. One shuffle (groupBy doc_id) with `bits` partial-
+    * aggregated sums. */
+  def simhash(docs: DataFrame, bits: Int = 64,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => xxhash64(c)): DataFrame = {
+    require(bits > 0 && bits <= 64)
     val tokHash = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("doc_id"), hasher(col("w")).as("h"))
+    val bitSums = (0 until bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$i"))
     tokHash.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until bits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` (<= 3 guaranteed found:
-    * 4 disjoint 16-bit bands, pigeonhole). Output: doc_a, doc_b,
-    * hamming. */
+  /** SimHash near-dup pairs within `maxHamming` (<= bands-1 guaranteed
+    * found: `bands` disjoint bit-bands, pigeonhole — a pair differing
+    * in fewer bits than bands shares at least one intact band).
+    * Output: doc_a, doc_b, hamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val sh = simhash(docs)
+      maxBucket: Int = 10000, bits: Int = 64, bands: Int = 4,
+      hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => xxhash64(c)): DataFrame = {
+    require(bits % bands == 0 && maxHamming < bands)
+    val bandBits = bits / bands
+    val bandMask = (1L << bandBits) - 1L
+    val sh = simhash(docs, bits, hasher)
     val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(j =>
-          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+        posexplode(array((0 until bands).map(j =>
+          shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(bandMask))): _*)))
       .toDF("doc_id", "simhash", "band", "key")
     banded.groupBy("band", "key")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
@@ -198,6 +208,15 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** SimHash pairs over the engine-neutral 60-bit md5 hash (4 bands of
+    * 15 bits) — bit-for-bit reproducible in DuckDB SQL, so this is the
+    * oracled variant; banding still finds every pair within
+    * maxHamming <= 3 exactly (pigeonhole over 4 bands). */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    simhashPairs(docs, maxHamming, maxBucket, bits = 60, bands = 4,
+      hasher = md5Hash60)
 
   /** Embedding-cosine near-dup pairs >= threshold. Exact all-pairs —
     * correct at verification scale; the LSH-bucketed path in

@@ -101,6 +101,44 @@ object TextOps {
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
       .orderBy("doc_id", "pos")
 
+  /** Portable winnowing — the cross-engine witness for
+    * [[rollingFingerprints]]. Same rightmost-min selection rule, but
+    * grams are CHARACTER k-grams hashed with the engine-neutral 60-bit
+    * md5 hash ([[graft.functions.TextAnalysis.md5Hash60]]) and the
+    * sliding minimum runs as declarative window functions, so a DuckDB
+    * oracle reproduces the result bit-for-bit. The codegen'd kernel
+    * stays the production fingerprinter (one pass, no gram
+    * explosion — this variant copies the text into every gram row);
+    * selection-rule equivalence between the two is pinned in
+    * TextAnalysisSpec against a Scala brute force.
+    *
+    * Output (doc_id, pos, fp): pos is the 0-based char position of
+    * each selected gram. Windows are every `w` consecutive grams
+    * (docs with fewer than w grams form one window), min by
+    * (hash asc, position desc) — ties to the RIGHTMOST min, matching
+    * the kernel's monotonic-deque tie rule. */
+  def rollingFingerprintsPortable(docs: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("p").asc)
+      .rowsBetween(-(w - 1), 0)
+    docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        (length(col("text")) - (k - 1)).as("ng"), col("text"))
+      .select(col("doc_id"), col("ng"),
+        explode(sequence(lit(0), col("ng") - 1)).as("p"), col("text"))
+      .select(col("doc_id"), col("ng"), col("p"),
+        md5Hash60(col("text").substr(col("p") + 1, lit(k))).as("h"))
+      .withColumn("sel",
+        min(struct(col("h").as("h"), (-col("p")).as("np"))).over(win))
+      .filter(col("p") >= w - 1 || col("p") === col("ng") - 1)
+      .select(col("doc_id"), (-col("sel.np")).cast("long").as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
   /** Corpus stats by (lang, source): doc counts, char volume, mean
     * token count. One shuffle on the group keys; partial agg map-side. */
   def langStats(docs: DataFrame): DataFrame =

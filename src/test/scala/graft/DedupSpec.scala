@@ -57,6 +57,25 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("portable simhash: engine-neutral hash value; banding equals brute force") {
+    // the value DuckDB computes for ('0x' || substr(md5('hello'),1,15))::BIGINT
+    val h = docs.select(graft.functions.TextAnalysis.md5Hash60(lit("hello")))
+      .as[Long].head()
+    assert(h == 419982666956583591L)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fp = Dedup.simhash(corpus, bits = 60,
+      hasher = graft.functions.TextAnalysis.md5Hash60)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (a, ha) <- fp.toSeq; (b, hb) <- fp.toSeq if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (a, b, ham)).toSet
+    val banded = Dedup.simhashPairsPortable(corpus)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty) // identical planted dups collide at hamming 0
+  }
+
   test("embedding LSH near-dup: subset of exact pairs, high recall") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Dedup.embeddingNearDup(embs, threshold = 0.4)

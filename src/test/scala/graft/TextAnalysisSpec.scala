@@ -86,4 +86,38 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextOps.langStats(docs)
     assert(r.agg(sum("n_docs")).as[Long].head() == 4L)
   }
+
+  test("portable winnowing matches a Scala brute force on the corpus") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    def md5h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def winnow(text: String): Seq[(Long, Long)] = {
+      val n = text.length - k + 1
+      if (n <= 0) Nil
+      else {
+        val hs = (0 until n).map(i => md5h(text.substring(i, i + k)))
+        val sel = scala.collection.mutable.SortedSet[Int]()
+        for (e <- math.min(w, n) - 1 until n) {
+          val lo = math.max(0, e - w + 1)
+          var best = lo
+          for (i <- lo + 1 to e)
+            if (hs(i) < hs(best) || (hs(i) == hs(best) && i > best)) best = i
+          sel += best
+        }
+        sel.toSeq.map(i => (i.toLong, hs(i)))
+      }
+    }
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 40)
+    val expect = corpus.collect().flatMap { r =>
+      winnow(r.getString(1)).map { case (p, h) => (r.getLong(0), p, h) }
+    }.toSet
+    val got = TextOps.rollingFingerprintsPortable(corpus, k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
