@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Dedup, EventOps, MultiModal, RelationalOps, Salting, Similarity, TextOps, WordCount}
+import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, MultiModal, RelationalOps, Salting, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,10 @@ object SparkEntry {
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsPortable(documents(s, dir), maxHamming = 3)),
+    // Pairs -> clusters: connected components over the Jaccard pairs
+    // (min-label propagation; oracle = DuckDB recursive CTE).
+    "q_dedup_cc" -> ((s, dir) =>
+      Clustering.nearDupClusters(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
     // LSH-bucketed variant: exact-verified candidates, approximate
@@ -95,6 +99,15 @@ object SparkEntry {
       EventOps.distinctUsersPerType(events(s, dir))),
     "q_events_attrib" -> ((s, dir) =>
       EventOps.purchaseAttribution(events(s, dir))),
+    // ---- corpus-curation extensions ----
+    // Deterministic stratified downsampling (en 10%, others 50%).
+    "q_sample_stratified" -> ((s, dir) =>
+      CorpusOps.stratifiedHashSample(documents(s, dir),
+        rates = Map("en" -> 10), defaultPct = 50)),
+    "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
+    "q_quality_rules" -> ((s, dir) =>
+      CorpusOps.qualityRules(documents(s, dir))),
+    "q_pii_redact" -> ((s, dir) => CorpusOps.piiQuery(documents(s, dir))),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -609,6 +622,126 @@ object SparkEntry {
     // q_mm_features: intentionally no oracle — the feature vector comes
     // from the batched mapPartitions decode path (rows-only check);
     // its determinism and shape are pinned in MultiModalSpec.
+    // ---- corpus-curation extensions ----
+    // Connected components via transitive min-label closure (recursive
+    // CTE); candidate edges are the same n-gram Jaccard pairs as
+    // q_dedup_ngram. Every document seeds its own label, so docs with
+    // no near-dup come back as singleton clusters.
+    "q_dedup_cc" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT doc_a, doc_b FROM prs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand
+        |), reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        |)
+        |SELECT node AS doc_id, min(lbl) AS cluster
+        |FROM reach GROUP BY node
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w
+        |), tot AS (
+        |  SELECT doc_id, term, tf,
+        |    sum(tf) OVER (PARTITION BY doc_id) AS n_tok
+        |  FROM tf
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    (t.tf::DOUBLE / t.n_tok) * ln(n.n_docs::DOUBLE / d.df) AS score
+        |  FROM tot t JOIN dfq d USING (term), n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, round(score, 4) AS score
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+    // Integer metrics + integer cross-multiplied thresholds: no float
+    // ratio ever crosses the engines (power-of-two denominators land
+    // on exact half-values where rounding modes differ).
+    "q_quality_rules" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w
+        |), tok AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |    count(*) AS n_distinct_tokens, max(tf)::BIGINT AS max_tf
+        |  FROM tf GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      len(list_distinct(list_transform(range(len(t) - 1),
+        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
+        |    ELSE 0 END AS n_distinct_2grams
+        |  FROM toks
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(tok.n_tokens, 0) AS n_tokens,
+        |  coalesce(tok.n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  coalesce(tok.max_tf, 0) AS max_tf,
+        |  coalesce(g.n_2grams, 0) AS n_2grams,
+        |  coalesce(g.n_2grams, 0) - coalesce(g.n_distinct_2grams, 0)
+        |    AS n_dup_2grams,
+        |  (coalesce(tok.n_tokens, 0) >= 50
+        |   AND (coalesce(g.n_2grams, 0) - coalesce(g.n_distinct_2grams, 0))
+        |       * 100 <= 20 * coalesce(g.n_2grams, 0)
+        |   AND coalesce(tok.max_tf, 0) * 100
+        |       <= 10 * coalesce(tok.n_tokens, 0)) AS pass
+        |FROM documents d
+        |LEFT JOIN tok ON d.doc_id = tok.doc_id
+        |LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or ' ||
+        |    printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000) AS text2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
   )
 
   private val DedupNgramOracle: String =

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain, triangle, and singletons resolve to min ids") {
+    // 1-2-3 chain (1~2, 2~3 but NOT 1~3), {10,11,12} triangle, 20 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = Clustering.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("long path converges within iteration budget") {
+    // a 30-node path: worst-case diameter for label propagation
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L to 29L).toDF("id")
+    val got = Clustering.connectedComponents(edges, nodes, maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("nearDupClusters: clusters close over pair chains; ids are min") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val clusters = Clustering.nearDupClusters(corpus)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == corpus.count())
+    // every cluster id is a member of its own cluster (root property)
+    assert(clusters.filter { case (d, c) => d == c }.keySet ==
+      clusters.values.toSet)
+    // clusters refine the pair relation: every pair is co-clustered
+    val pairs = graft.operators.Dedup
+      .ngramJaccard(corpus, 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
+    // and cluster id <= every member (min-reachable)
+    clusters.foreach { case (d, c) => assert(c <= d) }
+  }
+}

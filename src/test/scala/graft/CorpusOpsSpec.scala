@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val s1 = CorpusOps.stratifiedHashSample(corpus,
+      Map("en" -> 10), defaultPct = 50)
+    val s2 = CorpusOps.stratifiedHashSample(corpus.repartition(7),
+      Map("en" -> 10), defaultPct = 50)
+    // same rows regardless of physical layout (hash-threshold, not rand)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val byLang = s1.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val totals = corpus.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // en downsampled to ~10%, others ~50% (binomial slack)
+    assert(byLang("en").toDouble / totals("en") < 0.25)
+    assert(byLang("es").toDouble / totals("es") > 0.3)
+    // boundary rates: 0 keeps nothing, 100 keeps everything
+    assert(CorpusOps.stratifiedHashSample(corpus, Map(), 0).count() == 0)
+    assert(CorpusOps.stratifiedHashSample(corpus, Map(), 100).count() ==
+      corpus.count())
+  }
+
+  test("tfIdf: k rows per doc, corpus-wide terms score zero") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana date date date"),
+      (3L, "apple banana elder fig"),
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.tfIdf(docs, k = 2)
+      .as[(Long, String, Long, Double)].collect()
+    assert(r.count(_._1 == 1L) == 2)
+    // banana appears in every doc -> idf 0 -> never outranks rare terms
+    assert(!r.exists(t => t._2 == "banana" && t._4 > 0.0))
+    // doc 2's top term is its dominant rare word
+    val doc2 = r.filter(_._1 == 2L).sortBy(-_._4)
+    assert(doc2.head._2 == "date")
+    // deterministic tie-break: equal-score terms ordered alphabetically
+    val doc3 = r.filter(_._1 == 3L)
+    assert(doc3.map(_._2).sorted.sameElements(doc3.map(_._2)))
+  }
+
+  test("quality rules: integer metrics and gate flags") {
+    val docs = Seq(
+      (1L, ("word " * 100).trim),              // one token repeated: fails dominance + repetition
+      (2L, (1 to 100).map(i => s"tok$i").mkString(" ")), // all distinct: passes
+      (3L, "too short"),                        // fails min tokens
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.qualityRules(docs)
+      .select("doc_id", "n_tokens", "max_tf", "n_2grams", "n_dup_2grams", "pass")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 100L, 100L, 99L, 98L, false)))
+    assert(r(2L) == ((2L, 100L, 1L, 99L, 0L, true)))
+    assert(r(3L) == ((3L, 2L, 1L, 1L, 0L, false)))
+    // corpus split is non-degenerate
+    val pass = CorpusOps.qualityRules(corpus).filter(col("pass")).count()
+    assert(pass > 0 && pass < corpus.count())
+  }
+
+  test("PII redaction scrubs emails and phones, counts match") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@test-x.org or call 555-123-4567 now"),
+      (2L, "no pii here"),
+      (3L, "two mails x@y.io z@w.ai and 111-222-3333 999-888-7777"),
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.redactPii(df)
+      .select("doc_id", "n_emails", "n_phones", "clean")
+      .as[(Long, Int, Int, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 1 && r(1L)._3 == 1)
+    assert(r(1L)._4 == "mail me at <EMAIL> or call <PHONE> now")
+    assert(r(2L) == ((2L, 0, 0, "no pii here")))
+    assert(r(3L)._2 == 2 && r(3L)._3 == 2)
+    assert(!r.values.exists(t => t._4.contains("@") || t._4.matches(".*\\d{3}-\\d{3}-\\d{4}.*")))
+  }
+
+  test("piiQuery plants and scrubs exactly one email and phone per doc") {
+    val q = CorpusOps.piiQuery(corpus)
+    assert(q.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    assert(q.count() == corpus.count())
+  }
+}
