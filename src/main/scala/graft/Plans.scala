@@ -22,7 +22,8 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val headline = Seq(
       "q_wordcount_freq", "q_rel_pricing", "q_rel_topn", "q_rel_nation_rev",
-      "q_events_asof", "q_dedup_minhash", "q_ann_bruteforce", "q_mm_frames")
+      "q_events_asof", "q_dedup_minhash", "q_ann_bruteforce", "q_mm_frames",
+      "q_tfidf", "q_decontaminate", "q_quality_rules")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

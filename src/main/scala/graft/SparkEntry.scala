@@ -108,6 +108,8 @@ object SparkEntry {
     "q_quality_rules" -> ((s, dir) =>
       CorpusOps.qualityRules(documents(s, dir))),
     "q_pii_redact" -> ((s, dir) => CorpusOps.piiQuery(documents(s, dir))),
+    "q_decontaminate" -> ((s, dir) =>
+      CorpusOps.decontaminateQuery(documents(s, dir))),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -727,6 +729,23 @@ object SparkEntry {
         |LEFT JOIN tok ON d.doc_id = tok.doc_id
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
+        |), corp AS (
+        |  SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0
+        |)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM corp c JOIN bench b USING (s)
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "q_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

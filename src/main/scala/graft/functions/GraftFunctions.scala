@@ -12,6 +12,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   - `graft_all_pairs(arr)`       — candidate pairs of an array
   *   - `graft_shingles(text, n)`    — word n-gram shingles
   *   - `graft_heavy_hitters(col, k)`— Misra–Gries top frequencies
+  *   - `graft_token_stats(text)`    — single-pass quality-gate stats
+  *   - `graft_rolling_fp(text, k, w)` — winnowed rolling fingerprints
   *
   * so the engine's SQL entry point ([[graft.SparkEntry]] `q_rel_sql`
   * style queries) reaches the same kernels the DataFrame API uses. In a
@@ -51,5 +53,11 @@ object GraftFunctions {
       es => { arity("graft_heavy_hitters", es, 2)
         HeavyHitters(es(0), intArg(es(1), "graft_heavy_hitters"))
           .toAggregateExpression() })
+    ColumnBridge.registerFunction(spark, "graft_token_stats",
+      es => { arity("graft_token_stats", es, 1); TokenStats(es(0)) })
+    ColumnBridge.registerFunction(spark, "graft_rolling_fp",
+      es => { arity("graft_rolling_fp", es, 3)
+        RollingFingerprints(es(0), intArg(es(1), "graft_rolling_fp"),
+          intArg(es(2), "graft_rolling_fp")) })
   }
 }

@@ -48,16 +48,19 @@ object CorpusOps {
     * not a driver collect. */
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
     val nDocs = docs.agg(count("*").as("n_docs"))
+    // ONE tokenize+aggregate lineage; doc totals and document
+    // frequency are both windows over it (shuffling the small
+    // (doc, term, tf) relation) — a groupBy-join formulation would
+    // re-scan and re-explode the corpus for the df branch, which is
+    // the expensive part at 100 TB.
     val tf = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
-    val withTotal = tf.withColumn("n_tok",
-      sum("tf").over(Window.partitionBy("doc_id")))
-    val docFreq = tf.groupBy("term").agg(count("*").as("df"))
     val rank = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    withTotal
-      .join(docFreq, "term")
+    tf
+      .withColumn("n_tok", sum("tf").over(Window.partitionBy("doc_id")))
+      .withColumn("df", count("*").over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf").cast("double") / col("n_tok")) *
@@ -81,35 +84,58 @@ object CorpusOps {
     * pipeline applies before training. */
   def qualityRules(docs: DataFrame, minTokens: Int = 50,
       maxDupPct: Int = 20, maxTopPct: Int = 10): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count("*").as("tf"))
-      .groupBy("doc_id").agg(
-        sum("tf").as("n_tokens"),
-        count("*").as("n_distinct_tokens"),
-        max("tf").as("max_tf"))
-    val grams = docs
-      .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-      .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_2grams"),
-        size(array_distinct(col("sh"))).cast("long").as("n_distinct_2grams"))
-    docs.select("doc_id")
-      .join(tok, Seq("doc_id"), "left")
-      .join(grams, Seq("doc_id"), "left")
+    // Single-pass codegen'd kernel: five per-doc numbers straight off
+    // the scan — no explode, no shuffle, no join (the relational
+    // explode→groupBy→join formulation shuffles every token twice).
+    // Two-step select = CollapseProject sharing barrier, so the
+    // kernel runs once per row, not once per output column.
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+    docs
+      .select(col("doc_id"), stats.as("q"))
       .select(
         col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
-        coalesce(col("max_tf"), lit(0L)).as("max_tf"),
-        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
-        (coalesce(col("n_2grams"), lit(0L))
-          - coalesce(col("n_distinct_2grams"), lit(0L))).as("n_dup_2grams"))
+        col("q.n_tokens").as("n_tokens"),
+        col("q.n_distinct_tokens").as("n_distinct_tokens"),
+        col("q.max_tf").as("max_tf"),
+        col("q.n_2grams").as("n_2grams"),
+        (col("q.n_2grams") - col("q.n_distinct_2grams")).as("n_dup_2grams"))
       .withColumn("pass",
         col("n_tokens") >= minTokens &&
           col("n_dup_2grams") * 100 <= lit(maxDupPct) * col("n_2grams") &&
           col("max_tf") * 100 <= lit(maxTopPct) * col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  // ---- benchmark decontamination -------------------------------------
+
+  /** Eval-set leakage check: for every corpus document, the benchmark
+    * documents it shares >= `minShared` distinct word `n`-gram
+    * shingles with (the Brown/GPT-3-style n-gram decontamination
+    * rule). The benchmark side is tiny relative to the corpus, so its
+    * exploded shingle index is BROADCAST — the corpus is scanned once,
+    * shuffles only the (rare) matching rows into the per-pair count,
+    * and at 100 TB this stays a map-side join over the full scan. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Long = 2L): DataFrame = {
+    val corpusSh = Dedup.shingleIndex(docs, n)
+    val benchSh = Dedup.shingleIndex(bench, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    corpusSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count("*").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Harness query: the held-out "benchmark" is the deterministic
+    * doc_id % 97 == 0 slice of the corpus (a second table in a real
+    * deployment); everything else is checked against it. */
+  def decontaminateQuery(docs: DataFrame): DataFrame =
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
 
   // ---- PII redaction -------------------------------------------------
 

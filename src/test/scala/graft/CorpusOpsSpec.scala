@@ -47,6 +47,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(doc3.map(_._2).sorted.sameElements(doc3.map(_._2)))
   }
 
+  test("TokenStats kernel equals the exploded-regex formulation on the corpus") {
+    import graft.functions.TextAnalysis.wsTokens
+    val relational = corpus
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count("*").as("tf"))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_tokens"),
+        count("*").as("n_distinct_tokens"),
+        max("tf").as("max_tf"))
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    val grams = corpus
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.shingles(col("text"), 2).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n2"),
+        size(array_distinct(col("sh"))).cast("long").as("d2"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    val kernel = CorpusOps.qualityRules(corpus)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(kernel.length == corpus.count())
+    kernel.foreach { case (id, nTok, nDist, maxTf, n2, dup2, _) =>
+      val r = relational(id)
+      assert((nTok, nDist, maxTf) == ((r._2, r._3, r._4)), s"doc $id tokens")
+      val g = grams(id)
+      assert((n2, n2 - dup2) == ((g._2, g._3)), s"doc $id grams")
+    }
+  }
+
   test("quality rules: integer metrics and gate flags") {
     val docs = Seq(
       (1L, ("word " * 100).trim),              // one token repeated: fails dominance + repetition
@@ -63,6 +90,24 @@ class CorpusOpsSpec extends SparkSpec {
     // corpus split is non-degenerate
     val pass = CorpusOps.qualityRules(corpus).filter(col("pass")).count()
     assert(pass > 0 && pass < corpus.count())
+  }
+
+  test("decontamination flags exactly the docs overlapping the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "x alpha beta gamma delta y"),     // shares 2 shingles
+      (2L, "alpha beta unrelated words here"), // shares 0 (no full 3-gram run)
+      (3L, "totally different content here now"),
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.decontaminate(docs, bench, n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 100L, 2L)))
+    // corpus query returns overlaps and the benchmark plan broadcasts
+    val q = CorpusOps.decontaminateQuery(corpus)
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
   }
 
   test("PII redaction scrubs emails and phones, counts match") {

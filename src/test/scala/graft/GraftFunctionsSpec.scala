@@ -49,6 +49,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dot expects 2 argument"))
   }
 
+  test("graft_token_stats and graft_rolling_fp from SQL") {
+    val ts = spark.sql(
+      "SELECT graft_token_stats('a b a c a') AS q").select("q.*")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ts == ((5L, 3L, 3L, 4L, 4L))) // 'a b','b a','a c','c a' all distinct
+    val fp = spark.sql(
+      "SELECT size(graft_rolling_fp('abcdefghij', 4, 2)) AS n")
+      .as[Int].head()
+    assert(fp >= 1)
+  }
+
   test("graft_heavy_hitters aggregates from SQL") {
     Seq("a", "b", "a", "c", "a").toDF("w").createOrReplaceTempView("words")
     val top = spark.sql(
