@@ -96,6 +96,22 @@ object EventStreams extends Serializable {
       .groupBy("word")
       .agg(count("*").as("cnt"))
 
+  /** Streaming exact dedup with BOUNDED state: each key is remembered
+    * only until the event-time watermark passes it, so state is
+    * O(events per watermark window), not O(all history) — the only
+    * dedup that survives an unbounded stream. The contract this buys:
+    * a duplicate arriving within `watermarkDelay` of the original is
+    * dropped; one arriving later than the watermark may not be (its
+    * state was evicted) — at-least-once sources are expected to
+    * redeliver promptly, which is exactly the window this bounds.
+    * Batch equivalence (duplicates planted across micro-batches) is
+    * pinned in StreamingSpec. */
+  def dedupEvents(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: purchases attributed to same-user
     * clicks in the preceding `window`, incrementally. Watermarks bound
     * BOTH sides' join state — clicks older than watermark - window can

@@ -69,6 +69,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"dedup must hash-aggregate:\n$p")
   }
 
+  test("quality gates are a pure map: no exchange before the final sort") {
+    val p = plan(graft.operators.CorpusOps.qualityRules(documents(spark, sfDir)))
+    assert(!p.contains("Join"), s"quality gates must not join:\n$p")
+    assert(!p.contains("Generate"), s"quality gates must not explode:\n$p")
+    // exactly the one range exchange the final ORDER BY requires
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected only the sort exchange in:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("tf-idf tokenizes the corpus once (single Generate)") {
+    val p = plan(graft.operators.CorpusOps.tfIdf(documents(spark, sfDir)))
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"df branch must not re-explode the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the word count hot path") {
     val df = WordCount.counts(documents(spark, sfDir), col("text"))
     df.collect() // AQE finalizes the plan (and codegen markers) on execution

@@ -96,6 +96,28 @@ class StreamingSpec extends SparkSpec {
     assert(gotRows.size >= want.count() - 8)
   }
 
+  test("streaming dedup drops cross-micro-batch duplicates within watermark") {
+    // the whole table twice, one file per micro-batch → every event_id
+    // arrives exactly twice, in different micro-batches
+    val batch = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-dup-events").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val dup = Files.createTempDirectory("graft-dup-in").toString
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.copy(part, java.nio.file.Paths.get(dup, "a.parquet"))
+    Files.copy(part, java.nio.file.Paths.get(dup, "b.parquet"))
+    val stream = EventStreams.readEventsMicros(spark, dup,
+      maxFilesPerTrigger = 1)
+    // delay longer than the data's time span → no state eviction, so
+    // the second copy is always caught
+    val got = runToCompletion(
+      EventStreams.dedupEvents(stream, watermarkDelay = "365 days"),
+      "append", "ev_dedup")
+    assert(got.count() == batch.count())
+    assert(got.select("event_id").distinct().count() == batch.count())
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
