@@ -110,6 +110,8 @@ object SparkEntry {
     "q_pii_redact" -> ((s, dir) => CorpusOps.piiQuery(documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
+    "q_chunk" -> ((s, dir) =>
+      CorpusOps.chunkTokens(documents(s, dir), chunkTokens = 64, overlap = 8)),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -746,6 +748,25 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+    // chunking: stride 56 = 64 - 8; a chunk exists iff it adds >= 1
+    // new token -> nChunks = ceil((n - 8) / 56), min 1.
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+        |    len(regexp_extract_all(text, '\S+')) AS n
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, t, i AS chunk_idx
+        |  FROM toks, unnest(range(greatest((n - 8 + 55) // 56, 1))) AS u(i)
+        |  WHERE n > 0
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  len(list_slice(t, chunk_idx * 56 + 1, chunk_idx * 56 + 64))::BIGINT
+        |    AS n_tok,
+        |  array_to_string(list_slice(t, chunk_idx * 56 + 1, chunk_idx * 56 + 64),
+        |    ' ') AS chunk_text
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (base 1000003, natural overflow) so fingerprints are stable across
   * engines and runs.
   */
-case class RollingFingerprints(child: Expression, k: Int, w: Int)
+case class RollingFingerprints(child: Expression, k: Int, w: Int,
+    portable: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 1 && w >= 1)
@@ -37,11 +38,14 @@ case class RollingFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_rolling_fp"
 
   override def nullSafeEval(input: Any): Any =
-    RollingFingerprints.winnow(input.asInstanceOf[UTF8String], k, w)
+    if (portable) RollingFingerprints.winnowMd5(input.asInstanceOf[UTF8String], k, w)
+    else RollingFingerprints.winnow(input.asInstanceOf[UTF8String], k, w)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "winnowMd5" else "winnow"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.RollingFingerprints.winnow($c, $k, $w);")
+      s"${ev.value} = graft.functions.RollingFingerprints.$fn($c, $k, $w);")
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): RollingFingerprints = copy(child = newChild)
@@ -73,9 +77,44 @@ object RollingFingerprints {
       hashes(i) = h
       i += 1
     }
-    // O(n) monotonic-deque sliding minimum. Popping `>=` from the back
-    // makes ties resolve to the NEWER index — exactly rightmost-min
-    // (robust) winnowing. Fewer grams than a window: one window.
+    select(hashes, w)
+  }
+
+  /** Engine-neutral variant: CHARACTER k-grams hashed with the 60-bit
+    * md5 prefix ([[graft.functions.TextAnalysis.md5Hash60]] — the
+    * value DuckDB computes as ('0x' || substr(md5(g),1,15))::BIGINT),
+    * same winnowing selection. One md5 per gram instead of a rolling
+    * update — ~k× the hash work of [[winnow]], which is why the
+    * Rabin–Karp path stays the production default — but still a
+    * single-pass map with no gram explosion or shuffle, unlike the
+    * window-function formulation it replaces in the oracled query. */
+  def winnowMd5(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(str.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = (first 8 bytes as unsigned big-endian) >>> 4
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      hashes(i) = h >>> 4
+      i += 1
+    }
+    select(hashes, w)
+  }
+
+  /** O(n) monotonic-deque sliding minimum over the gram hashes.
+    * Popping `>=` from the back makes ties resolve to the NEWER index
+    * — exactly rightmost-min (robust) winnowing. Fewer grams than a
+    * window: one window. */
+  private def select(hashes: Array[Long], w: Int): ArrayData = {
+    val n = hashes.length
     val out = new java.util.ArrayList[Any]()
     var lastPicked = -1
     val deque = new Array[Int](n)

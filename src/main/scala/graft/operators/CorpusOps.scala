@@ -108,6 +108,38 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---- training-sequence chunking ------------------------------------
+
+  /** Split each document into fixed-token-budget chunks with
+    * `overlap` tokens of context carried between consecutive chunks —
+    * the sequence-preparation step before tokenizer packing. Chunk
+    * starts advance by stride = chunkTokens - overlap; a chunk exists
+    * iff it contributes at least one new token, so
+    * nChunks = ceil((n - overlap) / stride) (1 for short docs). Pure
+    * map over the scan (tokenize once, slice per chunk); output rows
+    * carry the chunk text and its exact token count. */
+  def chunkTokens(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap)
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0),
+          greatest(
+            expr(s"CAST((n - $overlap + ${stride - 1}) DIV $stride AS INT)"),
+            lit(1)) - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("t"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+          .as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).cast("long").as("n_tok"),
+        array_join(col("ct"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- benchmark decontamination -------------------------------------
 
   /** Eval-set leakage check: for every corpus document, the benchmark

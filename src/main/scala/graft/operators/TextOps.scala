@@ -102,22 +102,37 @@ object TextOps {
       .orderBy("doc_id", "pos")
 
   /** Portable winnowing — the cross-engine witness for
-    * [[rollingFingerprints]]. Same rightmost-min selection rule, but
-    * grams are CHARACTER k-grams hashed with the engine-neutral 60-bit
-    * md5 hash ([[graft.functions.TextAnalysis.md5Hash60]]) and the
-    * sliding minimum runs as declarative window functions, so a DuckDB
-    * oracle reproduces the result bit-for-bit. The codegen'd kernel
-    * stays the production fingerprinter (one pass, no gram
-    * explosion — this variant copies the text into every gram row);
-    * selection-rule equivalence between the two is pinned in
-    * TextAnalysisSpec against a Scala brute force.
+    * [[rollingFingerprints]]: CHARACTER k-grams hashed with the
+    * engine-neutral 60-bit md5 prefix, same rightmost-min selection
+    * (the kernel's `portable = true` mode), so a DuckDB oracle
+    * reproduces the result bit-for-bit. Still a single-pass map —
+    * no gram explosion, no shuffle before the final sort; the
+    * Rabin–Karp kernel stays the production fingerprinter (one
+    * rolling update per gram vs one md5).
     *
     * Output (doc_id, pos, fp): pos is the 0-based char position of
-    * each selected gram. Windows are every `w` consecutive grams
-    * (docs with fewer than w grams form one window), min by
-    * (hash asc, position desc) — ties to the RIGHTMOST min, matching
-    * the kernel's monotonic-deque tie rule. */
+    * each selected gram. Three independent formulations are pinned
+    * equal in TextAnalysisSpec: this kernel, the declarative
+    * window-function form ([[winnowedViaWindows]]), and a Scala
+    * brute force. */
   def rollingFingerprintsPortable(docs: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(ColumnBridge.column(graft.functions.RollingFingerprints(
+          ColumnBridge.expression(col("text")), k, w, portable = true)))
+          .as("e"))
+      .select(col("doc_id"), col("e.pos").cast("long").as("pos"),
+        col("e.fp").as("fp"))
+      .orderBy("doc_id", "pos")
+
+  /** The same portable winnowing as pure declarative window functions
+    * — per-window min by (hash asc, position desc) over exploded gram
+    * hashes, deduped. Costs a text copy per gram row plus three
+    * shuffles, so it exists as the independent cross-check of the
+    * kernel's selection rule (TextAnalysisSpec), not as the query
+    * path. */
+  def winnowedViaWindows(docs: DataFrame, k: Int = 8,
       w: Int = 4): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("p").asc)

@@ -92,6 +92,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pass > 0 && pass < corpus.count())
   }
 
+  test("chunking covers every token once, with exact overlap carry") {
+    val ck = 8; val ov = 2; val stride = ck - ov
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens -> 3 chunks
+      (2L, "a b c"),                                  // short -> 1 chunk
+      (3L, (1 to 8).map(i => s"s$i").mkString(" ")),  // == budget -> 1 chunk
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.chunkTokens(docs, ck, ov)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // ceil((20-2)/6) = 3 chunks; reconstruction drops the 2-token overlap
+    assert(r(1L).map(_._2).sameElements(Seq(0L, 1L, 2L)))
+    val rebuilt = r(1L).head._4.split(" ") ++
+      r(1L).tail.flatMap(_._4.split(" ").drop(ov))
+    assert(rebuilt.sameElements((1 to 20).map(i => s"t$i")))
+    // chunk starts: every consecutive pair shares exactly `ov` tokens
+    r(1L).sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").takeRight(ov)
+        .sameElements(b._4.split(" ").take(ov)))
+    }
+    assert(r(2L).map(t => (t._2, t._3, t._4)).sameElements(
+      Seq((0L, 3L, "a b c"))))
+    assert(r(3L).length == 1 && r(3L).head._3 == 8L)
+    // corpus-wide invariant: token conservation (sum of new tokens)
+    val corpusChunks = CorpusOps.chunkTokens(corpus, 64, 8)
+      .as[(Long, Long, Long, String)].collect()
+    val newTokens = corpusChunks.map(c =>
+      if (c._2 == 0L) c._3 else c._3 - 8).sum
+    val total = corpus.select(
+      sum(size(graft.functions.TextAnalysis.wsTokens(col("text")))))
+      .as[Long].head()
+    assert(newTokens == total)
+  }
+
   test("decontamination flags exactly the docs overlapping the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")

@@ -119,5 +119,9 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expect)
     assert(got.nonEmpty)
+    // third formulation: declarative window functions agree with both
+    val viaWindows = TextOps.winnowedViaWindows(corpus, k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaWindows == expect)
   }
 }
