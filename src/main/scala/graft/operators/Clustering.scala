@@ -60,6 +60,72 @@ object Clustering {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., SoCC'14) — the O(log n)-round path for graphs whose
+    * diameter label propagation cannot afford (adversarial chains;
+    * web-graph-shaped joins). Each round is two map+groupBy passes
+    * over the edge list:
+    *
+    *   - large-star: per node u, attach every STRICTLY LARGER
+    *     neighbor to m = min(Γ(u) ∪ {u}) — emit (v, m) for v ∈ Γ(u),
+    *     v > u, over the symmetrized neighborhood;
+    *   - small-star: orient edges large→small; per node u, attach u
+    *     and its (all ≤ u) neighbors to m = min(Γ⁻(u) ∪ {u}).
+    *
+    * Both keep the component invariant (every emitted edge connects
+    * nodes of the same component) and strictly shrink tree height;
+    * the fixpoint is a star forest whose centers are component
+    * minima. Same signature and result as [[connectedComponents]]
+    * (spec-pinned equal); the label-propagation form stays the
+    * default for near-dup graphs, whose tiny diameter converges in
+    * fewer total shuffles. */
+  def alternatingStar(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    def minOverNeighborhood(e: DataFrame, includeSelf: Boolean): DataFrame = {
+      val m = e.groupBy("a")
+        .agg((if (includeSelf) least(min("b"), col("a"))
+              else min("b")).as("m"))
+      e.join(m, "a")
+    }
+    // large-star operates on the symmetrized view; emit (v>u, m)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      minOverNeighborhood(sym, includeSelf = true)
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star operates on large→small orientation; emit (v, m) for
+    // every neighbor v and u itself
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val withMin = minOverNeighborhood(oriented, includeSelf = false)
+      withMin.select(col("b").as("a"), col("m").as("b"))
+        .union(withMin.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    var e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      round += 1
+    }
+    // fixpoint is a star forest: every node points at its component
+    // min; nodes absent from any edge are their own component
+    nodes.toDF("id").distinct()
+      .join(e.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+  }
+
   /** Near-dup clustering of the documents table: n-gram-Jaccard pairs
     * at `threshold` → connected components → (doc_id, cluster); docs
     * with no near-dup are their own cluster. Downstream dedup keeps

@@ -25,6 +25,27 @@ class ClusteringSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("alternating star equals label propagation on chains and random graphs") {
+    val chainE = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainN = (0L to 29L).toDF("id")
+    val viaStar = Clustering.alternatingStar(chainE, chainN)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar.values.forall(_ == 0L) && viaStar.size == 30)
+    // seeded random graphs: same components from both algorithms
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(45)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("id")
+      val lp = Clustering.connectedComponents(edges, nodes)
+        .as[(Long, Long)].collect().toMap
+      val st = Clustering.alternatingStar(edges, nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(st == lp, s"seed $seed")
+    }
+  }
+
   test("nearDupClusters: clusters close over pair chains; ids are min") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val clusters = Clustering.nearDupClusters(corpus)
