@@ -99,6 +99,7 @@ object SparkEntry {
       EventOps.distinctUsersPerType(events(s, dir))),
     "q_events_attrib" -> ((s, dir) =>
       EventOps.purchaseAttribution(events(s, dir))),
+    "q_events_funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
     // ---- corpus-curation extensions ----
     // Deterministic stratified downsampling (en 10%, others 50%).
     "q_sample_stratified" -> ((s, dir) =>
@@ -456,6 +457,26 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // Funnel: all comparisons on the µs-cast timestamp so both engines
+    // order events identically (source files store ns).
+    "q_events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+        |)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_rel_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -118,6 +118,40 @@ object EventOps {
       .agg(count("*").as("n_users"))
       .orderBy("event_type")
 
+  /** Ordered funnel: for each user, the time of their first `steps(0)`
+    * event, the first `steps(1)` STRICTLY AFTER that, the first
+    * `steps(2)` strictly after that, and so on — null once a step is
+    * never completed (the conversion-analysis primitive; per-step
+    * conversion = count of non-null columns).
+    *
+    * Scale shape: one groupBy per step, every shuffle on the same
+    * user_id key, and each stage's right side is the already-reduced
+    * one-row-per-user frontier — the event table is scanned once per
+    * step with the step's type filter pushed to the scan; no window
+    * over the raw event stream, no per-user event sorting. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    def stepEvents(t: String) =
+      events.filter(col("event_type") === t).select("user_id", "ts")
+    val first = stepEvents(steps.head).groupBy("user_id")
+      .agg(min("ts").as(s"t_${steps.head}"))
+    // fold: frontier i -> frontier i+1 (users who completed step i+1)
+    val frontiers = steps.tail.zipWithIndex.scanLeft(first) {
+      case (frontier, (step, i)) =>
+        val prevT = s"t_${steps(i)}"
+        stepEvents(step)
+          .join(frontier.select("user_id", prevT), "user_id")
+          .filter(col("ts") > col(prevT))
+          .groupBy("user_id").agg(min("ts").as(s"t_$step"))
+    }
+    frontiers.tail.zip(steps.tail).foldLeft(frontiers.head) {
+      case (acc, (f, step)) =>
+        acc.join(f.select(col("user_id"), col(s"t_$step")),
+          Seq("user_id"), "left")
+    }.orderBy("user_id")
+  }
+
   /** Analytic window function: top-`k` users by event count within
     * each event_type (rank over a pre-aggregated relation — the
     * window input is |types| x |users|, not |events|). */

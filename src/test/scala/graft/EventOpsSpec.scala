@@ -91,6 +91,42 @@ class EventOpsSpec extends SparkSpec {
         .expr("INTERVAL 1 hour")).count() == 0)
   }
 
+  test("funnel: strict ordering per step, nulls after drop-off") {
+    val fe = Seq(
+      // user 1: full funnel in order
+      (0L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-01 00:10:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:20:00"), 1L, "purchase", 0.0, "{}"),
+      // user 2: purchase BEFORE the click -> not converted
+      (3L, ts("2024-01-01 00:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 00:30:00"), 2L, "purchase", 0.0, "{}"),
+      (5L, ts("2024-01-01 00:40:00"), 2L, "click", 0.0, "{}"),
+      // user 3: view only
+      (6L, ts("2024-01-01 00:00:00"), 3L, "view", 0.0, "{}"),
+      // user 4: click/purchase but never viewed -> absent entirely
+      (7L, ts("2024-01-01 00:00:00"), 4L, "click", 0.0, "{}"),
+      (8L, ts("2024-01-01 00:01:00"), 4L, "purchase", 0.0, "{}"),
+      // user 5: click at the exact view instant -> strict '>' excludes
+      (9L, ts("2024-01-01 00:00:00"), 5L, "view", 0.0, "{}"),
+      (10L, ts("2024-01-01 00:00:00"), 5L, "click", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.funnel(fe)
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L)._3.contains(ts("2024-01-01 00:10:00")) &&
+      got(1L)._4.contains(ts("2024-01-01 00:20:00")))
+    assert(got(2L)._3.contains(ts("2024-01-01 00:40:00")) && got(2L)._4.isEmpty)
+    assert(got(3L)._3.isEmpty && got(3L)._4.isEmpty)
+    assert(got(5L)._3.isEmpty)
+    // corpus smoke: conversion counts are monotone down the funnel
+    val corpus = EventOps.funnel(graft.sources.Tables.events(spark, sfDir))
+    import org.apache.spark.sql.functions.{count => cnt, col}
+    val (nv, nc, np) = corpus.agg(cnt(col("t_view")), cnt(col("t_click")),
+      cnt(col("t_purchase"))).as[(Long, Long, Long)].head()
+    assert(nv >= nc && nc >= np && np > 0)
+  }
+
   test("sliding windows on sf0.001 conserve event count x4") {
     val e = graft.sources.Tables.events(spark, sfDir)
     val total = EventOps.slidingCounts(e)
