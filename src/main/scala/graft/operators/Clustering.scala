@@ -57,6 +57,10 @@ object Clustering {
       labels = next
       round += 1
     }
+    // a silent partial result would be WRONG labels, not slow ones
+    require(converged, s"connectedComponents did not converge in " +
+      s"$maxIter rounds — the graph's diameter exceeds the budget; " +
+      s"use alternatingStar (O(log n) rounds) or raise maxIter")
     labels
   }
 
@@ -119,6 +123,8 @@ object Clustering {
       e = next
       round += 1
     }
+    require(converged,
+      s"alternatingStar did not converge in $maxIter rounds")
     // fixpoint is a star forest: every node points at its component
     // min; nodes absent from any edge are their own component
     nodes.toDF("id").distinct()
