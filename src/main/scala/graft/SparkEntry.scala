@@ -104,7 +104,8 @@ object SparkEntry {
     // Deterministic stratified downsampling (en 10%, others 50%).
     "q_sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedHashSample(documents(s, dir),
-        rates = Map("en" -> 10), defaultPct = 50)),
+        rates = Map("en" -> 10), defaultPct = 50)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     "q_quality_rules" -> ((s, dir) =>
       CorpusOps.qualityRules(documents(s, dir))),
@@ -702,14 +703,15 @@ object SparkEntry {
         |), n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT t.doc_id, t.term, t.tf,
-        |    (t.tf::DOUBLE / t.n_tok) * ln(n.n_docs::DOUBLE / d.df) AS score
+        |    round((t.tf::DOUBLE / t.n_tok)
+        |      * ln(n.n_docs::DOUBLE / d.df), 4) AS score
         |  FROM tot t JOIN dfq d USING (term), n
         |), ranked AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
         |  FROM scored
         |)
-        |SELECT doc_id, term, tf, round(score, 4) AS score
+        |SELECT doc_id, term, tf, score
         |FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
     // Integer metrics + integer cross-multiplied thresholds: no float

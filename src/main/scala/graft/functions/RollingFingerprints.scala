@@ -90,14 +90,28 @@ object RollingFingerprints {
     * window-function formulation it replaces in the oracled query. */
   def winnowMd5(s: UTF8String, k: Int, w: Int): ArrayData = {
     val str = s.toString
-    val n = str.length - k + 1
+    // Gram positions count Unicode CODEPOINTS (what Spark's
+    // length/substr and DuckDB's length/substr both count), not UTF-16
+    // code units — Java-String indexing would shift every position
+    // after a non-BMP character and could split surrogate pairs.
+    val cpCount = str.codePointCount(0, str.length)
+    val n = cpCount - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](cpCount + 1)
+    var u = 0
+    var cp = 0
+    while (u < str.length) {
+      starts(cp) = u
+      u += Character.charCount(str.codePointAt(u))
+      cp += 1
+    }
+    starts(cpCount) = str.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(str.substring(i, i + k)
+      val d = md.digest(str.substring(starts(i), starts(i + k))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex digits = (first 8 bytes as unsigned big-endian) >>> 4
       var h = 0L

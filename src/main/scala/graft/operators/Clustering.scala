@@ -30,8 +30,11 @@ object Clustering {
 
   /** Components of `nodes` (single `id` column) under `edges`
     * (`a`, `b` columns, undirected). Nodes absent from every edge are
-    * singleton clusters of themselves. Returns (id, cluster) with
-    * cluster = min reachable id. */
+    * singleton clusters of themselves; edge endpoints absent from
+    * `nodes` are added to the label universe (otherwise the fixpoint
+    * check could not see them and a partial propagation would pass as
+    * converged). Returns (id, cluster) with cluster = min reachable
+    * id, one row per node of `nodes` ∪ endpoints. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val e = edges.toDF("a", "b")
@@ -39,7 +42,8 @@ object Clustering {
     // not the (expensive) lineage that produced the pairs.
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
-    var labels = nodes.toDF("id").distinct()
+    var labels = nodes.toDF("id")
+      .union(sym.select(col("a").as("id"))).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var converged = false
     var round = 0
@@ -126,8 +130,13 @@ object Clustering {
     require(converged,
       s"alternatingStar did not converge in $maxIter rounds")
     // fixpoint is a star forest: every node points at its component
-    // min; nodes absent from any edge are their own component
-    nodes.toDF("id").distinct()
+    // min; nodes absent from any edge are their own component.
+    // Same label universe as connectedComponents: nodes ∪ endpoints.
+    val universe = nodes.toDF("id")
+      .union(edges.toDF("a", "b").select(col("a").as("id")))
+      .union(edges.toDF("a", "b").select(col("b").as("id")))
+      .distinct()
+    universe
       .join(e.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }

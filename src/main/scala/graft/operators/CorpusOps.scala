@@ -32,10 +32,9 @@ object CorpusOps {
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    docs
-      .filter(pmod(md5Hash60(col(keyCol).cast("string")), lit(100)) < pct)
-      .select(col(keyCol), col(stratumCol), col("source"))
-      .orderBy(keyCol)
+    // sampling is a row FILTER — no projection, callers keep their
+    // schema (and their column pruning)
+    docs.filter(pmod(md5Hash60(col(keyCol).cast("string")), lit(100)) < pct)
   }
 
   // ---- TF-IDF keyword extraction -------------------------------------
@@ -56,6 +55,12 @@ object CorpusOps {
     val tf = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
+    // Rank on the ROUNDED score: ln() can differ by 1 ulp between
+    // engines (JVM Math.log vs libm), and a raw-double ordering would
+    // let that ulp flip which term crosses the rank-k cutoff —
+    // rounding first makes the cross-engine ordering stable (the same
+    // float-hazard class as the as-of gap fix), with the term as the
+    // deterministic tie-break.
     val rank = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     tf
@@ -63,12 +68,11 @@ object CorpusOps {
       .withColumn("df", count("*").over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        (col("tf").cast("double") / col("n_tok")) *
-          log(col("n_docs").cast("double") / col("df")))
+        round((col("tf").cast("double") / col("n_tok")) *
+          log(col("n_docs").cast("double") / col("df")), 4))
       .withColumn("rn", row_number().over(rank))
       .filter(col("rn") <= k)
-      .select(col("doc_id"), col("term"), col("tf"),
-        round(col("score"), 4).as("score"))
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
       .orderBy("doc_id", "term")
   }
 

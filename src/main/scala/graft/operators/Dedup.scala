@@ -211,10 +211,15 @@ object Dedup {
 
   /** SimHash pairs over the engine-neutral 60-bit md5 hash (4 bands of
     * 15 bits) — bit-for-bit reproducible in DuckDB SQL, so this is the
-    * oracled variant; banding still finds every pair within
-    * maxHamming <= 3 exactly (pigeonhole over 4 bands). */
+    * oracled variant; banding finds every pair within maxHamming <= 3
+    * exactly (pigeonhole over 4 bands) PROVIDED no band bucket
+    * overflows `maxBucket` — the default (no cap) preserves that
+    * exactness guarantee, which is what the brute-force oracle
+    * asserts; pass a cap when running against corpora with huge
+    * near-identical families and accept the (skipped-bucket) recall
+    * loss, as production [[simhashPairs]] does. */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame =
+      maxBucket: Int = Int.MaxValue): DataFrame =
     simhashPairs(docs, maxHamming, maxBucket, bits = 60, bands = 4,
       hasher = md5Hash60)
 

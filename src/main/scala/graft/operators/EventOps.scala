@@ -132,6 +132,8 @@ object EventOps {
   def funnel(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(steps.nonEmpty)
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct (t_<step> column per step), got $steps")
     def stepEvents(t: String) =
       events.filter(col("event_type") === t).select("user_id", "ts")
     val first = stepEvents(steps.head).groupBy("user_id")

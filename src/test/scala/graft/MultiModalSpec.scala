@@ -61,11 +61,14 @@ class MultiModalSpec extends SparkSpec {
     assert(parts.length == MultiModal.FakeCodec.Bins)
     assert(parts.forall(_.matches("""-?\d+\.\d{6}""")))
     // matches the typed path bit-for-bit after %.6f formatting
+    // (Locale.US explicitly — Spark's format_string is locale-pinned,
+    // the f-interpolator is not)
     val typed = MultiModal.decodeFeatures(media).collect()
       .map(f => f.doc_id -> f.features).toMap
     rows.foreach { r =>
       val expect = typed(r.getAs[Long]("doc_id"))
-        .map(f => f"$f%.6f").mkString(",")
+        .map(f => String.format(java.util.Locale.US, "%.6f",
+          Float.box(f))).mkString(",")
       assert(r.getAs[String]("features_csv") == expect)
     }
   }

@@ -124,4 +124,21 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(viaWindows == expect)
   }
+
+  test("portable winnowing indexes by codepoints, not UTF-16 units") {
+    import spark.implicits._
+    // astral-plane chars are 2 UTF-16 units but 1 codepoint; the kernel
+    // and the substr-based window formulation agree only if both count
+    // codepoints (and never split surrogate pairs into the md5 input)
+    val docs = Seq(
+      (1L, "😀😁😂abcdefgh😄 xyz"),
+      (2L, "abc 😀 def ghij"),
+    ).toDF("doc_id", "text")
+    val kernel = TextOps.rollingFingerprintsPortable(docs, 4, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val windows = TextOps.winnowedViaWindows(docs, 4, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kernel == windows)
+    assert(kernel.nonEmpty)
+  }
 }
