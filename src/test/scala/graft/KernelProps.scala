@@ -21,6 +21,12 @@ object KernelProps extends Properties("graft.kernels") {
     6 -> Gen.alphaNumChar,
     2 -> Gen.oneOf(' ', '\t', '\n', '\r'),
     1 -> Gen.oneOf('!', '.', 'é', 'ß', '€', '-', '_'))).map(_.mkString)
+  // like mixedText but with occasional astral-plane (non-BMP) chars —
+  // the codepoint-vs-UTF-16 hazard surface
+  private val astralText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\t", "\n"),
+    1 -> Gen.oneOf("😀", "🤖", "𝕏", "é"))).map(_.mkString)
 
   // ---- reference tokenizer (main.cpp byte semantics) -----------------
 
@@ -101,6 +107,50 @@ object KernelProps extends Properties("graft.kernels") {
           (0 until math.max(1, n - w + 1)).forall(j =>
             pos.exists(p => p >= j && p < j + w))
       }
+    }
+
+  property("portable winnowing: codepoint md5-60 hashes, covering") =
+    forAll(astralText, Gen.choose(2, 5), Gen.choose(1, 4)) { (s, k, w) =>
+      val arr = graft.functions.RollingFingerprints
+        .winnowMd5(UTF8String.fromString(s), k, w)
+      val picked = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getInt(0), r.getLong(1))
+      }
+      // independent model: codepoint array slices, hash parsed from the
+      // md5 HEX STRING (kernel derives it from raw digest bytes)
+      val cps = s.codePoints().toArray
+      val n = cps.length - k + 1
+      if (n <= 0) picked.isEmpty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val all = (0 until n).map { i =>
+          val gram = new String(cps, i, k)
+          val hex = md.digest(gram.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (i, java.lang.Long.parseLong(hex.take(15), 16))
+        }
+        val pos = picked.map(_._1)
+        picked.forall { case (p, f) => all(p) == (p, f) } &&
+          pos == pos.sorted && pos.distinct == pos &&
+          (0 until math.max(1, n - w + 1)).forall(j =>
+            pos.exists(p => p >= j && p < j + w))
+      }
+    }
+
+  property("TokenStats == regex model (counts, max tf, 2-grams)") =
+    forAll(astralText) { s =>
+      val row = graft.functions.TokenStats.stats(UTF8String.fromString(s))
+      val toks = ("\\S+".r).findAllIn(s).toList
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val grams =
+        if (toks.length < 2) Nil
+        else toks.sliding(2).map(_.mkString(" ")).toList
+      row.getLong(0) == toks.length.toLong &&
+        row.getLong(1) == counts.size.toLong &&
+        row.getLong(2) == (if (toks.isEmpty) 0L else counts.values.max) &&
+        row.getLong(3) == grams.length.toLong &&
+        row.getLong(4) == grams.distinct.length.toLong
     }
 
   // ---- Misra-Gries buffers (update/merge used directly) --------------
