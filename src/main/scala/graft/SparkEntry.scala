@@ -106,6 +106,9 @@ object SparkEntry {
       CorpusOps.stratifiedHashSample(documents(s, dir),
         rates = Map("en" -> 10), defaultPct = 50)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    "q_sample_quota" -> ((s, dir) =>
+      CorpusOps.quotaSample(documents(s, dir), quota = 20)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     "q_quality_rules" -> ((s, dir) =>
       CorpusOps.qualityRules(documents(s, dir))),
@@ -687,6 +690,15 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_quota" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
         |ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tf AS (

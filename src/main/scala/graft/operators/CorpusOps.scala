@@ -112,6 +112,26 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed-quota-per-stratum sampling: exactly `min(quota, |stratum|)`
+    * rows per stratum, chosen by ranking on the engine-neutral hash of
+    * the key (then the key itself — a total, reproducible order).
+    * Complements the rate-based [[stratifiedHashSample]]: quotas give
+    * balanced strata regardless of their raw sizes (the "N docs per
+    * language" eval-set shape). One shuffle on the stratum key; a
+    * degenerate stratum degrades to a spilled per-partition sort, and
+    * rank-k selection is window-group-limited (no full materialized
+    * rank). */
+  def quotaSample(docs: DataFrame, quota: Int,
+      stratumCol: String = "lang", keyCol: String = "doc_id"): DataFrame = {
+    require(quota > 0)
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5Hash60(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
   // ---- training-sequence chunking ------------------------------------
 
   /** Split each document into fixed-token-budget chunks with

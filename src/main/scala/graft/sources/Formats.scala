@@ -24,6 +24,33 @@ object Formats {
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** JSONL read with a quarantine lane: malformed lines land intact in
+    * `_corrupt_record` (PERMISSIVE mode) instead of aborting the job or
+    * being dropped silently — at 100 TB some producer always emits a
+    * few broken lines, and operations needs to count and inspect them,
+    * not die at hour six. Returns (clean rows, quarantined raw lines).
+    * The quarantine side must be cached/materialized from the same
+    * read, so both sides come from ONE pass (the `from_json` route
+    * would parse twice). */
+  def readJsonlWithQuarantine(s: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_corrupt_record"
+    val withLane = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = s.read.schema(withLane)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .cache()
+    val clean = raw.filter(col(corrupt).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantined = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (clean, quarantined)
+  }
+
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 

@@ -67,4 +67,27 @@ class AppAndFormatsSpec extends SparkSpec {
       .orderBy("o_orderkey").collect().map(_.toString).toSeq
     assert(backOrc == want)
   }
+
+  test("jsonl quarantine: malformed lines isolated, clean rows parse") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl-q").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "data.jsonl"),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2, "name": "also ok"}
+        |{"id": 3, "name": BROKEN
+        |not json at all
+        |{"id": 4, "name": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantine) = Formats.readJsonlWithQuarantine(
+      spark, dir, schema)
+    import spark.implicits._
+    assert(clean.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "ok"), (2L, "also ok"), (4L, "fine")))
+    val bad = quarantine.as[String].collect()
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("BROKEN")) &&
+      bad.exists(_.contains("not json")))
+  }
 }

@@ -28,6 +28,21 @@ class CorpusOpsSpec extends SparkSpec {
       corpus.count())
   }
 
+  test("quota sample: exact quota per stratum, deterministic under layout") {
+    val q1 = CorpusOps.quotaSample(corpus, quota = 20)
+    val q2 = CorpusOps.quotaSample(corpus.repartition(9), quota = 20)
+    assert(q1.exceptAll(q2).isEmpty && q2.exceptAll(q1).isEmpty)
+    val perLang = q1.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val sizes = corpus.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang(lang) == math.min(20L, n), lang)
+    }
+    // quota larger than every stratum -> identity
+    assert(CorpusOps.quotaSample(corpus, 100000).count() == corpus.count())
+  }
+
   test("tfIdf: k rows per doc, corpus-wide terms score zero") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
