@@ -39,25 +39,57 @@ object GraftFunctions {
       s"$fn expects a constant int argument, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    ColumnBridge.registerFunction(spark, "graft_dot",
-      es => { arity("graft_dot", es, 2); DotProduct(es(0), es(1)) })
-    ColumnBridge.registerFunction(spark, "graft_text_profile",
-      es => { arity("graft_text_profile", es, 1); TextProfile(es(0)) })
-    ColumnBridge.registerFunction(spark, "graft_all_pairs",
-      es => { arity("graft_all_pairs", es, 1); AllPairs(es(0)) })
-    ColumnBridge.registerFunction(spark, "graft_shingles",
-      es => { arity("graft_shingles", es, 2)
-        WordShingles(es(0), intArg(es(1), "graft_shingles")) })
-    ColumnBridge.registerFunction(spark, "graft_heavy_hitters",
-      es => { arity("graft_heavy_hitters", es, 2)
+  /** Name → expression builder for every kernel; the single source
+    * both [[register]] (running session) and [[GraftExtensions]]
+    * (`spark.sql.extensions` at session build) install from. */
+  val bindings: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" ->
+      ((es: Seq[Expression]) => { arity("graft_dot", es, 2)
+        DotProduct(es(0), es(1)) }),
+    "graft_text_profile" ->
+      ((es: Seq[Expression]) => { arity("graft_text_profile", es, 1)
+        TextProfile(es(0)) }),
+    "graft_all_pairs" ->
+      ((es: Seq[Expression]) => { arity("graft_all_pairs", es, 1)
+        AllPairs(es(0)) }),
+    "graft_shingles" ->
+      ((es: Seq[Expression]) => { arity("graft_shingles", es, 2)
+        WordShingles(es(0), intArg(es(1), "graft_shingles")) }),
+    "graft_heavy_hitters" ->
+      ((es: Seq[Expression]) => { arity("graft_heavy_hitters", es, 2)
         HeavyHitters(es(0), intArg(es(1), "graft_heavy_hitters"))
-          .toAggregateExpression() })
-    ColumnBridge.registerFunction(spark, "graft_token_stats",
-      es => { arity("graft_token_stats", es, 1); TokenStats(es(0)) })
-    ColumnBridge.registerFunction(spark, "graft_rolling_fp",
-      es => { arity("graft_rolling_fp", es, 3)
+          .toAggregateExpression() }),
+    "graft_token_stats" ->
+      ((es: Seq[Expression]) => { arity("graft_token_stats", es, 1)
+        TokenStats(es(0)) }),
+    "graft_rolling_fp" ->
+      ((es: Seq[Expression]) => { arity("graft_rolling_fp", es, 3)
         RollingFingerprints(es(0), intArg(es(1), "graft_rolling_fp"),
-          intArg(es(2), "graft_rolling_fp")) })
-  }
+          intArg(es(2), "graft_rolling_fp")) }),
+  )
+
+  def register(spark: SparkSession): Unit =
+    bindings.foreach { case (name, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point: every graft kernel becomes a
+  * built-in of each new session —
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * the deployment-grade form of [[GraftFunctions.register]] (which
+  * patches one already-running session). */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.bindings.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

@@ -21,4 +21,14 @@ object ColumnBridge {
       name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Apply a built `SparkSessionExtensions`' function registrations to
+    * a session — the same `registerFunctions` call
+    * `BaseSessionStateBuilder` makes when `spark.sql.extensions` names
+    * the class at session build; exposed so tests can exercise that
+    * path against a live session (static confs cannot be injected into
+    * an already-running context). */
+  def applyExtensions(spark: org.apache.spark.sql.SparkSession,
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -60,6 +60,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fp >= 1)
   }
 
+  test("GraftExtensions wires every kernel into a fresh session") {
+    // a fresh session state has no graft temp functions...
+    val s2 = spark.newSession()
+    intercept[Exception] {
+      s2.sql("SELECT graft_dot(array(1.0d), array(1.0d))").collect()
+    }
+    // ...until the extensions' registrations are applied through the
+    // same registerFunctions path the session builder uses for
+    // spark.sql.extensions=graft.functions.GraftExtensions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    org.apache.spark.sql.graft.ColumnBridge.applyExtensions(s2, ext)
+    val d = s2.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
+    val n = s2.sql("SELECT graft_token_stats('a b a').n_tokens AS n")
+      .collect()(0).getLong(0)
+    assert(n == 3L)
+    // function metadata resolves too (DESCRIBE works)
+    assert(s2.sql("DESCRIBE FUNCTION graft_dot").count() > 0)
+  }
+
   test("graft_heavy_hitters aggregates from SQL") {
     Seq("a", "b", "a", "c", "a").toDF("w").createOrReplaceTempView("words")
     val top = spark.sql(
