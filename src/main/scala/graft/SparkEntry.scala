@@ -48,6 +48,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
     "q_text_ngrams" -> ((s, dir) => TextOps.ngramCounts(documents(s, dir))),
+    "q_text_pmi" -> ((s, dir) => TextOps.collocations(documents(s, dir))),
     // Winnowed rolling-hash fingerprints: custom 64-bit polynomial
     // hash, no DuckDB equivalent — rows-only; invariants (coverage
     // guarantee, subset, monotone positions) pinned in KernelProps.
@@ -72,6 +73,13 @@ object SparkEntry {
     // (min-label propagation; oracle = DuckDB recursive CTE).
     "q_dedup_cc" -> ((s, dir) =>
       Clustering.nearDupClusters(documents(s, dir), n = 3, threshold = 0.8)),
+    // End-to-end: the deduplicated corpus itself (cluster-min
+    // survivors with payload; text fingerprinted for the harness).
+    "q_dedup_corpus" -> ((s, dir) =>
+      Clustering.dedupCorpus(documents(s, dir), n = 3, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
     // LSH-bucketed variant: exact-verified candidates, approximate
@@ -686,6 +694,70 @@ object SparkEntry {
         |SELECT node AS doc_id, min(lbl) AS cluster
         |FROM reach GROUP BY node
         |ORDER BY doc_id""".stripMargin,
+    // Survivors = nodes equal to their component min, payload joined
+    // back; same recursive closure as q_dedup_cc.
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT doc_a, doc_b FROM prs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand
+        |), reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        |), cl AS (
+        |  SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+        |)
+        |SELECT d.doc_id, d.lang, d.source, md5(d.text) AS fp_md5
+        |FROM cl JOIN documents d USING (doc_id)
+        |WHERE cl.doc_id = cl.cluster
+        |ORDER BY doc_id""".stripMargin,
+    // PMI over unigram/bigram mass; rank on the rounded score (ulp
+    // stability), bigram tie-break, final order by bigram.
+    "q_text_pmi" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        |), bi AS (
+        |  SELECT b, count(*) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i+1] || ' ' || t[i+2])) AS b
+        |    FROM toks WHERE len(t) >= 2) GROUP BY b
+        |), n1 AS (SELECT sum(c) AS n1 FROM uni),
+        |n2 AS (SELECT sum(c_ab) AS n2 FROM bi),
+        |scored AS (
+        |  SELECT b AS bigram, c_ab,
+        |    round(ln((c_ab::DOUBLE / n2.n2)
+        |      / ((ca.c::DOUBLE / n1.n1) * (cb.c::DOUBLE / n1.n1))), 4) AS pmi
+        |  FROM bi
+        |  JOIN uni ca ON ca.w = split_part(b, ' ', 1)
+        |  JOIN uni cb ON cb.w = split_part(b, ' ', 2), n1, n2
+        |  WHERE c_ab >= 5
+        |), top AS (
+        |  SELECT bigram, c_ab, pmi FROM scored
+        |  ORDER BY pmi DESC, bigram ASC LIMIT 20
+        |)
+        |SELECT bigram, c_ab, pmi FROM top
+        |ORDER BY bigram""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100

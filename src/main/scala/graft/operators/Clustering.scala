@@ -153,4 +153,17 @@ object Clustering {
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
   }
+
+  /** The DEDUPLICATED corpus — the artifact the pipeline actually
+    * ships: one survivor row (the cluster-minimum doc_id) per near-dup
+    * cluster, full document payload attached only for survivors (the
+    * cluster relation carries ids, so the wide text column rides
+    * through exactly one join, not the clustering iterations). */
+  def dedupCorpus(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    nearDupClusters(docs, n, threshold)
+      .filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+      .join(docs, "doc_id")
+      .orderBy("doc_id")
 }

@@ -154,6 +154,44 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** Collocations: top-`k` bigrams by pointwise mutual information,
+    * pmi = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram mass and
+    * p(·) over unigram mass. `minCount` drops noise bigrams before
+    * ranking (PMI's classic low-frequency blowup). Ranked on the
+    * ROUNDED score with the bigram as tie-break — the ulp-stable
+    * cross-engine ordering (same rationale as
+    * [[CorpusOps.tfIdf]]). Two aggregations over one tokenize pass
+    * each; the unigram relation is vocabulary-sized and broadcast. */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    val uni = docs
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count("*").as("c"))
+    // one bigram aggregation feeds both the candidates and the total
+    // mass (identical subplans -> Spark reuses the exchange)
+    val biAll = docs
+      .select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count("*").as("c_ab"))
+    val bi = biAll.filter(col("c_ab") >= minCount)
+    val n1 = uni.agg(sum("c").as("n1"))
+    val n2 = biAll.agg(sum("c_ab").as("n2"))
+    val scored = bi
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(
+        log((col("c_ab").cast("double") / col("n2")) /
+          ((col("ca").cast("double") / col("n1")) *
+            (col("cb").cast("double") / col("n1")))), 4))
+    scored
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+      .select(col("bigram"), col("c_ab"), col("pmi"))
+      .orderBy("bigram")
+  }
+
   /** Corpus stats by (lang, source): doc counts, char volume, mean
     * token count. One shuffle on the group keys; partial agg map-side. */
   def langStats(docs: DataFrame): DataFrame =

@@ -46,6 +46,19 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus keeps exactly the cluster minima, full payload") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val clusters = Clustering.nearDupClusters(corpus)
+      .as[(Long, Long)].collect().toMap
+    val survivors = Clustering.dedupCorpus(corpus)
+    assert(survivors.columns.toSeq == corpus.columns.toSeq)
+    val ids = survivors.select("doc_id").as[Long].collect().toSet
+    assert(ids == clusters.values.toSet) // exactly the cluster roots
+    assert(ids.size < corpus.count())    // something was deduped
+    // every non-survivor is clustered onto a surviving root
+    clusters.foreach { case (d, c) => assert(ids.contains(c), s"doc $d") }
+  }
+
   test("nearDupClusters: clusters close over pair chains; ids are min") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val clusters = Clustering.nearDupClusters(corpus)

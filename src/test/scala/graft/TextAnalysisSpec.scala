@@ -125,6 +125,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaWindows == expect)
   }
 
+  test("PMI collocations: planted adjacent pair outranks its reverse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(10)("aa bb").mkString(" "), "en", "s", 0L),
+      (2L, "cc cc cc dd dd dd cc dd", "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.collocations(docs, minCount = 5, k = 10)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // "aa bb" occurs 10x (every adjacency), "bb aa" 9x — both pass
+    // minCount; the always-adjacent direction scores strictly higher
+    assert(r.contains("aa bb") && r.contains("bb aa"))
+    assert(r("aa bb")._2 == 10L && r("bb aa")._2 == 9L)
+    assert(r("aa bb")._3 > r("bb aa")._3)
+    assert(!r.keySet.exists(_.startsWith("cc"))) // below minCount
+  }
+
   test("portable winnowing indexes by codepoints, not UTF-16 units") {
     import spark.implicits._
     // astral-plane chars are 2 UTF-16 units but 1 codepoint; the kernel
