@@ -70,7 +70,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsPortable(documents(s, dir), maxHamming = 3)),
     // Pairs -> clusters: connected components over the Jaccard pairs
-    // (min-label propagation; oracle = DuckDB recursive CTE).
+    // (min-label propagation; oracle = DuckDB recursive CTE, shared
+    // closure in NearDupClosureCtes).
     "q_dedup_cc" -> ((s, dir) =>
       Clustering.nearDupClusters(documents(s, dir), n = 3, threshold = 0.8)),
     // End-to-end: the deduplicated corpus itself (cluster-min
@@ -665,66 +666,13 @@ object SparkEntry {
     // q_dedup_ngram. Every document seeds its own label, so docs with
     // no near-dup come back as singleton clusters.
     "q_dedup_cc" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), prs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT doc_a, doc_b FROM prs
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
-        |), edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM cand
-        |  UNION SELECT doc_b, doc_a FROM cand
-        |), reach(node, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        |)
-        |SELECT node AS doc_id, min(lbl) AS cluster
-        |FROM reach GROUP BY node
+      s"""WITH RECURSIVE $NearDupClosureCtes
+        |SELECT doc_id, cluster FROM cl
         |ORDER BY doc_id""".stripMargin,
     // Survivors = nodes equal to their component min, payload joined
-    // back; same recursive closure as q_dedup_cc.
+    // back; same recursive closure (shared CTEs) as q_dedup_cc.
     "q_dedup_corpus" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), prs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT doc_a, doc_b FROM prs
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
-        |), edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM cand
-        |  UNION SELECT doc_b, doc_a FROM cand
-        |), reach(node, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        |), cl AS (
-        |  SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
-        |)
+      s"""WITH RECURSIVE $NearDupClosureCtes
         |SELECT d.doc_id, d.lang, d.source, md5(d.text) AS fp_md5
         |FROM cl JOIN documents d USING (doc_id)
         |WHERE cl.doc_id = cl.cluster
@@ -890,6 +838,41 @@ object SparkEntry {
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared CTE chain (pre-stripped) for the near-dup transitive
+    * closure: Jaccard>=0.8 3-gram pairs → symmetric edges → recursive
+    * min-label reach → `cl(doc_id, cluster)`. Interpolated after
+    * `WITH RECURSIVE` by BOTH q_dedup_cc and q_dedup_corpus so the
+    * closure definition cannot drift between them. */
+  private val NearDupClosureCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT doc_a, doc_b FROM prs
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand
+      |), reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+      |), cl AS (
+      |  SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+      |)""".stripMargin
 
   private val DedupNgramOracle: String =
     """WITH toks AS (

@@ -124,12 +124,15 @@ object CorpusOps {
   def quotaSample(docs: DataFrame, quota: Int,
       stratumCol: String = "lang", keyCol: String = "doc_id"): DataFrame = {
     require(quota > 0)
+    val rn = "__graft_quota_rn"
+    require(!docs.columns.contains(rn),
+      s"input already has a $rn column") // never silently clobber/drop
     val w = Window.partitionBy(stratumCol)
       .orderBy(md5Hash60(col(keyCol).cast("string")).asc, col(keyCol).asc)
     docs
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota)
-      .drop("__rn")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= quota)
+      .drop(rn)
   }
 
   // ---- training-sequence chunking ------------------------------------

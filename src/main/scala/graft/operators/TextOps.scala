@@ -161,7 +161,10 @@ object TextOps {
     * ROUNDED score with the bigram as tie-break — the ulp-stable
     * cross-engine ordering (same rationale as
     * [[CorpusOps.tfIdf]]). Two aggregations over one tokenize pass
-    * each; the unigram relation is vocabulary-sized and broadcast. */
+    * each; the unigram joins are left to the planner — the vocabulary
+    * is corpus-dependent cardinality, so forcing a broadcast would be
+    * wrong at 100 TB (AQE broadcasts it when it measures small). Only
+    * the single-row totals are broadcast by hint. */
   def collocations(docs: DataFrame, minCount: Long = 5L,
       k: Int = 20): DataFrame = {
     val uni = docs
@@ -178,8 +181,8 @@ object TextOps {
     val scored = bi
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
       .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
       .withColumn("pmi", round(
         log((col("c_ab").cast("double") / col("n2")) /

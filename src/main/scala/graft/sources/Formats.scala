@@ -3,6 +3,13 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Result of a quarantined JSONL read: both lanes share one cached
+  * scan; `release()` drops the cache once consumers are done. */
+final case class QuarantinedRead(clean: DataFrame, quarantined: DataFrame,
+    private val raw: DataFrame) {
+  def release(): Unit = { raw.unpersist(); () }
+}
+
 /** File-format breadth beyond the harness's parquet: CSV, JSON lines,
   * and plain text, with explicit schemas on read (schema inference
   * costs a full extra pass at scale and races on changing data — a
@@ -28,12 +35,13 @@ object Formats {
     * `_corrupt_record` (PERMISSIVE mode) instead of aborting the job or
     * being dropped silently — at 100 TB some producer always emits a
     * few broken lines, and operations needs to count and inspect them,
-    * not die at hour six. Returns (clean rows, quarantined raw lines).
-    * The quarantine side must be cached/materialized from the same
-    * read, so both sides come from ONE pass (the `from_json` route
-    * would parse twice). */
+    * not die at hour six. Both lanes derive from ONE cached read
+    * (Spark refuses to filter on the corrupt column of an uncached
+    * json scan, and the `from_json` route would parse twice); call
+    * [[QuarantinedRead.release]] when done with both lanes — the
+    * cache is otherwise pinned for the session lifetime. */
   def readJsonlWithQuarantine(s: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): QuarantinedRead = {
     import org.apache.spark.sql.functions.col
     val corrupt = "_corrupt_record"
     val withLane = StructType(schema.fields :+
@@ -44,11 +52,12 @@ object Formats {
       .option("columnNameOfCorruptRecord", corrupt)
       .json(path)
       .cache()
-    val clean = raw.filter(col(corrupt).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    val quarantined = raw.filter(col(corrupt).isNotNull)
-      .select(col(corrupt).as("raw_line"))
-    (clean, quarantined)
+    QuarantinedRead(
+      clean = raw.filter(col(corrupt).isNull)
+        .select(schema.fieldNames.map(col).toSeq: _*),
+      quarantined = raw.filter(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw_line")),
+      raw = raw)
   }
 
   def writeJsonl(df: DataFrame, path: String): Unit =

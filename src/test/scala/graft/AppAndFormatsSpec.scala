@@ -80,14 +80,14 @@ class AppAndFormatsSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (clean, quarantine) = Formats.readJsonlWithQuarantine(
-      spark, dir, schema)
+    val read = Formats.readJsonlWithQuarantine(spark, dir, schema)
     import spark.implicits._
-    assert(clean.as[(Long, String)].collect().sorted.toSeq ==
+    assert(read.clean.as[(Long, String)].collect().sorted.toSeq ==
       Seq((1L, "ok"), (2L, "also ok"), (4L, "fine")))
-    val bad = quarantine.as[String].collect()
+    val bad = read.quarantined.as[String].collect()
     assert(bad.length == 2)
     assert(bad.exists(_.contains("BROKEN")) &&
       bad.exists(_.contains("not json")))
+    read.release() // cache dropped; lanes were already materialized
   }
 }
