@@ -109,6 +109,11 @@ object SparkEntry {
     "q_events_attrib" -> ((s, dir) =>
       EventOps.purchaseAttribution(events(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
+    // Mergeable-sketch distinct: no DuckDB oracle (estimator internals
+    // are engine-specific) — rows-only; error + merge associativity
+    // pinned in EventOpsSpec.
+    "q_events_distinct_hll" -> ((s, dir) =>
+      EventOps.distinctUsersSketch(events(s, dir))),
     // ---- corpus-curation extensions ----
     // Deterministic stratified downsampling (en 10%, others 50%).
     "q_sample_stratified" -> ((s, dir) =>

@@ -118,6 +118,26 @@ object EventOps {
       .agg(count("*").as("n_users"))
       .orderBy("event_type")
 
+  /** Approximate distinct via mergeable HLL sketches (Apache
+    * DataSketches, built into Spark): the 100 TB distinct-count shape —
+    * per-partition sketches merge associatively, so partial results
+    * can be stored per day/partition and unioned later without
+    * re-reading history (`hll_union_agg`), unlike COUNT(DISTINCT)
+    * whose exact shuffle must see every value every time. lgK = 14
+    * gives ~0.8% standard error in ~16 KB of state per group. Exact
+    * count rides along here as the accuracy anchor (the harness
+    * rows-checks this query; error bounds and merge associativity are
+    * spec-pinned). */
+  def distinctUsersSketch(events: DataFrame, lgK: Int = 14): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+          .as("n_users_approx"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .orderBy("event_type")
+
   /** Ordered funnel: for each user, the time of their first `steps(0)`
     * event, the first `steps(1)` STRICTLY AFTER that, the first
     * `steps(2)` strictly after that, and so on — null once a step is

@@ -127,6 +127,32 @@ class EventOpsSpec extends SparkSpec {
     assert(nv >= nc && nc >= np && np > 0)
   }
 
+  test("HLL sketch distinct: tight error and associative merges") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val r = EventOps.distinctUsersSketch(e)
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (t, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"$t: approx $approx vs exact $exact")
+    }
+    // merge associativity: union of per-slice sketches estimates the
+    // same population as one whole-stream sketch (the incremental
+    // pattern: store per-partition sketches, union later)
+    val slices = e.filter($"user_id".isNotNull)
+      .withColumn("slice", pmod($"event_id", lit(4)))
+      .groupBy("slice")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+    val merged = slices
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("n"))
+      .as[Long].head()
+    val exactAll = e.filter($"user_id".isNotNull)
+      .select(countDistinct("user_id")).as[Long].head()
+    assert(math.abs(merged - exactAll).toDouble / exactAll < 0.05,
+      s"merged $merged vs exact $exactAll")
+  }
+
   test("sliding windows on sf0.001 conserve event count x4") {
     val e = graft.sources.Tables.events(spark, sfDir)
     val total = EventOps.slidingCounts(e)
