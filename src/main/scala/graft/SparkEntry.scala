@@ -65,6 +65,14 @@ object SparkEntry {
       Dedup.dropDuplicatesKeepFirst(documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), n = 3, threshold = 0.8)),
+    // Skew-guard twin: maxDocFreq = 5 BINDS on this corpus (max
+    // shingle df is 7 at sf0.01), so the posting-list cap is exercised
+    // end-to-end — common counts (hence jaccard values) provably
+    // differ from the uncapped run — and the oracle applies the
+    // identical df <= 5 filter.
+    "q_dedup_ngram_df" -> ((s, dir) =>
+      Dedup.ngramJaccard(documents(s, dir), n = 3, threshold = 0.8,
+        maxDocFreq = 5L)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -333,11 +341,14 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY md5(text)
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
-    // Exact 3-gram Jaccard >= 0.8 via inverted-index join. Also the
-    // oracle for q_dedup_minhash: LSH candidates are verified with the
-    // same exact Jaccard, and at r=4,b=16 the miss probability for
-    // s>=0.8 pairs is negligible on this corpus.
-    "q_dedup_ngram" -> DedupNgramOracle,
+    // Exact 3-gram Jaccard >= 0.8 via inverted-index join, with the
+    // default df <= 1000 posting-list cap (never binding on this
+    // corpus — max df 7 — but encoded in the oracle so the semantics
+    // stay exact at any scale). q_dedup_minhash keeps the UNCAPPED
+    // oracle: minhashLsh has no df cap, and at r=4,b=16 the LSH miss
+    // probability for s>=0.8 pairs is negligible on this corpus.
+    "q_dedup_ngram" -> dedupNgramOracleCapped(1000L),
+    "q_dedup_ngram_df" -> dedupNgramOracleCapped(5L),
     "q_dedup_minhash" -> DedupNgramOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
@@ -480,6 +491,7 @@ object SparkEntry {
     "q_events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE user_id IS NOT NULL
         |), v AS (
         |  SELECT user_id, min(ts) AS t_view FROM e
         |  WHERE event_type = 'view' GROUP BY 1
@@ -845,10 +857,12 @@ object SparkEntry {
   )
 
   /** Shared CTE chain (pre-stripped) for the near-dup transitive
-    * closure: Jaccard>=0.8 3-gram pairs → symmetric edges → recursive
-    * min-label reach → `cl(doc_id, cluster)`. Interpolated after
-    * `WITH RECURSIVE` by BOTH q_dedup_cc and q_dedup_corpus so the
-    * closure definition cannot drift between them. */
+    * closure: Jaccard>=0.8 3-gram pairs (with the df <= 1000
+    * posting-list cap matching ngramJaccard's default maxDocFreq) →
+    * symmetric edges → recursive min-label reach →
+    * `cl(doc_id, cluster)`. Interpolated after `WITH RECURSIVE` by
+    * BOTH q_dedup_cc and q_dedup_corpus so the closure definition
+    * cannot drift between them. */
   private val NearDupClosureCtes: String =
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
@@ -859,9 +873,13 @@ object SparkEntry {
       |  FROM toks WHERE len(t) >= 3
       |), sizes AS (
       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), keep AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+      |), shb AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
       |), prs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |), cand AS (
       |  SELECT doc_a, doc_b FROM prs
@@ -878,6 +896,37 @@ object SparkEntry {
       |), cl AS (
       |  SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
       |)""".stripMargin
+
+  /** Capped variant of [[DedupNgramOracle]]: document set sizes come
+    * from the FULL shingle set, the posting-list self-join only from
+    * shingles with df <= cap — exactly `Dedup.ngramJaccard`'s
+    * `maxDocFreq` semantics. */
+  private def dedupNgramOracleCapped(cap: Long): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), keep AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap
+      |), shb AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private val DedupNgramOracle: String =
     """WITH toks AS (

@@ -93,9 +93,14 @@ object CorpusOps {
     // explode→groupBy→join formulation shuffles every token twice).
     // Two-step select = CollapseProject sharing barrier, so the
     // kernel runs once per row, not once per output column.
+    // coalesce: a null text must gate as an EMPTY doc (pass = false),
+    // not propagate NULL through every metric — the oracle's LEFT JOIN
+    // + coalesce semantics, and a NULL pass flag would silently slip
+    // through a filter(col("pass")) curation gate.
     val stats = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.TokenStats(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col("text"), lit("")))))
     docs
       .select(col("doc_id"), stats.as("q"))
       .select(

@@ -67,9 +67,16 @@ object Dedup {
     * inverted index: group by shingle, emit co-occurring doc pairs,
     * count common shingles per pair. `maxDocFreq` (0 = off) drops
     * shingles whose document frequency exceeds it, bounding pair
-    * fan-out at scale. */
+    * fan-out at scale — ON BY DEFAULT (1000): an uncapped run is the
+    * one configuration that cannot survive a stop-shingle in a 1M-doc
+    * corpus (10^12 pairs from a single posting list), so the safe
+    * posture must be the default, not an opt-in. Set sizes (`n_sh`)
+    * are always the FULL shingle-set sizes — the cap only prunes
+    * posting lists, so a dropped shingle lowers `common` (and
+    * jaccard), never inflates it. Pass 0 to disable when an exact
+    * uncapped answer is required and the corpus is known benign. */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 1000L): DataFrame = {
     val sets = shingleSets(docs, n)
     // Each doc's set size rides along with every exploded row (one int
     // per row) so the pair aggregation needs NO size joins afterwards —
@@ -214,12 +221,14 @@ object Dedup {
     * oracled variant; banding finds every pair within maxHamming <= 3
     * exactly (pigeonhole over 4 bands) PROVIDED no band bucket
     * overflows `maxBucket` — the default (no cap) preserves that
-    * exactness guarantee, which is what the brute-force oracle
-    * asserts; pass a cap when running against corpora with huge
-    * near-identical families and accept the (skipped-bucket) recall
-    * loss, as production [[simhashPairs]] does. */
+    * exactness guarantee — which holds for any band bucket up to the
+    * default cap of 65535, the hard ceiling of the [[graft.functions.AllPairs]]
+    * kernel (beyond it the kernel aborts loudly rather than emit >2^31
+    * pairs). A >65k near-identical family therefore degrades to
+    * skipped-bucket recall loss like production [[simhashPairs]],
+    * instead of failing the job. */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame =
+      maxBucket: Int = 65535): DataFrame =
     simhashPairs(docs, maxHamming, maxBucket, bits = 60, bands = 4,
       hasher = md5Hash60)
 

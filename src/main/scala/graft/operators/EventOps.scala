@@ -154,8 +154,12 @@ object EventOps {
     require(steps.nonEmpty)
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct (t_<step> column per step), got $steps")
+    // null user_id is not a user (same rule as distinctUsersSketch);
+    // without this a null-keyed frontier row would also order
+    // differently across engines (Spark NULLS FIRST vs DuckDB LAST).
     def stepEvents(t: String) =
-      events.filter(col("event_type") === t).select("user_id", "ts")
+      events.filter(col("user_id").isNotNull &&
+        col("event_type") === t).select("user_id", "ts")
     val first = stepEvents(steps.head).groupBy("user_id")
       .agg(min("ts").as(s"t_${steps.head}"))
     // fold: frontier i -> frontier i+1 (users who completed step i+1)

@@ -18,11 +18,13 @@ final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
   * into decoder-sized batches; codecs amortize setup per batch, not
   * per row).
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic fake ([[MultiModal.FakeCodec]]) and a
-  * real-codec hook left unimplemented ([[MultiModal.decodeImage]]).
-  * Everything Spark-side — schema, binary slicing, partitioning, batch
-  * shape, encoders — is real and tested.
+  * Images decode for real via JDK ImageIO ([[MultiModal.decodeImage]],
+  * PNG/JPEG/GIF/BMP — no external library needed); the harness queries
+  * use the deterministic [[MultiModal.FakeCodec]] instead because the
+  * synthetic payloads are text bytes, not images. Audio/video codecs
+  * are not in the JVM, so those stay behind the same batched map shape
+  * with the fake kernel. Everything Spark-side — schema, binary
+  * slicing, partitioning, batch shape, encoders — is real and tested.
   *
   * Scale posture (100 TB):
   *   - Payloads never pass through a shuffle: metadata extraction and
@@ -106,11 +108,55 @@ object MultiModal {
           f => format_string("%.6f", f)), ",").as("features_csv"))
       .orderBy("doc_id")
 
-  /** STUB — the real-codec hook. Decoding actual image bytes needs an
-    * imaging library not present in this container; a deployment
-    * replaces this with e.g. a JNI/ImageIO call. Everything around it
-    * (batching, encoders, schema) works unchanged. */
-  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = ???
+  /** Real image decode via JDK ImageIO (PNG/JPEG/GIF/BMP — built into
+    * the JVM, no external library): returns (width, height, 16-bin
+    * normalized luminance histogram). Throws on undecodable bytes —
+    * callers on the batched path route failures, they don't mask them. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Float](FakeCodec.Bins)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer BT.601 luma — deterministic across JVMs
+        val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum / (256 / FakeCodec.Bins)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var b = 0
+    while (b < FakeCodec.Bins) { hist(b) /= n; b += 1 }
+    (w, h, hist)
+  }
+
+  /** Batched REAL decode over image payloads — same mapPartitions
+    * batch shape as [[decodeFeatures]], with [[decodeImage]] as the
+    * codec. Non-image mimes are filtered out up front (pushed to the
+    * scan); undecodable image payloads raise — at 100 TB you quarantine
+    * those rows upstream (cf. graft.sources.Formats quarantine pattern)
+    * rather than silently drop features. */
+  def decodeImageFeatures(media: DataFrame, batchSize: Int = 64,
+      parallelism: Option[Int] = None): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val ds = media.filter(col("mime").startsWith("image/"))
+      .select("doc_id", "mime", "payload").as[MediaRow]
+    val balanced = parallelism.fold(ds)(n => ds.repartition(n))
+    balanced.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val (w, h, hist) = decodeImage(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length, w, h, hist)
+      })
+    }
+  }
 
   /** Resize: payloads normalized to a fixed byte budget (`w*h`), the
     * shape of an image-resize stage — oversized payloads truncate,

@@ -53,31 +53,90 @@ object Similarity {
     scoredTopK(scored, k)
   }
 
+  private def unitVec(c: Array[Double]): Array[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  /** Deterministic IVF centroids from `e` (vec_id, v), in two stages:
+    *
+    *  1. SEEDS: collect a hash-ordered sample of `8 * nCells` vectors
+    *     (uniform over the corpus regardless of how ids correlate with
+    *     geometry — first-N ids routinely do: ingest order clusters by
+    *     source) and greedily pick `nCells` farthest-point seeds from
+    *     it (k-means++-style, min-max-cosine) — one seed per distinct
+    *     cluster direction, so Lloyd refinement cannot get stuck with
+    *     every seed inside one dense cluster.
+    *  2. REFINE: `iters` rounds of distributed spherical k-means. Each
+    *     round is one map-side argmax assignment + one (cell, dim)-
+    *     keyed sum shuffle of nCells×dim partial-aggregated rows, then
+    *     a tiny driver collect (nCells×dim doubles — index metadata,
+    *     not data). Empty cells keep their previous centroid. */
+  def ivfCentroids(e: DataFrame, nCells: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(8 * nCells)
+      .select("v").collect().map(_.getSeq[Double](0).toArray).map(unitVec)
+    require(sample.nonEmpty, "ivfCentroids on an empty relation")
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (seeds.size < nCells && seeds.size < sample.length) {
+      // farthest point = lowest maximum cosine to any chosen seed;
+      // ties resolve to the earliest sample position (deterministic)
+      val next = sample.minBy(v =>
+        seeds.map(s => v.zip(s).map { case (a, b) => a * b }.sum).max)
+      seeds += next
+    }
+    var cents: Array[Array[Double]] = seeds.toArray
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iters) {
+      val cs = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
+      // element-wise member sums: explode to (cell, pos) — the shuffle
+      // carries partial-aggregated nCells×dim rows, not vectors
+      val sums = e
+        .withColumn("cs", cs)
+        .withColumn("cell",
+          (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(sum("col").as("s"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getAs[Int]("pos")) = r.getAs[Double]("s"))
+        val u = unitVec(v)
+        // mean direction = direction of the sum (spherical k-means)
+        if (u.exists(_ != 0.0)) next(cell) = u
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
     * into `nCells` Voronoi cells around centroid vectors; queries score
     * only the vectors in their `nProbe` closest cells.
     *
-    * Centroids here are the first `nCells` corpus vectors (normalized,
-    * collected to the driver like the SRP hyperplanes — nCells rows,
-    * not data); a production index swaps in sampled k-means|| centroids
-    * without touching the query path. Cell assignment is an argmax over
-    * `nCells` codegen'd dot products per row, entirely map-side; the
-    * candidate join is a hash join on the cell id. Candidate volume per
-    * query ~= nProbe/nCells of the corpus — the classic recall/cost
-    * dial. Output schema matches [[bruteForceTopK]]; recall < 1 by
-    * construction (spec-pinned vs brute force).
+    * Centroids come from [[ivfCentroids]] (hash-sampled seeds + 2
+    * spherical k-means rounds, deterministic) unless a trained set is
+    * injected via `centroids` — the production shape, where the index
+    * is built once and reused across query batches. Cell assignment is
+    * an argmax over `nCells` codegen'd dot products per row, entirely
+    * map-side; the candidate join is a hash join on the cell id.
+    * Candidate volume per query ~= nProbe/nCells of the corpus — the
+    * classic recall/cost dial. Output schema matches
+    * [[bruteForceTopK]]; recall < 1 by construction (spec-pinned vs
+    * brute force).
     */
   def ivfTopK(embs: DataFrame, queryPred: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nProbe <= nCells)
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    // centroids: deterministic, tiny driver collect (like hyperplanes)
-    val cents: Array[Array[Double]] = e.orderBy("vec_id").limit(nCells)
-      .collect().map(_.getSeq[Double](1).toArray)
-      .map { c =>
-        val norm = math.sqrt(c.map(x => x * x).sum)
-        c.map(_ / norm)
-      }
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(ivfCentroids(e, nCells, kmeansIters))
     def cellScores(v: Column): Column =
       array(cents.map(c => dot(v, typedlit(c.toSeq))): _*)
     // |v| is constant across cells, so argmax of dot-with-unit-centroid

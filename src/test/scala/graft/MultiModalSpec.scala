@@ -87,6 +87,43 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage + decodeImageFeatures: real PNGs through the batched path") {
+    // render tiny PNGs in-memory with ImageIO itself (the JDK encoder),
+    // so the test needs no fixture files and no external codec
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // 1x1 pure white: all luma mass in the top histogram bin
+    val (w1, h1, hist1) = MultiModal.decodeImage(png(1, 1, 0xffffff))
+    assert(w1 == 1 && h1 == 1)
+    assert(hist1.last == 1f && hist1.init.forall(_ == 0f))
+    // 3x2 pure black: bottom bin
+    val (w2, h2, hist2) = MultiModal.decodeImage(png(3, 2, 0x000000))
+    assert(w2 == 3 && h2 == 2)
+    assert(hist2.head == 1f && hist2.tail.forall(_ == 0f))
+    // distributed batched path: image rows decode, the audio row is
+    // filtered out before the codec ever sees its (undecodable) bytes
+    val rows = Seq(
+      MediaRow(1L, "image/png", png(1, 1, 0xffffff)),
+      MediaRow(2L, "image/png", png(4, 3, 0x000000)),
+      MediaRow(3L, "audio/wav", Array[Byte](1, 2, 3)))
+    val out = MultiModal.decodeImageFeatures(rows.toDF(), batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(out(1).width == 4 && out(1).height == 3)
+    assert(out.forall(f => math.abs(f.features.sum - 1f) < 1e-3))
+    // undecodable bytes under an image mime raise loudly, not silently
+    intercept[Exception] {
+      MultiModal.decodeImageFeatures(
+        Seq(MediaRow(9L, "image/png", Array[Byte](0, 1, 2))).toDF()).collect()
+    }
+  }
+
   test("codec batch entry point sees decoder-sized batches") {
     val rows = (1L to 10L).map(i => MediaRow(i, "image/png", Array[Byte](i.toByte)))
     val batches = rows.iterator.grouped(4).map(_.size).toSeq

@@ -79,6 +79,41 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: $hit of ${exact.size}")
   }
 
+  test("IVF centroids: k-means seeding recovers clusters where first-N fails") {
+    // Two tight clusters whose ids correlate with geometry (the ingest-
+    // order hazard): ids 0-11 hug the x-axis, ids 12-23 the y-axis,
+    // with a ±0.001 dim-3 jitter that is COSINE-IRRELEVANT inside a
+    // cluster (cos ≈ 1 either way) but decides the argmax between the
+    // near-identical all-cluster-A centroids that first-N seeding
+    // produces — so cluster B splits across cells and a B query probing
+    // its top cell misses the even-jitter half of its true neighbors.
+    def jit(i: Long): Float = if (i % 2 == 0) 0.001f else -0.001f
+    val a = (0L to 11L).map(i => (i, Array(1.0f, 0.0f, jit(i), 0.0f)))
+    val b = (12L to 23L).map(j => (j, Array(0.0f, 1.0f, jit(j), 0.0f)))
+    val clustered = (a ++ b).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(clustered, col("vec_id") === 23L, k = 8)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(exact.size == 8)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // the OLD seeding: first nCells vectors by id — all from cluster A
+    val firstN = a.take(2).map(t => unit(t._2.map(_.toDouble))).toArray
+    val gotFirstN = Similarity.ivfTopK(clustered, col("vec_id") === 23L,
+        k = 8, nCells = 2, nProbe = 1, centroids = Some(firstN))
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val hitFirstN = gotFirstN.count(exact.contains)
+    assert(hitFirstN < exact.size,
+      s"first-N centroids unexpectedly reached full recall ($hitFirstN/8)")
+    // the NEW default: hash-sampled seeds + 2 spherical k-means rounds
+    // pull one centroid into each cluster -> full recall at nProbe=1
+    val gotKmeans = Similarity.ivfTopK(clustered, col("vec_id") === 23L,
+        k = 8, nCells = 2, nProbe = 1)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(gotKmeans.count(exact.contains) == exact.size,
+      s"k-means centroids recall ${gotKmeans.count(exact.contains)}/8")
+  }
+
   test("SRP bucket is deterministic and within [0, 2^nPlanes)") {
     val planes = Similarity.hyperplanes(nPlanes = 8, dim = 4)
     val b = embs.select(

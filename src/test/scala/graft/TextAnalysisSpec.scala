@@ -95,10 +95,14 @@ class TextAnalysisSpec extends SparkSpec {
         .digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15), 16)
     def winnow(text: String): Seq[(Long, Long)] = {
-      val n = text.length - k + 1
+      // index by CODEPOINTS, not UTF-16 units — the kernel (and Spark
+      // substr/length, and DuckDB) count codepoints, so a UTF-16 model
+      // would spuriously diverge on astral chars.
+      val cp = text.codePoints().toArray
+      val n = cp.length - k + 1
       if (n <= 0) Nil
       else {
-        val hs = (0 until n).map(i => md5h(text.substring(i, i + k)))
+        val hs = (0 until n).map(i => md5h(new String(cp, i, k)))
         val sel = scala.collection.mutable.SortedSet[Int]()
         for (e <- math.min(w, n) - 1 until n) {
           val lo = math.max(0, e - w + 1)
