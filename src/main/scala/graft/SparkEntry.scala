@@ -96,6 +96,15 @@ object SparkEntry {
     // exact path in DedupSpec.
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(embeddings(s, dir), threshold = 0.4)),
+    // The PRODUCTION regime (cos >= 0.9, 16 planes x 32 tables) over a
+    // corpus with planted near-dups (the raw table tops out at cos
+    // 0.6). Fully oracled: candidates are verified with the exact
+    // double-precision cosine, planting is bit-reproducible in DuckDB,
+    // and at theta <= 2.5 degrees the per-pair LSH miss probability is
+    // ~e^-64 — the seeded hyperplanes are deterministic either way.
+    "q_dedup_embedding_lsh09" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(Dedup.plantNearDups(embeddings(s, dir)),
+        threshold = 0.9, nPlanes = 16, nTables = 32)),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -364,6 +373,32 @@ object SparkEntry {
         |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
+    // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
+    // the same IEEE double ops Spark's plantNearDups runs, so the
+    // planted vectors (and their cosines) match bit-for-bit.
+    "q_dedup_embedding_lsh09" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), pl AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(len(v)),
+        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
+        |  FROM base WHERE vec_id % 5 = 0
+        |), e AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM pl
+        |), p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
+        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
+        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM p
+        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
     // q_dedup_simhash: the 60-bit md5-derived token hash is computed
     // identically by both engines; the oracle is the brute-force

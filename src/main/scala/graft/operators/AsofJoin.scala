@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.StructType
   *
   * At 100 TB: the shuffle carries each row exactly once; per-key data
   * is sort-spilled by the window operator, so a hot key degrades to a
-  * disk sort, not an OOM. Time-bucketed pre-partitioning (carrying the
-  * last row of the previous bucket forward) is the next refinement if
-  * single keys exceed a partition.
+  * disk sort, not an OOM. When even the spilled sort of one key is too
+  * big, opt into `timeBucket`: partitions become (key, bucket) — a hot
+  * key splits across as many partitions as it spans buckets — and the
+  * last right row of each bucket is carried forward through a
+  * bucket-GRANULARITY window (rows = distinct (key, bucket), orders of
+  * magnitude smaller than the event stream). Output is identical to
+  * the unbucketed join (spec-pinned).
   */
 object AsofJoin {
 
@@ -37,7 +41,17 @@ object AsofJoin {
     *                with `key`/`time` or left's columns)
     */
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      timeBucket: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None): DataFrame = {
+    timeBucket match {
+      case Some(b) => asofBucketed(left, right, key, time, payload, b)
+      case None => asofPlain(left, right, key, time, payload)
+    }
+  }
+
+  private def asofPlain(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String]): DataFrame = {
     val lOther = left.columns.filterNot(c => c == key || c == time).toList
     // ONE struct carries the whole right-row payload: a per-column
     // last(ignoreNulls) would skip a null field independently and stitch
@@ -62,6 +76,73 @@ object AsofJoin {
     rTagged.unionByName(lTagged)
       .withColumn("__last_p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
+      .select(
+        (col(key) :: col(time) :: lOther.map(col)) ++
+          payload.map(c => col(s"__last_p.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Hot-key refinement: the same as-of semantics with the heavy
+    * window partitioned by (key, bucket(time)) instead of key alone —
+    * a single hot key splits across as many partitions as it spans
+    * buckets. Three stages:
+    *
+    *  1. IN-BUCKET: the union-tag window of [[asofPlain]], partitioned
+    *     by (key, bucket) — resolves every left row with a right
+    *     predecessor in its own bucket.
+    *  2. CARRY: per (key, bucket), the latest right payload —
+    *     max(struct(time, payload)), the same (time, payload-struct)
+    *     tie-break as the window sort — then a bucket-granularity
+    *     union-tag window carries the latest PRECEDING bucket's last
+    *     payload to each left bucket (left bucket rows sort before
+    *     same-bucket summaries: a left row must not see its own
+    *     bucket's future rights — those are already correct from
+    *     stage 1 or genuinely after it).
+    *  3. STITCH: left rows missing an in-bucket match take the carry.
+    *
+    * Cost: the event-sized shuffles are keyed by (key, bucket); the
+    * only key-wide window runs over distinct (key, bucket) rows.
+    * Result is identical to [[asofPlain]] by construction: a right row
+    * in an earlier bucket always precedes a left row in a later one,
+    * and in-bucket resolution handles the rest. */
+  private def asofBucketed(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String],
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val lOther = left.columns.filterNot(c => c == key || c == time).toList
+    val payloadType = StructType(payload.map(c => right.schema(c)))
+    val rTagged = right.select(
+      col(key) :: col(time) :: bucket(col(time)).as("__bkt") ::
+        lit(0).as("__tag") :: struct(payload.map(col): _*).as("__p") ::
+        lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      col(key) :: col(time) :: bucket(col(time)).as("__bkt") ::
+        lit(1).as("__tag") :: lit(null).cast(payloadType).as("__p") ::
+        lOther.map(col): _*)
+    val w1 = Window.partitionBy(key, "__bkt")
+      .orderBy(col(time).asc, col("__tag").asc, col("__p").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = rTagged.unionByName(lTagged)
+      .withColumn("__in_p", last(col("__p"), ignoreNulls = true).over(w1))
+      .filter(col("__tag") === 1)
+    // latest right payload per (key, bucket): max over (time, payload)
+    // replicates the window's last-row choice including ties
+    val bucketLast = rTagged
+      .groupBy(col(key), col("__bkt"))
+      .agg(max(struct(col(time), col("__p"))).as("__tp"))
+      .select(col(key), col("__bkt"), lit(1).as("__btag"),
+        col("__tp").getField("__p").as("__bl"))
+    val leftBuckets = lTagged.select(col(key), col("__bkt")).distinct()
+      .select(col(key), col("__bkt"), lit(0).as("__btag"),
+        lit(null).cast(payloadType).as("__bl"))
+    val w2 = Window.partitionBy(key)
+      .orderBy(col("__bkt").asc, col("__btag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = bucketLast.unionByName(leftBuckets)
+      .withColumn("__prev_p", last(col("__bl"), ignoreNulls = true).over(w2))
+      .filter(col("__btag") === 0)
+      .select(col(key), col("__bkt"), col("__prev_p"))
+    inBucket.join(carry, Seq(key, "__bkt"), "left")
+      .withColumn("__last_p", coalesce(col("__in_p"), col("__prev_p")))
       .select(
         (col(key) :: col(time) :: lOther.map(col)) ++
           payload.map(c => col(s"__last_p.$c").as(s"asof_$c")): _*)

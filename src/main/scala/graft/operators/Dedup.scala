@@ -254,6 +254,52 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Harness/spec corpus for the PRODUCTION near-dup regime: the
+    * synthetic embeddings table has no cos >= 0.9 pairs (max ~0.6), so
+    * plant one near-duplicate per `every` vectors — a 0.97/0.03 mix of
+    * the vector with its dimension-reverse. The mix is ALWAYS a
+    * near-dup of its source: with t = cos(v, reverse(v)) ∈ [-1, 1],
+    * cos(v, 0.97v + 0.03·rev(v)) = (0.97 + 0.03t) / sqrt(0.9418 +
+    * 0.0582t) >= 0.999 for every t — while pairs not sharing a source
+    * stay below 0.9 (base max cos 0.6 moves only ~±0.03). Emitted in
+    * DOUBLE precision so the DuckDB oracle reproduces the planted
+    * vectors bit-for-bit. */
+  def plantNearDups(embs: DataFrame, every: Int = 5,
+      idOffset: Long = 1000000L): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("embedding"))
+    val planted = e.filter(pmod(col("vec_id"), lit(every)) === 0)
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * lit(0.97) + b * lit(0.03)).as("embedding"))
+    e.unionByName(planted)
+  }
+
+  /** The candidate-generation stage of [[embeddingNearDupLsh]],
+    * exposed on its own: distinct (vec_a < vec_b) pairs co-occurring
+    * in any table's SRP bucket. At 100 TB this is the relation you
+    * materialize once and fan multiple verifications off; the spec
+    * counts it to pin the pruning ratio (candidates ≪ n²/2). */
+  def embeddingLshCandidates(e: DataFrame, nPlanes: Int, nTables: Int,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val tables = (0 until nTables)
+      .map(t => t -> Similarity.hyperplanes(nPlanes, dim, seed + t))
+    // bucket IDs only — posting lists and pair fan-out carry an 8-byte
+    // id, not the 512-byte vector; vectors are joined back just for the
+    // deduped candidate set (two hash joins of a much smaller relation)
+    val banded = e.select(col("vec_id"),
+        posexplode(array(tables.map { case (_, p) =>
+          Vectors.srpBucket(col("v"), p)
+        }: _*)))
+      .toDF("vec_id", "t", "bucket")
+    banded.groupBy("t", "bucket")
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
+  }
+
   /** Embedding near-dup, LSH-bucketed — the 100 TB path. Candidate
     * pairs come from co-occurrence in a signed-random-projection bucket
     * in ANY of `nTables` tables (OR-amplification); each candidate is
@@ -273,24 +319,10 @@ object Dedup {
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => t -> Similarity.hyperplanes(nPlanes, dim, seed + t))
     val e = embs.select(col("vec_id"),
       Vectors.toDoubleVec(col("embedding")).as("v"))
-    // bucket IDs only — posting lists and pair fan-out carry an 8-byte
-    // id, not the 512-byte vector; vectors are joined back just for the
-    // deduped candidate set (two hash joins of a much smaller relation)
-    val banded = e.select(col("vec_id"),
-        posexplode(array(tables.map { case (_, p) =>
-          Vectors.srpBucket(col("v"), p)
-        }: _*)))
-      .toDF("vec_id", "t", "bucket")
-    val cand = banded.groupBy("t", "bucket")
-      .agg(collect_list(col("vec_id")).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
-      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
-      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
-      .distinct()
+    val cand = embeddingLshCandidates(e, nPlanes, nTables, dim, seed,
+      maxBucket)
     val cos = Vectors.dot(col("va"), col("vb")) /
       (sqrt(Vectors.normSq(col("va"))) * sqrt(Vectors.normSq(col("vb"))))
     cand

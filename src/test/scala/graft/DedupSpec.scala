@@ -88,6 +88,35 @@ class DedupSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("production-threshold LSH (cos>=0.9): full recall, real pruning") {
+    import graft.functions.Vectors
+    val planted = Dedup.plantNearDups(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val n = planted.count()
+    val exact = Dedup.embeddingNearDup(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted vector pairs with its source at cos >= 0.999
+    assert(exact.size >= (n / 6).toInt && exact.nonEmpty)
+    val lsh = Dedup.embeddingNearDupLsh(planted, threshold = 0.9,
+        nPlanes = 16, nTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-verified candidates
+    assert(lsh.size * 100 >= exact.size * 99, // >= 99% recall
+      s"recall ${lsh.size}/${exact.size}")
+    // pruning: in THIS regime (16-bit codes) the candidate relation is
+    // a sliver of the n^2/2 all-pairs space — the whole point of the
+    // operator at 100 TB; at the low-threshold 4-bit regime it is not
+    // (documented honestly on embeddingNearDupLsh).
+    val e = planted.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val cands = Dedup.embeddingLshCandidates(e, nPlanes = 16, nTables = 32)
+      .count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands >= lsh.size, "candidates must cover every emitted pair")
+    assert(cands * 10 < allPairs,
+      s"candidates $cands not << $allPairs all-pairs")
+  }
+
   test("embedding near-dup picks parallel vectors only") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
