@@ -44,6 +44,74 @@ class AppAndFormatsSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("non-ASCII end-to-end: product golden files + byte-exact delta pinned") {
+    // The reference's own corpus was Finnish wikipedia (README.md:36-38)
+    // — this fixture exercises exactly the semantics split the ASCII
+    // oracle corpus cannot: multi-byte LETTERS (ä, ö — word chars on
+    // both paths) and multi-byte NON-LETTER punctuation (–, … — bytes
+    // >= 0x80, glued into words by the reference main.cpp:59-64, but
+    // delimiters to the product regex `[^\p{L}]+`).
+    val dir = Files.createTempDirectory("graft-app-fi")
+    val input = dir.resolve("input.txt")
+    val text =
+      """syksyn sää on kaunis – eikö olekin…
+        |sää oli kaunis… mutta kylmä
+        |""".stripMargin
+    Files.writeString(input, text) // nio defaults to UTF-8
+    WordCountApp.main(Array(input.toString, dir.toString))
+    // golden, product regex path: ö/ä keep their words intact; the
+    // lone "–" vanishes; "olekin…"/"kaunis…" shed the ellipsis (so
+    // kaunis counts 2); alphabetical = UTF-8 BYTE order, which puts
+    // "syksyn" BEFORE "sää" ('y' 0x79 < 'ä' 0xC3A4) — same memcmp
+    // order the reference's std::string < produces.
+    val alpha = Files.readString(dir.resolve("output.txt"))
+    assert(alpha ==
+      """=== Final Word Counts (A → Z) ===
+        |eikö -> 1
+        |kaunis -> 2
+        |kylmä -> 1
+        |mutta -> 1
+        |olekin -> 1
+        |oli -> 1
+        |on -> 1
+        |syksyn -> 1
+        |sää -> 2
+        |""".stripMargin)
+    val freq = Files.readString(dir.resolve("output2.txt"))
+    assert(freq ==
+      """=== Final Word Counts (High → Low) ===
+        |kaunis -> 2
+        |sää -> 2
+        |eikö -> 1
+        |kylmä -> 1
+        |mutta -> 1
+        |olekin -> 1
+        |oli -> 1
+        |on -> 1
+        |syksyn -> 1
+        |""".stripMargin)
+    // byte-exact reference semantics over the same lines, and the
+    // EXACT token-level delta between the two paths:
+    val byteCounts = text.split("\n").toSeq
+      .flatMap(graft.functions.Tokenizer.tokenizeBytes)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val regexCounts = alpha.linesIterator.drop(1).map { l =>
+      val Array(w, c) = l.split(" -> "); w -> c.toInt
+    }.toMap
+    // reference-only tokens: punctuation-glued words and the bare dash
+    assert(byteCounts.keySet -- regexCounts.keySet ==
+      Set("–", "olekin…", "kaunis…"))
+    // product-only token: the unglued "olekin"
+    assert(regexCounts.keySet -- byteCounts.keySet == Set("olekin"))
+    // merge accounting: product "kaunis" absorbs reference "kaunis…"
+    assert(byteCounts("kaunis") == 1 && byteCounts("kaunis…") == 1 &&
+      regexCounts("kaunis") == 2)
+    // everywhere multi-byte punctuation is not involved, the paths
+    // agree exactly — including the multi-byte-LETTER words
+    ((byteCounts.keySet intersect regexCounts.keySet) - "kaunis")
+      .foreach(w => assert(byteCounts(w) == regexCounts(w), w))
+  }
+
   test("csv and jsonl round-trip the orders table with explicit schema") {
     val orders = Tables.table(spark, sfDir, "orders")
     val sorted = orders.orderBy("o_orderkey")
