@@ -52,9 +52,15 @@ object Bench {
     def j(v: Double): String = f"$v%.6f"
     val errors = results.collect { case (n, rs) if rs.isEmpty => n }.toList
     // a failed query records -1, never an elapsed time — a failure must
-    // be distinguishable from a fast success in the emitted JSON
+    // be distinguishable from a fast success in the emitted JSON.
+    // Even counts (even SPARK_GRAFT_BENCH_RUNS, or a partially-failed
+    // query surviving 2 of 3 runs) average the two middle values:
+    // rs(len/2) alone is the UPPER middle — the MAX of two survivors —
+    // which biased exactly the noisy-failure cases this bench targets.
     val medians = results.map { case (n, rs) =>
-      n -> (if (rs.isEmpty) -1.0 else rs(rs.length / 2))
+      n -> (if (rs.isEmpty) -1.0
+            else if (rs.length % 2 == 1) rs(rs.length / 2)
+            else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2.0)
     }
     val qs = medians.map { case (k, v) => s"\"$k\":${j(v)}" }
       .mkString("{", ",", "}")

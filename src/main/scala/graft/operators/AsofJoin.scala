@@ -39,6 +39,16 @@ object AsofJoin {
     * @param right   reference side; must carry `key`, `time`, and the
     *                `payload` columns (payload names must not collide
     *                with `key`/`time` or left's columns)
+    * @param timeBucket hot-key refinement (see [[asofBucketed]]). The
+    *                function MUST be monotone non-decreasing in time —
+    *                a truncation like `date_trunc("hour", _)` or
+    *                `unix_micros(_) / width`. The carry stage orders
+    *                buckets by their VALUE and assumes earlier time ⇒
+    *                same-or-earlier bucket; a non-monotone bucketing
+    *                (e.g. `hour(_)`, which wraps daily) silently
+    *                returns wrong matches (spec-pinned in
+    *                AsofJoinSpec). Truncations of the time axis are
+    *                monotone by construction — use those.
     */
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String],
@@ -101,9 +111,13 @@ object AsofJoin {
     *
     * Cost: the event-sized shuffles are keyed by (key, bucket); the
     * only key-wide window runs over distinct (key, bucket) rows.
-    * Result is identical to [[asofPlain]] by construction: a right row
-    * in an earlier bucket always precedes a left row in a later one,
-    * and in-bucket resolution handles the rest. */
+    * Result is identical to [[asofPlain]] by construction — PROVIDED
+    * `bucket` is monotone non-decreasing in time: stage 2 orders by
+    * bucket value, so "earlier bucket value" must imply "earlier
+    * time". With a monotone bucket, a right row in an earlier bucket
+    * always precedes a left row in a later one, and in-bucket
+    * resolution handles the rest; with a non-monotone one (hour-of-day
+    * wraps at midnight) the carry reads from the wrong buckets. */
   private def asofBucketed(left: DataFrame, right: DataFrame, key: String,
       time: String, payload: Seq[String],
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)

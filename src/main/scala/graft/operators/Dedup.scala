@@ -74,7 +74,19 @@ object Dedup {
     * are always the FULL shingle-set sizes — the cap only prunes
     * posting lists, so a dropped shingle lowers `common` (and
     * jaccard), never inflates it. Pass 0 to disable when an exact
-    * uncapped answer is required and the corpus is known benign. */
+    * uncapped answer is required and the corpus is known benign.
+    *
+    * The cap is OBSERVABLE when it binds: every run publishes an
+    * `ngram_jaccard_skew_guard` observed metric (dropped vs distinct
+    * shingle counts plus the worst posting-list depth — see
+    * [[SKEW_GUARD_METRIC]]), readable after an action from
+    * `df.queryExecution.observedMetrics` or any QueryExecutionListener
+    * — so a silently-lossy run is visible in ordinary job telemetry.
+    * One caveat (spec-pinned): when the FINAL result is empty, AQE's
+    * empty-relation propagation replaces the whole plan — metrics node
+    * included — with an empty relation, and the metric is absent; use
+    * [[stopShingles]] there, which also gives the row-by-row audit of
+    * exactly which (shingle, df) rows a cap drops. */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       maxDocFreq: Long = 1000L): DataFrame = {
     val sets = shingleSets(docs, n)
@@ -95,7 +107,16 @@ object Dedup {
     val bounded =
       if (maxDocFreq <= 0) exploded
       else {
+        // publish how hard the cap bit THIS run: the CollectMetrics node
+        // sits on the df-count pass that runs anyway, so observability
+        // costs no extra job — a caller expecting exactness sees
+        // dropped_shingles > 0 in its telemetry instead of silence
         val keep = exploded.groupBy("shingle").agg(count("*").as("df"))
+          .observe(SKEW_GUARD_METRIC,
+            sum(when(col("df") > maxDocFreq, 1L).otherwise(0L))
+              .as("dropped_shingles"),
+            count(lit(1)).as("distinct_shingles"),
+            max(col("df")).as("max_df"))
           .filter(col("df") <= maxDocFreq).select("shingle")
         exploded.join(keep, Seq("shingle"), "left_semi")
       }
@@ -113,6 +134,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Name of the observed metric [[ngramJaccard]] publishes when its
+    * skew guard is active: `dropped_shingles` (posting lists pruned),
+    * `distinct_shingles` (total), `max_df` (largest posting list seen —
+    * how far past the cap the worst shingle went). */
+  val SKEW_GUARD_METRIC = "ngram_jaccard_skew_guard"
+
+  /** Audit relation for [[ngramJaccard]]'s skew guard: exactly the
+    * (shingle, df) rows a run at `maxDocFreq` drops. Tiny at any scale
+    * — stop-shingles are by definition few distinct values — so
+    * materializing it next to a capped run is the cheap way to answer
+    * "what did the cap cost?" row by row. */
+  def stopShingles(docs: DataFrame, n: Int, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq > 0, "stopShingles audits a positive cap")
+    shingleIndex(docs, n)
+      .groupBy("shingle").agg(count("*").as("df"))
+      .filter(col("df") > maxDocFreq)
+      .orderBy("shingle")
   }
 
   /** MinHash signature relation: (doc_id, h0..h{numHashes-1}) where
@@ -268,6 +308,18 @@ object Dedup {
       idOffset: Long = 1000000L): DataFrame = {
     val e = embs.select(col("vec_id"),
       Vectors.toDoubleVec(col("embedding")).as("embedding"))
+    // If a base id ever reached idOffset (bigger scale factor than this
+    // fixture was tuned for), planted ids would collide with real ones
+    // and CORRUPT the planted-pair invariant — and the DuckDB oracle,
+    // replicating the same arithmetic, would agree with the corruption
+    // rather than catch it. Failing here is the only visible signal.
+    // Cost: one single-column max agg — this is a test-fixture builder,
+    // not a production operator.
+    val maxRow = e.agg(max(col("vec_id"))).head
+    val maxId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
+    require(maxId < idOffset,
+      s"plantNearDups: max(vec_id)=$maxId >= idOffset=$idOffset — planted " +
+        "ids would collide with real ids; raise idOffset past the corpus")
     val planted = e.filter(pmod(col("vec_id"), lit(every)) === 0)
       .select((col("vec_id") + idOffset).as("vec_id"),
         zip_with(col("embedding"), reverse(col("embedding")),

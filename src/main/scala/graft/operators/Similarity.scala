@@ -63,10 +63,12 @@ object Similarity {
     *  1. SEEDS: collect a hash-ordered sample of `8 * nCells` vectors
     *     (uniform over the corpus regardless of how ids correlate with
     *     geometry — first-N ids routinely do: ingest order clusters by
-    *     source) and greedily pick `nCells` farthest-point seeds from
-    *     it (k-means++-style, min-max-cosine) — one seed per distinct
-    *     cluster direction, so Lloyd refinement cannot get stuck with
-    *     every seed inside one dense cluster.
+    *     source) and greedily pick up to `nCells` farthest-point seeds
+    *     from it (k-means++-style, min-max-cosine) — one seed per
+    *     DISTINCT cluster direction: already-chosen candidates are
+    *     excluded and seeding stops early when every remaining sample
+    *     duplicates a seed direction, so a degenerate sample yields
+    *     fewer (honest) cells instead of identical centroids.
     *  2. REFINE: `iters` rounds of distributed spherical k-means. Each
     *     round is one map-side argmax assignment + one (cell, dim)-
     *     keyed sum shuffle of nCells×dim partial-aggregated rows, then
@@ -79,13 +81,47 @@ object Similarity {
       .limit(8 * nCells)
       .select("v").collect().map(_.getSeq[Double](0).toArray).map(unitVec)
     require(sample.nonEmpty, "ivfCentroids on an empty relation")
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // farthest point = lowest maximum cosine to any chosen seed; ties
+    // resolve to the earliest sample position (deterministic). Chosen
+    // indices are excluded and the loop STOPS once every remaining
+    // candidate duplicates a seed direction (max-cos ~ 1): re-picking
+    // sample(0) forever — the old behavior on a degenerate sample —
+    // filled the index with identical centroids. Fewer distinct
+    // directions than nCells ⇒ fewer cells, which is the honest index
+    // for that geometry (spec-pinned on an all-duplicates fixture).
     val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
-    while (seeds.size < nCells && seeds.size < sample.length) {
-      // farthest point = lowest maximum cosine to any chosen seed;
-      // ties resolve to the earliest sample position (deterministic)
-      val next = sample.minBy(v =>
-        seeds.map(s => v.zip(s).map { case (a, b) => a * b }.sum).max)
-      seeds += next
+    val chosen = scala.collection.mutable.BitSet(0)
+    // maxCos(i) = max cosine of sample(i) to any seed so far, updated
+    // incrementally as seeds land (O(sample x seeds) total, not per pick)
+    val maxCos = Array.fill(sample.length)(-2.0)
+    var frontier = 0 // seeds whose contribution is already in maxCos
+    var exhausted = false
+    while (seeds.size < nCells && !exhausted) {
+      while (frontier < seeds.size) {
+        val s = seeds(frontier)
+        var i = 0
+        while (i < sample.length) {
+          if (!chosen(i)) {
+            val d = dotp(sample(i), s)
+            if (d > maxCos(i)) maxCos(i) = d
+          }
+          i += 1
+        }
+        frontier += 1
+      }
+      var best = -1; var bestV = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (!chosen(i) && maxCos(i) < bestV) { bestV = maxCos(i); best = i }
+        i += 1
+      }
+      if (best < 0 || bestV >= 1.0 - 1e-9) exhausted = true
+      else { seeds += sample(best); chosen += best }
     }
     var cents: Array[Array[Double]] = seeds.toArray
     val dim = cents.headOption.map(_.length).getOrElse(0)
@@ -122,7 +158,10 @@ object Similarity {
     * Centroids come from [[ivfCentroids]] (hash-sampled seeds + 2
     * spherical k-means rounds, deterministic) unless a trained set is
     * injected via `centroids` — the production shape, where the index
-    * is built once and reused across query batches. Cell assignment is
+    * is built ONCE and reused across query batches: the default path
+    * re-trains (1 + `kmeansIters` full-corpus jobs + driver collects)
+    * on EVERY call, which is only acceptable for one-shot queries —
+    * repeated callers should train via [[ivfCentroids]] and inject. Cell assignment is
     * an argmax over `nCells` codegen'd dot products per row, entirely
     * map-side; the candidate join is a hash join on the cell id.
     * Candidate volume per query ~= nProbe/nCells of the corpus — the

@@ -64,6 +64,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(planStr.contains("__bkt"), "bucketed plan should key on __bkt")
   }
 
+  test("timeBucket must be monotone: hour-of-day (wraps daily) diverges") {
+    import org.apache.spark.sql.functions._
+    // Rights on day 1 only (hours 0..23), lefts on day 2: every left's
+    // true match is rid 23, the last right of day 1. `hour(t)` is NOT
+    // monotone in time — it wraps at midnight — so a day-2 left in
+    // wrapped bucket h finds day-1 hour-h's right IN ITS OWN bucket
+    // (in-bucket stage, ordered by real time) and returns rid h
+    // instead of 23. This pins WHY the docstring requires monotone
+    // bucketing: the API cannot detect it, and the failure is silent
+    // (same row count, wrong payloads).
+    val left = (0 until 24)
+      .map(i => (1L, ts(86400L + i * 3600L + 1800L), s"l$i"))
+      .toDF("k", "t", "name")
+    val right = (0 until 24)
+      .map(i => (1L, ts(i * 3600L), i.toLong)).toDF("k", "t", "rid")
+    val plain = AsofJoin.asof(left, right, "k", "t", Seq("rid"))
+    val monotone = AsofJoin.asof(left, right, "k", "t", Seq("rid"),
+      timeBucket = Some(t => date_trunc("hour", t)))
+    val wrapping = AsofJoin.asof(left, right, "k", "t", Seq("rid"),
+      timeBucket = Some(t => hour(t))) // non-monotone: wraps at midnight
+    assert(plain.exceptAll(monotone).isEmpty &&
+      monotone.exceptAll(plain).isEmpty,
+      "monotone truncation must be exact")
+    assert(!wrapping.exceptAll(plain).isEmpty,
+      "a non-monotone bucket should diverge on multi-day data — if this " +
+        "starts passing, the carry no longer depends on bucket order and " +
+        "the docstring constraint can be relaxed")
+    assert(wrapping.count() == left.count(),
+      "the failure mode is silent: row count is unchanged")
+  }
+
   test("time-bucketed asof equals plain on the events table") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sfDir)

@@ -57,6 +57,40 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("skew guard surfaces when it binds: observed metric + stopShingles audit") {
+    // maxDocFreq=2 drops the df=3 shingles docs 1/2/3 share. The run
+    // must SAY so — dropped_shingles rides the df-count pass that runs
+    // anyway (no extra job), readable straight off the caller's
+    // queryExecution — and stopShingles materializes the dropped rows.
+    val capped = Dedup.ngramJaccard(docs, 3, 0.1, maxDocFreq = 2)
+    capped.collect()
+    val row = capped.queryExecution.observedMetrics(Dedup.SKEW_GUARD_METRIC)
+    val dropped = row.getAs[Long]("dropped_shingles")
+    assert(dropped > 0, s"cap binds on this fixture, metric says $dropped")
+    assert(row.getAs[Long]("distinct_shingles") > dropped)
+    assert(row.getAs[Long]("max_df") == 3L) // deepest posting list: docs 1,2,3
+    // the audit relation lists exactly the dropped (shingle, df) rows
+    val stops = Dedup.stopShingles(docs, 3, maxDocFreq = 2)
+      .as[(String, Long)].collect()
+    assert(stops.length == dropped)
+    assert(stops.forall(_._2 > 2))
+    // an unbinding cap reports zero — silence means genuinely lossless
+    val loose = Dedup.ngramJaccard(docs, 3, 0.1, maxDocFreq = 100)
+    loose.collect()
+    assert(loose.queryExecution.observedMetrics(Dedup.SKEW_GUARD_METRIC)
+      .getAs[Long]("dropped_shingles") == 0L)
+    // the documented caveat: a cap that empties the RESULT lets AQE
+    // empty-relation propagation erase the metrics node — the metric
+    // is absent, and stopShingles is the audit that still works. If
+    // this assert starts failing, Spark keeps metrics through empty
+    // propagation and the docstring caveat can go.
+    val emptied = Dedup.ngramJaccard(docs, 3, 0.1, maxDocFreq = 1)
+    assert(emptied.collect().isEmpty)
+    assert(!emptied.queryExecution.observedMetrics
+      .contains(Dedup.SKEW_GUARD_METRIC))
+    assert(Dedup.stopShingles(docs, 3, maxDocFreq = 1).count() > 0)
+  }
+
   test("portable simhash: engine-neutral hash value; banding equals brute force") {
     // the value DuckDB computes for ('0x' || substr(md5('hello'),1,15))::BIGINT
     val h = docs.select(graft.functions.TextAnalysis.md5Hash60(lit("hello")))

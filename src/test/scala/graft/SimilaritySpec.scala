@@ -114,6 +114,32 @@ class SimilaritySpec extends SparkSpec {
       s"k-means centroids recall ${gotKmeans.count(exact.contains)}/8")
   }
 
+  test("IVF centroids: duplicate-direction sample stops seeding, not degenerate") {
+    // Every vector shares ONE direction (scaled copies — cosine 1 to
+    // each other). The old farthest-point loop never excluded chosen
+    // seeds, so minBy re-picked sample(0) forever and returned nCells
+    // IDENTICAL centroids — a silently degenerate index. Now seeding
+    // stops when every remaining candidate duplicates a seed direction:
+    // one honest cell, and queries still resolve exactly.
+    val dup = (0L to 15L).map(i =>
+      (i, Array((i + 1).toFloat, (i + 1).toFloat, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = dup.select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+    val cents = Similarity.ivfCentroids(e, nCells = 4)
+    assert(cents.length == 1,
+      s"one distinct direction must yield one centroid, got ${cents.length}")
+    // and a mixed-geometry sample still fills distinct cells
+    val mixed = (dup.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toSeq :+ (99L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = mixed.select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+    assert(Similarity.ivfCentroids(e2, nCells = 4).length == 2)
+    // end-to-end: the one-cell index answers queries exactly
+    val got = Similarity.ivfTopK(dup, col("vec_id") === 0L, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length == 3 && got.forall(r => math.abs(r._3 - 1.0) < 1e-9))
+  }
+
   test("SRP bucket is deterministic and within [0, 2^nPlanes)") {
     val planes = Similarity.hyperplanes(nPlanes = 8, dim = 4)
     val b = embs.select(

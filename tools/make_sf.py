@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Replicate /root/testdata/sf0.1 into a ~REP x dataset for the scale
+rehearsal (driver-side tooling, like check_oracle.py — not part of the
+Spark library).
+
+Design constraint: replicas must be LINEARLY independent workloads, not
+carbon copies — the rehearsal's whole point is "does per-query time
+scale ~linearly in data volume". Exact copies would instead multiply
+every dedup family 10x (each doc near-dups its 9 replicas: pair counts
+grow ~100x, clustering diameters change), turning the scaling signal
+into a semantics change. So:
+
+  documents   doc_id + k*1e5; every word in replica k>0 gets a
+              2-letter tag ('q'+letter_k) so WITHIN-replica shingle
+              structure (planted dup families) is preserved exactly
+              while CROSS-replica jaccard is ~0; n_chars recomputed.
+  embeddings  vec_id + k*1e5 (stays < plantNearDups' 1e6 idOffset);
+              vectors np.roll'ed by k — rotation preserves norms and
+              within-replica cosine geometry exactly, cross-replica
+              cosines are those of independent gaussians.
+  events      event_id + k*1e6, user_id + k*1e5, ts + k days (ns) —
+              per-user behavior and session/window shapes replicate,
+              users and time span grow 10x.
+  orders      o_orderkey + k*1e6, dims (custkey) kept — fan-in per
+              customer grows 10x, the realistic fact-growth shape.
+  lineitem    l_orderkey + k*1e6 (follows orders).
+  region nation customer supplier part   copied as-is (dimensions).
+
+Usage: python3 tools/make_sf.py [REP] [OUTDIR]
+       defaults: REP=10 OUTDIR=/tmp/testdata/sf1.0
+"""
+import re
+import string
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf1.0"
+
+DAY_NS = 86400 * 10**9
+WORD = re.compile(r"[A-Za-z]+")
+
+
+def shift_col(table, name, delta, typ):
+    """Return `table` with int-typed column `name` shifted by `delta`."""
+    idx = table.schema.get_field_index(name)
+    col = pc.add(table.column(name).cast(pa.int64()), delta).cast(typ)
+    return table.set_column(idx, table.schema.field(idx), col)
+
+
+def replicate(name, transform):
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    parts = [transform(t, k) for k in range(REP)]
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{OUT}/{name}.parquet")
+    print(f"{name}: {t.num_rows} -> {out.num_rows}")
+
+
+def copy(name):
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    pq.write_table(t, f"{OUT}/{name}.parquet")
+    print(f"{name}: {t.num_rows} (copied)")
+
+
+def documents(t, k):
+    t = shift_col(t, "doc_id", k * 100_000, pa.int64())
+    if k == 0:
+        return t
+    tag = "q" + string.ascii_lowercase[k % 26]
+    texts = [WORD.sub(lambda m: m.group(0) + tag, x)
+             for x in t.column("text").to_pylist()]
+    t = t.set_column(t.schema.get_field_index("text"),
+                     t.schema.field("text"), pa.array(texts, pa.string()))
+    n_chars = pa.array([len(x) for x in texts], pa.int64())
+    return t.set_column(t.schema.get_field_index("n_chars"),
+                        t.schema.field("n_chars"), n_chars)
+
+
+def embeddings(t, k):
+    t = shift_col(t, "vec_id", k * 100_000, pa.int64())
+    if k == 0:
+        return t
+    col = t.column("embedding").combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    dim = len(col[0])
+    flat = np.asarray(col.values)
+    rolled = np.roll(flat.reshape(-1, dim), k, axis=1).reshape(-1)
+    arr = pa.ListArray.from_arrays(col.offsets, pa.array(rolled, pa.float32()))
+    return t.set_column(t.schema.get_field_index("embedding"),
+                        t.schema.field("embedding"), arr)
+
+
+def events(t, k):
+    t = shift_col(t, "event_id", k * 1_000_000, pa.int64())
+    t = shift_col(t, "user_id", k * 100_000, pa.int64())
+    return shift_col(t, "ts", k * DAY_NS, pa.timestamp("ns"))
+
+
+def orders(t, k):
+    return shift_col(t, "o_orderkey", k * 1_000_000, pa.int64())
+
+
+def lineitem(t, k):
+    return shift_col(t, "l_orderkey", k * 1_000_000, pa.int64())
+
+
+if __name__ == "__main__":
+    import os
+    os.makedirs(OUT, exist_ok=True)
+    replicate("documents", documents)
+    replicate("embeddings", embeddings)
+    replicate("events", events)
+    replicate("orders", orders)
+    replicate("lineitem", lineitem)
+    for dim in ["region", "nation", "customer", "supplier", "part"]:
+        copy(dim)
