@@ -32,11 +32,15 @@ object SparkEntry {
     // README's comparison use case: top-k head of the frequency output.
     "q_wordcount_topk" -> ((s, dir) =>
       WordCount.topK(documents(s, dir), col("text"), 20)),
-    // Misra-Gries heavy hitters; capacity 64 > the corpus's distinct
-    // word count, so the summary is provably exact here and shares the
-    // exact-frequency oracle (eviction regime is spec-tested).
+    // Misra-Gries heavy hitters; capacity 1024 > the corpus's distinct
+    // word count AT EVERY HARNESS SCALE, so the summary is provably
+    // exact here and shares the exact-frequency oracle (the eviction
+    // regime is spec-tested). 64 was enough for the base ~31-word
+    // vocabulary but broke at the 10x scale rehearsal, whose replica
+    // tags grow the vocabulary ~10x — the sketch silently went
+    // approximate and stopped matching the oracle.
     "q_wordcount_heavy" -> ((s, dir) =>
-      WordCount.heavyHitters(documents(s, dir), col("text"), 64)),
+      WordCount.heavyHitters(documents(s, dir), col("text"), 1024)),
     // K7: formatted sink rows ("word -> count").
     "q_wordcount_fmt" -> ((s, dir) =>
       WordCount.formatted(
@@ -49,6 +53,10 @@ object SparkEntry {
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
     "q_text_ngrams" -> ((s, dir) => TextOps.ngramCounts(documents(s, dir))),
     "q_text_pmi" -> ((s, dir) => TextOps.collocations(documents(s, dir))),
+    // Gopher-style repetition filters: single-pass kernel, exact
+    // integer outputs, integer cross-multiplied gate — fully oracled.
+    "q_text_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(documents(s, dir))),
     // Winnowed rolling-hash fingerprints: custom 64-bit polynomial
     // hash, no DuckDB equivalent — rows-only; invariants (coverage
     // guarantee, subset, monotone positions) pinned in KernelProps.
@@ -73,6 +81,10 @@ object SparkEntry {
     "q_dedup_ngram_df" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), n = 3, threshold = 0.8,
         maxDocFreq = 5L)),
+    // The skew-guard audit relation: exactly the shingles a df <= 5
+    // cap drops (the observable face of q_dedup_ngram_df's cap).
+    "q_dedup_stop_shingles" -> ((s, dir) =>
+      Dedup.stopShingles(documents(s, dir), n = 3, maxDocFreq = 5L)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -105,6 +117,14 @@ object SparkEntry {
     "q_dedup_embedding_lsh09" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(Dedup.plantNearDups(embeddings(s, dir)),
         threshold = 0.9, nPlanes = 16, nTables = 32)),
+    // SemDeDup over the planted corpus: k-means cells + within-cell
+    // keep-smallest-id at cos >= 0.9. Rows-only (distributed k-means
+    // centroids are not bit-reproducible in SQL); the nCells = 1
+    // regime is pinned exactly equal to the global embeddingNearDup
+    // rule in DedupSpec.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(Dedup.plantNearDups(embeddings(s, dir)),
+        threshold = 0.9, nCells = 8)),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -200,6 +220,14 @@ object SparkEntry {
     }),
     // As-of join: purchases looked up against the user's latest click.
     "q_events_asof" -> ((s, dir) => AsofJoin.eventAsof(events(s, dir))),
+    // Hot-key refinement: same as-of semantics with the heavy window
+    // partitioned by (user, hour-bucket) — output is identical to the
+    // plain join BY CONSTRUCTION, so it shares q_events_asof's oracle:
+    // the correctness gate itself proves the refinement changes the
+    // plan, not the answer.
+    "q_events_asof_bucketed" -> ((s, dir) =>
+      AsofJoin.eventAsof(events(s, dir),
+        timeBucket = Some(t => date_trunc("hour", t)))),
     // ---- multimodal binary-column extensions ----
     "q_mm_meta" -> ((s, dir) =>
       MultiModal.mediaMeta(MultiModal.asMedia(documents(s, dir)))),
@@ -297,6 +325,55 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // Repetition signals: per-doc n-gram frequency tables via unnest +
+    // group-by, max/dup-mass aggregated back — integer-exact, so the
+    // kernel's single-pass hash-map outputs must hash-match bit for bit.
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
+        |    list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g3
+        |  FROM t
+        |), u1 AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM t, unnest(toks) AS s(tok) GROUP BY doc_id, tok
+        |), u2 AS (
+        |  SELECT doc_id, gm, count(*) AS c
+        |  FROM g, unnest(g2) AS s(gm) GROUP BY doc_id, gm
+        |), u3 AS (
+        |  SELECT doc_id, gm, count(*) AS c
+        |  FROM g, unnest(g3) AS s(gm) GROUP BY doc_id, gm
+        |), a1 AS (
+        |  SELECT doc_id, max(c) AS top1,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
+        |  FROM u1 GROUP BY doc_id
+        |), a2 AS (
+        |  SELECT doc_id, max(c) AS top2,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+        |  FROM u2 GROUP BY doc_id
+        |), a3 AS (
+        |  SELECT doc_id, max(c) AS top3 FROM u3 GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  len(t.toks)::BIGINT AS n_tokens,
+        |  coalesce(a1.top1, 0)::BIGINT AS top1_cnt,
+        |  coalesce(a2.top2, 0)::BIGINT AS top2_cnt,
+        |  coalesce(a3.top3, 0)::BIGINT AS top3_cnt,
+        |  coalesce(a1.dupw, 0)::BIGINT AS dup_word_tokens,
+        |  coalesce(a2.dup2, 0)::BIGINT AS dup_2gram_tokens,
+        |  CASE WHEN (coalesce(a2.top2, 0) * 5 > len(t.toks) - 1
+        |             AND len(t.toks) > 1)
+        |         OR coalesce(a1.dupw, 0) * 2 > len(t.toks)
+        |       THEN 1 ELSE 0 END::BIGINT AS repetitive
+        |FROM t
+        |LEFT JOIN a1 USING (doc_id)
+        |LEFT JOIN a2 USING (doc_id)
+        |LEFT JOIN a3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Winnowing (k=8, w=4): rightmost-min of each 4-gram-hash window;
     // min by (hash, -pos) picks the rightmost tie exactly like the
     // Spark window (and the kernel's deque rule).
@@ -358,6 +435,20 @@ object SparkEntry {
     // probability for s>=0.8 pairs is negligible on this corpus.
     "q_dedup_ngram" -> dedupNgramOracleCapped(1000L),
     "q_dedup_ngram_df" -> dedupNgramOracleCapped(5L),
+    // the rows q_dedup_ngram_df's cap drops: distinct-shingle df > 5
+    "q_dedup_stop_shingles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |)
+        |SELECT s AS shingle, count(*) AS df
+        |FROM sh
+        |GROUP BY s HAVING count(*) > 5
+        |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
@@ -669,6 +760,23 @@ object SparkEntry {
         |                             FROM part p2
         |                             WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+    // identical result to q_events_asof — deliberately the same SQL
+    // (see the query comment: the gate proves plan-not-answer).
+    "q_events_asof_bucketed" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS ev_id, p.user_id, p.ts AS ev_ts,
+        |  c.event_id AS asof_id, c.ts AS asof_ts,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY ev_id""".stripMargin,
     "q_events_asof" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events

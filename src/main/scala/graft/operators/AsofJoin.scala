@@ -169,13 +169,16 @@ object AsofJoin {
     * 4 places differs between engines on exact half-values (HALF_UP vs
     * HALF_EVEN), so the µs-native integer is the engine-neutral form. */
   def eventAsof(events: DataFrame, queryType: String = "purchase",
-      refType: String = "click"): DataFrame = {
+      refType: String = "click",
+      timeBucket: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None): DataFrame = {
     val q = events.filter(col("event_type") === queryType)
       .select(col("event_id").as("ev_id"), col("user_id"), col("ts"))
     val r = events.filter(col("event_type") === refType)
       .select(col("user_id"), col("ts"),
         col("event_id").as("r_id"), col("ts").as("r_ts"))
-    asof(q, r, key = "user_id", time = "ts", payload = Seq("r_id", "r_ts"))
+    asof(q, r, key = "user_id", time = "ts", payload = Seq("r_id", "r_ts"),
+      timeBucket = timeBucket)
       .select(col("ev_id"), col("user_id"), col("ts").as("ev_ts"),
         col("asof_r_id").as("asof_id"), col("asof_r_ts").as("asof_ts"),
         (unix_micros(col("ts")) - unix_micros(col("asof_r_ts"))).as("gap_us"))

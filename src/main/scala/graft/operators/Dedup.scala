@@ -327,6 +327,54 @@ object Dedup {
     e.unionByName(planted)
   }
 
+  /** Semantic dedup — the SemDeDup shape (Abbas et al. 2023): k-means
+    * partitions the embedding space into `nCells` cells, and within
+    * each cell every vector with a SMALLER-id neighbor at cosine >=
+    * `threshold` is dropped (keep-smallest-id — deterministic, and a
+    * chain a~b~c keeps exactly a). Returns the surviving vec_ids.
+    *
+    * Scale shape: the comparison is quadratic ONLY within a cell —
+    * assignment is a map-side argmax over `nCells` codegen'd dot
+    * products, the within-cell join is one hash join keyed on the
+    * cell id, and survivors are an id-only anti-join. At 100 TB the
+    * operator's cost dial is `nCells`: SemDeDup's own regime is cells
+    * of ~thousands (nCells ~ n/1000), which keeps per-cell pair counts
+    * bounded; a too-small nCells degrades toward all-pairs — size it
+    * with the corpus. Pairs that straddle cells are MISSED by design
+    * (that is SemDeDup's approximation); with `nCells = 1` the result
+    * is exactly the global rule, which is how DedupSpec pins it
+    * against [[embeddingNearDup]].
+    *
+    * Centroids come from [[Similarity.ivfCentroids]] unless injected
+    * (train once, reuse — same economics as [[Similarity.ivfTopK]]).
+    * No DuckDB oracle: distributed k-means sums floats in shuffle
+    * order, so centroids are not bit-reproducible across engines —
+    * harness entry is rows-only, exactness pinned in the spec. */
+  def semanticDedup(embs: DataFrame, threshold: Double, nCells: Int = 16,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val cents = centroids.getOrElse(Similarity.ivfCentroids(e, nCells))
+    val cs = array(cents.map(c =>
+      Vectors.dot(col("v"), typedlit(c.toSeq))): _*)
+    val idx = e
+      .withColumn("cs", cs)
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .select("vec_id", "v", "cell")
+    val a = idx.toDF("vec_a", "va", "cell")
+    val b = idx.toDF("vec_b", "vb", "cell")
+    val cos = Vectors.dot(col("va"), col("vb")) /
+      (sqrt(Vectors.normSq(col("va"))) * sqrt(Vectors.normSq(col("vb"))))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cos >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id").orderBy("vec_id")
+  }
+
   /** The candidate-generation stage of [[embeddingNearDupLsh]],
     * exposed on its own: distinct (vec_a < vec_b) pairs co-occurring
     * in any table's SRP bucket. At 100 TB this is the relation you

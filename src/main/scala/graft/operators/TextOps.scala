@@ -195,6 +195,37 @@ object TextOps {
       .orderBy("bigram")
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021
+    * §A1.1 — the boilerplate/spam filters an LLM-training pipeline
+    * runs before quality gating): most-frequent word/2-gram/3-gram
+    * occurrence counts and duplicated word/2-gram mass, plus a
+    * `repetitive` flag (top 2-gram covers > 20% of 2-grams, or > half
+    * the tokens are repeated words). One single-pass
+    * [[graft.functions.RepetitionProfile]] kernel scan per document —
+    * no explode, no shuffle (the relational form shuffles every token
+    * once per n-gram order); the two-step select is the usual
+    * CollapseProject barrier. All outputs are exact integers — the
+    * flag is an integer cross-multiplication, so the DuckDB oracle
+    * reproduces it without float-rounding hazards. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val p = ColumnBridge.column(graft.functions.RepetitionProfile(
+      ColumnBridge.expression(col("text"))))
+    docs
+      .select(col("doc_id"), p.as("p"))
+      .select(col("doc_id"),
+        col("p.n_tokens").as("n_tokens"),
+        col("p.top1_cnt").as("top1_cnt"),
+        col("p.top2_cnt").as("top2_cnt"),
+        col("p.top3_cnt").as("top3_cnt"),
+        col("p.dup_word_tokens").as("dup_word_tokens"),
+        col("p.dup_2gram_tokens").as("dup_2gram_tokens"),
+        ((col("p.top2_cnt") * 5 > col("p.n_tokens") - 1 &&
+          col("p.n_tokens") > 1) ||
+          col("p.dup_word_tokens") * 2 > col("p.n_tokens"))
+          .cast("long").as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus stats by (lang, source): doc counts, char volume, mean
     * token count. One shuffle on the group keys; partial agg map-side. */
   def langStats(docs: DataFrame): DataFrame =

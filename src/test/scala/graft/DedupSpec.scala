@@ -151,6 +151,34 @@ class DedupSpec extends SparkSpec {
       s"candidates $cands not << $allPairs all-pairs")
   }
 
+  test("semantic dedup: nCells=1 equals the global rule; cells only lose pairs") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planted = Dedup.plantNearDups(embs)
+    val all = planted.select("vec_id").as[Long].collect().toSet
+    // global drop rule from the exact pair relation: drop every vector
+    // with a smaller-id neighbor at cos >= t
+    val droppedGlobal = Dedup.embeddingNearDup(planted, threshold = 0.9)
+      .select("vec_b").as[Long].collect().toSet
+    val expectGlobal = (all -- droppedGlobal).toSeq.sorted
+    // nCells = 1: every vector shares the one cell -> exactly global
+    val oneCell = Dedup.semanticDedup(planted, threshold = 0.9, nCells = 1)
+      .as[Long].collect().toSeq
+    assert(oneCell == expectGlobal)
+    // planted copies all have a smaller-id source at cos >= 0.999, so
+    // the global rule keeps exactly the original corpus
+    val originals = embs.select("vec_id").as[Long].collect().toSet
+    assert(expectGlobal.toSet == originals)
+    // partitioned: cells can only MISS cross-cell pairs, never invent
+    // drops — survivors are a superset; near-parallel planted pairs
+    // land in the same cell almost always, so the overshoot is tiny
+    val cells = Dedup.semanticDedup(planted, threshold = 0.9, nCells = 4)
+      .as[Long].collect().toSet
+    assert(expectGlobal.toSet.subsetOf(cells))
+    val missed = cells.size - expectGlobal.size
+    assert(missed <= (all.size - originals.size) / 10,
+      s"$missed planted pairs straddled cells — centroid geometry broke")
+  }
+
   test("embedding near-dup picks parallel vectors only") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -153,6 +153,29 @@ object KernelProps extends Properties("graft.kernels") {
         row.getLong(4) == grams.distinct.length.toLong
     }
 
+  property("RepetitionProfile == regex model (top-k grams, dup mass)") =
+    forAll(astralText) { s =>
+      val row =
+        graft.functions.RepetitionProfile.profile(UTF8String.fromString(s))
+      val toks = ("\\S+".r).findAllIn(s).toList
+      def grams(n: Int): List[String] =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toList
+      def top(g: List[String]): Long =
+        if (g.isEmpty) 0L
+        else g.groupBy(identity).values.map(_.size).max.toLong
+      def dupMass(g: List[String]): Long =
+        g.groupBy(identity).values.collect {
+          case v if v.size > 1 => v.size.toLong
+        }.sum
+      row.getLong(0) == toks.length.toLong &&
+        row.getLong(1) == top(toks) &&
+        row.getLong(2) == top(grams(2)) &&
+        row.getLong(3) == top(grams(3)) &&
+        row.getLong(4) == dupMass(toks) &&
+        row.getLong(5) == dupMass(grams(2))
+    }
+
   // ---- Misra-Gries buffers (update/merge used directly) --------------
 
   private val stream: Gen[List[String]] = Gen.listOf(Gen.frequency(

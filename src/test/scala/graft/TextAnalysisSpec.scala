@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("repetition signals: hand-computed values through the query path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),         // top1=3 (a), top2=2 ("a a"), top3=1
+      (2L, "x y x y x"),       // top1=3 (x), top2=2 ("x y"), top3=2
+      (3L, "one two three"),   // no repetition at all
+      (4L, "solo"),            // single token: no grams
+      (5L, ""),                // empty text: all zeros
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      //  id  n  t1 t2 t3 dw d2 rep
+      (1L, 4L, 3L, 2L, 1L, 3L, 2L, 1L), // "a a" covers 2/3 > 20% of 2-grams
+      (2L, 5L, 3L, 2L, 2L, 5L, 4L, 1L), // every token is a repeated word
+      (3L, 3L, 1L, 1L, 1L, 0L, 0L, 1L), // top2*5=5 > n-1=2: short-doc flag
+      (4L, 1L, 1L, 0L, 0L, 0L, 0L, 0L), // n<=1: 2-gram clause guarded off
+      (5L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+    ))
+  }
+
   test("TextProfile single-pass counts match the regex definitions") {
     import graft.functions.{TextAnalysis, TextProfile}
     import org.apache.spark.sql.functions.{col, regexp_count, lit}
