@@ -166,6 +166,12 @@ object SparkEntry {
     "q_pii_redact" -> ((s, dir) => CorpusOps.piiQuery(documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
+    // Bloom-prefiltered twin: identical output by construction (the
+    // exact join verifies every probable hit), so it shares the exact
+    // oracle — the gate proves the 100 TB pre-filter changes the plan,
+    // not the answer.
+    "q_decontaminate_bloom" -> ((s, dir) =>
+      CorpusOps.decontaminateBloomQuery(documents(s, dir))),
     "q_chunk" -> ((s, dir) =>
       CorpusOps.chunkTokens(documents(s, dir), chunkTokens = 64, overlap = 8)),
     // ---- relational suite over the TPC-H-ish star schema ----
@@ -947,6 +953,24 @@ object SparkEntry {
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
+        |), corp AS (
+        |  SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0
+        |)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM corp c JOIN bench b USING (s)
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    // same SQL as q_decontaminate (see the query comment)
+    "q_decontaminate_bloom" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
         |), sh AS (

@@ -201,6 +201,75 @@ object CorpusOps {
       docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(97)) === 0))
 
+  /** [[decontaminate]] at the 100 TB shape: the bench-side shingle set
+    * is compressed into a Bloom filter and the corpus-side shingle
+    * stream is pre-filtered by a codegen'd might-contain probe BEFORE
+    * anything is joined — only probable hits reach the exact broadcast
+    * join, which removes the filter's false positives, so the output
+    * is IDENTICAL to [[decontaminate]] (same oracle, spec-pinned).
+    *
+    * Why this matters at scale: the exact operator broadcasts the full
+    * bench shingle STRINGS (gigabytes for a large benchmark suite) and
+    * every corpus shingle carries through the join machinery. Here the
+    * driver collects one byte blob (~1.2 MB per million shingles at
+    * fpp 1% — index metadata, the [[Similarity.ivfCentroids]]
+    * economics), embeds it as a literal, and the probe
+    * ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over `xxhash64(shingle)` — the same expression pair Spark's own
+    * runtime row-level filtering plants, no UDF) drops the ~all-clean
+    * corpus stream inside the scan stage. The bench side is read
+    * twice (hash pass for the filter, string pass for the verify
+    * join) — both tiny next to one corpus pass. */
+  /** The Bloom pre-filter predicate over a `shingle` column for
+    * `bench`'s shingle set: builds the filter with one distributed
+    * aggregate, collects the byte blob (index metadata), and returns
+    * the codegen'd might-contain probe as a literal-backed Column.
+    * Exposed separately so specs can measure the pruning ratio. */
+  def shingleBloomProbe(bench: DataFrame, n: Int = 3,
+      fpp: Double = 0.01): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    require(fpp > 0.0 && fpp < 1.0, s"fpp out of (0,1): $fpp")
+    val hashes = Dedup.shingleIndex(bench, n)
+      .select(xxhash64(col("shingle")).as("h"))
+    val nItems = math.max(1L, hashes.count())
+    // optimal bit count for the target false-positive rate
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val blobRow = hashes.select(ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("h")),
+        Literal(nItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head
+    // empty bench -> null blob -> probe is null -> a filter keeps
+    // nothing, which is exactly the exact join's answer there
+    val blob = if (blobRow.isNullAt(0)) null else blobRow.getAs[Array[Byte]](0)
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(blob, BinaryType),
+      ColumnBridge.expression(xxhash64(col("shingle")))))
+  }
+
+  def decontaminateBloom(docs: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Long = 2L, fpp: Double = 0.01): DataFrame = {
+    val corpusSh = Dedup.shingleIndex(docs, n)
+    val benchSh = Dedup.shingleIndex(bench, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    corpusSh
+      .filter(shingleBloomProbe(bench, n, fpp))
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count("*").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Harness twin of [[decontaminateQuery]] through the Bloom
+    * pre-filter — same split, same oracle. */
+  def decontaminateBloomQuery(docs: DataFrame): DataFrame =
+    decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+
   // ---- PII redaction -------------------------------------------------
 
   /** Patterns shared by Java regex and RE2 (no lookaround, no

@@ -283,11 +283,21 @@ object Dedup {
     val e = embs.select(col("vec_id"),
       Vectors.toDoubleVec(col("embedding")).as("v"))
       .withColumn("n2", Vectors.normSq(col("v")))
-    val a = e.toDF("vec_a", "va", "na")
+    // A non-equi join plans as BroadcastNestedLoopJoin, whose
+    // parallelism is the STREAMED side's partition count — and a
+    // verification-scale corpus is often one input split (the 10x
+    // rehearsal ran this join's 4x10^8 pairs on a single task, ~3% CPU
+    // of the machine). Spreading the streamed side across the default
+    // parallelism is a trivial shuffle at the scales this operator is
+    // for (its doc forbids it at 100 TB either way).
+    val par = embs.sparkSession.sparkContext.defaultParallelism
+    val a = e.repartition(par).toDF("vec_a", "va", "na")
     val b = e.toDF("vec_b", "vb", "nb")
     val cos = Vectors.dot(col("va"), col("vb")) /
       (sqrt(col("na")) * sqrt(col("nb")))
-    a.join(b, col("vec_a") < col("vec_b"))
+    // broadcast(b) pins which side streams (stats-tie-breaking is not a
+    // contract); a verification-scale corpus fits a broadcast by def.
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos", cos)
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))

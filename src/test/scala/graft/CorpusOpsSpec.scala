@@ -159,6 +159,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("bloom decontamination: identical output, codegen probe, real pruning") {
+    // identical to the exact operator on the harness corpus (FPs are
+    // removed by the verify join) — the oracle-equality claim, locally
+    val exact = CorpusOps.decontaminateQuery(corpus)
+    val bloom = CorpusOps.decontaminateBloomQuery(corpus)
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+    assert(bloom.count() == exact.count() && bloom.count() > 0)
+    // the probe is the codegen'd catalyst predicate, not a UDF
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // pruning: the pre-filter must drop most of the (clean) corpus
+    // shingle stream before the join — the whole point of the filter
+    val docs = corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val bench = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val docsSh = graft.operators.Dedup.shingleIndex(docs, 3)
+    val allSh = docsSh.count()
+    val kept = docsSh.filter(CorpusOps.shingleBloomProbe(bench, 3)).count()
+    assert(kept * 2 < allSh,
+      s"bloom kept $kept of $allSh corpus shingles — no pruning")
+  }
+
   test("PII redaction scrubs emails and phones, counts match") {
     val df = Seq(
       (1L, "mail me at a.b+c@test-x.org or call 555-123-4567 now"),
