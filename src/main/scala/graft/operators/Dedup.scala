@@ -405,6 +405,14 @@ object Dedup {
     banded.groupBy("t", "bucket")
       .agg(collect_list(col("vec_id")).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      // Task count must follow FAN-OUT, not input bytes: the bucket
+      // relation is id-lists (KBs), so AQE's size-based coalescing
+      // merges it into ~one partition — and then ONE task generates
+      // every |ds|²/2 pair (the 10x rehearsal pinned a 4-bit-code run
+      // at ~2 working threads this way). An explicit fixed-width
+      // repartition opts this exchange out of coalescing and spreads
+      // the explosion; it shuffles only the tiny bucket rows.
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
       .distinct()
