@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.ZOrder
 import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, MultiModal, RelationalOps, Salting, Similarity, TextOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -125,6 +126,25 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(Dedup.plantNearDups(embeddings(s, dir)),
         threshold = 0.9, nCells = 8)),
+    // ---- incremental (delta) dedup: the 100 TB operating mode ----
+    // Batch = new docs + planted re-keys (within-batch dups) + planted
+    // re-deliveries of base docs (the re-crawl case); both drop paths
+    // bind on this corpus and the oracle replicates the integer split.
+    "q_dedup_incr_exact" -> ((s, dir) => {
+      val (base, batch) = Dedup.splitIncremental(documents(s, dir))
+      Dedup.incrementalExact(base, batch)
+        .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
+    }),
+    // Cross-set near-dup probe (batch bands against the base's
+    // band-bucket index, exact-Jaccard verified). Plain % 4 split —
+    // no plants — so the oracle is the exact cross-set Jaccard join;
+    // LSH misses are negligible at r=4, b=16 (see minhashLsh).
+    "q_dedup_incr_minhash" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.incrementalNearDupPairs(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+    }),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -151,6 +171,13 @@ object SparkEntry {
     // pinned in EventOpsSpec.
     "q_events_distinct_hll" -> ((s, dir) =>
       EventOps.distinctUsersSketch(events(s, dir))),
+    // Count-min-sketch frequencies: fully oracled against the exact
+    // GROUP BY — estimates are provably exact here (no all-rows hash
+    // collision among the closed 5-type set at this seed, a property
+    // of the strings/geometry, not the data volume; spec-pinned with
+    // a forced-collision bound check).
+    "q_events_cms" -> ((s, dir) =>
+      EventOps.eventTypeCmsCounts(events(s, dir))),
     // ---- corpus-curation extensions ----
     // Deterministic stratified downsampling (en 10%, others 50%).
     "q_sample_stratified" -> ((s, dir) =>
@@ -211,6 +238,17 @@ object SparkEntry {
         table(s, dir, "supplier"))),
     "q_rel_quantiles" -> ((s, dir) =>
       RelationalOps.orderValueQuantiles(table(s, dir, "orders"))),
+    // Z-order (Morton) clustering key: the write-time layout tool
+    // (sources/Layout). The interleave is pure integer bit arithmetic
+    // — 42 codegen'd shift/mask terms — so the oracle replicates it
+    // exactly; the file-skipping payoff is pinned in LayoutSpec.
+    "q_layout_zorder" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          ZOrder.zvalue(Seq(col("l_partkey"), col("l_suppkey"))).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
     // The spark.sql entry path: a correlated scalar subquery (Catalyst
     // decorrelates it into an aggregate + join); the oracle runs the
     // equivalent SQL in DuckDB.
@@ -456,6 +494,59 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Incremental exact dedup: the oracle rebuilds the same integer
+    // split/plant arithmetic as Dedup.splitIncremental (base = doc_id
+    // % 4 != 0; batch = new docs + re-keyed copies + re-deliveries),
+    // then drops batch rows whose md5 exists in base and keeps the
+    // first batch row per remaining fingerprint.
+    "q_dedup_incr_exact" ->
+      """WITH base AS (
+        |  SELECT * FROM documents WHERE doc_id % 4 != 0
+        |), batch AS (
+        |  SELECT doc_id, text, lang, source
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source
+        |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang, source
+        |  FROM base WHERE doc_id % 7 = 1
+        |)
+        |SELECT doc_id, lang, source, md5(text) AS fp_md5
+        |FROM batch
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    // Incremental near-dup probe: exact cross-set 3-gram Jaccard
+    // between the batch (doc_id % 4 = 0) and base slices — the
+    // minhash banding finds these pairs with ~1e-22 miss probability,
+    // and every candidate is exact-verified, so the SQL join is the
+    // oracle (same argument as q_dedup_minhash).
+    "q_dedup_incr_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_batch, doc_base,
+        |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_base
+        |JOIN sizes sb ON sb.doc_id = doc_batch
+        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY doc_batch, doc_base""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -618,6 +709,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // CMS point-frequency estimates == exact counts in the pinned
+    // no-collision regime (see the query comment).
+    "q_events_cms" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Funnel: all comparisons on the µs-cast timestamp so both engines
     // order events identically (source files store ns).
     "q_events_funnel" ->
@@ -766,6 +864,15 @@ object SparkEntry {
         |                             FROM part p2
         |                             WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+    // The Morton interleave written out as integer bit arithmetic —
+    // bit i of l_partkey lands at position 2i, of l_suppkey at 2i+1 —
+    // generated for the same 21-bit domain the Spark column uses.
+    "q_layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  ($zorderOracleExpr)::BIGINT AS zval
+        |FROM lineitem
+        |ORDER BY zval, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
     // identical result to q_events_asof — deliberately the same SQL
     // (see the query comment: the gate proves plan-not-answer).
     "q_events_asof_bucketed" ->
@@ -1068,6 +1175,14 @@ object SparkEntry {
     * from the FULL shingle set, the posting-list self-join only from
     * shingles with df <= cap — exactly `Dedup.ngramJaccard`'s
     * `maxDocFreq` semantics. */
+  /** The 21-bit x 2-column Morton interleave of (l_partkey, l_suppkey)
+    * as DuckDB integer bit arithmetic — matches
+    * [[graft.functions.ZOrder.zvalue]] bit for bit. */
+  private def zorderOracleExpr: String = (
+    (0 until 21).map(i => s"(((l_partkey >> $i) & 1) << ${2 * i})") ++
+      (0 until 21).map(i => s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+  ).mkString(" + ")
+
   private def dedupNgramOracleCapped(cap: Long): String =
     s"""WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents

@@ -166,6 +166,24 @@ object Dedup {
     rows.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** (doc_id, band, bucket) LSH band rows for a minhash-signature
+    * relation: bucket = hash of the band's r = numHashes/bands mins.
+    * The signature columns are Aggregate outputs — materialized
+    * attributes, so the band hashes cost `bands` codegen'd xxhash64
+    * calls per doc. This is the relation a 100 TB corpus materializes
+    * ONCE (bucketed by (band, bucket)) as its near-dup index; both the
+    * self-dedup ([[minhashLsh]]) and the incremental probe
+    * ([[incrementalNearDupPairs]]) are joins against it. */
+  def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")) :+ lit(j): _*)
+        }: _*)))
+      .toDF("doc_id", "band", "bucket")
+  }
+
   /** MinHash + LSH banding + exact-Jaccard verification.
     * Output schema/semantics identical to [[ngramJaccard]]: because
     * candidates are verified with exact Jaccard, the result differs from
@@ -174,18 +192,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0)
-    val r = numHashes / bands
     val sets = shingleSets(docs, n)
     val sig = minhashSignatures(sets, numHashes)
-    // (doc_id, band, bucket): bucket = hash of the band's r mins. The
-    // signature columns are Aggregate outputs — materialized attributes,
-    // so the band hashes cost 16 codegen'd xxhash64 calls per doc.
-    val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until bands).map { j =>
-          xxhash64((j * r until (j + 1) * r).map(i => col(s"h$i")) :+ lit(j): _*)
-        }: _*)))
-      .toDF("doc_id", "band", "bucket")
+    val banded = bandBuckets(sig, numHashes, bands)
     // `maxBucket` caps pair fan-out per LSH bucket (a degenerate bucket
     // of B docs emits B²/2 candidates): standard practice is to skip
     // such buckets — near-dups that common are caught by other bands.
@@ -450,5 +459,117 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  // ---- incremental (delta) deduplication ------------------------------
+  //
+  // The 100 TB operating mode is NOT re-deduping the whole corpus per
+  // ingest: the base corpus is already deduplicated and only a (much
+  // smaller) new batch arrives. Both operators below are shaped so the
+  // per-ingest cost is ~O(|batch|) plus index probes — the base's TEXT
+  // is never re-read wholesale; only its precomputable index relations
+  // (16-byte fingerprints; (band, bucket) minhash rows) participate,
+  // and those are exactly what a production deployment materializes
+  // once and bucket-writes (sources/Bucketing) for shuffle-free probes.
+
+  /** Exact incremental dedup: the batch rows that survive against an
+    * already-deduplicated base. A batch row is dropped iff (a) its
+    * text fingerprint exists in `base` — the re-crawl/re-delivery case
+    * — or (b) an earlier (smaller doc_id) batch row has the same
+    * fingerprint. Returns surviving batch rows plus their `fp_md5`.
+    *
+    * Scale shape: the base side is reduced to DISTINCT 16-byte
+    * fingerprints before the anti-join (one map-side-combined agg of
+    * the index relation — in production you store this, not recompute
+    * it), the anti-join and the keep-first window both hash on fp_md5,
+    * and with AQE a small batch side broadcasts. */
+  def incrementalExact(base: DataFrame, batch: DataFrame): DataFrame = {
+    val baseFps = base
+      .select(fingerprintMd5(col("text")).as("fp_md5")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp_md5").orderBy(col("doc_id").asc)
+    batch.withColumn("fp_md5", fingerprintMd5(col("text")))
+      .join(baseFps, Seq("fp_md5"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental near-dup probe: (doc_batch, doc_base, jaccard) pairs
+    * with exact n-gram Jaccard >= `threshold` between a new batch and
+    * the base corpus. Candidates come from the batch's minhash band
+    * rows probing the base's [[bandBuckets]] index on (band, bucket);
+    * each candidate is verified with exact Jaccard, so — like
+    * [[minhashLsh]], whose banding parameters it shares — the result
+    * differs from the exact cross join only by LSH misses (~1e-22 at
+    * s=0.99, r=4, b=16) and shares an exact-SQL oracle.
+    *
+    * Scale shape: the base index is grouped to (band, bucket ->
+    * id-list) — the relation you materialize once; a batch ingest
+    * joins its |batch| x bands rows against it (hash join touching
+    * only matching buckets), `maxBucket` skips degenerate posting
+    * lists, and the exact-verify joins fetch shingle sets ONLY for
+    * candidate ids (the candidate relation is small, so AQE broadcasts
+    * it against the big sets relation — no full-base shuffle). */
+  def incrementalNearDupPairs(base: DataFrame, batch: DataFrame,
+      n: Int = 3, threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = 10000): DataFrame = {
+    val baseSets = shingleSets(base, n)
+    val batchSets = shingleSets(batch, n)
+    val baseIdx =
+      bandBuckets(minhashSignatures(baseSets, numHashes), numHashes, bands)
+        .groupBy("band", "bucket")
+        .agg(collect_list("doc_id").as("base_ds"))
+        .filter(size(col("base_ds")) <= maxBucket)
+    val cand =
+      bandBuckets(minhashSignatures(batchSets, numHashes), numHashes, bands)
+        .join(baseIdx, Seq("band", "bucket"))
+        // task count must follow FAN-OUT, not input bytes: the joined
+        // bucket rows are KBs of id-lists, so AQE would coalesce them
+        // onto ~one task and that task would emit every posting-list
+        // explosion (the same failure the 10x rehearsal pinned on
+        // embeddingLshCandidates — see its comment)
+        .repartition(base.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("doc_batch"),
+          explode(col("base_ds")).as("doc_base"))
+        .distinct()
+    cand
+      .join(baseSets.toDF("doc_base", "sh_base"), "doc_base")
+      .join(batchSets.toDF("doc_batch", "sh_batch"), "doc_batch")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_base"), col("sh_batch"))).cast("double") /
+          size(array_union(col("sh_base"), col("sh_batch"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_batch"), col("doc_base"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_batch", "doc_base")
+  }
+
+  /** Harness/spec fixture for the incremental operators: splits `docs`
+    * into (base, batch) the way an ingest sees them. base = the
+    * doc_id % 4 != 0 slice (the already-deduplicated corpus); batch =
+    * the doc_id % 4 == 0 slice (genuinely new content) PLUS two kinds
+    * of planted duplicates so both drop paths of [[incrementalExact]]
+    * demonstrably bind: re-keyed copies of new docs (doc_id % 5 == 0,
+    * +`idOffset`) — within-batch dups — and re-deliveries of base docs
+    * (doc_id % 7 == 1, +2*`idOffset`) — the re-crawl case. All
+    * arithmetic is integer, so a SQL oracle reproduces the split
+    * exactly. Fails loudly (like [[plantNearDups]]) if real ids ever
+    * reach `idOffset`, where planted ids would collide. */
+  def splitIncremental(docs: DataFrame,
+      idOffset: Long = 1000000L): (DataFrame, DataFrame) = {
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    val maxId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
+    require(maxId < idOffset,
+      s"splitIncremental: max(doc_id)=$maxId >= idOffset=$idOffset — " +
+        "planted ids would collide with real ids; raise idOffset")
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val dupNew = fresh.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + idOffset)
+    val redelivered = base.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .withColumn("doc_id", col("doc_id") + 2 * idOffset)
+    (base, fresh.unionByName(dupNew).unionByName(redelivered))
   }
 }

@@ -138,6 +138,42 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users_exact"))
       .orderBy("event_type")
 
+  /** Count-min-sketch frequency estimates per event type: ONE mergeable
+    * sketch of the whole event_type stream (Spark's `count_min_sketch`
+    * aggregate — partial-aggregated map-side, merged as counter sums),
+    * probed for each distinct type. Completes the mergeable-sketch
+    * family next to HLL (distinct) and Misra–Gries (heavy hitters):
+    * at 100 TB you persist the per-slice sketch binaries and answer
+    * point-frequency queries on any union of slices without re-reading
+    * events.
+    *
+    * The probe is a tiny UDF (deserialize + lookup) over |distinct
+    * types| rows against the broadcast one-row sketch — the heavy path
+    * (the stream aggregation) is the codegen'd native aggregate; the
+    * UDF touches a handful of rows, which is the acceptable UDF regime.
+    *
+    * Exactness regime (mirrors q_wordcount_heavy): CMS estimates are
+    * exact unless the probed key collides with another key in EVERY
+    * depth row. Collisions depend only on the key strings, the seed,
+    * and the (eps, confidence) geometry — NOT the data volume — and
+    * the events schema has a closed set of 5 types with no all-rows
+    * collision at this seed (spec-pinned), so estimates equal exact
+    * counts at every scale and the harness entry shares the exact
+    * GROUP BY oracle. */
+  def eventTypeCmsCounts(events: DataFrame, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val sk = events.agg(
+      expr(s"count_min_sketch(event_type, ${eps}d, ${confidence}d, $seed)")
+        .as("sk"))
+    val est = udf((bytes: Array[Byte], v: String) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        .estimateCount(v))
+    events.select("event_type").distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"), est(col("sk"), col("event_type")).as("cnt"))
+      .orderBy("event_type")
+  }
+
   /** Ordered funnel: for each user, the time of their first `steps(0)`
     * event, the first `steps(1)` STRICTLY AFTER that, the first
     * `steps(2)` strictly after that, and so on — null once a step is

@@ -112,6 +112,33 @@ object EventStreams extends Serializable {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static incremental exact dedup — the streaming ingest face
+    * of [[graft.operators.Dedup.incrementalExact]]: documents arrive
+    * as a stream, the deduplicated base corpus participates only as
+    * its static 16-byte fingerprint relation (`baseFps`, column
+    * `fp_md5` — at 100 TB a bucketed/materialized index, re-read per
+    * micro-batch but never shuffled wholesale thanks to the stream-
+    * static anti-join), and within-stream duplicates are dropped by
+    * fingerprint state. Survivors stream out in append mode, ready for
+    * an exactly-once sink.
+    *
+    * Within-stream state is the distinct-fingerprint set (16 bytes per
+    * novel doc — the minimum any exact incremental dedup must
+    * remember). Documents carry no event time, so there is no
+    * watermark to bound it; an ingest pipeline that needs bounded
+    * state stamps an arrival time and uses the
+    * `dropDuplicatesWithinWatermark` form ([[dedupEvents]]) with the
+    * redelivery-window bound. Keep-first here means first ARRIVED
+    * (micro-batch order), vs smallest doc_id in the batch operator —
+    * StreamingSpec pins the survivor fingerprint sets equal. */
+  def incrementalDedupStream(docs: DataFrame,
+      baseFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp_md5",
+        graft.functions.TextAnalysis.fingerprintMd5(col("text")))
+      .join(baseFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+      .dropDuplicates("fp_md5")
+
   /** Stream-stream interval join: purchases attributed to same-user
     * clicks in the preceding `window`, incrementally. Watermarks bound
     * BOTH sides' join state — clicks older than watermark - window can

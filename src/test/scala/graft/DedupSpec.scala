@@ -41,6 +41,55 @@ class DedupSpec extends SparkSpec {
     assert(exact.count() > 0, "corpus should contain planted near-dups")
   }
 
+  test("incremental exact: drops vs-base and within-batch dups, keeps first") {
+    val baseCorpus = Seq(
+      (1L, "aa bb cc", "en", "s", 8L),
+      (2L, "dd ee ff", "en", "s", 8L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (10L, "aa bb cc", "en", "s", 8L), // re-delivery of base doc 1
+      (11L, "gg hh ii", "en", "s", 8L), // new
+      (12L, "gg hh ii", "en", "s", 8L), // within-batch dup of 11
+      (13L, "jj kk ll", "en", "s", 8L), // new
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.incrementalExact(baseCorpus, batch)
+    assert(got.select("doc_id").as[Long].collect().toSeq == Seq(11L, 13L))
+    assert(got.columns.contains("fp_md5"))
+  }
+
+  test("incremental near-dup probe equals exact cross-set Jaccard on sf0.001") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseCorpus = corpus.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val got = Dedup.incrementalNearDupPairs(baseCorpus, batch)
+      .as[(Long, Long, Double)].collect().toSet
+    // exact witness: the uncapped self-join pairs that cross the split,
+    // re-oriented to (batch, base)
+    val exact = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.8,
+        maxDocFreq = 0)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 4 == 0) != (b % 4 == 0) }
+      .map { case (a, b, j) =>
+        if (a % 4 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(got == exact)
+    assert(got.nonEmpty, "split should leave cross-set near-dup pairs")
+  }
+
+  test("splitIncremental plants bind: survivors are exactly the fresh docs") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (baseCorpus, batch) = Dedup.splitIncremental(corpus)
+    val fresh = corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val nDupNew = fresh.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    val nRedel =
+      baseCorpus.filter(pmod(col("doc_id"), lit(7)) === 1).count()
+    assert(nDupNew > 0 && nRedel > 0, "both plant kinds must exist")
+    assert(batch.count() == fresh.count() + nDupNew + nRedel)
+    val surv = Dedup.incrementalExact(baseCorpus, batch)
+    assert(surv.select("doc_id").as[Long].collect().toSet ==
+      fresh.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("simhash: identical docs collide, hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSeq

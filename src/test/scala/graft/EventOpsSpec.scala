@@ -153,6 +153,39 @@ class EventOpsSpec extends SparkSpec {
       s"merged $merged vs exact $exactAll")
   }
 
+  test("CMS counts: exact in the no-collision regime; merges exactly") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, sfDir)
+    // the exactness regime the oracle relies on: at this seed none of
+    // the closed event-type set collides in every sketch row, so every
+    // estimate equals the exact count (at ANY data volume — collisions
+    // depend on the key strings and geometry, not the counts)
+    val got = EventOps.eventTypeCmsCounts(e)
+      .as[(String, Long)].collect().toMap
+    val exact = e.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == exact, s"CMS estimates $got vs exact $exact")
+    // CMS never under-counts, even outside the exact regime: force
+    // collisions with a 4-cell-wide sketch and check the bound holds
+    val tiny = EventOps.eventTypeCmsCounts(e, eps = 0.5, confidence = 0.6)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) => assert(tiny(t) >= n) }
+    // mergeability (the 100 TB shape: per-slice sketch binaries merged
+    // without re-reading events): slice sketches merge to the same
+    // counters as the whole-stream sketch
+    val skCol = "count_min_sketch(event_type, 0.001d, 0.99d, 42)"
+    val slices = e.withColumn("slice", pmod($"event_id", lit(4)))
+      .groupBy("slice").agg(expr(skCol).as("sk"))
+      .select("sk").as[Array[Byte]].collect()
+    val merged = slices.map(
+        org.apache.spark.util.sketch.CountMinSketch.readFrom)
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    exact.foreach { case (t, n) =>
+      assert(merged.estimateCount(t) == n,
+        s"merged sketch $t: ${merged.estimateCount(t)} vs $n")
+    }
+  }
+
   test("sliding windows on sf0.001 conserve event count x4") {
     val e = graft.sources.Tables.events(spark, sfDir)
     val total = EventOps.slidingCounts(e)

@@ -118,6 +118,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == batch.count())
   }
 
+  test("stream-static incremental dedup matches the batch operator") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (baseCorpus, batch) =
+      graft.operators.Dedup.splitIncremental(corpus)
+    // base participates only as its static fingerprint relation
+    val baseFps = baseCorpus
+      .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+        .as("fp_md5")).distinct()
+    // several files -> several micro-batches, duplicates split across
+    // them (the planted re-keys land in different files than their
+    // originals thanks to the doc_id-ordered range split)
+    val dir = Files.createTempDirectory("graft-incr-stream").toString
+    batch.orderBy("doc_id").repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val got = runToCompletion(
+      EventStreams.incrementalDedupStream(stream, baseFps),
+      "append", "incr_dedup_stream")
+    val want = graft.operators.Dedup.incrementalExact(baseCorpus, batch)
+    // streaming keep-first is arrival-order, batch is smallest-id —
+    // the surviving FINGERPRINT set (and count) must agree exactly
+    assert(got.count() == want.count())
+    assert(got.select("fp_md5").as[String].collect().toSet ==
+      want.select("fp_md5").as[String].collect().toSet)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
