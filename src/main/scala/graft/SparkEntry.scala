@@ -88,6 +88,10 @@ object SparkEntry {
       Dedup.stopShingles(documents(s, dir), n = 3, maxDocFreq = 5L)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
+    // Weighted (frequency-vector) cosine twin of q_dedup_ngram:
+    // integer dot/norms make it exactly SQL-reproducible.
+    "q_dedup_ngram_cosine" -> ((s, dir) =>
+      Dedup.ngramCosine(documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsPortable(documents(s, dir), maxHamming = 3)),
     // Pairs -> clusters: connected components over the Jaccard pairs
@@ -238,6 +242,11 @@ object SparkEntry {
         table(s, dir, "supplier"))),
     "q_rel_quantiles" -> ((s, dir) =>
       RelationalOps.orderValueQuantiles(table(s, dir, "orders"))),
+    // GK sketch percentiles: rows-only (sketch internals engine-
+    // specific); the result carries exact twins per percentile and
+    // RelationalOpsSpec pins the rank-error bound.
+    "q_rel_quantiles_approx" -> ((s, dir) =>
+      RelationalOps.orderValueQuantilesApprox(table(s, dir, "orders"))),
     // Z-order (Morton) clustering key: the write-time layout tool
     // (sources/Layout). The interleave is pure integer bit arithmetic
     // — 42 codegen'd shift/mask terms — so the oracle replicates it
@@ -494,6 +503,39 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Frequency-vector cosine: integer tf products/norms (order-
+    // independent sums), float only in the final sqrt/divide; the
+    // df <= 1000 cap prunes the vector space identically in both
+    // engines before norms are computed.
+    "q_dedup_ngram_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), tf AS (
+        |  SELECT doc_id, s, count(*) AS tf FROM g GROUP BY 1, 2
+        |), keep AS (
+        |  SELECT s FROM tf GROUP BY s HAVING count(*) <= 1000
+        |), k AS (
+        |  SELECT tf.* FROM tf JOIN keep USING (s)
+        |), n2 AS (
+        |  SELECT doc_id, sum(tf * tf) AS n2 FROM k GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.tf * b.tf) AS dot
+        |  FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(dot::DOUBLE / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+        |FROM pairs
+        |JOIN n2 na ON na.doc_id = doc_a
+        |JOIN n2 nb ON nb.doc_id = doc_b
+        |WHERE dot::DOUBLE / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Incremental exact dedup: the oracle rebuilds the same integer
     // split/plant arithmetic as Dedup.splitIncremental (base = doc_id
     // % 4 != 0; batch = new docs + re-keyed copies + re-deliveries),

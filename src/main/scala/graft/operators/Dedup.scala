@@ -155,6 +155,59 @@ object Dedup {
       .orderBy("shingle")
   }
 
+  /** Weighted near-dup pairs: cosine similarity over n-gram FREQUENCY
+    * vectors (vs [[ngramJaccard]]'s set semantics — repetition-heavy
+    * docs that share the same grams at different multiplicities score
+    * differently here). Same inverted-index shape: one (doc, gram, tf)
+    * aggregation, posting lists per gram, pairs per posting list.
+    *
+    * Cross-engine exactness by construction: tf counts are integers,
+    * so the dot product and both norms are INTEGER sums (order-
+    * independent — no float-summation nondeterminism); floats appear
+    * only in the final correctly-rounded sqrt/divide. This is the same
+    * trick as the integer cross-multiplied quality gates.
+    *
+    * `maxDocFreq` (default on, 1000) removes grams with document
+    * frequency above the cap BEFORE norms are computed — the vector
+    * space itself is "post-stop-gram removal", so capped cosines are
+    * exact in that space (not underestimates in the full space), and
+    * the oracle applies the identical HAVING filter. Same skew
+    * rationale as [[ngramJaccard]]: a boilerplate gram shared by 1M
+    * docs is both a pair-explosion and a zero-information dimension —
+    * TF-IDF's idf->0 limit makes dropping it principled. */
+  def ngramCosine(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .groupBy("doc_id", "sh").agg(count("*").as("tf"))
+    val kept =
+      if (maxDocFreq <= 0) tf
+      else {
+        val keep = tf.groupBy("sh").agg(count("*").as("df"))
+          .filter(col("df") <= maxDocFreq).select("sh")
+        tf.join(keep, Seq("sh"), "left_semi")
+      }
+    // norms ride along via a window over the SAME lineage (a separate
+    // norms relation + join would recompute the tokenize/aggregate
+    // subtree — the exact trap the ngramJaccard rewrite removed)
+    val withN2 = kept.withColumn("n2",
+      sum(col("tf") * col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    withN2
+      .groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("tf"), col("n2"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n2").as("na"), col("p.b.n2").as("nb"))
+      .agg(sum(col("p.a.tf") * col("p.b.tf")).as("dot"))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signature relation: (doc_id, h0..h{numHashes-1}) where
     * h_i = min over shingles of xxhash64(shingle, i). Shingles explode
     * to rows; the mins are partial-aggregated map-side, so the shuffle

@@ -207,6 +207,26 @@ object RelationalOps {
         count("*").as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** The 100 TB form the exact-quantiles doc promises: Greenwald-Khanna
+    * `approx_percentile` — bounded mergeable state (no per-group sort
+    * buffer), rank error <= 1/accuracy. Returns both the sketch and
+    * exact values per percentile so the error is inspectable in the
+    * result itself; the harness entry is rows-only (sketch internals
+    * are engine-specific) and the spec pins the rank-error bound. */
+  def orderValueQuantilesApprox(orders: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)"), 4)
+          .as("p50_approx"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        round(expr(s"approx_percentile(o_totalprice, 0.95, $accuracy)"), 4)
+          .as("p95_approx"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+        count("*").as("n_orders"))
+      .orderBy("o_orderstatus")
+
   /** Running-total window: cumulative order spend per customer in
     * order-date order (orderkey tie-break makes the summation order —
     * and thus the float result — deterministic on any engine). */

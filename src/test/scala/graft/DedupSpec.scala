@@ -41,6 +41,39 @@ class DedupSpec extends SparkSpec {
     assert(exact.count() > 0, "corpus should contain planted near-dups")
   }
 
+  test("ngram cosine: identical pair at 1.0; equals brute force on sf0.001") {
+    val got = Dedup.ngramCosine(docs, n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val asMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(asMap((1L, 2L)) == 1.0)
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) < 1.0)
+    // weighted semantics: frequency vectors, verified against a
+    // driver-side brute force over the whole sf0.001 corpus
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val gotC = Dedup.ngramCosine(corpus, n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    def grams(t: String): Map[String, Long] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (g, o) => g -> o.size.toLong }
+    val vecs = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, t) => id -> grams(t) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val want = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i); (ib, vb) = vecs(j)
+      dot = va.keySet.intersect(vb.keySet).toSeq
+        .map(g => va(g) * vb(g)).sum
+      cos = dot.toDouble / (math.sqrt(va.values.map(x => x * x).sum
+        .toDouble) * math.sqrt(vb.values.map(x => x * x).sum.toDouble))
+      if cos >= 0.8
+    } yield (ia, ib,
+      BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSet
+    assert(gotC == want)
+    assert(gotC.nonEmpty)
+  }
+
   test("incremental exact: drops vs-base and within-batch dups, keeps first") {
     val baseCorpus = Seq(
       (1L, "aa bb cc", "en", "s", 8L),

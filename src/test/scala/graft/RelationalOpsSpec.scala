@@ -10,6 +10,32 @@ class RelationalOpsSpec extends SparkSpec {
   private def customers = table(spark, sfDir, "customer")
   private def orders = table(spark, sfDir, "orders")
 
+  test("approx quantiles stay within the GK rank-error bound") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalOps.orderValueQuantilesApprox(orders)
+      .select("o_orderstatus", "p50_approx", "p95_approx")
+      .as[(String, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val acc = 10000
+    got.foreach { case (st, p50, p95) =>
+      val vals = orders.filter(col("o_orderstatus") === st)
+        .select("o_totalprice").as[Double].collect().sorted
+      val n = vals.length
+      // GK guarantees an element within rank error n/accuracy of the
+      // target rank; ±1 extra element of slack absorbs the rank
+      // convention difference vs the interpolating exact percentile
+      def within(q: Double, v: Double): Boolean = {
+        val err = math.max(1, n / acc) + 1
+        val target = math.round(q * (n - 1)).toInt
+        val lo = vals(math.max(0, target - err))
+        val hi = vals(math.min(n - 1, target + err))
+        v >= lo - 1e-3 && v <= hi + 1e-3
+      }
+      assert(within(0.5, p50), s"$st p50=$p50 outside rank bound")
+      assert(within(0.95, p95), s"$st p95=$p95 outside rank bound")
+    }
+  }
+
   test("rollup emits detail, subtotal, and grand-total levels") {
     val r = RelationalOps.orderRollup(orders).collect()
     val byGid = r.groupBy(_.getAs[Long]("gid"))
