@@ -61,7 +61,15 @@ object EventOps {
   def propStats(events: DataFrame): DataFrame =
     events
       .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .agg(count("*").as("n_events"), round(avg("value"), 4).as("avg_value"))
+      // avg via an EXACT decimal sum, divided in double: a float
+      // sum's addition order differs across engines/partitionings, and
+      // a group mean can land exactly on the 4th-decimal rounding
+      // boundary (observed at sf0.001: 60.13125). The decimal(24,6)
+      // sum is order-independent; both engines then divide identical
+      // doubles, so the rounded result is deterministic.
+      .agg(count("*").as("n_events"),
+        round(sum(col("value").cast("decimal(24,6)")).cast("double") /
+          count("*"), 4).as("avg_value"))
       // NULLS LAST to match DuckDB's ASC default (Spark defaults to
       // nulls first) — a malformed/missing props key must not reorder.
       .orderBy(asc_nulls_last("k"))

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.functions.TextAnalysis.{fingerprintMd5, md5Hash60, wsTokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export operators: the last mile of an LLM data pipeline,
+  * beyond the reference's surface (the whole reference engine is
+  * `/root/reference/src/main.cpp:1-281`; none of this appears in it).
+  *
+  * Everything here is engine-neutral by construction so the DuckDB
+  * oracle can replicate it exactly:
+  *   - ordering keys are md5-derived integers ([[md5Hash60]]), never
+  *     `rand()` or JVM hashes;
+  *   - token counts and budgets are integer arithmetic;
+  *   - the one float surface (unigram surprisal) is ROUNDED before it
+  *     is emitted or ordered, the same ulp-stability rule as
+  *     [[CorpusOps.tfIdf]].
+  *
+  * Scale notes (100 TB): passage dedup shuffles (fp, doc_id, p_idx)
+  * order keys plus passage text once; the mixture sampler and shard
+  * assigner shuffle only (id, source, n_tok)-width rows — never full
+  * text — and re-join survivors by key, so the wide text column rides
+  * the scan side of a single join each.
+  */
+object TrainingOps {
+
+  // ---- passage-level dedup -------------------------------------------
+
+  /** Fixed-token-window passages: doc text split into consecutive
+    * `passageTokens`-token windows (no overlap; the tail keeps its
+    * remainder). One row per (doc_id, p_idx) with the passage text and
+    * its 16-byte content fingerprint. Pure map over the scan —
+    * tokenize once, slice per passage. */
+  def passages(docs: DataFrame, passageTokens: Int = 16): DataFrame = {
+    require(passageTokens > 0)
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          expr(s"CAST((n + ${passageTokens - 1}) DIV $passageTokens AS INT)")
+            - 1)).as("p_idx"))
+      .select(col("doc_id"), col("p_idx").cast("long").as("p_idx"),
+        array_join(slice(col("t"),
+          col("p_idx") * passageTokens + 1, lit(passageTokens)), " ")
+          .as("p_text"))
+      .withColumn("fp", fingerprintMd5(col("p_text")))
+  }
+
+  /** Corpus-wide passage-level exact dedup (the C4/RefinedWeb "drop
+    * repeated boilerplate spans" move, at passage granularity): every
+    * passage keeps a `keep` flag — true iff it is the first occurrence
+    * of its fingerprint corpus-wide, ordered by (doc_id, p_idx). One
+    * window over the fingerprint hash partitioning; the shuffle
+    * carries passage rows exactly once. */
+  def passageDedup(docs: DataFrame, passageTokens: Int = 16): DataFrame = {
+    val w = Window.partitionBy("fp")
+      .orderBy(col("doc_id").asc, col("p_idx").asc)
+    passages(docs, passageTokens)
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("p_idx"), col("keep"), col("p_text"))
+      .orderBy("doc_id", "p_idx")
+  }
+
+  /** Documents rebuilt from their surviving passages: duplicate
+    * passages vanish, first occurrences stay in order. Emits the
+    * cleaned text plus passage bookkeeping; docs whose every passage
+    * was already seen elsewhere survive with empty text (n_kept = 0)
+    * so downstream length gates can drop them explicitly. */
+  def passageRebuild(docs: DataFrame, passageTokens: Int = 16): DataFrame =
+    passageDedup(docs, passageTokens)
+      .groupBy("doc_id")
+      .agg(
+        count("*").as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // passages are few per doc; sort_array on the collected
+        // (p_idx, text) structs restores document order without a
+        // second window
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("p_idx"), col("p_text"))))),
+          s => s.getField("p_text")), " ").as("clean_text"))
+      .orderBy("doc_id")
+
+  // ---- cross-document repeated passages ------------------------------
+
+  /** Shared winnowed fingerprints: MOSS-style detection of passages
+    * that recur across DIFFERENT documents at arbitrary offsets (the
+    * signal passage windows miss when the repeat is unaligned).
+    * Reuses the portable winnowing kernel
+    * ([[TextOps.rollingFingerprintsPortable]]) and aggregates its
+    * (doc_id, pos, fp) stream by fingerprint: fingerprints seen in >=
+    * `minDocs` distinct docs, with site counts and the id span.
+    * The aggregate runs over already-thinned winnowed rows (~2/(w+1)
+    * of gram positions), not raw grams. */
+  def sharedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minDocs: Int = 2): DataFrame =
+    TextOps.rollingFingerprintsPortable(docs, k, w)
+      .groupBy("fp")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count("*").as("n_sites"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("fp")
+
+  // ---- unigram-LM surprisal scoring ----------------------------------
+
+  /** Per-document mean unigram surprisal in bits — the cheap
+    * perplexity proxy quality filters rank on (high surprisal = rare
+    * vocabulary = often noise; very low = boilerplate). The unigram LM
+    * is the corpus itself: p(w) = count(w) / total tokens.
+    *
+    * ONE tokenize+aggregate lineage: per-(doc, word) counts roll up to
+    * the vocabulary relation, which joins back by word (planner's
+    * choice — vocabulary cardinality is corpus-dependent, so no forced
+    * broadcast; AQE broadcasts when it measures small). The corpus
+    * total arrives as a broadcast single-row cross join. Output is
+    * ROUNDED to 4 decimals: cross-engine log/sum-order ulps sit ~1e-12
+    * below that boundary. */
+  def lmSurprisal(docs: DataFrame): DataFrame = {
+    val docWord = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count("*").as("k"))
+    val vocab = docWord.groupBy("word").agg(sum("k").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    docWord
+      .join(vocab, "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_tok"),
+        round(
+          sum(col("k") * (log2(col("total")) - log2(col("cnt")))) /
+            sum("k"), 4).as("bits_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  // ---- token-budget mixture sampling ---------------------------------
+
+  /** Deterministic token-budget mixture sampling (the "data mixing"
+    * step that assembles a training corpus to a target token budget
+    * with per-source weights). Each source gets
+    * budget_s = budget * weight_s / sum(weights) (integer floor);
+    * docs within a source are ordered by the md5 hash of their id (an
+    * engine-neutral pseudo-random permutation) and kept while the
+    * running token total BEFORE the doc is inside the budget — so the
+    * boundary doc that crosses the line is kept (quota met, never
+    * starved) and everything after is cut.
+    *
+    * The window shuffles only (doc_id, source, n_tok, h) — the text
+    * column is re-joined by doc_id afterwards, so full text never
+    * rides the sort. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long,
+      weights: Map[String, Long]): DataFrame = {
+    require(budget > 0 && weights.nonEmpty &&
+      weights.values.forall(_ >= 0) && weights.values.sum > 0)
+    val wSum = weights.values.sum
+    val budgetCol = weights.foldLeft(lit(0L)) { case (acc, (s, wt)) =>
+      when(col("source") === s, lit(budget * wt / wSum)).otherwise(acc)
+    }
+    val w = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val kept = docs
+      .select(col("doc_id"), col("source"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"),
+        md5Hash60(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tok").over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budgetCol)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tok"))
+    // cum_tok ties are possible only for zero-token docs; doc_id makes
+    // the order total either way
+    kept.orderBy("source", "cum_tok", "doc_id")
+  }
+
+  // ---- training-shard export -----------------------------------------
+
+  /** Deterministic global shuffle + shard assignment: docs ordered by
+    * an engine-neutral hash permutation, numbered, and packed into
+    * fixed-size shards — the layout step before writing training
+    * shards. shard_id = rank / shardSize, pos = rank % shardSize.
+    *
+    * The global rank is NOT an unpartitioned window (Spark plans that
+    * as a single-partition WindowExec — every row on one task, the
+    * exact anti-pattern at 100 TB). Instead: range-partition on the
+    * order key, rank locally per partition, and add broadcast
+    * per-partition offsets. RangePartitioning makes partition ids
+    * follow key order, so offset(pid) + local rank = global rank
+    * wherever the sampled boundaries fall — and only
+    * (doc_id, n_tok, h)-width rows ride the exchanges, never text. */
+  def trainingShards(docs: DataFrame, shardSize: Int = 100): DataFrame = {
+    require(shardSize > 0)
+    val parted = docs
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"),
+        md5Hash60(col("doc_id").cast("string")).as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val local = parted
+      .withColumn("lrn", row_number().over(wLocal).cast("long") - 1L)
+    // per-partition counts → exclusive prefix sums: a numPartitions-row
+    // relation, so the unpartitioned cumsum window is over ~dozens of
+    // rows (the acceptable place for one), and the join is broadcast
+    val offsets = local.groupBy("pid").agg(count("*").as("pn"))
+      .withColumn("off",
+        coalesce(sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("off") + col("lrn"))
+      .select(col("doc_id"),
+        expr(s"rn DIV $shardSize").as("shard_id"),
+        (col("rn") % shardSize).as("pos"), col("n_tok"))
+      .orderBy("shard_id", "pos")
+  }
+
+  /** Shard summary (one row per shard): sizes and an order-sensitive
+    * md5 chain over the shard's doc ids — a cheap witness that BOTH
+    * membership and intra-shard order match across engines. */
+  def shardSummary(docs: DataFrame, shardSize: Int = 100): DataFrame =
+    trainingShards(docs, shardSize)
+      .groupBy("shard_id")
+      .agg(
+        count("*").as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            s => s.getField("doc_id").cast("string")))
+          .cast("binary")).as("order_md5"))
+      .orderBy("shard_id")
+
+  /** Physically write the shard layout: repartition by range on
+    * (shard_id, pos) so each output task owns contiguous shards, write
+    * hive-partitioned by shard_id with `maxRecordsPerFile` bounding
+    * file size — the small-file/compaction control a 100 TB export
+    * needs. Returns the written file count per shard for assertion. */
+  def writeShards(docs: DataFrame, outDir: String,
+      shardSize: Int = 100, maxRecordsPerFile: Int = 1000): Unit =
+    trainingShards(docs, shardSize)
+      .repartitionByRange(col("shard_id"), col("pos"))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard_id")
+      .parquet(outDir)
+}

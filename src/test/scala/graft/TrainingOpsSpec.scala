@@ -1,0 +1,211 @@
+package graft
+
+import graft.operators.TrainingOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+
+  // ---- passages / passage dedup --------------------------------------
+
+  test("passages: token conservation, window sizing, count") {
+    val p = TrainingOps.passages(corpus, passageTokens = 16)
+    // rebuilding every doc from ALL its passages restores the token
+    // stream exactly
+    val rebuilt = p.groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("p_idx"), col("p_text")))),
+        s => s.getField("p_text")), " ").as("again"))
+    val orig = corpus.select(col("doc_id"),
+      array_join(expr("regexp_extract_all(text, '\\\\S+', 0)"), " ")
+        .as("norm"))
+    assert(rebuilt.join(orig, "doc_id")
+      .filter(col("again") =!= col("norm")).isEmpty)
+    // every passage is 1..16 tokens; only a doc's LAST passage may be
+    // short
+    val sized = p.withColumn("n", size(split(col("p_text"), " ")))
+    assert(sized.filter(col("n") < 1 || col("n") > 16).isEmpty)
+    val maxIdx = p.groupBy("doc_id").agg(max("p_idx").as("m"))
+    assert(sized.join(maxIdx, "doc_id")
+      .filter(col("n") < 16 && col("p_idx") =!= col("m")).isEmpty)
+  }
+
+  test("passageDedup keeps exactly the first occurrence per fingerprint") {
+    // doc 1: A B; doc 2: B C; doc 3: A (4-token windows)
+    val a = "a1 a2 a3 a4"; val b = "b1 b2 b3 b4"; val c = "c1 c2 c3 c4"
+    val d = TrainingOps.passageDedup(
+      docsDf((1L, s"$a $b"), (2L, s"$b $c"), (3L, a)), passageTokens = 4)
+    val kept = d.filter(col("keep")).select("doc_id", "p_idx")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 0L), (1L, 1L), (2L, 1L)))
+    // keep flags are a property of content+id, not physical layout
+    val d2 = TrainingOps.passageDedup(
+      docsDf((1L, s"$a $b"), (2L, s"$b $c"), (3L, a)).repartition(7),
+      passageTokens = 4)
+    assert(d.exceptAll(d2).isEmpty && d2.exceptAll(d).isEmpty)
+  }
+
+  test("passageRebuild drops repeated passages, keeps order, empties " +
+      "full duplicates") {
+    val a = "a1 a2 a3 a4"; val b = "b1 b2 b3 b4"; val c = "c1 c2 c3 c4"
+    val r = TrainingOps.passageRebuild(
+      docsDf((1L, s"$a $b"), (2L, s"$b $c"), (3L, a)), passageTokens = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((2L, 2L, s"$a $b")))     // untouched, order kept
+    assert(r(2L) == ((2L, 1L, c)))            // duplicate b dropped
+    assert(r(3L) == ((1L, 0L, "")))           // fully duplicate -> empty
+  }
+
+  test("passage dedup on the corpus: kept tokens = distinct passages") {
+    val d = TrainingOps.passageDedup(corpus, passageTokens = 16)
+    val nKept = d.filter(col("keep")).count()
+    val nDistinct = TrainingOps.passages(corpus, 16)
+      .select("p_text").distinct().count()
+    assert(nKept == nDistinct)
+  }
+
+  // ---- shared winnowed fingerprints ----------------------------------
+
+  test("sharedFingerprints finds cross-doc repeats and only those") {
+    val shared = "zqxjkwvz" // 8 chars -> one gram, unique spelling
+    val docs = docsDf(
+      (1L, s"unique-one $shared tail-one"),
+      (2L, s"other-text $shared tail-two"),
+      (3L, "nothing in common here at all"))
+    val fp = TrainingOps.sharedFingerprints(docs, k = 8, w = 4)
+    // every reported fp really does appear in >= 2 docs
+    val out = fp.as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 >= 2))
+    // the planted shared substring is among them: doc ids 1 and 2
+    assert(out.exists(r => r._4 == 1L && r._5 == 2L))
+    // doc 3 shares no 8-gram with anyone -> never appears as min/max
+    assert(!out.exists(r => r._4 == 3L || r._5 == 3L))
+  }
+
+  // ---- unigram surprisal ---------------------------------------------
+
+  test("lmSurprisal matches the hand-computed unigram model") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // vocab: a=3, b=2, total=5
+    val d1 = (3 * (lg2(5) - lg2(3)) + 1 * (lg2(5) - lg2(2))) / 4
+    val d2 = lg2(5) - lg2(2)
+    val got = TrainingOps.lmSurprisal(docsDf((1L, "a a a b"), (2L, "b")))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    assert(got(1L)._1 == 4L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-3)
+    assert(math.abs(got(2L)._2 - d2) < 1e-3)
+    assert(got.size == 2)
+  }
+
+  test("lmSurprisal is layout-invariant and bounded") {
+    val s1 = TrainingOps.lmSurprisal(corpus)
+    val s2 = TrainingOps.lmSurprisal(corpus.repartition(13))
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // 0 <= bits <= log2(total tokens): uniform-rarest bound
+    val total = corpus.select(
+      sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))))
+      .as[Long].head()
+    val bound = math.log(total.toDouble) / math.log(2)
+    assert(s1.filter(col("bits_per_tok") < 0 ||
+      col("bits_per_tok") > bound).isEmpty)
+  }
+
+  // ---- token-budget mixture sampling ---------------------------------
+
+  test("tokenBudgetSample: budgets bind, boundary doc kept, unlisted " +
+      "sources excluded") {
+    val weights = Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L,
+      "src3" -> 1L)
+    val out = TrainingOps.tokenBudgetSample(corpus, 3000L, weights)
+    val per = out.groupBy("source")
+      .agg(sum("n_tok").as("tot"), max("cum_tok").as("mx"),
+        count("*").as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val budgets = Map("src0" -> 1200L, "src1" -> 900L, "src2" -> 600L,
+      "src3" -> 300L)
+    // only listed sources appear
+    assert(per.keySet == budgets.keySet)
+    budgets.foreach { case (s, b) =>
+      val (tot, mx, _) = per(s)
+      assert(tot == mx, s)
+      // quota met (the boundary doc crossed the line) but never met
+      // before the last doc: dropping it would leave the budget short
+      val lastTok = out.filter(col("source") === s)
+        .orderBy(desc("cum_tok")).select("n_tok").as[Long].head()
+      assert(tot >= b, s)
+      assert(tot - lastTok < b, s)
+    }
+    // layout invariance
+    val out2 = TrainingOps.tokenBudgetSample(corpus.repartition(11),
+      3000L, weights)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+  }
+
+  // ---- training shards ------------------------------------------------
+
+  test("trainingShards: distributed rank == single-partition rank") {
+    val got = TrainingOps.trainingShards(corpus, shardSize = 100)
+    // independent witness: the naive unpartitioned window (fine at
+    // test scale) must agree exactly with the range-partitioned rank
+    val naive = corpus
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+          .cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("h"), col("doc_id")))
+          .cast("long") - 1L)
+      .select(col("doc_id"), expr("rn DIV 100").as("shard_id"),
+        (col("rn") % 100).as("pos"), col("n_tok"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // and it survives a hostile input layout
+    val got2 = TrainingOps.trainingShards(corpus.repartition(17), 100)
+    assert(got.exceptAll(got2).isEmpty && got2.exceptAll(got).isEmpty)
+  }
+
+  test("shardSummary: full shards except the tail, order chain present") {
+    val n = corpus.count()
+    val s = TrainingOps.shardSummary(corpus, shardSize = 100)
+      .as[(Long, Long, Long, String)].collect()
+    assert(s.map(_._2).sum == n)
+    val full = s.dropRight(1)
+    assert(full.forall(_._2 == 100L))
+    assert(s.last._2 == (if (n % 100 == 0) 100L else n % 100))
+    assert(s.forall(_._4.length == 32)) // md5 hex
+    // shard ids are contiguous from 0
+    assert(s.map(_._1).toSeq == (0L until s.length).toSeq)
+  }
+
+  test("writeShards: hive-partitioned by shard, maxRecordsPerFile bounds " +
+      "file size, round-trips") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    TrainingOps.writeShards(corpus, dir, shardSize = 100,
+      maxRecordsPerFile = 40)
+    val back = spark.read.parquet(dir)
+    val want = TrainingOps.trainingShards(corpus, 100)
+    assert(back.count() == want.count())
+    assert(want.exceptAll(
+      back.select("doc_id", "shard_id", "pos", "n_tok")).isEmpty)
+    // physical layout: one dir per shard; >= ceil(100/40) = 3 files is
+    // NOT required (a task may hold fewer rows of a shard), but no
+    // single file may exceed the cap
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+    assert(files.length == want.select("shard_id").distinct().count())
+    for (f <- files; p <- f.listFiles()
+        if p.getName.endsWith(".parquet")) {
+      assert(spark.read.parquet(p.getAbsolutePath).count() <= 40)
+    }
+  }
+}
