@@ -33,7 +33,13 @@ object Bench {
       .format("noop").mode("overwrite").save()
     // noop sink: materializes every row (incl. sorts/projections that a
     // bare count() would let the optimizer elide) without disk I/O.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for local iteration;
+    // the driver leaves it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): Option[Double] =
         try {
           val t0 = System.nanoTime()

@@ -25,7 +25,8 @@ object Plans {
       "q_events_asof", "q_dedup_minhash", "q_ann_bruteforce", "q_mm_frames",
       "q_tfidf", "q_decontaminate", "q_decontaminate_bloom",
       "q_text_repetition", "q_quality_rules",
-      "q_dedup_incr_minhash", "q_layout_zorder", "q_events_cms")
+      "q_dedup_incr_minhash", "q_layout_zorder", "q_events_cms",
+      "q_passage_dedup", "q_shards", "q_lm_surprisal")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

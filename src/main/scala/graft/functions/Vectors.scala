@@ -28,9 +28,25 @@ object Vectors {
 
   /** Signed-random-projection LSH bucket: bit i of the result is the
     * sign of dot(v, plane_i). Planes are passed as literal arrays
-    * (deterministic, seeded); nPlanes <= 30. */
+    * (deterministic, seeded); nPlanes <= 30.
+    *
+    * Composition note: this unrolls one [[DotProduct]] per plane —
+    * fine for ONE table's code, but banding nTables x nPlanes this way
+    * generates a method too large for the JIT (it runs interpreted).
+    * Multi-table banding goes through [[srpBucketsAll]]. */
   def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** All LSH tables' SRP codes at once: `array<int>` with element t =
+    * table t's bucket, via the single tight-loop [[SrpBuckets]] kernel
+    * (bit-identical to [[srpBucket]] per table — KernelProps). Every
+    * table must have the same plane count. */
+  def srpBucketsAll(v: Column, tables: Seq[Seq[Seq[Double]]]): Column = {
+    require(tables.nonEmpty && tables.forall(_.length == tables.head.length))
+    ColumnBridge.column(SrpBuckets(ColumnBridge.expression(v),
+      tables.flatten.map(_.toArray).toArray,
+      tables.length, tables.head.length))
+  }
 }

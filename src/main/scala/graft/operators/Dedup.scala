@@ -455,14 +455,15 @@ object Dedup {
   def embeddingLshCandidates(e: DataFrame, nPlanes: Int, nTables: Int,
       dim: Int = 64, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     val tables = (0 until nTables)
-      .map(t => t -> Similarity.hyperplanes(nPlanes, dim, seed + t))
+      .map(t => Similarity.hyperplanes(nPlanes, dim, seed + t))
     // bucket IDs only — posting lists and pair fan-out carry an 8-byte
     // id, not the 512-byte vector; vectors are joined back just for the
-    // deduped candidate set (two hash joins of a much smaller relation)
+    // deduped candidate set (two hash joins of a much smaller relation).
+    // All tables' codes come from ONE kernel call (srpBucketsAll): the
+    // per-table srpBucket composition unrolled 512 dot products at the
+    // production regime and fell out of JIT compilation.
     val banded = e.select(col("vec_id"),
-        posexplode(array(tables.map { case (_, p) =>
-          Vectors.srpBucket(col("v"), p)
-        }: _*)))
+        posexplode(Vectors.srpBucketsAll(col("v"), tables)))
       .toDF("vec_id", "t", "bucket")
     banded.groupBy("t", "bucket")
       .agg(collect_list(col("vec_id")).as("ds"))

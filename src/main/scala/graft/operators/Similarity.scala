@@ -216,13 +216,14 @@ object Similarity {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(nPlanes <= 30)
     val tables = (0 until nTables)
-      .map(t => t -> hyperplanes(nPlanes, dim, seed + t))
+      .map(t => hyperplanes(nPlanes, dim, seed + t))
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    // corpus index: one (table, bucket) entry per table
-    val idx = e.withColumn("tb", explode(array(tables.map { case (t, p) =>
-        struct(lit(t).as("t"), srpBucket(col("v"), p).as("bucket"))
-      }: _*)))
-      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
+    // corpus index: one (table, bucket) entry per table — all codes
+    // from the single srpBucketsAll kernel call (the per-table
+    // composition generates JIT-hostile method sizes as tables grow)
+    val idx = e.select(col("vec_id"), col("v"),
+        posexplode(srpBucketsAll(col("v"), tables)))
+      .toDF("vec_id", "v", "t", "bucket")
     // all bit-flip masks with popcount <= probeHamming, precomputed;
     // each table's bucket is computed once and the masks applied via a
     // transform over a literal array (one bucket expression per table,
@@ -230,12 +231,12 @@ object Similarity {
     val masks = (0 until (1 << nPlanes))
       .filter(m => Integer.bitCount(m) <= probeHamming)
     val q = e.filter(queryPred).toDF("query_id", "qv")
-      .withColumn("tq", explode(array(tables.map { case (t, p) =>
-        struct(lit(t).as("t"), srpBucket(col("qv"), p).as("qbucket"))
-      }: _*)))
-      .select(col("query_id"), col("qv"), col("tq.t"),
+      .select(col("query_id"), col("qv"),
+        posexplode(srpBucketsAll(col("qv"), tables)))
+      .toDF("query_id", "qv", "t", "qbucket")
+      .select(col("query_id"), col("qv"), col("t"),
         explode(transform(typedlit(masks),
-          m => col("tq.qbucket").bitwiseXOR(m))).as("bucket"))
+          m => col("qbucket").bitwiseXOR(m))).as("bucket"))
     val cand = idx.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "qv", "vec_id", "v")

@@ -212,4 +212,32 @@ object KernelProps extends Properties("graft.kernels") {
           got <= c && (c <= slack || got >= c - slack)
         }
     }
+
+  // ---- SrpBuckets kernel vs the per-plane composition ----------------
+
+  private val vec: Gen[Array[Double]] =
+    Gen.choose(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-2.0, 2.0)).map(_.toArray))
+
+  property("SrpBuckets == per-plane sign/bit composition") =
+    forAll(vec, Gen.choose(1, 4), Gen.choose(1, 8), Gen.choose(0L, 99L)) {
+      (v, nTables, nPlanes, seed) =>
+        val tables = (0 until nTables)
+          .map(t => graft.operators.Similarity
+            .hyperplanes(nPlanes, v.length, seed + t))
+        val kernel = graft.functions.SrpBuckets(null,
+          tables.flatten.map(_.toArray).toArray, nTables, nPlanes)
+        val got = kernel.nullSafeEval(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray.toSeq
+        // semantic reference: same left-to-right fold, strict > 0
+        val want = tables.map { planes =>
+          planes.zipWithIndex.map { case (p, i) =>
+            val s = v.indices.foldLeft(0.0)((a, j) => a + v(j) * p(j))
+            if (s > 0) 1 << i else 0
+          }.sum
+        }
+        got == want
+    }
 }

@@ -151,4 +151,17 @@ class SimilaritySpec extends SparkSpec {
         Similarity.hyperplanes(8, 4)).as("b")).as[Int].collect().toSeq
     assert(b == b2)
   }
+
+  test("srpBucketsAll kernel == per-table srpBucket columns (codegen path)") {
+    // production-shaped table count so the comparison exercises the
+    // regime where the composition's generated code blows past the JIT
+    val tables = (0 until 12).map(t => Similarity.hyperplanes(6, 4, 7L + t))
+    val v = Vectors.toDoubleVec($"embedding")
+    val viaKernel = embs.select($"vec_id",
+      Vectors.srpBucketsAll(v, tables).as("bs"))
+    val viaComposed = embs.select($"vec_id",
+      array(tables.map(p => Vectors.srpBucket(v, p)): _*).as("bs"))
+    assert(viaKernel.exceptAll(viaComposed).isEmpty &&
+      viaComposed.exceptAll(viaKernel).isEmpty)
+  }
 }
