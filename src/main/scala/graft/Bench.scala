@@ -56,6 +56,7 @@ object Bench {
       name -> runs
     }
     def j(v: Double): String = f"$v%.6f"
+    def j3(v: Double): String = f"$v%.3f"
     val errors = results.collect { case (n, rs) if rs.isEmpty => n }.toList
     // a failed query records -1, never an elapsed time — a failure must
     // be distinguishable from a fast success in the emitted JSON.
@@ -68,19 +69,44 @@ object Bench {
             else if (rs.length % 2 == 1) rs(rs.length / 2)
             else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2.0)
     }
-    val qs = medians.map { case (k, v) => s"\"$k\":${j(v)}" }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, rs) =>
-      val s = if (rs.isEmpty) "[]"
-        else s"[${j(rs.head)},${j(rs.last)}]"
-      s"\"$k\":$s"
-    }.mkString("{", ",", "}")
-    val rc = results.map { case (k, rs) =>
-      s"\"$k\":${if (rs.isEmpty) 1 else 0}"
-    }.mkString("{", ",", "}")
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full fidelity (6-dp medians, [min,max] spread, per-query rc) goes
+    // to a FILE; stdout gets ONE line capped well under 2000 chars.
+    // Round-4 lesson: the harness that consumes stdout keeps only the
+    // final ~2000 characters, and the r4 line (spread + rc maps inline,
+    // ~6 KB) overflowed it — the round recorded parsed:null, i.e. no
+    // bench signal at all. The stdout map lists queries most-expensive
+    // first and stops at a char budget; anything omitted is the cheap
+    // tail, counted in "omitted" and present in the detail file.
+    val detailFile = new java.io.File("BENCH_DETAIL.json").getAbsoluteFile
+    val detail = {
+      val med = medians.map { case (k, v) => s"\"$k\":${j(v)}" }
+        .mkString("{", ",", "}")
+      val spread = results.map { case (k, rs) =>
+        val s = if (rs.isEmpty) "[]" else s"[${j(rs.head)},${j(rs.last)}]"
+        s"\"$k\":$s"
+      }.mkString("{", ",", "}")
+      val rc = results.map { case (k, rs) =>
+        s"\"$k\":${if (rs.isEmpty) 1 else 0}"
+      }.mkString("{", ",", "}")
+      val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"queries":$med,"spread":$spread,"rc":$rc,"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    val pw = new java.io.PrintWriter(detailFile, "UTF-8")
+    try pw.println(detail) finally pw.close()
     val total = medians.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"spread":$spread,"rc":$rc,"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
+    val byCost = medians.toSeq.sortBy { case (_, v) => -v }
+    val budget = 1200 // chars for the stdout queries map
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    var omitted = 0
+    byCost.foreach { case (k, v) =>
+      val entry = s"\"$k\":${j3(v)}"
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+      else omitted += 1
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -183,6 +183,11 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
       EventOps.topUsersPerType(events(s, dir), 5)),
+    // Bounded-heap top-k twin: same answer as the window form (it runs
+    // against the identical oracle — the gate proves plan-not-answer),
+    // but partial-aggregated map-side with no group-wide sort.
+    "q_events_topk_agg" -> ((s, dir) =>
+      EventOps.topUsersPerTypeAgg(events(s, dir), 5)),
     "q_events_distinct" -> ((s, dir) =>
       EventOps.distinctUsersPerType(events(s, dir))),
     "q_events_attrib" -> ((s, dir) =>
@@ -223,6 +228,16 @@ object SparkEntry {
       CorpusOps.decontaminateBloomQuery(documents(s, dir))),
     "q_chunk" -> ((s, dir) =>
       CorpusOps.chunkTokens(documents(s, dir), chunkTokens = 64, overlap = 8)),
+    // Theta-sketch pairwise source overlap: estimates are EXACT in the
+    // under-nominal regime (lgK 16 vs ~11k shingles/source — see the
+    // operator comment), so the oracle is the exact distinct-shingle
+    // pair SQL; the sampling regime's error is spec-pinned.
+    "q_corpus_overlap" -> ((s, dir) =>
+      CorpusOps.sourceOverlapSketch(documents(s, dir))),
+    // Hashed-feature linear quality model: integer weight sums (order-
+    // independent) + engine-neutral md5 feature hash = bit-exact oracle.
+    "q_quality_model" -> ((s, dir) =>
+      CorpusOps.modelQualityScore(documents(s, dir))),
     // ---- training-export suite (TrainingOps) ----
     // Passage-level exact dedup: every 16-token window flagged keep
     // iff it is the corpus-wide first occurrence of its content.
@@ -790,6 +805,19 @@ object SparkEntry {
         |FROM c
         |QUALIFY rank <= 5
         |ORDER BY event_type, rank""".stripMargin,
+    // Same oracle as q_events_top_users: the bounded-heap aggregate
+    // must reproduce the window formulation bit-for-bit.
+    "q_events_topk_agg" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, user_id, n_events,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_events DESC, user_id) AS rank
+        |FROM c
+        |QUALIFY rank <= 5
+        |ORDER BY event_type, rank""".stripMargin,
     "q_events_attrib" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
         |  c.event_id AS click_id, c.ts AS c_ts
@@ -1207,6 +1235,52 @@ object SparkEntry {
         |    ' ') AS chunk_text
         |FROM idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Theta-sketch source overlap: exact distinct-shingle set algebra
+    // (sketch estimates are exact in the under-nominal regime, see
+    // CorpusOps.sourceOverlapSketch); n_union via inclusion-exclusion.
+    "q_corpus_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM sh GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |  FROM sizes a JOIN sizes b ON a.source < b.source
+        |), common AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |  coalesce(c.n_common, 0) AS n_common,
+        |  p.n_a + p.n_b - coalesce(c.n_common, 0) AS n_union
+        |FROM pairs p
+        |LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+        |ORDER BY 1, 2""".stripMargin,
+    // Hashed-feature linear model: identical integer arithmetic —
+    // Knuth-ramp weights over the engine-neutral md5 bucket, integer
+    // sum, one final rounded divide.
+    "q_quality_model" ->
+      """WITH w AS (
+        |  SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS w_int
+        |  FROM range(1024)
+        |), feats AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_tok, CAST(sum(w_int) AS BIGINT) AS s_int
+        |  FROM feats JOIN w USING (bucket)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tok, round((s_int - 500) / 10000.0, 4) AS score,
+        |  (s_int - 500) > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // passage dedup: 16-token windows, keep = corpus-wide first
     // occurrence of the passage md5 by (doc_id, p_idx).
     "q_passage_dedup" ->

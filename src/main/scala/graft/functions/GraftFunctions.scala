@@ -12,6 +12,7 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   - `graft_all_pairs(arr)`       — candidate pairs of an array
   *   - `graft_shingles(text, n)`    — word n-gram shingles
   *   - `graft_heavy_hitters(col, k)`— Misra–Gries top frequencies
+  *   - `graft_top_k(key, val, k)`   — bounded-heap top-k rows per group
   *   - `graft_token_stats(text)`    — single-pass quality-gate stats
   *   - `graft_rolling_fp(text, k, w)` — winnowed rolling fingerprints
   *
@@ -58,6 +59,10 @@ object GraftFunctions {
     "graft_heavy_hitters" ->
       ((es: Seq[Expression]) => { arity("graft_heavy_hitters", es, 2)
         HeavyHitters(es(0), intArg(es(1), "graft_heavy_hitters"))
+          .toAggregateExpression() }),
+    "graft_top_k" ->
+      ((es: Seq[Expression]) => { arity("graft_top_k", es, 3)
+        GroupTopK(es(0), es(1), intArg(es(2), "graft_top_k"))
           .toAggregateExpression() }),
     "graft_token_stats" ->
       ((es: Seq[Expression]) => { arity("graft_token_stats", es, 1)

@@ -270,6 +270,117 @@ object CorpusOps {
       docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(97)) === 0))
 
+  // ---- cross-source overlap via theta sketches -----------------------
+
+  /** Pairwise content overlap between sources, measured on DISTINCT
+    * word `n`-gram shingles and computed entirely from mergeable
+    * theta sketches (Apache DataSketches, Spark-native aggregates and
+    * set-operation expressions — no UDFs): one sketch per source,
+    * then |A|, |B|, |A ∩ B| and |A ∪ B| for every source pair read
+    * off the |sources|-row sketch relation. The set-ALGEBRA member of
+    * the engine's sketch family (HLL = distinct count, CMS = point
+    * frequency, Misra–Gries = heavy hitters, Bloom = membership):
+    * only theta supports intersection/difference, which is what a
+    * cross-corpus contamination audit ("how much of source B's
+    * content is already in A?") needs.
+    *
+    * Scale shape: the corpus is scanned ONCE (shingles dedupe inside
+    * the sketch — no DISTINCT shuffle of the shingle strings), each
+    * source reduces to one <=8·2^lgK-byte sketch, and every pairwise
+    * measure is sketch algebra over those blobs. The shingle-level
+    * alternative is a self-join whose common-pair stage shuffles the
+    * full shingle index |pairs| times. At 100 TB you persist the
+    * per-source/day sketches (index metadata, like the Bloom blob in
+    * [[shingleBloomProbe]]) and answer overlap questions across any
+    * slice union later without re-reading the corpus.
+    *
+    * Exactness regime (the CMS/[[graft.functions.HeavyHitters]]
+    * pattern): a theta sketch is exact while its retained entries
+    * stay under the nominal 2^lgK — no hash is ever discarded, so
+    * every estimate equals the true distinct count. lgK = 16 gives
+    * 6x headroom over the harness corpus (~11k shingles/source at
+    * sf0.1), so the harness entry carries the exact SQL oracle; the
+    * sampling regime's error bound is spec-pinned separately
+    * (CorpusOpsSpec). */
+  def sourceOverlapSketch(docs: DataFrame, n: Int = 3,
+      lgK: Int = 16): DataFrame = {
+    val sk = docs
+      .select(col("source"), explode(shingles(col("text"), n)).as("sh"))
+      .groupBy("source")
+      .agg(theta_sketch_agg(col("sh"), lgK).as("sk"))
+      // materialize the |sources|-row sketch relation ONCE: a plain
+      // self-join would re-run the corpus scan + shingle + sketch
+      // lineage for each side (Spark does not share subplans across
+      // self-join branches) — the single expensive pass is the whole
+      // point of sketching. Same localCheckpoint device as
+      // Clustering's iteration state; the relation is tiny.
+      .localCheckpoint()
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    // |sources|^2 candidate pairs of one-row-per-source sketches — the
+    // nested-loop join is over the tiny reduced relation, never data
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        theta_sketch_estimate(col("sk_a")).as("n_a"),
+        theta_sketch_estimate(col("sk_b")).as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .as("n_common"),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b")))
+          .as("n_union"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // ---- model-based quality scoring -----------------------------------
+
+  /** The weight relation for [[modelQualityScore]]: `dim` rows of
+    * (bucket, w_int) with w_int in [-1000, 1000] — integer
+    * ten-thousandths, so weight = w_int / 1e4 in [-0.1, 0.1]. The
+    * weights here are a deterministic placeholder (a Knuth-hash ramp
+    * the oracle reproduces in SQL); a trained model drops its real
+    * weights into this same relation without touching the scoring
+    * plan. */
+  def linearModelWeights(spark: org.apache.spark.sql.SparkSession,
+      dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 2001L - 1000L).as("w_int"))
+
+  /** Model-based quality scoring with the hashing trick (the
+    * fastText-style linear-classifier shape used for corpus quality /
+    * domain filters): every token hashes into one of `dim` feature
+    * buckets, the broadcast weight relation supplies each bucket's
+    * weight, and a document's score is the sum of its token weights
+    * plus a bias — `keep` is the sign. Complements the hand-written
+    * rule gates ([[qualityRules]]): rules encode priors, a trained
+    * linear scorer encodes data, and at 100 TB both run as the same
+    * shape — one tokenize pass, a broadcast map-side join against the
+    * O(dim)-row model, one partial-aggregated sum per document. No
+    * model object ever leaves the plan: the "model" IS a relation.
+    *
+    * Exactness: the feature hash is the engine-neutral 60-bit md5
+    * ([[graft.functions.TextAnalysis.md5Hash60]]) and all arithmetic
+    * until the final divide is INTEGER (w_int ten-thousandths summed
+    * as longs — order-independent, so partitioning cannot perturb the
+    * score), which is what lets the harness entry carry a bit-exact
+    * SQL oracle. biasE4 is the bias in the same integer ten-
+    * thousandths. */
+  def modelQualityScore(docs: DataFrame, dim: Int = 1024,
+      biasE4: Long = -500L): DataFrame = {
+    require(dim > 0)
+    val spark = docs.sparkSession
+    val feats = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+      .select(col("doc_id"), pmod(md5Hash60(col("word")), lit(dim.toLong))
+        .as("bucket"))
+    feats
+      .join(broadcast(linearModelWeights(spark, dim)), "bucket")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_tok"), sum("w_int").as("s_int"))
+      .select(col("doc_id"), col("n_tok"),
+        round((col("s_int") + biasE4) / 10000.0, 4).as("score"),
+        (col("s_int") + biasE4 > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- PII redaction -------------------------------------------------
 
   /** Patterns shared by Java regex and RE2 (no lookaround, no

@@ -236,4 +236,31 @@ object EventOps {
       .select(col("event_type"), col("user_id"), col("n_events"), col("rank"))
       .orderBy("event_type", "rank")
   }
+
+  /** [[topUsersPerType]] through the bounded-heap
+    * [[graft.functions.GroupTopK]] aggregate: IDENTICAL output (the
+    * harness runs it against the window query's oracle — same total
+    * order `n_events DESC, user_id ASC`), different physics. The
+    * window form shuffles every (type, user) row to its type's
+    * reducer and sorts the whole group before discarding all but k;
+    * the aggregate form is partial-aggregated map-side like a COUNT —
+    * each map partition ships at most k 16-byte entries per type, and
+    * no group-wide sort runs. At 100 TB the per-type group is
+    * |users|-sized and the window's exchange+sort is the bottleneck;
+    * the heap's exchange is k x partitions rows regardless of
+    * |users|. */
+  def topUsersPerTypeAgg(events: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val counts = events.groupBy("event_type", "user_id")
+      .agg(count("*").as("n_events"))
+    val top = ColumnBridge.column(graft.functions.GroupTopK(
+      ColumnBridge.expression(col("user_id")),
+      ColumnBridge.expression(col("n_events")), k).toAggregateExpression())
+    counts
+      .groupBy("event_type").agg(top.as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("event_type"), col("kv.key").as("user_id"),
+        col("kv.val").as("n_events"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("event_type", "rank")
+  }
 }

@@ -202,4 +202,75 @@ class CorpusOpsSpec extends SparkSpec {
     assert(q.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
     assert(q.count() == corpus.count())
   }
+
+  test("theta source overlap: exact regime equals set arithmetic") {
+    val got = CorpusOps.sourceOverlapSketch(corpus)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // brute force: per-source distinct shingle sets on the driver
+    // (sf0.001 is small), then literal set algebra
+    val bySource = corpus
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.shingles(col("text"), 3))
+          .as("sh"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = bySource.keys.toSeq.sorted.combinations(2).map {
+      case Seq(a, b) =>
+        val (sa, sb) = (bySource(a), bySource(b))
+        (a, b, sa.size.toLong, sb.size.toLong,
+          (sa intersect sb).size.toLong, (sa union sb).size.toLong)
+    }.toSeq
+    assert(got.nonEmpty && got == want)
+    // the measure is non-trivial on this corpus: some pair overlaps
+    assert(got.exists(_._5 > 0), "no source pair shares any shingle")
+  }
+
+  test("theta sampling regime: bounded error; exact-regime slice union is exact") {
+    // 100k distinct values through a k=256 sketch (far past nominal):
+    // relative standard error ~1/sqrt(k-1) ~ 6.3%, assert 4 sigma
+    val n = 100000L
+    val est = spark.range(n)
+      .agg(theta_sketch_estimate(
+        theta_sketch_agg(col("id").cast("string"), 8)).as("e"))
+      .as[Long].head()
+    assert(math.abs(est - n).toDouble / n < 0.25,
+      s"theta estimate $est vs $n out of bounds")
+    // mergeability in the exact regime: union of 4 per-slice sketches
+    // == the true distinct count, exactly — the persist-per-slice,
+    // union-later shape sourceOverlapSketch's doc promises
+    val viaSlices = spark.range(10000)
+      .withColumn("slice", pmod(col("id"), lit(4)))
+      .groupBy("slice")
+      .agg(theta_sketch_agg(col("id").cast("string"), 16).as("sk"))
+      .agg(theta_sketch_estimate(theta_union_agg(col("sk"), 16)).as("e"))
+      .as[Long].head()
+    assert(viaSlices == 10000L)
+  }
+
+  test("model quality score: hand-recomputed on a tiny fixture") {
+    val df = Seq((1L, "aa bb aa"), (2L, "cc"), (3L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.modelQualityScore(df, dim = 64, biasE4 = -500L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    def wInt(word: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.take(15), 16) % 64
+      (bucket * 2654435761L) % 2001L - 1000L
+    }
+    val s1 = 2 * wInt("aa") + wInt("bb") - 500L
+    val s2 = wInt("cc") - 500L
+    val want = Seq(
+      (1L, 3L, s1 / 10000.0, s1 > 0),
+      (2L, 1L, s2 / 10000.0, s2 > 0))
+    // doc 3 has no tokens -> no score row (matches the oracle's join)
+    assert(got.map(r => (r._1, r._2, r._4)) == want.map(r => (r._1, r._2, r._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9) }
+  }
+
+  test("model quality score is partition-invariant (integer sums)") {
+    val a = CorpusOps.modelQualityScore(corpus)
+    val b = CorpusOps.modelQualityScore(corpus.repartition(13))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
