@@ -24,6 +24,12 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, Array[Array[Double]]]()
 
+  /** Trained PQ codebooks per dataset dir — same build-once-reuse
+    * shape as [[ivfCentroidCache]]. */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Array[Array[Array[Double]]]]()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WordCount.byFrequency(
@@ -175,6 +181,19 @@ object SparkEntry {
           nCells = 16, iters = 2))
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
         centroids = Some(cents))
+    }),
+    // PQ: compressed-domain ADC scan + exact re-rank; rows-only like
+    // LSH/IVF (candidate choice is approximate), recall pinned vs
+    // brute force in SimilaritySpec. Codebooks cached like IVF's
+    // centroids.
+    "q_ann_pq" -> ((s, dir) => {
+      val cbs = pqCodebookCache.computeIfAbsent(dir, d =>
+        Similarity.pqCodebooks(
+          embeddings(s, d).select(col("vec_id"),
+            graft.functions.Vectors.toDoubleVec(col("embedding")).as("v")),
+          m = 8, k = 16, dim = 64))
+      Similarity.pqTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
+        codebooks = Some(cbs))
     }),
     // ---- event analytics (batch forms; streaming in graft.streaming) ----
     "q_events_tumbling" -> ((s, dir) => EventOps.tumblingCounts(events(s, dir))),

@@ -44,15 +44,20 @@ object EventOps {
     windowedCounts(events, windowDur, Some(slideDur))
       .orderBy("w_start", "event_type")
 
-  /** Per-user sessions with a max-gap timeout: Spark's session_window
-    * (session end = last event + gap, matching the oracle's
-    * gaps-and-islands SQL). */
-  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  /** Shared session-agg body (unsorted — the streaming form reuses
+    * this with a watermark, exactly like [[windowedCounts]]). */
+  def sessionCountsUnsorted(events: DataFrame, gap: String): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
       .agg(count("*").as("n_events"))
       .select(col("user_id"), col("s.start").as("s_start"),
         col("s.end").as("s_end"), col("n_events"))
+
+  /** Per-user sessions with a max-gap timeout: Spark's session_window
+    * (session end = last event + gap, matching the oracle's
+    * gaps-and-islands SQL). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionCountsUnsorted(events, gap)
       .orderBy("user_id", "s_start")
 
   /** JSON property extraction + aggregation: props is a JSON string

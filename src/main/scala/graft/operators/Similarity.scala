@@ -199,6 +199,160 @@ object Similarity {
     scoredTopK(cand, k)
   }
 
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * `dim`-dim space splits into `m` contiguous subspaces of
+    * `dim / m` dims; each subspace gets its own `k`-centroid codebook.
+    * Training runs DRIVER-SIDE on a hash-ordered sample
+    * (deterministic, uniform regardless of id/geometry correlation —
+    * the [[ivfCentroids]] sampling argument): farthest-point seeding
+    * then `iters` Lloyd rounds per subspace, all on `sampleSize`
+    * subvectors — index-metadata economics (the m·k·dsub doubles ARE
+    * the index; PQ literature trains on samples of this order). The
+    * distributed work is encoding and search, never training.
+    *
+    * Returns codebooks(m)(k)(dsub). Empty clusters keep their
+    * previous centroid; a degenerate sample yields duplicate
+    * centroids, which argmin encoding resolves to the first —
+    * harmless (same reconstruction). */
+  def pqCodebooks(e: DataFrame, m: Int, k: Int, dim: Int,
+      sampleSize: Int = 4096, iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks on an empty relation")
+    def distSq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    Array.tabulate(m) { mi =>
+      val subs = sample.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      // farthest-point seeds: maximize min distance to chosen seeds,
+      // ties to the earliest sample position (deterministic)
+      val seeds = scala.collection.mutable.ArrayBuffer(subs(0))
+      val minD = subs.map(distSq(_, subs(0)))
+      while (seeds.size < k) {
+        var best = 0; var bestV = -1.0
+        var i = 0
+        while (i < subs.length) {
+          if (minD(i) > bestV) { bestV = minD(i); best = i }
+          i += 1
+        }
+        val s = subs(best)
+        seeds += s
+        i = 0
+        while (i < subs.length) {
+          val d = distSq(subs(i), s)
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+      var cents = seeds.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = new Array[Long](k)
+        subs.foreach { x =>
+          var bi = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < k) {
+            val d = distSq(x, cents(ci))
+            if (d < bd) { bd = d; bi = ci }
+            ci += 1
+          }
+          counts(bi) += 1
+          var j = 0
+          while (j < dsub) { sums(bi)(j) += x(j); j += 1 }
+        }
+        cents = Array.tabulate(k)(ci =>
+          if (counts(ci) == 0) cents(ci)
+          else sums(ci).map(_ / counts(ci)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Encode `(vec_id, v)` to `(vec_id, codes, vnorm)`: codes(i) is the
+    * argmin-distance centroid of subspace i — pure map over the scan
+    * (m·k codegen'd [[graft.functions.DotProduct]] kernels per row; the
+    * `-2·dot + ‖c‖²` expansion drops the row-constant ‖x‖² term, so
+    * argmin distance = argmax of `dot(x,c) − ‖c‖²/2`). vnorm rides
+    * along because asymmetric-distance search approximates the DOT
+    * product; turning it into a cosine needs the true norm (one
+    * double next to the m-byte code — still ~32x smaller than the
+    * raw vector). */
+  def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col("v"), mi * dsub + 1, dsub)
+      val scores = array(cb.map(c =>
+        dot(sub, typedlit(c.toSeq)) -
+          lit(c.map(x => x * x).sum / 2.0)): _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    e.select(col("vec_id"), array(codeCols: _*).as("codes"),
+      sqrt(normSq(col("v"))).as("vnorm"))
+  }
+
+  /** PQ approximate top-k with asymmetric distance computation and
+    * exact re-ranking — the compressed-domain member of the ANN
+    * family (brute force = exact scan, IVF = prune by cell, LSH =
+    * prune by bucket, PQ = scan EVERYTHING but 32x smaller):
+    *
+    *  1. the corpus encodes once to (vec_id, m codes, norm) — at 100 TB
+    *     the 256-byte float vectors become ~m bytes, so the ADC scan
+    *     reads ~1/32 the bytes of a brute-force scan and the whole
+    *     index may fit in memory a raw corpus never could;
+    *  2. each query precomputes its m×k lookup table of subspace dot
+    *     products ONCE (`lut`); per corpus row the approximate dot is
+    *     m table lookups — `zip_with(lut, codes)` + `aggregate`, all
+    *     codegen'd, no per-row dot products;
+    *  3. the top `refine·k` by approximate cosine per query are
+    *     re-ranked by EXACT cosine (one broadcast-candidate join back
+    *     to the raw vectors — |queries|·refine·k rows), which repairs
+    *     most quantization error: output schema and the reported
+    *     `cos` match [[bruteForceTopK]] exactly, only the candidate
+    *     CHOICE is approximate (recall spec-pinned).
+    *
+    * Codebooks come from [[pqCodebooks]] unless injected (the
+    * production build-once-reuse shape, as [[ivfTopK]]). */
+  def pqTopK(embs: DataFrame, queryPred: Column, k: Int,
+      m: Int = 8, kCodes: Int = 16, refine: Int = 4, dim: Int = 64,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(refine >= 1)
+    val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val cbs = codebooks.getOrElse(pqCodebooks(e, m, kCodes, dim))
+    val dsub = cbs(0)(0).length
+    val codes = pqEncode(e, cbs)
+    // per-query LUT: lut(mi)(ci) = dot(q_mi, codebook(mi)(ci))
+    val lutCol = array(cbs.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      array(cb.map(c => dot(sub, typedlit(c.toSeq))): _*)
+    }: _*)
+    val q = e.filter(queryPred).toDF("query_id", "qv")
+      .select(col("query_id"), col("qv"), lutCol.as("lut"),
+        sqrt(normSq(col("qv"))).as("qnorm"))
+    val adc = codes
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("lut"), col("codes"),
+            (l, c) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("qnorm") * col("vnorm")))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = adc
+      .withColumn("r", row_number().over(probeRank))
+      .filter(col("r") <= refine * k)
+      .select("query_id", "qv", "vec_id")
+    val rescored = cand.join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    scoredTopK(rescored, k)
+  }
+
   /** SRP-LSH approximate top-k: bucket the corpus into `nTables`
     * independent signed-random-projection tables (OR-amplification),
     * multi-probe each table's buckets within `probeHamming` bit flips,

@@ -173,6 +173,20 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** Built-in merging session windows as a stream: the exact batch
+    * aggregation body ([[EventOps.sessionCounts]]' unsorted form) run
+    * incrementally — Spark's session-window state merges adjacent /
+    * overlapping partial sessions across micro-batches, so late-but-
+    * in-watermark events extend or bridge sessions exactly as a batch
+    * recomputation would. The watermark bounds session state and lets
+    * append sinks emit each session once no in-gap row can still
+    * arrive. Reach for this first; [[userSessions]] below is the
+    * custom-state template for semantics the built-in can't express. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    EventOps.sessionCountsUnsorted(
+      events.withWatermark("ts", watermark), gap)
+
   /** Custom sessionization via `flatMapGroupsWithState` + event-time
     * timeout: semantics match the batch `session_window` gaps-and-
     * islands definition (session end = last event + gap). A session is

@@ -79,6 +79,69 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: $hit of ${exact.size}")
   }
 
+  test("PQ top-k: exact re-ranked cosines, self excluded, useful recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val pq = Similarity.pqTopK(e, col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(pq.nonEmpty)
+    assert(pq.forall { case (q, v, _, _) => q != v })
+    // re-ranking computes TRUE cosines — wherever PQ picked a true
+    // top-k pair, its reported cosine must equal the brute-force one
+    pq.foreach { case (q, v, c, _) =>
+      exact.get((q, v)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+    }
+    val hit = pq.count { case (q, v, _, _) => exact.contains((q, v)) }
+    assert(hit >= (exact.size * 0.5).toInt,
+      s"PQ recall too low: $hit of ${exact.size}")
+  }
+
+  test("PQ codes are m bounded ints; encoding is partition-invariant") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+    val cbs = Similarity.pqCodebooks(e, m = 8, k = 16, dim = 64)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val c1 = Similarity.pqEncode(e, cbs)
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (k2, v2, n2) => k2 -> ((v2, n2)) }.toMap // vec_id unique
+    val c2 = Similarity.pqEncode(e.repartition(7), cbs)
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (k2, v2, n2) => k2 -> ((v2, n2)) }.toMap
+    assert(c1 == c2)
+    assert(c1.values.forall { case (codes, _) =>
+      codes.length == 8 && codes.forall(c => c >= 0 && c < 16) })
+  }
+
+  test("PQ with a perfect codebook reproduces brute force exactly") {
+    // when every corpus subvector IS a codebook centroid, ADC scores
+    // are the true dots — candidate choice loses nothing, so top-k
+    // equals brute force row for row (refine=1: no slack). Dense
+    // deterministic values keep all pairwise cosines well separated,
+    // so the ADC sum's different addition association (m subspace
+    // partials vs one dim-long fold) cannot reorder anything.
+    val dim = 8
+    val vecs = (0 until 20).map { i =>
+      val a = Array.tabulate(dim)(j =>
+        (((i * 31 + j * 17) % 13) - 6) / 7.0f + 0.01f * (j + 1))
+      (i.toLong, a)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    // codebook = exactly the subvectors present, per subspace (k = 20)
+    val all = vecs.map(_._2.map(_.toDouble))
+    val cbs = Array.tabulate(4) { mi =>
+      all.map(_.slice(mi * 2, mi * 2 + 2)).distinct.toArray
+    }
+    val got = Similarity.pqTopK(e, col("vec_id") < 3, k = 5,
+      m = 4, refine = 1, dim = dim, codebooks = Some(cbs))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val want = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("IVF centroids: k-means seeding recovers clusters where first-N fails") {
     // Two tight clusters whose ids correlate with geometry (the ingest-
     // order hazard): ids 0-11 hug the x-axis, ids 12-23 the y-axis,

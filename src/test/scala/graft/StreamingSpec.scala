@@ -246,6 +246,48 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") == 4L)
   }
 
+  test("built-in streaming session_window matches closed batch sessions") {
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.sessionCounts(stream), "append", "ev_sess_native")
+    val want = EventOps.sessionCounts(Tables.events(spark, sfDir))
+    val wantSet = sortedRows(want).toSet
+    val gotRows = sortedRows(got)
+    // append mode emits only watermark-closed sessions; each must agree
+    // exactly with the batch session_window result
+    assert(gotRows.nonEmpty)
+    assert(gotRows.forall(wantSet.contains))
+  }
+
+  test("built-in session state merges out-of-order events across batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, user: Long, ts: String) =
+      (id, Timestamp.valueOf(ts), user, "click", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft-ooo-native").toString
+    // same fixture as the flatMapGroupsWithState test: batch 2 extends
+    // batch 1's session backward and fills its interior, then a
+    // sentinel closes it — the built-in's merging state must produce
+    // the identical single session
+    Seq(ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:10:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(ev(3, 1, "2024-01-01 09:50:00"), ev(4, 1, "2024-01-01 10:05:00"),
+      ev(5, 99, "2024-01-01 20:00:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventsMicros(spark, dir,
+      maxFilesPerTrigger = 1)
+    val got = runToCompletion(
+      EventStreams.sessionCounts(stream), "append", "ev_ooo_native")
+      .collect()
+    assert(got.length == 1, got.mkString("; "))
+    val r = got.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Timestamp]("s_start") == Timestamp.valueOf("2024-01-01 09:50:00"))
+    assert(r.getAs[Timestamp]("s_end") == Timestamp.valueOf("2024-01-01 10:40:00"))
+    assert(r.getAs[Long]("n_events") == 4L)
+  }
+
   test("flatMapGroupsWithState sessions match closed batch sessions") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
