@@ -248,9 +248,10 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) =>
       CorpusOps.chunkTokens(documents(s, dir), chunkTokens = 64, overlap = 8)),
     // Theta-sketch pairwise source overlap: estimates are EXACT in the
-    // under-nominal regime (lgK 16 vs ~11k shingles/source — see the
-    // operator comment), so the oracle is the exact distinct-shingle
-    // pair SQL; the sampling regime's error is spec-pinned.
+    // under-nominal regime (lgK 18 vs ~110k shingles/source at the 10x
+    // rehearsal scale — see the operator comment), so the oracle is the
+    // exact distinct-shingle pair SQL; the sampling regime's error is
+    // spec-pinned.
     "q_corpus_overlap" -> ((s, dir) =>
       CorpusOps.sourceOverlapSketch(documents(s, dir))),
     // Hashed-feature linear quality model: integer weight sums (order-
@@ -281,6 +282,11 @@ object SparkEntry {
       TrainingOps.tokenBudgetSample(documents(s, dir), budget = 3000L,
         weights = Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L,
           "src3" -> 1L))),
+    // Fixed-length sequence packing: docs concatenated in the shard
+    // hash order, split at 64-token boundaries; doc pieces carry
+    // (seq_off, tok_start, n_tok) so sequences reassemble exactly.
+    "q_pack_seqs" -> ((s, dir) =>
+      TrainingOps.packSequences(documents(s, dir), seqLen = 64)),
     // Deterministic hash-permutation shard assignment (training
     // export layout).
     "q_shards" -> ((s, dir) =>
@@ -1409,6 +1415,33 @@ object SparkEntry {
         |  (cum_before + n_tok)::BIGINT AS cum_tok
         |FROM c WHERE cum_before < b
         |ORDER BY source, cum_tok, doc_id""".stripMargin,
+    // Sequence packing: same hash order as q_shards, exclusive token
+    // prefix sums, interval intersection with 64-token windows.
+    "q_pack_seqs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, t, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum0
+        |  FROM d WHERE n_tok > 0
+        |), p AS (
+        |  SELECT doc_id, t, n_tok, cum0, i AS seq_id,
+        |    greatest(0, i * 64 - cum0) AS tok_start,
+        |    least(cum0 + n_tok, (i + 1) * 64) - greatest(cum0, i * 64)
+        |      AS piece_len,
+        |    greatest(cum0, i * 64) - i * 64 AS seq_off
+        |  FROM r, unnest(range(cum0 // 64, (cum0 + n_tok - 1) // 64 + 1))
+        |    AS u(i)
+        |)
+        |SELECT seq_id, seq_off, doc_id, tok_start, piece_len AS n_tok,
+        |  array_to_string(list_slice(t, tok_start + 1, tok_start + piece_len),
+        |    ' ') AS piece_text
+        |FROM p ORDER BY seq_id, seq_off""".stripMargin,
     "q_shards" ->
       """WITH d AS (
         |  SELECT doc_id,

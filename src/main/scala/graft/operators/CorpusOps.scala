@@ -297,13 +297,16 @@ object CorpusOps {
     * Exactness regime (the CMS/[[graft.functions.HeavyHitters]]
     * pattern): a theta sketch is exact while its retained entries
     * stay under the nominal 2^lgK — no hash is ever discarded, so
-    * every estimate equals the true distinct count. lgK = 16 gives
-    * 6x headroom over the harness corpus (~11k shingles/source at
-    * sf0.1), so the harness entry carries the exact SQL oracle; the
-    * sampling regime's error bound is spec-pinned separately
+    * every estimate equals the true distinct count. lgK = 18 (≤2 MB
+    * of state per source, still index-metadata-sized) holds the exact
+    * regime through the 10x rehearsal (~110k shingles/source at
+    * sf1.0; ~11k at sf0.1), so the harness entry carries the exact
+    * SQL oracle at every rehearsed scale; at 100 TB the estimates
+    * turn approximate — which is the sketch earning its keep, with
+    * the sampling regime's error bound spec-pinned separately
     * (CorpusOpsSpec). */
   def sourceOverlapSketch(docs: DataFrame, n: Int = 3,
-      lgK: Int = 16): DataFrame = {
+      lgK: Int = 18): DataFrame = {
     val sk = docs
       .select(col("source"), explode(shingles(col("text"), n)).as("sh"))
       .groupBy("source")

@@ -223,6 +223,68 @@ object TrainingOps {
       .orderBy("shard_id", "pos")
   }
 
+  /** Fixed-length sequence packing (the GPT-style "packed pretraining
+    * batches" step): the corpus token stream, concatenated in the
+    * deterministic hash-permutation order ([[trainingShards]]' order),
+    * is cut into consecutive `seqLen`-token sequences; a document
+    * crossing a boundary SPLITS (one output row per piece), so no
+    * padding exists anywhere except the final sequence. Output rows:
+    * (seq_id, seq_off, doc_id, tok_start, n_tok, piece_text) — enough
+    * to reassemble every sequence exactly and to map any training
+    * position back to its source document.
+    *
+    * Scale shape: the global token prefix-sum reuses the
+    * [[trainingShards]] pattern (range-partition on the order key,
+    * per-partition cumsum, broadcast per-partition token offsets — NO
+    * single-partition window), and only (doc_id, n_tok, h)-width rows
+    * ride those exchanges; the text column joins back by doc_id once,
+    * at the end, to be sliced into pieces. */
+  def packSequences(docs: DataFrame, seqLen: Int = 64): DataFrame = {
+    require(seqLen > 0)
+    val narrow = docs
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"),
+        md5Hash60(col("doc_id").cast("string")).as("h"))
+      .filter(col("n_tok") > 0)
+      .repartitionByRange(col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val local = narrow.withColumn("lcum",
+      coalesce(sum("n_tok").over(wLocal.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = local.groupBy("pid").agg(sum("n_tok").as("pn"))
+      .withColumn("off",
+        coalesce(sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    // cum0 = exclusive global token prefix; the doc occupies
+    // [cum0, cum0 + n_tok) of the concatenated stream and intersects
+    // every seqLen-sized window that interval touches
+    val pieces = local.join(broadcast(offsets), "pid")
+      .withColumn("cum0", col("off") + col("lcum"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum0 DIV $seqLen"),
+        expr(s"(cum0 + n_tok - 1) DIV $seqLen"))))
+      .withColumn("seq_start", col("seq_id") * seqLen)
+      .withColumn("tok_start",
+        greatest(lit(0L), col("seq_start") - col("cum0")))
+      .withColumn("piece_len",
+        least(col("cum0") + col("n_tok"), col("seq_start") + seqLen) -
+          greatest(col("cum0"), col("seq_start")))
+      .withColumn("seq_off",
+        greatest(col("cum0"), col("seq_start")) - col("seq_start"))
+      .select("doc_id", "seq_id", "seq_off", "tok_start", "piece_len")
+    pieces
+      .join(docs.select(col("doc_id"), wsTokens(col("text")).as("t")),
+        "doc_id")
+      .select(col("seq_id"), col("seq_off"), col("doc_id"), col("tok_start"),
+        col("piece_len").as("n_tok"),
+        array_join(slice(col("t"), (col("tok_start") + 1).cast("int"),
+          col("piece_len").cast("int")), " ").as("piece_text"))
+      .orderBy("seq_id", "seq_off")
+  }
+
   /** Shard summary (one row per shard): sizes and an order-sensitive
     * md5 chain over the shard's doc ids — a cheap witness that BOTH
     * membership and intra-shard order match across engines. */

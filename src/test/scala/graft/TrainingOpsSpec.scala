@@ -173,6 +173,66 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.exceptAll(got2).isEmpty && got2.exceptAll(got).isEmpty)
   }
 
+  test("packSequences: conservation, full sequences, boundary splits") {
+    val got = TrainingOps.packSequences(corpus, seqLen = 64)
+    val rows = got.select("seq_id", "seq_off", "doc_id", "tok_start", "n_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val totalTok = corpus
+      .select(sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .cast("long"))).as[Long].head()
+    // token conservation: pieces partition the corpus token stream
+    assert(rows.map(_._5).sum == totalTok)
+    // every sequence except the last holds exactly seqLen tokens,
+    // starting at offset 0 with contiguous pieces
+    val bySeq = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(bySeq.map(_._1) == (0L until bySeq.length).toSeq)
+    bySeq.dropRight(1).foreach { case (_, ps) =>
+      assert(ps.map(_._5).sum == 64L) }
+    bySeq.foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + a._5 == b._2)
+        case _ => ()
+      }
+    }
+    // docs longer than seqLen MUST split across sequences
+    assert(rows.groupBy(_._3).exists(_._2.size > 1))
+    // piece text token count matches the claimed n_tok
+    val textOk = got.filter(
+      size(expr("regexp_extract_all(piece_text, '\\\\S+', 0)")).cast("long")
+        =!= col("n_tok")).count()
+    assert(textOk == 0)
+  }
+
+  test("packSequences: distributed prefix sums == single-window witness") {
+    val got = TrainingOps.packSequences(corpus, seqLen = 64)
+      .select("seq_id", "seq_off", "doc_id", "tok_start", "n_tok")
+    val naive = corpus
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+          .cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum0",
+        coalesce(sum("n_tok").over(Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr("cum0 DIV 64"), expr("(cum0 + n_tok - 1) DIV 64"))))
+      .select(col("seq_id"),
+        (greatest(col("cum0"), col("seq_id") * 64) - col("seq_id") * 64)
+          .as("seq_off"),
+        col("doc_id"),
+        greatest(lit(0L), col("seq_id") * 64 - col("cum0")).as("tok_start"),
+        (least(col("cum0") + col("n_tok"), (col("seq_id") + 1) * 64) -
+          greatest(col("cum0"), col("seq_id") * 64)).as("n_tok"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    val got2 = TrainingOps.packSequences(corpus.repartition(17), seqLen = 64)
+      .select("seq_id", "seq_off", "doc_id", "tok_start", "n_tok")
+    assert(got.exceptAll(got2).isEmpty && got2.exceptAll(got).isEmpty)
+  }
+
   test("shardSummary: full shards except the tail, order chain present") {
     val n = corpus.count()
     val s = TrainingOps.shardSummary(corpus, shardSize = 100)
