@@ -92,4 +92,58 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"no whole-stage-codegen span in:\n$p")
   }
+
+  test("grouped top-k partial-aggregates map-side, no window sort") {
+    val p = plan(graft.operators.EventOps.topUsersPerTypeAgg(
+      graft.sources.Tables.events(spark, sfDir), 5))
+    val partial = p.indexOf("partial_graft_top_k")
+    assert(partial >= 0, s"no partial top-k aggregate in:\n$p")
+    // the partial agg sits BELOW (after in toString order) its exchange
+    assert(p.lastIndexOf("Exchange hashpartitioning") < partial ||
+      p.indexOf("Exchange hashpartitioning") < partial,
+      s"partial top-k does not precede the exchange in:\n$p")
+    assert(!p.contains("Window"), s"window sort crept back in:\n$p")
+  }
+
+  test("theta overlap: partial sketches map-side, one corpus lineage") {
+    // the sketch-building half (what runs inside the localCheckpoint):
+    // theta aggregation must be partial before its exchange
+    val build = plan(documents(spark, sfDir)
+      .select(col("source"), explode(
+        graft.functions.TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      .groupBy("source").agg(expr("theta_sketch_agg(sh, 18)").as("sk")))
+    assert(build.contains("partial_theta_sketch_agg"),
+      s"theta aggregate not partial-aggregated in:\n$build")
+    // the pair-join half: the localCheckpoint collapses the sketch
+    // relation, so both join branches read the checkpointed RDD — the
+    // corpus parquet is scanned ONCE, never re-run per branch
+    val p = plan(graft.operators.CorpusOps.sourceOverlapSketch(
+      documents(spark, sfDir)))
+    assert(p.contains("Scan ExistingRDD"),
+      s"pair join does not read the checkpointed sketches:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"pair join re-scans the corpus instead of the checkpoint:\n$p")
+  }
+
+  test("quality model: broadcast weight join, no shuffle before the agg") {
+    val p = plan(graft.operators.CorpusOps.modelQualityScore(
+      documents(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight relation not broadcast:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"score sum not partial-aggregated:\n$p")
+  }
+
+  test("PQ search: codes relation joins broadcast queries (ADC scan)") {
+    val e = embeddings(spark, sfDir)
+    val p = plan(Similarity.pqTopK(e, col("vec_id") < 5, k = 10))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query/LUT side not broadcast in:\n$p")
+    // encoding is a pure map: no exchange below the first join
+    val firstJoin = p.indexOf("Broadcast")
+    val scanIdx = p.lastIndexOf("FileScan")
+    assert(firstJoin >= 0 && scanIdx > firstJoin,
+      s"unexpected plan shape:\n$p")
+  }
 }
