@@ -212,6 +212,9 @@ object SparkEntry {
     "q_events_attrib" -> ((s, dir) =>
       EventOps.purchaseAttribution(events(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
+    // Retention matrix: first-active-day cohorts x day offset.
+    "q_events_retention" -> ((s, dir) =>
+      EventOps.retentionCohorts(events(s, dir))),
     // Mergeable-sketch distinct: no DuckDB oracle (estimator internals
     // are engine-specific) — rows-only; error + merge associativity
     // pinned in EventOpsSpec.
@@ -309,6 +312,10 @@ object SparkEntry {
       RelationalOps.orderRollup(table(s, dir, "orders"))),
     "q_rel_cube" -> ((s, dir) =>
       RelationalOps.orderCube(table(s, dir, "orders"))),
+    // Explicit GROUPING SETS (the rollup/cube general form; skips the
+    // per-status level a rollup would force).
+    "q_rel_groupsets" -> ((s, dir) =>
+      RelationalOps.orderGroupingSets(table(s, dir, "orders"))),
     "q_rel_pivot" -> ((s, dir) =>
       RelationalOps.ordersByPriorityPivot(table(s, dir, "orders"))),
     "q_rel_semi" -> ((s, dir) =>
@@ -884,6 +891,20 @@ object SparkEntry {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // Retention matrix: date truncation is ns-safe (day boundaries are
+    // unaffected by the ns->us narrowing), DATE - DATE = integer days.
+    "q_events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL
+        |), cohorts AS (
+        |  SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1
+        |)
+        |SELECT cohort_day, (d - cohort_day) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM days JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_rel_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -941,6 +962,14 @@ object SparkEntry {
         |  round(sum(o_totalprice), 4) AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_rel_groupsets" ->
+      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderpriority), ())
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
     "q_rel_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c

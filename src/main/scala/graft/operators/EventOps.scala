@@ -227,6 +227,27 @@ object EventOps {
     }.orderBy("user_id")
   }
 
+  /** Retention cohorts: users grouped by their first active day; for
+    * each (cohort_day, day_offset) cell, how many of that cohort's
+    * users were active `day_offset` days after joining — the classic
+    * retention matrix. Scale shape: one distinct over (user, day)
+    * first (the raw event stream reduces immediately — a user's 10k
+    * events on a day become one row), cohorts join back on user_id,
+    * and the final count is an exact distinct whose input is already
+    * user-deduped per cell. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("d").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Analytic window function: top-`k` users by event count within
     * each event_type (rank over a pre-aggregated relation — the
     * window input is |types| x |users|, not |events|). */

@@ -95,6 +95,25 @@ object RelationalOps {
         "sum_price")
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
+  /** Explicit GROUPING SETS — the general form that rollup and cube
+    * specialize: per-(status, priority) cells, per-priority subtotals,
+    * and the grand total, deliberately SKIPPING the per-status level a
+    * rollup would force. Same physics as rollup/cube (one Expand fan-
+    * out + one aggregation pass — levels never re-scan the input). */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count("*").as("n_orders"),
+        round(sum("o_totalprice"), 4).as("sum_price"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n_orders",
+        "sum_price")
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
   /** CUBE aggregation: all 2² grouping combinations of
     * (status, priority) in one pass — rollup's lattice completed with
     * the priority-only subtotals (gid=2). */

@@ -127,6 +127,36 @@ class EventOpsSpec extends SparkSpec {
     assert(nv >= nc && nc >= np && np > 0)
   }
 
+  test("retention cohorts: first-day cohorts, offsets, distinct users") {
+    val re = Seq(
+      // user 1 joins day 0, returns day 1 and day 3 (twice on day 1 —
+      // the distinct must collapse it)
+      (0L, ts("2024-01-01 08:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-01-02 09:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-02 21:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-04 10:00:00"), 1L, "view", 0.0, "{}"),
+      // user 2 joins day 1, returns day 2
+      (4L, ts("2024-01-02 12:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-03 12:00:00"), 2L, "view", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.retentionCohorts(re)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(got == Seq(
+      (d("2024-01-01"), 0L, 1L), (d("2024-01-01"), 1L, 1L),
+      (d("2024-01-01"), 3L, 1L),
+      (d("2024-01-02"), 0L, 1L), (d("2024-01-02"), 1L, 1L)))
+    // corpus invariants: every cohort has an offset-0 cell whose count
+    // is the cohort's total membership (every user is active on their
+    // own first day), and cells never exceed it
+    val corpus = EventOps.retentionCohorts(
+      graft.sources.Tables.events(spark, sfDir))
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    val day0 = corpus.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (c, _, n) => assert(n <= day0(c)) }
+  }
+
   test("HLL sketch distinct: tight error and associative merges") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.events(spark, sfDir)

@@ -52,6 +52,31 @@ class RelationalOpsSpec extends SparkSpec {
       && !row.isNullAt(row.fieldIndex("o_orderstatus"))))
   }
 
+  test("grouping sets emit exactly the requested levels") {
+    val r = RelationalOps.orderGroupingSets(orders).collect()
+    val byGid = r.groupBy(_.getAs[Long]("gid"))
+    // gid 0 = (status, priority) cells, 2 = priority subtotals
+    // (status aggregated out), 3 = grand total — and NO gid 1: the
+    // per-status level a rollup would force is deliberately absent
+    assert(byGid.keySet == Set(0L, 2L, 3L))
+    val total = byGid(3L).head.getAs[Long]("n_orders")
+    assert(total == orders.count())
+    assert(byGid(0L).map(_.getAs[Long]("n_orders")).sum == total)
+    assert(byGid(2L).map(_.getAs[Long]("n_orders")).sum == total)
+    // priority-subtotal rows: status null, priority present
+    assert(byGid(2L).forall(row =>
+      row.isNullAt(row.fieldIndex("o_orderstatus")) &&
+        !row.isNullAt(row.fieldIndex("o_orderpriority"))))
+    // and the priority subtotals equal an independent plain groupBy
+    import org.apache.spark.sql.functions._
+    val want = orders.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    byGid(2L).foreach { row =>
+      assert(row.getAs[Long]("n_orders") ==
+        want(row.getAs[String]("o_orderpriority")))
+    }
+  }
+
   test("semi and anti join partition the customer table") {
     val withU = RelationalOps.customersWithOrders(customers, orders)
     val without = RelationalOps.customersWithoutOrders(customers, orders)
