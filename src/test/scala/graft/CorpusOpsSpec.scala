@@ -247,6 +247,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaSlices == 10000L)
   }
 
+  test("theta union stays exact past the union default nominal (4096)") {
+    // two sources x 3000 disjoint one-shingle docs: each side's sketch
+    // is exact, and the UNION (6000 > the 4096 default nominal of
+    // 2-arg theta_union) must be exact too — this is the fixture that
+    // catches a union expression not inheriting the operator's lgK
+    // (caught live at the 10x rehearsal: n_union -1.7% while every
+    // other column stayed exact)
+    val docs = spark.range(6000).selectExpr(
+      "id AS doc_id",
+      "concat('tok', id, ' mid', id, ' end', id) AS text",
+      "IF(id % 2 = 0, 'sa', 'sb') AS source")
+    val got = CorpusOps.sourceOverlapSketch(docs)
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(got == (("sa", "sb", 3000L, 3000L, 0L, 6000L)))
+  }
+
   test("model quality score: hand-recomputed on a tiny fixture") {
     val df = Seq((1L, "aa bb aa"), (2L, "cc"), (3L, "")).toDF("doc_id", "text")
     val got = CorpusOps.modelQualityScore(df, dim = 64, biasE4 = -500L)
