@@ -344,6 +344,11 @@ object SparkEntry {
     // RelationalOpsSpec pins the rank-error bound.
     "q_rel_quantiles_approx" -> ((s, dir) =>
       RelationalOps.orderValueQuantilesApprox(table(s, dir, "orders"))),
+    // KLL sketch percentiles: rows-only like the GK entry (sketch
+    // internals engine-specific); exact twins ride along, rank error
+    // and slice-merge equivalence spec-pinned.
+    "q_rel_quantiles_kll" -> ((s, dir) =>
+      RelationalOps.orderValueQuantilesKll(table(s, dir, "orders"))),
     // Z-order (Morton) clustering key: the write-time layout tool
     // (sources/Layout). The interleave is pure integer bit arithmetic
     // — 42 codegen'd shift/mask terms — so the oracle replicates it

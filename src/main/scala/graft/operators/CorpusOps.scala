@@ -306,18 +306,36 @@ object CorpusOps {
     * the sampling regime's error bound spec-pinned separately
     * (CorpusOpsSpec). */
   def sourceOverlapSketch(docs: DataFrame, n: Int = 3,
-      lgK: Int = 18): DataFrame = {
-    val sk = docs
+      lgK: Int = 18): DataFrame =
+    // materialize the |sources|-row sketch relation ONCE: a plain
+    // self-join would re-run the corpus scan + shingle + sketch
+    // lineage for each side (Spark does not share subplans across
+    // self-join branches) — the single expensive pass is the whole
+    // point of sketching. Same localCheckpoint device as Clustering's
+    // iteration state; the relation is tiny. A deployment persists
+    // sourceSketches to parquet instead and calls overlapFromSketches
+    // on the stored index (spec-pinned round trip).
+    overlapFromSketches(sourceSketches(docs, n, lgK).localCheckpoint(), lgK)
+
+  /** The corpus pass of [[sourceOverlapSketch]], exposed separately:
+    * one theta sketch per source over its distinct shingles —
+    * `(source string, sk binary)`. This relation IS the overlap
+    * index: persist it (plain parquet, binary column) and
+    * [[overlapFromSketches]] answers every pairwise question later
+    * without the corpus — the materialize-once shape of
+    * `Dedup.bandBuckets` and the Bloom blob, for set algebra. */
+  def sourceSketches(docs: DataFrame, n: Int = 3,
+      lgK: Int = 18): DataFrame =
+    docs
       .select(col("source"), explode(shingles(col("text"), n)).as("sh"))
       .groupBy("source")
       .agg(theta_sketch_agg(col("sh"), lgK).as("sk"))
-      // materialize the |sources|-row sketch relation ONCE: a plain
-      // self-join would re-run the corpus scan + shingle + sketch
-      // lineage for each side (Spark does not share subplans across
-      // self-join branches) — the single expensive pass is the whole
-      // point of sketching. Same localCheckpoint device as
-      // Clustering's iteration state; the relation is tiny.
-      .localCheckpoint()
+
+  /** Pairwise overlap measures off a (source, sk) sketch relation —
+    * no corpus access; stored sketches from ANY slice union work
+    * (theta sketches merge associatively). `lgK` must be the value
+    * the sketches were built with (it sizes the union). */
+  def overlapFromSketches(sk: DataFrame, lgK: Int = 18): DataFrame = {
     val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
     val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
     // |sources|^2 candidate pairs of one-row-per-source sketches — the

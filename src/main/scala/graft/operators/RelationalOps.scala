@@ -246,6 +246,35 @@ object RelationalOps {
         count("*").as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** The PERSISTABLE quantile-sketch twin: same query through the
+    * mergeable KLL aggregate ([[graft.functions.KllQuantiles]]).
+    * `approx_percentile` answers this one query; the KLL buffer is a
+    * storable DataSketches blob — per-slice sketches persist and any
+    * slice union answers later by merging, completing the sketch
+    * family's quantile member (HLL distinct / CMS frequency / MG
+    * heavy hitters / Bloom membership / theta set algebra / KLL
+    * quantiles). Exact twins ride along as the accuracy anchor, as in
+    * [[orderValueQuantilesApprox]]; rows-only harness entry, error +
+    * merge behavior spec-pinned. */
+  def orderValueQuantilesKll(orders: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val kll = ColumnBridge.column(graft.functions.KllQuantiles(
+      ColumnBridge.expression(col("o_totalprice")),
+      qs = Seq(0.5, 0.95), k = k).toAggregateExpression())
+    orders
+      .groupBy("o_orderstatus")
+      .agg(kll.as("q"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+        count("*").as("n_orders"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("q"), 1), 4).as("p50_kll"),
+        col("p50_exact"),
+        round(element_at(col("q"), 2), 4).as("p95_kll"),
+        col("p95_exact"), col("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Running-total window: cumulative order spend per customer in
     * order-date order (orderkey tie-break makes the summation order —
     * and thus the float result — deterministic on any engine). */

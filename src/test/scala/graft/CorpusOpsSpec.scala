@@ -247,6 +247,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaSlices == 10000L)
   }
 
+  test("overlap answered from PERSISTED sketches matches the direct run") {
+    // the 100 TB operating mode: build the per-source sketch relation
+    // once, store it as plain parquet (binary column), answer overlap
+    // later from the stored index with zero corpus access
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-theta-idx").toString
+    CorpusOps.sourceSketches(corpus).write.mode("overwrite").parquet(dir)
+    val fromStore = CorpusOps.overlapFromSketches(spark.read.parquet(dir))
+    val direct = CorpusOps.sourceOverlapSketch(corpus)
+    assert(direct.exceptAll(fromStore).isEmpty &&
+      fromStore.exceptAll(direct).isEmpty)
+  }
+
   test("theta union stays exact past the union default nominal (4096)") {
     // two sources x 3000 disjoint one-shingle docs: each side's sketch
     // is exact, and the UNION (6000 > the 4096 default nominal of

@@ -52,6 +52,58 @@ class RelationalOpsSpec extends SparkSpec {
       && !row.isNullAt(row.fieldIndex("o_orderstatus"))))
   }
 
+  test("KLL quantiles stay within the rank-error bound; merges are lossless-grade") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // rank-error check against exact percentiles on the orders table:
+    // KLL k=200 normalized rank error ~1.65%; a rank-eps-correct p50
+    // lies between the exact p48 / p52 style bounds — use value bounds
+    // derived from exact percentiles at q +- 3*eps
+    val eps = 0.05 // generous 3-sigma-ish envelope for k=200
+    val rows = RelationalOps.orderValueQuantilesKll(orders)
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val bounds = orders.groupBy("o_orderstatus").agg(
+      expr(s"percentile(o_totalprice, ${0.5 - eps})").as("p50lo"),
+      expr(s"percentile(o_totalprice, ${0.5 + eps})").as("p50hi"),
+      expr(s"percentile(o_totalprice, ${0.95 - eps})").as("p95lo"),
+      expr(s"percentile(o_totalprice, ${math.min(1.0, 0.95 + eps)})")
+        .as("p95hi"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.foreach { case (st, p50, _, p95, _, _) =>
+      val b = bounds(st)
+      assert(p50 >= b._2 - 1e-6 && p50 <= b._3 + 1e-6,
+        s"$st p50 $p50 outside [${b._2}, ${b._3}]")
+      assert(p95 >= b._4 - 1e-6 && p95 <= b._5 + 1e-6,
+        s"$st p95 $p95 outside [${b._4}, ${b._5}]")
+    }
+    // slice-merge: per-slice partial sketches merged on the reducer
+    // (forced by a repartition) give answers within the same bound —
+    // the partial/final path IS the persist-then-union path
+    def kllOf(df: org.apache.spark.sql.DataFrame) = {
+      val c = ColumnBridge.column(graft.functions.KllQuantiles(
+        ColumnBridge.expression(col("o_totalprice")),
+        qs = Seq(0.5)).toAggregateExpression())
+      df.agg(c.as("q")).select(element_at(col("q"), 1)).as[Double].head()
+    }
+    val merged = kllOf(orders.repartition(13))
+    val single = kllOf(orders.coalesce(1))
+    val lo = orders.agg(expr(s"percentile(o_totalprice, ${0.5 - eps})"))
+      .as[Double].head()
+    val hi = orders.agg(expr(s"percentile(o_totalprice, ${0.5 + eps})"))
+      .as[Double].head()
+    assert(merged >= lo && merged <= hi, s"merged p50 $merged outside bound")
+    assert(single >= lo && single <= hi, s"single p50 $single outside bound")
+    // empty group: empty array, not a crash
+    val empty = orders.filter(lit(false))
+    val c0 = ColumnBridge.column(graft.functions.KllQuantiles(
+      ColumnBridge.expression(col("o_totalprice")),
+      qs = Seq(0.5)).toAggregateExpression())
+    assert(empty.agg(c0.as("q")).select(size(col("q")))
+      .as[Int].head() == 0)
+  }
+
   test("grouping sets emit exactly the requested levels") {
     val r = RelationalOps.orderGroupingSets(orders).collect()
     val byGid = r.groupBy(_.getAs[Long]("gid"))
