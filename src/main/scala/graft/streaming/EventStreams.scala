@@ -84,6 +84,24 @@ object EventStreams extends Serializable {
     EventOps.windowedCounts(
       watermark.fold(events)(events.withWatermark("ts", _)), windowDur)
 
+  /** Mergeable-sketch distinct counting as a STREAM — incremental
+    * index maintenance for the sketch family: the HLL aggregation
+    * body of [[EventOps.distinctUsersSketch]] runs unchanged over the
+    * unbounded stream (complete/update mode), its state bounded at
+    * ~16 KB per group REGARDLESS of how many users flow past — the
+    * exact `countDistinct` twin is deliberately absent because its
+    * streaming state grows with cardinality, which is precisely the
+    * problem sketches exist to solve. Estimates equal the batch
+    * sketch's after the stream drains (same deterministic aggregate;
+    * spec-pinned). */
+  def distinctUsersSketchStream(events: DataFrame,
+      lgK: Int = 14): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+        .as("n_users_approx"))
+
   /** The reference pipeline as a stream: word counts over a streaming
     * Dataset of text lines (S1->T2->A3/X4 of SURVEY.md §2, incremental).
     * Complete/update-mode sink; counts accumulate across batches

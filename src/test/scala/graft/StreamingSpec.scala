@@ -246,6 +246,18 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") == 4L)
   }
 
+  test("streaming HLL sketch equals the batch sketch after draining") {
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.distinctUsersSketchStream(stream), "complete",
+      "ev_hll_stream")
+    val want = EventOps.distinctUsersSketch(Tables.events(spark, sfDir))
+      .select("event_type", "n_users_approx")
+    // identical deterministic aggregate over identical data — the
+    // incremental sketch must land on the batch sketch's estimates
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("built-in streaming session_window matches closed batch sessions") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
