@@ -13,6 +13,7 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   - `graft_shingles(text, n)`    — word n-gram shingles
   *   - `graft_heavy_hitters(col, k)`— Misra–Gries top frequencies
   *   - `graft_top_k(key, val, k)`   — bounded-heap top-k rows per group
+  *   - `graft_kll(x, qs, k)`        — mergeable KLL quantile sketch
   *   - `graft_token_stats(text)`    — single-pass quality-gate stats
   *   - `graft_rolling_fp(text, k, w)` — winnowed rolling fingerprints
   *
@@ -40,6 +41,19 @@ object GraftFunctions {
       s"$fn expects a constant int argument, got $other")
   }
 
+  /** Resolve a foldable array<double> argument (e.g. `array(0.5, 0.95)`
+    * — constant-foldable, evaluated at registration like [[intArg]]). */
+  private def doubleArrayArg(e: Expression, fn: String): Seq[Double] = e match {
+    case f if f.foldable => f.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a constant array<double> argument, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a constant array<double> argument, got $other")
+  }
+
   /** Name → expression builder for every kernel; the single source
     * both [[register]] (running session) and [[GraftExtensions]]
     * (`spark.sql.extensions` at session build) install from. */
@@ -64,6 +78,10 @@ object GraftFunctions {
       ((es: Seq[Expression]) => { arity("graft_top_k", es, 3)
         GroupTopK(es(0), es(1), intArg(es(2), "graft_top_k"))
           .toAggregateExpression() }),
+    "graft_kll" ->
+      ((es: Seq[Expression]) => { arity("graft_kll", es, 3)
+        KllQuantiles(es(0), doubleArrayArg(es(1), "graft_kll"),
+          intArg(es(2), "graft_kll")).toAggregateExpression() }),
     "graft_token_stats" ->
       ((es: Seq[Expression]) => { arity("graft_token_stats", es, 1)
         TokenStats(es(0)) }),

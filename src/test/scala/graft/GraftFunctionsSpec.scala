@@ -39,6 +39,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBucket"))
   }
 
+  test("graft_kll from SQL: quantiles of 1..1000 within rank error") {
+    val r = spark.sql(
+      "SELECT graft_kll(CAST(id AS DOUBLE), array(0.5d, 0.95d), 200) AS q " +
+        "FROM range(1, 1001)")
+      .as[Seq[Double]].head()
+    assert(r.length == 2)
+    // k=200 rank error ~1.65%: p50 of 1..1000 within [480, 520],
+    // p95 within [930, 970]
+    assert(r(0) >= 480 && r(0) <= 520, s"p50 ${r(0)}")
+    assert(r(1) >= 930 && r(1) <= 970, s"p95 ${r(1)}")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_kll(1.0d, id, 200) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("constant array<double>"))
+  }
+
   test("foldable int args resolve; wrong arity raises a clear error") {
     val sh = spark.sql("SELECT graft_shingles('a b c', 1 + 1) AS s")
       .as[Seq[String]].head()
