@@ -277,15 +277,44 @@ object Similarity {
   }
 
   /** Encode `(vec_id, v)` to `(vec_id, codes, vnorm)`: codes(i) is the
-    * argmin-distance centroid of subspace i — pure map over the scan
-    * (m·k codegen'd [[graft.functions.DotProduct]] kernels per row; the
-    * `-2·dot + ‖c‖²` expansion drops the row-constant ‖x‖² term, so
-    * argmin distance = argmax of `dot(x,c) − ‖c‖²/2`). vnorm rides
-    * along because asymmetric-distance search approximates the DOT
-    * product; turning it into a cosine needs the true norm (one
-    * double next to the m-byte code — still ~32x smaller than the
-    * raw vector). */
+    * argmin-distance centroid of subspace i (the `-2·dot + ‖c‖²`
+    * expansion drops the row-constant ‖x‖² term, so argmin distance =
+    * argmax of `dot(x,c) − ‖c‖²/2`) — ONE codegen'd
+    * [[graft.functions.PqCodes]] kernel per row, not m·k unrolled dot
+    * expressions (which blow past the JIT compilation threshold at
+    * production codebook sizes — the [[graft.functions.SrpBuckets]]
+    * lesson). vnorm rides along because asymmetric-distance search
+    * approximates the DOT product; turning it into a cosine needs the
+    * true norm (one double next to the m-byte code — still ~32x
+    * smaller than the raw vector).
+    *
+    * Ragged codebooks (subspaces with fewer distinct centroids) pad
+    * to the widest subspace with copies of that subspace's FIRST
+    * centroid: a padded copy ties with index 0 and strict `>` keeps
+    * the first, so codes are provably unchanged by padding. */
   def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dsub = codebooks(0)(0).length
+    val m = codebooks.length
+    val kMax = codebooks.map(_.length).max
+    val flat = Array.tabulate(m * kMax) { idx =>
+      val cb = codebooks(idx / kMax)
+      cb(if (idx % kMax < cb.length) idx % kMax else 0)
+    }
+    val halfNorms = flat.map(c => c.map(x => x * x).sum / 2.0)
+    val codes = ColumnBridge.column(graft.functions.PqCodes(
+      ColumnBridge.expression(col("v")), flat, halfNorms, m, kMax, dsub))
+    e.select(col("vec_id"), codes.as("codes"),
+      sqrt(normSq(col("v"))).as("vnorm"))
+  }
+
+  /** The composed slice + per-centroid [[graft.functions.DotProduct]]
+    * formulation of [[pqEncode]] — the readability and parity witness
+    * the fused kernel is spec-pinned against. Generates m·k unrolled
+    * dot expressions (JIT-hostile at production codebook sizes);
+    * never the product path. */
+  def pqEncodeComposed(e: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val dsub = codebooks(0)(0).length
     val codeCols = codebooks.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(col("v"), mi * dsub + 1, dsub)

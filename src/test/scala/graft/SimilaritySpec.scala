@@ -115,6 +115,22 @@ class SimilaritySpec extends SparkSpec {
       codes.length == 8 && codes.forall(c => c >= 0 && c < 16) })
   }
 
+  test("PqCodes kernel == composed slice+dot encoding, incl. ragged codebooks") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+    val cbs = Similarity.pqCodebooks(e, m = 8, k = 16, dim = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Int], Double)].collect().sortBy(_._1).toSeq
+    assert(rows(Similarity.pqEncode(e, cbs)) ==
+      rows(Similarity.pqEncodeComposed(e, cbs)))
+    // ragged: subspaces with different centroid counts — the kernel
+    // pads internally, the composed form stays ragged; codes must
+    // still agree (padding ties resolve to the first centroid)
+    val ragged = cbs.zipWithIndex.map { case (cb, i) => cb.take(4 + i) }
+    assert(rows(Similarity.pqEncode(e, ragged)) ==
+      rows(Similarity.pqEncodeComposed(e, ragged)))
+  }
+
   test("PQ with a perfect codebook reproduces brute force exactly") {
     // when every corpus subvector IS a codebook centroid, ADC scores
     // are the true dots — candidate choice loses nothing, so top-k
