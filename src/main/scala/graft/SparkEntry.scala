@@ -290,6 +290,11 @@ object SparkEntry {
     // (seq_off, tok_start, n_tok) so sequences reassemble exactly.
     "q_pack_seqs" -> ((s, dir) =>
       TrainingOps.packSequences(documents(s, dir), seqLen = 64)),
+    // The INTEGRATION flagship: gates -> dedup -> decontaminate ->
+    // mix -> pack as one plan, oracled by the five stages' SQL
+    // formulations chained into one WITH-cascade.
+    "q_pipeline" -> ((s, dir) =>
+      TrainingOps.curationPipeline(documents(s, dir))),
     // Deterministic hash-permutation shard assignment (training
     // export layout).
     "q_shards" -> ((s, dir) =>
@@ -1449,6 +1454,105 @@ object SparkEntry {
         |  (cum_before + n_tok)::BIGINT AS cum_tok
         |FROM c WHERE cum_before < b
         |ORDER BY source, cum_tok, doc_id""".stripMargin,
+    // End-to-end curation pipeline: the five stage oracles chained —
+    // quality gates (q_quality_rules' formulation) -> keep-first md5
+    // dedup (q_dedup_keep's) -> shingle decontamination
+    // (q_decontaminate's) -> token-budget mix (q_mix_budget's) ->
+    // sequence packing (q_pack_seqs'), over the %97 corpus/bench split.
+    "q_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents WHERE doc_id % 97 != 0
+        |), bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |        FROM corpus)
+        |  GROUP BY doc_id, w
+        |), tok AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens, max(tf)::BIGINT AS max_tf
+        |  FROM tf GROUP BY doc_id
+        |), ctoks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM corpus
+        |), g AS (
+        |  SELECT doc_id,
+        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      len(list_distinct(list_transform(range(len(t) - 1),
+        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
+        |    ELSE 0 END AS n_distinct_2grams
+        |  FROM ctoks
+        |), gated AS (
+        |  SELECT c.doc_id, c.text, c.source FROM corpus c
+        |  JOIN tok USING (doc_id) JOIN g USING (doc_id)
+        |  WHERE tok.n_tokens >= 50
+        |    AND (g.n_2grams - g.n_distinct_2grams) * 100 <= 20 * g.n_2grams
+        |    AND tok.max_tf * 100 <= 10 * tok.n_tokens
+        |), deduped AS (
+        |  SELECT doc_id, text, source FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) = 1
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM deduped)
+        |  WHERE len(t) >= 3
+        |), bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM bench)
+        |  WHERE len(t) >= 3
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT d.doc_id, b.bench_id
+        |    FROM dsh d JOIN bsh b USING (s)
+        |    GROUP BY d.doc_id, b.bench_id
+        |    HAVING count(*) >= 2)
+        |), clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), mixn AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+        |    CASE source WHEN 'src0' THEN 1200 WHEN 'src1' THEN 900
+        |      WHEN 'src2' THEN 600 WHEN 'src3' THEN 300 ELSE 0 END AS b
+        |  FROM clean
+        |), mixc AS (
+        |  SELECT doc_id, n_tok, h, b,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM mixn
+        |), sel AS (
+        |  SELECT doc_id FROM mixc WHERE cum_before < b
+        |), pd AS (
+        |  SELECT c.doc_id, regexp_extract_all(c.text, '\S+') AS t,
+        |    len(regexp_extract_all(c.text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM clean c JOIN sel USING (doc_id)
+        |), pr AS (
+        |  SELECT doc_id, t, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum0
+        |  FROM pd WHERE n_tok > 0
+        |), pp AS (
+        |  SELECT doc_id, t, n_tok, cum0, i AS seq_id,
+        |    greatest(0, i * 64 - cum0) AS tok_start,
+        |    least(cum0 + n_tok, (i + 1) * 64) - greatest(cum0, i * 64)
+        |      AS piece_len,
+        |    greatest(cum0, i * 64) - i * 64 AS seq_off
+        |  FROM pr, unnest(range(cum0 // 64, (cum0 + n_tok - 1) // 64 + 1))
+        |    AS u(i)
+        |)
+        |SELECT seq_id, seq_off, doc_id, tok_start, piece_len AS n_tok,
+        |  array_to_string(list_slice(t, tok_start + 1, tok_start + piece_len),
+        |    ' ') AS piece_text
+        |FROM pp ORDER BY seq_id, seq_off""".stripMargin,
     // Sequence packing: same hash order as q_shards, exclusive token
     // prefix sums, interval intersection with 64-token windows.
     "q_pack_seqs" ->

@@ -301,6 +301,38 @@ object TrainingOps {
           .cast("binary")).as("order_md5"))
       .orderBy("shard_id")
 
+  /** The END-TO-END curation pipeline as ONE declarative plan — the
+    * integration flagship: quality gates → exact keep-first dedup →
+    * benchmark decontamination → token-budget mixing → fixed-length
+    * sequence packing, each stage the exact operator the harness
+    * verifies in isolation, composed by id-only semi/anti joins (the
+    * text column is read once per tokenizing stage, never carried
+    * through the joins' exchanges). The harness oracle chains the
+    * five stages' SQL formulations into one WITH-cascade, so
+    * INTEGRATION correctness — stage boundaries, survivor sets, order
+    * sensitivity between stages — is hash-checked end-to-end, not
+    * just per stage.
+    *
+    * The held-out "benchmark" is the deterministic doc_id % benchMod
+    * == 0 slice ([[CorpusOps.decontaminateQuery]]'s convention); the
+    * pipeline curates the remainder against it. */
+  def curationPipeline(docs: DataFrame, budget: Long = 3000L,
+      weights: Map[String, Long] = Map("src0" -> 4L, "src1" -> 3L,
+        "src2" -> 2L, "src3" -> 1L),
+      seqLen: Int = 64, benchMod: Int = 97): DataFrame = {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+    val gated = corpus.join(
+      CorpusOps.qualityRules(corpus).filter(col("pass")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dropDuplicatesKeepFirst(gated)
+    val contaminated = CorpusOps.decontaminate(deduped, bench)
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = tokenBudgetSample(clean, budget, weights).select("doc_id")
+    packSequences(clean.join(mixed, Seq("doc_id"), "left_semi"), seqLen)
+  }
+
   /** Physically write the shard layout: repartition by range on
     * (shard_id, pos) so each output task owns contiguous shards, write
     * hive-partitioned by shard_id with `maxRecordsPerFile` bounding

@@ -233,6 +233,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.exceptAll(got2).isEmpty && got2.exceptAll(got).isEmpty)
   }
 
+  test("curationPipeline: stage invariants hold end-to-end") {
+    import graft.operators.{CorpusOps, Dedup}
+    val out = TrainingOps.curationPipeline(corpus)
+    val outDocs = out.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(outDocs.nonEmpty)
+    // no benchmark doc ever reaches the output
+    assert(outDocs.forall(_ % 97 != 0))
+    // every output doc passed the quality gate...
+    val passed = CorpusOps.qualityRules(
+      corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0))
+      .filter(col("pass")).select("doc_id").as[Long].collect().toSet
+    assert(outDocs.subsetOf(passed))
+    // ...survived dedup (is its fingerprint's first occurrence)...
+    val survivors = Dedup.dropDuplicatesKeepFirst(
+      corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(outDocs.subsetOf(survivors))
+    // ...and is not contaminated against the bench slice
+    val contaminated = CorpusOps.decontaminateQuery(corpus)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(outDocs.intersect(contaminated).isEmpty)
+    // packing invariant carries through: all sequences except the
+    // last hold exactly 64 tokens
+    val bySeq = out.select("seq_id", "n_tok").as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    bySeq.dropRight(1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).sum == 64L) }
+  }
+
   test("shardSummary: full shards except the tail, order chain present") {
     val n = corpus.count()
     val s = TrainingOps.shardSummary(corpus, shardSize = 100)
