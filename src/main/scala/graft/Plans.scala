@@ -27,7 +27,8 @@ object Plans {
       "q_text_repetition", "q_quality_rules",
       "q_dedup_incr_minhash", "q_layout_zorder", "q_events_cms",
       "q_passage_dedup", "q_shards", "q_lm_surprisal",
-      "q_events_topk_agg", "q_corpus_overlap", "q_quality_model")
+      "q_events_topk_agg", "q_corpus_overlap", "q_quality_model",
+      "q_ann_pq", "q_pack_seqs", "q_pipeline")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -328,7 +328,16 @@ object TrainingOps {
     val deduped = Dedup.dropDuplicatesKeepFirst(gated)
     val contaminated = CorpusOps.decontaminate(deduped, bench)
       .select("doc_id").distinct()
+    // The curated corpus is the pipeline's stage boundary and feeds
+    // THREE consumers (the mix window, the pack join's both sides) —
+    // without materialization Spark replays the whole gate → dedup →
+    // decontaminate lineage per consumer, re-scanning the corpus
+    // each time. A deployment writes this relation out (it IS the
+    // curated corpus product); the in-plan form materializes it once
+    // the same way (localCheckpoint, as sourceOverlapSketch's sketch
+    // relation).
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val mixed = tokenBudgetSample(clean, budget, weights).select("doc_id")
     packSequences(clean.join(mixed, Seq("doc_id"), "left_semi"), seqLen)
   }
