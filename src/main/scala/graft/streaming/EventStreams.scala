@@ -102,6 +102,25 @@ object EventStreams extends Serializable {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
         .as("n_users_approx"))
 
+  /** Approximate heavy hitters over the unbounded stream: the
+    * Misra–Gries aggregate ([[graft.functions.HeavyHitters]]) holds a
+    * fixed `capacity`-entry summary where [[wordCountStream]]'s
+    * complete-mode state grows with the vocabulary — the streaming
+    * twin of the sketch-vs-exact trade [[distinctUsersSketchStream]]
+    * makes for distinct counts. Exact (equal to the batch aggregate)
+    * while the stream's distinct words stay under `capacity`;
+    * MG's undercount bound holds beyond it. */
+  def heavyHittersStream(lines: DataFrame, capacity: Int = 1024,
+      textCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    lines
+      .select(Tokenizer.explodeTokens(col(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(ColumnBridge.column(graft.functions.HeavyHitters(
+        ColumnBridge.expression(col("word")), capacity)
+        .toAggregateExpression()).as("top"))
+  }
+
   /** The reference pipeline as a stream: word counts over a streaming
     * Dataset of text lines (S1->T2->A3/X4 of SURVEY.md §2, incremental).
     * Complete/update-mode sink; counts accumulate across batches

@@ -246,6 +246,30 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") == 4L)
   }
 
+  test("streaming Misra-Gries heavy hitters equal batch in the exact regime") {
+    val dir = Files.createTempDirectory("graft-mg-lines").toFile
+    val lines = Seq("to be or not to be", "that is the question",
+      "to be is to do", "do be do be do")
+    lines.zipWithIndex.foreach { case (l, i) =>
+      Files.writeString(new java.io.File(dir, s"part-$i.txt").toPath, l + "\n")
+    }
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(dir.getAbsolutePath)
+    val got = runToCompletion(
+      EventStreams.heavyHittersStream(stream, capacity = 64),
+      "complete", "mg_stream")
+    val want = spark.read.text(dir.getAbsolutePath)
+      .transform(d => EventStreams.heavyHittersStream(d, capacity = 64))
+    // distinct words < capacity -> no decrements on either path, so
+    // the streamed cross-batch merges land on the exact batch summary
+    assert(sortedRows(got) == sortedRows(want))
+    val top = got.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("top")))
+      .select("col.word", "col.cnt").as[(String, Long)].collect().toSeq
+    // be = 2+1+2 = 5; to = do = 4 tie -> word-asc puts "do" second
+    assert(top.take(2) == Seq(("be", 5L), ("do", 4L)))
+  }
+
   test("streaming HLL sketch equals the batch sketch after draining") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
