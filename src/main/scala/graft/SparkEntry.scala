@@ -182,6 +182,11 @@ object SparkEntry {
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
         centroids = Some(cents))
     }),
+    // Per-label cohesion via the sum identity — the O(n^2) pairwise
+    // mean cosine as one O(n*d) aggregation; oracled exactly (both
+    // engines compute the identical identity, output rounded).
+    "q_embed_cohesion" -> ((s, dir) =>
+      Similarity.labelCohesion(embeddings(s, dir))),
     // PQ: compressed-domain ADC scan + exact re-rank; rows-only like
     // LSH/IVF (candidate choice is approximate), recall pinned vs
     // brute force in SimilaritySpec. Codebooks cached like IVF's
@@ -784,6 +789,34 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Cohesion via the sum identity: both engines compute
+    // (||sum u||^2 - n) / (n(n-1)) over identical unit vectors; only
+    // the row-order of the dim sums differs (ulps under the rounding).
+    "q_embed_cohesion" ->
+      """WITH v AS (
+        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+        |  FROM v
+        |), u AS (
+        |  SELECT label, list_transform(v, x -> x / nr) AS u
+        |  FROM nrm WHERE nr > 0
+        |), e AS (
+        |  SELECT label, unnest(u) AS x, generate_subscripts(u, 1) AS i
+        |  FROM u
+        |), s AS (
+        |  SELECT label, i, sum(x) AS s FROM e GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT label, sum(s * s) AS sumsq FROM s GROUP BY 1
+        |), cnt AS (
+        |  SELECT label, count(*) AS n FROM u GROUP BY 1
+        |)
+        |SELECT label, n, round((sumsq - n) / (n * (n - 1.0)), 4) AS mean_cos
+        |FROM agg JOIN cnt USING (label)
+        |WHERE n >= 2
+        |ORDER BY label""".stripMargin,
     // q_ann_lsh: intentionally no oracle — approximate recall by design
     // (rows-only check); its precision is asserted against the exact
     // brute-force path in SimilaritySpec.

@@ -199,6 +199,39 @@ object Similarity {
     scoredTopK(cand, k)
   }
 
+  /** Per-label embedding cluster cohesion in ONE LINEAR pass: the
+    * mean pairwise cosine inside each label, computed via the sum
+    * identity
+    *
+    *   Σ_{i≠j} ⟨u_i, u_j⟩ = ‖Σ_i u_i‖² − n      (u = unit vectors)
+    *
+    * so the O(n²)-pair measure costs one O(n·d) aggregation — a
+    * (label, dim)-keyed partial sum over posexploded unit
+    * coordinates, then per-label arithmetic. No pair join exists in
+    * the plan; at 100 TB this is the difference between measuring
+    * cluster quality and not measuring it. Labels with one vector
+    * are dropped (the measure is undefined); zero vectors are
+    * excluded before normalization. Output rounded to 4 decimals
+    * (cross-engine float-sum ulps, the [[CorpusOps.tfIdf]] rule). */
+  def labelCohesion(embs: DataFrame): DataFrame = {
+    val u = embs
+      .select(col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nr", sqrt(normSq(col("v"))))
+      .filter(col("nr") > 0)
+      .select(col("label"), transform(col("v"), x => x / col("nr")).as("u"))
+    val dimSums = u
+      .select(col("label"), posexplode(col("u")))
+      .groupBy("label", "pos").agg(sum("col").as("s"))
+      .groupBy("label").agg(sum(col("s") * col("s")).as("sumsq"))
+    val counts = u.groupBy("label").agg(count("*").as("n"))
+    counts.join(dimSums, "label")
+      .filter(col("n") >= 2)
+      .select(col("label"), col("n"),
+        round((col("sumsq") - col("n")) /
+          (col("n") * (col("n") - lit(1.0))), 4).as("mean_cos"))
+      .orderBy("label")
+  }
+
   /** Product-quantization codebooks (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the
     * `dim`-dim space splits into `m` contiguous subspaces of

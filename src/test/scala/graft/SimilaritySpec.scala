@@ -115,6 +115,33 @@ class SimilaritySpec extends SparkSpec {
       codes.length == 8 && codes.forall(c => c >= 0 && c < 16) })
   }
 
+  test("labelCohesion: sum identity equals brute-force pairwise mean cosine") {
+    val got = Similarity.labelCohesion(embs)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // brute force per label on the driver
+    val byLabel = embs.as[(Long, Array[Float], Int)].collect()
+      .groupBy(_._3).view.mapValues(_.map(_._2.map(_.toDouble))).toMap
+    byLabel.foreach { case (label, vs) =>
+      val us = vs.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      if (us.length >= 2) {
+        val pairs = for {
+          i <- us.indices; j <- us.indices if i < j
+        } yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+        val want = pairs.sum * 2 / (us.length.toDouble * (us.length - 1))
+        val g = got(label)
+        assert(g._2 == us.length)
+        assert(math.abs(g._3 - want) < 1e-3, s"label $label: ${g._3} vs $want")
+      } else assert(!got.contains(label)) // undefined for singletons
+    }
+    // corpus sanity at sf0.001: runs, and every label has >= 2 vectors
+    val corpus = Similarity.labelCohesion(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .as[(Int, Long, Double)].collect()
+    assert(corpus.nonEmpty && corpus.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+  }
+
   test("PqCodes kernel == composed slice+dot encoding, incl. ragged codebooks") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
