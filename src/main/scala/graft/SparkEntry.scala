@@ -393,6 +393,12 @@ object SparkEntry {
     "q_events_asof_bucketed" -> ((s, dir) =>
       AsofJoin.eventAsof(events(s, dir),
         timeBucket = Some(t => date_trunc("hour", t)))),
+    // Forward as-of: each click's NEXT purchase (the other direction
+    // of kdb's aj family) — same union-tag plan with time reversed;
+    // DuckDB oracles it as ASOF ... ON l.ts <= r.ts.
+    "q_events_asof_fwd" -> ((s, dir) =>
+      AsofJoin.eventAsof(events(s, dir), queryType = "click",
+        refType = "purchase", forward = true)),
     // ---- multimodal binary-column extensions ----
     "q_mm_meta" -> ((s, dir) =>
       MultiModal.mediaMeta(MultiModal.asMedia(documents(s, dir)))),
@@ -1123,6 +1129,21 @@ object SparkEntry {
         |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY ev_id""".stripMargin,
+    "q_events_asof_fwd" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id AS ev_id, c.user_id, c.ts AS ev_ts,
+        |  p.event_id AS asof_id, p.ts AS asof_ts,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY ev_id""".stripMargin,
     // Multimodal: payload = UTF-8 bytes of text (ASCII corpus, so
     // DuckDB's encode() produces the same bytes Spark's cast-to-binary

@@ -7,7 +7,13 @@ import org.apache.spark.sql.types.StructType
 
 /** Distributed as-of join — for each left row, the most recent right
   * row with `rightTime <= leftTime` within the same key (the
-  * trades/quotes lookup; Spark has no built-in).
+  * trades/quotes lookup; Spark has no built-in). `forward = true`
+  * flips the direction: the EARLIEST right row with `rightTime >=
+  * leftTime` (the next-event lookup — kdb's `aj` family covers both;
+  * DuckDB oracles it as `ASOF ... ON l.t <= r.t`). Every stage below
+  * is direction-symmetric: forward runs the identical plan with the
+  * time (and bucket) orderings reversed and the per-bucket summary
+  * taking the min rather than the max.
   *
   * Implementation is the scale-correct union-tag pattern, NOT a range
   * join: both sides are stacked (right rows tagged 0, left rows tagged
@@ -53,15 +59,16 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String],
       timeBucket: Option[org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column] = None): DataFrame = {
+        org.apache.spark.sql.Column] = None,
+      forward: Boolean = false): DataFrame = {
     timeBucket match {
-      case Some(b) => asofBucketed(left, right, key, time, payload, b)
-      case None => asofPlain(left, right, key, time, payload)
+      case Some(b) => asofBucketed(left, right, key, time, payload, b, forward)
+      case None => asofPlain(left, right, key, time, payload, forward)
     }
   }
 
   private def asofPlain(left: DataFrame, right: DataFrame, key: String,
-      time: String, payload: Seq[String]): DataFrame = {
+      time: String, payload: Seq[String], forward: Boolean): DataFrame = {
     val lOther = left.columns.filterNot(c => c == key || c == time).toList
     // ONE struct carries the whole right-row payload: a per-column
     // last(ignoreNulls) would skip a null field independently and stitch
@@ -80,8 +87,17 @@ object AsofJoin {
     // tie-break right-vs-right rows at equal time by the payload struct
     // so `last` is deterministic (left rows sort after either way —
     // their tag is higher).
+    // forward = the same carry with time reversed: rights of equal
+    // time still sort before lefts (tag asc), so a tie (rt == lt) is
+    // included in both directions. The payload tie-break flips with
+    // the direction so the window's choice at equal times equals the
+    // bucketed path's boundary aggregate (max(struct) backward /
+    // min(struct) forward).
+    val tOrd = if (forward) col(time).desc else col(time).asc
+    val pOrd = if (forward) col("__p").desc_nulls_last
+      else col("__p").asc_nulls_last
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("__tag").asc, col("__p").asc_nulls_last)
+      .orderBy(tOrd, col("__tag").asc, pOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rTagged.unionByName(lTagged)
       .withColumn("__last_p", last(col("__p"), ignoreNulls = true).over(w))
@@ -120,8 +136,8 @@ object AsofJoin {
     * wraps at midnight) the carry reads from the wrong buckets. */
   private def asofBucketed(left: DataFrame, right: DataFrame, key: String,
       time: String, payload: Seq[String],
-      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : DataFrame = {
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      forward: Boolean = false): DataFrame = {
     val lOther = left.columns.filterNot(c => c == key || c == time).toList
     val payloadType = StructType(payload.map(c => right.schema(c)))
     val rTagged = right.select(
@@ -132,24 +148,32 @@ object AsofJoin {
       col(key) :: col(time) :: bucket(col(time)).as("__bkt") ::
         lit(1).as("__tag") :: lit(null).cast(payloadType).as("__p") ::
         lOther.map(col): _*)
+    val tOrd = if (forward) col(time).desc else col(time).asc
+    val pOrd = if (forward) col("__p").desc_nulls_last
+      else col("__p").asc_nulls_last
     val w1 = Window.partitionBy(key, "__bkt")
-      .orderBy(col(time).asc, col("__tag").asc, col("__p").asc_nulls_last)
+      .orderBy(tOrd, col("__tag").asc, pOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = rTagged.unionByName(lTagged)
       .withColumn("__in_p", last(col("__p"), ignoreNulls = true).over(w1))
       .filter(col("__tag") === 1)
-    // latest right payload per (key, bucket): max over (time, payload)
-    // replicates the window's last-row choice including ties
+    // boundary right payload per (key, bucket): max over
+    // (time, payload) replicates the window's last-row choice
+    // including ties; forward takes the min — the bucket's EARLIEST
+    // right is what a preceding-in-time left must see
+    val bucketAgg = if (forward) min(struct(col(time), col("__p")))
+      else max(struct(col(time), col("__p")))
     val bucketLast = rTagged
       .groupBy(col(key), col("__bkt"))
-      .agg(max(struct(col(time), col("__p"))).as("__tp"))
+      .agg(bucketAgg.as("__tp"))
       .select(col(key), col("__bkt"), lit(1).as("__btag"),
         col("__tp").getField("__p").as("__bl"))
     val leftBuckets = lTagged.select(col(key), col("__bkt")).distinct()
       .select(col(key), col("__bkt"), lit(0).as("__btag"),
         lit(null).cast(payloadType).as("__bl"))
+    val bOrd = if (forward) col("__bkt").desc else col("__bkt").asc
     val w2 = Window.partitionBy(key)
-      .orderBy(col("__bkt").asc, col("__btag").asc)
+      .orderBy(bOrd, col("__btag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carry = bucketLast.unionByName(leftBuckets)
       .withColumn("__prev_p", last(col("__bl"), ignoreNulls = true).over(w2))
@@ -171,17 +195,23 @@ object AsofJoin {
   def eventAsof(events: DataFrame, queryType: String = "purchase",
       refType: String = "click",
       timeBucket: Option[org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column] = None): DataFrame = {
+        org.apache.spark.sql.Column] = None,
+      forward: Boolean = false): DataFrame = {
     val q = events.filter(col("event_type") === queryType)
       .select(col("event_id").as("ev_id"), col("user_id"), col("ts"))
     val r = events.filter(col("event_type") === refType)
       .select(col("user_id"), col("ts"),
         col("event_id").as("r_id"), col("ts").as("r_ts"))
+    // the gap is emitted non-negative in both directions: time TO the
+    // match looking forward, time SINCE the match looking back
+    val gap =
+      if (forward) unix_micros(col("asof_r_ts")) - unix_micros(col("ts"))
+      else unix_micros(col("ts")) - unix_micros(col("asof_r_ts"))
     asof(q, r, key = "user_id", time = "ts", payload = Seq("r_id", "r_ts"),
-      timeBucket = timeBucket)
+      timeBucket = timeBucket, forward = forward)
       .select(col("ev_id"), col("user_id"), col("ts").as("ev_ts"),
         col("asof_r_id").as("asof_id"), col("asof_r_ts").as("asof_ts"),
-        (unix_micros(col("ts")) - unix_micros(col("asof_r_ts"))).as("gap_us"))
+        gap.as("gap_us"))
       .orderBy("ev_id")
   }
 }

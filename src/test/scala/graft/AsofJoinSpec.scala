@@ -30,6 +30,46 @@ class AsofJoinSpec extends SparkSpec {
     ))
   }
 
+  test("forward asof picks the earliest right row at-or-after each left time") {
+    val left = Seq((1L, ts(10), "l10"), (1L, ts(20), "l20"),
+      (1L, ts(5), "l5"), (1L, ts(16), "l16"), (2L, ts(10), "l2"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, ts(8), 100L), (1L, ts(10), 101L),
+      (1L, ts(15), 102L), (3L, ts(1), 999L))
+      .toDF("k", "t", "rid")
+    val got = AsofJoin.asof(left, right, "k", "t", Seq("rid"),
+      forward = true)
+      .select("k", "t", "name", "asof_rid").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, "l10", Some(101L)), // tie: rt == lt is included
+      (1L, 20L, "l20", None),       // nothing at-or-after
+      (1L, 5L, "l5", Some(100L)),   // earliest future, not latest past
+      (1L, 16L, "l16", None),       // 15 is in the past -> no match
+      (2L, 10L, "l2", None),        // key with no right rows at all
+    ))
+  }
+
+  test("forward bucketed == forward plain on the hot-key fixture") {
+    import org.apache.spark.sql.functions._
+    val left = (0 until 200)
+      .map(i => (7L, ts(i * 131L), s"l$i")).toDF("k", "t", "name")
+    val right = (0 until 150)
+      .filter(i => i % 50 != 1)
+      .map(i => (7L, ts(i * 173L), i.toLong)).toDF("k", "t", "rid")
+    val hourly: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => date_trunc("hour", t)
+    val plain = AsofJoin.asof(left, right, "k", "t", Seq("rid"),
+      forward = true)
+    val bucketed = AsofJoin.asof(left, right, "k", "t", Seq("rid"),
+      timeBucket = Some(hourly), forward = true)
+    assert(bucketed.count() == left.count())
+    assert(plain.exceptAll(bucketed).isEmpty &&
+      bucketed.exceptAll(plain).isEmpty)
+  }
+
   test("asof output has exactly one row per left row") {
     val e = Tables.events(spark, sfDir)
     val out = AsofJoin.eventAsof(e)
