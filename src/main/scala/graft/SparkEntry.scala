@@ -399,6 +399,10 @@ object SparkEntry {
     "q_events_asof_fwd" -> ((s, dir) =>
       AsofJoin.eventAsof(events(s, dir), queryType = "click",
         refType = "purchase", forward = true)),
+    // Nearest as-of: closest purchase in EITHER direction per click,
+    // equidistant ties to the past match.
+    "q_events_asof_near" -> ((s, dir) =>
+      AsofJoin.eventAsofNearest(events(s, dir))),
     // ---- multimodal binary-column extensions ----
     "q_mm_meta" -> ((s, dir) =>
       MultiModal.mediaMeta(MultiModal.asMedia(documents(s, dir)))),
@@ -1144,6 +1148,41 @@ object SparkEntry {
         |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY ev_id""".stripMargin,
+    // Nearest: both directional ASOF joins, closest wins, ties to the
+    // past match (the same rule the operator applies).
+    "q_events_asof_near" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT c.event_id AS ev_id, c.user_id, c.ts AS ev_ts,
+        |    p.event_id AS b_id, p.ts AS b_ts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts
+        |), f AS (
+        |  SELECT c.event_id AS ev_id, p.event_id AS f_id, p.ts AS f_ts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |), j AS (
+        |  SELECT b.ev_id, b.user_id, b.ev_ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+        |    (b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+        |      epoch_us(CAST(b.ev_ts AS TIMESTAMP))
+        |        - epoch_us(CAST(b.b_ts AS TIMESTAMP))
+        |      <= epoch_us(CAST(f.f_ts AS TIMESTAMP))
+        |        - epoch_us(CAST(b.ev_ts AS TIMESTAMP)))) AS pick_back
+        |  FROM b JOIN f USING (ev_id)
+        |)
+        |SELECT ev_id, user_id, ev_ts,
+        |  CASE WHEN pick_back THEN b_id ELSE f_id END AS asof_id,
+        |  CASE WHEN pick_back THEN b_ts ELSE f_ts END AS asof_ts,
+        |  abs(epoch_us(CAST(ev_ts AS TIMESTAMP)) -
+        |    epoch_us(CAST(CASE WHEN pick_back THEN b_ts ELSE f_ts END
+        |      AS TIMESTAMP))) AS gap_us
+        |FROM j
         |ORDER BY ev_id""".stripMargin,
     // Multimodal: payload = UTF-8 bytes of text (ASCII corpus, so
     // DuckDB's encode() produces the same bytes Spark's cast-to-binary

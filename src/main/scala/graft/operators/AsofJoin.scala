@@ -186,6 +186,61 @@ object AsofJoin {
           payload.map(c => col(s"__last_p.$c").as(s"asof_$c")): _*)
   }
 
+  /** NEAREST as-of: for each left row, whichever of the latest
+    * at-or-before / earliest at-or-after right rows is closer in
+    * time — ties (equidistant matches) go to the PAST match, so the
+    * result is deterministic. Composed from the two directional
+    * passes joined back on the left row's identity: two windows over
+    * the same key shuffle, still no pair join anywhere.
+    *
+    * Left rows must be unique as full rows (carry an id — the usual
+    * event_id shape); exact duplicates would multiply through the
+    * identity join. `rightTimeCol` names the payload column carrying
+    * the right row's own time (needed to measure each candidate's
+    * distance); it must be one of `payload`. Output matches
+    * [[asof]]'s shape. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String],
+      rightTimeCol: String): DataFrame = {
+    require(payload.contains(rightTimeCol),
+      s"rightTimeCol $rightTimeCol must be one of payload $payload")
+    val leftCols = left.columns.toSeq
+    val back = asof(left, right, key, time, payload)
+    val fwd = asof(left, right, key, time, payload, forward = true)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"asof_$c").as(s"__fwd_$c")): _*)
+    // a missing match in either direction is infinitely far
+    val bGap = unix_micros(col(time)) -
+      unix_micros(col(s"asof_$rightTimeCol"))
+    val fGap = unix_micros(col(s"__fwd_$rightTimeCol")) -
+      unix_micros(col(time))
+    val pickBack = col(s"asof_$rightTimeCol").isNotNull &&
+      (col(s"__fwd_$rightTimeCol").isNull || bGap <= fGap)
+    payload.foldLeft(back.join(fwd, leftCols)) { case (df, c) =>
+      df.withColumn(s"asof_$c",
+        when(pickBack, col(s"asof_$c")).otherwise(col(s"__fwd_$c")))
+    }.drop(payload.map(c => s"__fwd_$c"): _*)
+  }
+
+  /** [[asofNearest]] over the event stream: each `queryType` event
+    * joined to the same user's CLOSEST `refType` event in either
+    * direction, gap emitted as the non-negative distance. */
+  def eventAsofNearest(events: DataFrame, queryType: String = "click",
+      refType: String = "purchase"): DataFrame = {
+    val q = events.filter(col("event_type") === queryType)
+      .select(col("event_id").as("ev_id"), col("user_id"), col("ts"))
+    val r = events.filter(col("event_type") === refType)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("r_id"), col("ts").as("r_ts"))
+    asofNearest(q, r, key = "user_id", time = "ts",
+      payload = Seq("r_id", "r_ts"), rightTimeCol = "r_ts")
+      .select(col("ev_id"), col("user_id"), col("ts").as("ev_ts"),
+        col("asof_r_id").as("asof_id"), col("asof_r_ts").as("asof_ts"),
+        abs(unix_micros(col("ts")) - unix_micros(col("asof_r_ts")))
+          .as("gap_us"))
+      .orderBy("ev_id")
+  }
+
   /** Event-stream application: each `queryType` event joined to the
     * same user's most recent `refType` event at-or-before it, with the
     * gap in whole microseconds (null when the user never did `refType`

@@ -70,6 +70,33 @@ class AsofJoinSpec extends SparkSpec {
       bucketed.exceptAll(plain).isEmpty)
   }
 
+  test("nearest asof picks the closer direction, ties to the past") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq(
+      (1L, ts(10), "back-closer"),   // rights at 8 and 15 -> 8 (gap 2 vs 5)
+      (1L, ts(13), "fwd-closer"),    // 8 vs 15 -> 15 (gap 5 vs 2)
+      (1L, ts(30), "only-back"),     // nothing after 15 -> 15
+      (1L, ts(5), "only-fwd"),       // nothing at-or-before -> 8
+      (2L, ts(10), "tie-to-past"),   // rights at 7 and 13 -> 7
+      (3L, ts(10), "no-match"),
+    ).toDF("k", "t", "name")
+    val right = Seq((1L, ts(8), 100L), (1L, ts(15), 102L),
+      (2L, ts(7), 200L), (2L, ts(13), 201L))
+      .toDF("k", "t", "rid").withColumn("rt", col("t"))
+    val got = AsofJoin.asofNearest(left, right, "k", "t",
+      Seq("rid", "rt"), rightTimeCol = "rt")
+      .select("name", "asof_rid").collect()
+      .map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(
+      "back-closer" -> Some(100L),
+      "fwd-closer" -> Some(102L),
+      "only-back" -> Some(102L),
+      "only-fwd" -> Some(100L),
+      "tie-to-past" -> Some(200L),
+      "no-match" -> None))
+  }
+
   test("asof output has exactly one row per left row") {
     val e = Tables.events(spark, sfDir)
     val out = AsofJoin.eventAsof(e)
