@@ -220,6 +220,12 @@ object SparkEntry {
     // Retention matrix: first-active-day cohorts x day offset.
     "q_events_retention" -> ((s, dir) =>
       EventOps.retentionCohorts(events(s, dir))),
+    // No-equi-key interval join: naive nested-loop reference form.
+    "q_events_interval" -> ((s, dir) =>
+      EventOps.incidentEvents(events(s, dir))),
+    // Binned twin: time-bin equi-join, SAME oracle (plan-not-answer).
+    "q_events_interval_binned" -> ((s, dir) =>
+      EventOps.incidentEventsBinned(events(s, dir))),
     // Mergeable-sketch distinct: no DuckDB oracle (estimator internals
     // are engine-specific) — rows-only; error + merge associativity
     // pinned in EventOpsSpec.
@@ -944,6 +950,28 @@ object SparkEntry {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // Interval join on the µs-cast timestamps (both engines compare
+    // the same integers); the binned twin shares the oracle.
+    "q_events_interval" ->
+      """WITH i AS (
+        |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT e.event_id, i.inc_id
+        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |JOIN i ON e.ts >= i.inc_ts - INTERVAL 5 MINUTE
+        |      AND e.ts <= i.inc_ts + INTERVAL 5 MINUTE
+        |ORDER BY event_id, inc_id""".stripMargin,
+    "q_events_interval_binned" ->
+      """WITH i AS (
+        |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT e.event_id, i.inc_id
+        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |JOIN i ON e.ts >= i.inc_ts - INTERVAL 5 MINUTE
+        |      AND e.ts <= i.inc_ts + INTERVAL 5 MINUTE
+        |ORDER BY event_id, inc_id""".stripMargin,
     // Retention matrix: date truncation is ns-safe (day boundaries are
     // unaffected by the ns->us narrowing), DATE - DATE = integer days.
     "q_events_retention" ->

@@ -227,6 +227,62 @@ object EventOps {
     }.orderBy("user_id")
   }
 
+  /** No-equi-key interval join, naive form: every event inside the
+    * ±`halfWindowMin`-minute window around any error event (incident
+    * impact attribution — which traffic was possibly affected). With
+    * no key to hash on, Spark can only plan a nested-loop join here:
+    * fine while one side broadcasts, quadratic wall when both sides
+    * are large — which is exactly what [[incidentEventsBinned]]
+    * fixes. Kept as the readable reference semantics and the oracle
+    * anchor (the binned twin shares this form's oracle). */
+  def incidentEvents(events: DataFrame,
+      halfWindowMin: Int = 5): DataFrame = {
+    val inc = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
+    events.select(col("event_id"), col("ts"))
+      .join(inc,
+        col("ts") >= col("inc_ts") - expr(s"INTERVAL $halfWindowMin MINUTES")
+          && col("ts") <= col("inc_ts")
+          + expr(s"INTERVAL $halfWindowMin MINUTES"))
+      .select("event_id", "inc_id")
+      .orderBy("event_id", "inc_id")
+  }
+
+  /** The scale path for the no-equi-key interval join: manufacture an
+    * equi key by BINNING time. Bin width = the full window span
+    * (2·halfWindow), so each incident's interval covers at most TWO
+    * consecutive bins — the incident side replicates to those bins
+    * (≤2 rows each), the event side maps to its single bin, and the
+    * join becomes a plain hash equi-join on the bin id with the exact
+    * range predicate as its residual filter. No duplicate pairs by
+    * construction (an event has ONE bin, and an incident appears in a
+    * given bin at most once). Output identical to [[incidentEvents]]
+    * — the harness runs it against the naive form's oracle, the
+    * plan-not-answer gate.
+    *
+    * At 100 TB: both exchanges hash on the bin id; candidate volume
+    * per bin is (events in bin) x (incidents overlapping it), the
+    * locality the nested loop lacks. Bin-id arithmetic uses integer
+    * µs floor-division (timestamps here are post-epoch; FLOOR-correct
+    * for negatives would use `floor(x / W)`). */
+  def incidentEventsBinned(events: DataFrame,
+      halfWindowMin: Int = 5): DataFrame = {
+    val w = 2L * halfWindowMin * 60L * 1000000L // full span in µs
+    val half = expr(s"INTERVAL $halfWindowMin MINUTES")
+    val inc = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"unix_micros(inc_ts - INTERVAL $halfWindowMin MINUTES) DIV $w"),
+        expr(s"unix_micros(inc_ts + INTERVAL $halfWindowMin MINUTES) DIV $w"))))
+    events.select(col("event_id"), col("ts"),
+        expr(s"unix_micros(ts) DIV $w").as("__bin"))
+      .join(inc, Seq("__bin"))
+      .filter(col("ts") >= col("inc_ts") - half &&
+        col("ts") <= col("inc_ts") + half)
+      .select("event_id", "inc_id")
+      .orderBy("event_id", "inc_id")
+  }
+
   /** Retention cohorts: users grouped by their first active day; for
     * each (cohort_day, day_offset) cell, how many of that cohort's
     * users were active `day_offset` days after joining — the classic

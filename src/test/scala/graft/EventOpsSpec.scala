@@ -127,6 +127,36 @@ class EventOpsSpec extends SparkSpec {
     assert(nv >= nc && nc >= np && np > 0)
   }
 
+  test("binned interval join == naive nested loop, and plans an equi-join") {
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val naive = EventOps.incidentEvents(e)
+    val binned = EventOps.incidentEventsBinned(e)
+    assert(naive.count() > 0)
+    assert(naive.exceptAll(binned).isEmpty && binned.exceptAll(naive).isEmpty)
+    // the whole point: the binned form joins on a hash key, the naive
+    // form cannot
+    val np = naive.queryExecution.executedPlan.toString
+    val bp = binned.queryExecution.executedPlan.toString
+    assert(np.contains("BroadcastNestedLoopJoin"),
+      s"naive should be the nested loop:\n$np")
+    assert(!bp.contains("BroadcastNestedLoopJoin"),
+      s"binned must not nested-loop:\n$bp")
+    assert(bp.contains("__bin"), s"binned should key on __bin:\n$bp")
+    // boundary inclusivity: an event exactly at inc_ts ± 5min matches
+    import java.sql.Timestamp
+    def ev(id: Long, ts: String, t: String) =
+      (id, Timestamp.valueOf(ts), 1L, t, 0.0, "{}")
+    val fix = Seq(
+      ev(0L, "2024-01-01 12:00:00", "error"),
+      ev(1L, "2024-01-01 11:55:00", "view"),  // exactly -5min
+      ev(2L, "2024-01-01 12:05:00", "view"),  // exactly +5min
+      ev(3L, "2024-01-01 11:54:59", "view"),  // just outside
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.incidentEventsBinned(fix)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L), (1L, 0L), (2L, 0L)))
+  }
+
   test("retention cohorts: first-day cohorts, offsets, distinct users") {
     val re = Seq(
       // user 1 joins day 0, returns day 1 and day 3 (twice on day 1 —
