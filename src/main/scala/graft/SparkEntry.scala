@@ -220,10 +220,17 @@ object SparkEntry {
     // Retention matrix: first-active-day cohorts x day offset.
     "q_events_retention" -> ((s, dir) =>
       EventOps.retentionCohorts(events(s, dir))),
-    // No-equi-key interval join: naive nested-loop reference form.
+    // No-equi-key interval join, naive nested-loop reference form: its
+    // cost is quadratic in the incident count, so the harness runs it
+    // on a deterministic 1% of incidents (the FULL set took 310 s per
+    // bench run at sf0.1, vs 0.5 s for the binned twin on all of them
+    // — which is the point; the twin below is benched on the full
+    // set).
     "q_events_interval" -> ((s, dir) =>
-      EventOps.incidentEvents(events(s, dir))),
-    // Binned twin: time-bin equi-join, SAME oracle (plan-not-answer).
+      EventOps.incidentEvents(events(s, dir),
+        incidentPred = pmod(col("event_id"), lit(100)) === 0)),
+    // Binned twin: time-bin equi-join over ALL incidents — the volume
+    // the nested loop cannot afford.
     "q_events_interval_binned" -> ((s, dir) =>
       EventOps.incidentEventsBinned(events(s, dir))),
     // Mergeable-sketch distinct: no DuckDB oracle (estimator internals
@@ -951,11 +958,13 @@ object SparkEntry {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
     // Interval join on the µs-cast timestamps (both engines compare
-    // the same integers); the binned twin shares the oracle.
+    // the same integers). The naive form runs on the deterministic
+    // tenth of incidents (see the query comment); the binned twin
+    // covers the full set.
     "q_events_interval" ->
       """WITH i AS (
         |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts
-        |  FROM events WHERE event_type = 'error'
+        |  FROM events WHERE event_type = 'error' AND event_id % 100 = 0
         |)
         |SELECT e.event_id, i.inc_id
         |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e

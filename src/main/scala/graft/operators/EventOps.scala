@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -235,9 +235,9 @@ object EventOps {
     * are large — which is exactly what [[incidentEventsBinned]]
     * fixes. Kept as the readable reference semantics and the oracle
     * anchor (the binned twin shares this form's oracle). */
-  def incidentEvents(events: DataFrame,
-      halfWindowMin: Int = 5): DataFrame = {
-    val inc = events.filter(col("event_type") === "error")
+  def incidentEvents(events: DataFrame, halfWindowMin: Int = 5,
+      incidentPred: Column = lit(true)): DataFrame = {
+    val inc = events.filter(col("event_type") === "error" && incidentPred)
       .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
     events.select(col("event_id"), col("ts"))
       .join(inc,
@@ -265,11 +265,11 @@ object EventOps {
     * locality the nested loop lacks. Bin-id arithmetic uses integer
     * µs floor-division (timestamps here are post-epoch; FLOOR-correct
     * for negatives would use `floor(x / W)`). */
-  def incidentEventsBinned(events: DataFrame,
-      halfWindowMin: Int = 5): DataFrame = {
+  def incidentEventsBinned(events: DataFrame, halfWindowMin: Int = 5,
+      incidentPred: Column = lit(true)): DataFrame = {
     val w = 2L * halfWindowMin * 60L * 1000000L // full span in µs
     val half = expr(s"INTERVAL $halfWindowMin MINUTES")
-    val inc = events.filter(col("event_type") === "error")
+    val inc = events.filter(col("event_type") === "error" && incidentPred)
       .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
       .withColumn("__bin", explode(sequence(
         expr(s"unix_micros(inc_ts - INTERVAL $halfWindowMin MINUTES) DIV $w"),
