@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ZOrder
-import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, MultiModal, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
+import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -321,6 +321,33 @@ object SparkEntry {
     // witnesses membership AND intra-shard order cross-engine.
     "q_shard_summary" -> ((s, dir) =>
       TrainingOps.shardSummary(documents(s, dir), shardSize = 100)),
+    // Temperature mixing: per-source budgets ∝ sqrt(source token
+    // total), derived in-plan — no config map; selection shares
+    // q_mix_budget's keep-while-under-budget window.
+    "q_mix_temperature" -> ((s, dir) =>
+      TrainingOps.temperatureMix(documents(s, dir), budget = 3000L)),
+    // ---- DSIR-style importance weighting ----
+    // Per-doc target-vs-raw unigram log-likelihood ratio (target =
+    // the 'en' slice); exact integer counts, one rounded float.
+    "q_dsir_weights" -> ((s, dir) =>
+      CorpusOps.dsirLogRatios(documents(s, dir), col("lang") === "en")),
+    // Deterministic DSIR selection: 50 most target-like docs.
+    "q_dsir_topk" -> ((s, dir) =>
+      CorpusOps.dsirTopK(documents(s, dir), col("lang") === "en", 50)),
+    // ---- data profiling (ProfileOps) ----
+    // Per-column null/distinct/min-max profile; integer+string table,
+    // so the string renderings are engine-exact.
+    "q_profile" -> ((s, dir) =>
+      ProfileOps.profileTable(documents(s, dir))),
+    // Hot-key diagnostic: 10 heaviest users with integer-basis-point
+    // shares (the salting decision input).
+    "q_key_skew" -> ((s, dir) =>
+      ProfileOps.keySkew(events(s, dir), "user_id", 10)),
+    // Equi-width doc-length histogram (all-integer bin arithmetic,
+    // clamped edge bins).
+    "q_histogram" -> ((s, dir) =>
+      ProfileOps.histogramInt(
+        documents(s, dir), "n_chars", nBins = 12, lo = 0L, hi = 600L)),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -1755,6 +1782,155 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
+    // Temperature mixing: per-source sqrt(token-total) weights in
+    // integer ten-thousandths (sqrt is IEEE-correctly-rounded in both
+    // engines; round half-up agrees for positives), integer budget
+    // arithmetic, then q_mix_budget's keep window.
+    "q_mix_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, sum(n_tok)::BIGINT AS ntok_src FROM d GROUP BY 1
+        |), w AS (
+        |  SELECT source,
+        |    CAST(round(sqrt(ntok_src) * 10000) AS BIGINT) AS w
+        |  FROM s
+        |), tw AS (
+        |  SELECT sum(w)::BIGINT AS w_sum FROM w
+        |), b AS (
+        |  SELECT source, 3000 * w // w_sum AS b FROM w CROSS JOIN tw
+        |), c AS (
+        |  SELECT doc_id, source, n_tok, b,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d JOIN b USING (source)
+        |)
+        |SELECT doc_id, source, n_tok,
+        |  (cum_before + n_tok)::BIGINT AS cum_tok
+        |FROM c WHERE cum_before < b
+        |ORDER BY source, cum_tok, doc_id""".stripMargin,
+    // DSIR: add-one-smoothed unigram log-likelihood ratio, target =
+    // the 'en' slice; the constant total/vocab terms sit INSIDE the
+    // sum so both engines aggregate the identical expression.
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(regexp_extract_all(text, '\S+')) AS word
+        |  FROM documents
+        |), dw AS (
+        |  SELECT doc_id, is_t, word, count(*) AS k
+        |  FROM tok GROUP BY 1, 2, 3
+        |), v AS (
+        |  SELECT word, sum(k)::BIGINT AS rcnt,
+        |    sum(CASE WHEN is_t THEN k ELSE 0 END)::BIGINT AS tcnt
+        |  FROM dw GROUP BY 1
+        |), t AS (
+        |  SELECT sum(rcnt)::BIGINT AS rtot, sum(tcnt)::BIGINT AS ttot,
+        |    count(*)::BIGINT AS vsz
+        |  FROM v
+        |)
+        |SELECT doc_id, sum(k)::BIGINT AS n_tok,
+        |  round(sum(k * (log2(tcnt + 1) - log2(rcnt + 1) -
+        |    log2(ttot + vsz) + log2(rtot + vsz))) / sum(k), 4)
+        |    AS dsir_logratio
+        |FROM dw JOIN v USING (word) CROSS JOIN t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_dsir_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(regexp_extract_all(text, '\S+')) AS word
+        |  FROM documents
+        |), dw AS (
+        |  SELECT doc_id, is_t, word, count(*) AS k
+        |  FROM tok GROUP BY 1, 2, 3
+        |), v AS (
+        |  SELECT word, sum(k)::BIGINT AS rcnt,
+        |    sum(CASE WHEN is_t THEN k ELSE 0 END)::BIGINT AS tcnt
+        |  FROM dw GROUP BY 1
+        |), t AS (
+        |  SELECT sum(rcnt)::BIGINT AS rtot, sum(tcnt)::BIGINT AS ttot,
+        |    count(*)::BIGINT AS vsz
+        |  FROM v
+        |), wts AS (
+        |  SELECT doc_id, sum(k)::BIGINT AS n_tok,
+        |    round(sum(k * (log2(tcnt + 1) - log2(rcnt + 1) -
+        |      log2(ttot + vsz) + log2(rtot + vsz))) / sum(k), 4)
+        |      AS dsir_logratio
+        |  FROM dw JOIN v USING (word) CROSS JOIN t
+        |  GROUP BY doc_id
+        |)
+        |SELECT row_number() OVER (ORDER BY dsir_logratio DESC, doc_id)
+        |    AS rank,
+        |  doc_id, n_tok, dsir_logratio
+        |FROM wts
+        |ORDER BY dsir_logratio DESC, doc_id
+        |LIMIT 50""".stripMargin,
+    // Per-column profile: aggregate natively, cast min/max to string
+    // AFTER (a pre-cast min would compare lexicographically).
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |    (count(*) - count(doc_id))::BIGINT AS n_nulls,
+        |    count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_val
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*)::BIGINT,
+        |    (count(*) - count(text))::BIGINT,
+        |    count(DISTINCT text)::BIGINT,
+        |    CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT,
+        |    (count(*) - count(lang))::BIGINT,
+        |    count(DISTINCT lang)::BIGINT,
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    (count(*) - count(source))::BIGINT,
+        |    count(DISTINCT source)::BIGINT,
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    (count(*) - count(n_chars))::BIGINT,
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |) ORDER BY col_name""".stripMargin,
+    // Hot-key diagnostic: explicit NULLS FIRST tie-break (engine
+    // defaults differ), integer basis-point shares.
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT sum(cnt)::BIGINT AS total FROM c
+        |), r AS (
+        |  SELECT user_id, cnt, cnt * 10000 // total AS share_bp,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id ASC NULLS FIRST)
+        |      AS rank
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT rank, user_id, cnt, share_bp FROM r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // Equi-width histogram: all-integer bin arithmetic; both engines'
+    // integer division is floor on the positive domain.
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT LEAST(GREATEST((n_chars - 0) * 12 // 600, 0), 11) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT bin, 0 + bin * 600 // 12 AS bin_lo,
+        |  0 + (bin + 1) * 600 // 12 AS bin_hi, count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 
   /** Shared CTE chain (pre-stripped) for the near-dup transitive

@@ -16,7 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (driver never sets it): run only the
+    // named queries, e.g. SPARK_GRAFT_ONLY=q_profile,q_key_skew
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

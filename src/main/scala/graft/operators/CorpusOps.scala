@@ -408,6 +408,75 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---- DSIR-style importance weighting -------------------------------
+
+  /** Per-document importance weight for data selection, DSIR-style
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): the mean per-token log-likelihood ratio
+    * between a TARGET distribution (the docs matching `targetPred` —
+    * e.g. a trusted high-quality slice) and the RAW corpus, under
+    * add-one-smoothed unigram LMs. Positive = more target-like than
+    * the corpus average; the score ranks raw docs by how much they
+    * resemble the target domain.
+    *
+    *   score(d) = Σ_w k_w·[log2(t_w+1) − log2(r_w+1)
+    *                       − log2(T+V) + log2(R+V)] / n_tok
+    *
+    * where t_w/r_w are target/raw counts of word w, T/R the target/raw
+    * token totals, V the raw vocabulary size (the smoothing support —
+    * every raw word gets +1 in BOTH models, so unseen-in-target words
+    * are penalized, not −∞).
+    *
+    * Shape (the [[TrainingOps.lmSurprisal]] lineage): ONE
+    * tokenize+aggregate pass; target counts are a conditional sum in
+    * the SAME vocabulary aggregation — not a second corpus scan — and
+    * the totals arrive as a broadcast single-row cross join. All
+    * counts integer; the one float surface is ROUNDED to 4 decimals
+    * inside an order-independent sum (the tfIdf/lmSurprisal ulp rule).
+    */
+  def dsirLogRatios(docs: DataFrame, targetPred: Column): DataFrame = {
+    val docWord = docs
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(wsTokens(col("text"))).as("word"))
+      .groupBy("doc_id", "is_t", "word").agg(count("*").as("k"))
+    val vocab = docWord.groupBy("word").agg(
+      sum("k").as("rcnt"),
+      sum(when(col("is_t"), col("k")).otherwise(0L)).as("tcnt"))
+    val totals = vocab.agg(
+      sum("rcnt").as("rtot"), sum("tcnt").as("ttot"),
+      count(lit(1)).as("vsz"))
+    docWord
+      .join(vocab, "word")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_tok"),
+        round(
+          sum(col("k") * (log2(col("tcnt") + 1) - log2(col("rcnt") + 1) -
+            log2(col("ttot") + col("vsz")) +
+            log2(col("rtot") + col("vsz")))) / sum("k"), 4)
+          .as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic DSIR selection: the `n` most target-like docs by
+    * [[dsirLogRatios]], ranked on the ROUNDED score with doc_id as
+    * tie-break (the paper resamples with Gumbel noise; a seeded
+    * deterministic rank is the reproducible-pipeline variant — same
+    * spirit as hash-threshold sampling over `rand()`). Distributed
+    * top-n (TakeOrderedAndProject), then a k-row window for the rank
+    * column. */
+  def dsirTopK(docs: DataFrame, targetPred: Column, n: Int): DataFrame = {
+    require(n > 0)
+    val ord = Seq(col("dsir_logratio").desc, col("doc_id").asc)
+    val top = dsirLogRatios(docs, targetPred).orderBy(ord: _*).limit(n)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rank", "doc_id", "n_tok", "dsir_logratio")
+      .orderBy("rank")
+  }
+
   // ---- PII redaction -------------------------------------------------
 
   /** Patterns shared by Java regex and RE2 (no lookaround, no

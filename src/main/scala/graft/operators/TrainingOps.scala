@@ -180,6 +180,57 @@ object TrainingOps {
     kept.orderBy("source", "cum_tok", "doc_id")
   }
 
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * rebalancing rule: per-source budgets ∝ n_s^α, α = 0.5 — upweights
+    * the tail without letting the head dominate; mT5/XLM-R's sampling
+    * with token budgets). Unlike [[tokenBudgetSample]] the weights are
+    * DERIVED from the corpus itself — per-source token totals — so the
+    * whole computation stays in-plan: the |sources|-row budget
+    * relation broadcast-joins back onto the doc stream; no driver
+    * collect, no config map to keep in sync with the data.
+    *
+    * Cross-engine exactness: α is fixed at 0.5 BECAUSE sqrt is
+    * IEEE-754 correctly rounded in every engine (an arbitrary-α
+    * `pow` is not); the sqrt is then rounded to integer
+    * ten-thousandths and all budget arithmetic is integer
+    * (budget·w_s DIV Σw — caller must keep budget·max(w) < 2^63,
+    * enforced here). Selection within a source is the same
+    * hash-permutation keep-while-under-budget window as
+    * [[tokenBudgetSample]], boundary doc kept. */
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    val sized = docs.select(col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_tok"),
+      md5Hash60(col("doc_id").cast("string")).as("h"))
+    // per-source sqrt(token-total) weights in integer ten-thousandths;
+    // tiny relation (|sources| rows) — stays broadcast
+    val weights = sized.groupBy("source")
+      .agg(sum("n_tok").as("ntok_src"))
+      .withColumn("w", round(sqrt(col("ntok_src")) * 10000).cast("long"))
+    val wSum = weights.agg(sum("w").as("w_sum"))
+    // overflow guard on budget·w rides the |sources|-row relation
+    // in-plan (a driver-side check would need its own job over the
+    // full tokenize lineage); raise_error fails the query loudly the
+    // moment the integer path would stop being exact
+    val budgets = weights.crossJoin(broadcast(wSum))
+      .select(col("source"), expr(
+        s"CASE WHEN w > ${Long.MaxValue / budget}L THEN " +
+          "CAST(raise_error('temperatureMix: budget * weight " +
+          "overflows BIGINT') AS BIGINT) " +
+          s"ELSE ${budget}L * w DIV w_sum END").as("b"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    sized
+      .join(broadcast(budgets), "source")
+      .withColumn("cum_before",
+        coalesce(sum("n_tok").over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < col("b"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tok"))
+      .orderBy("source", "cum_tok", "doc_id")
+  }
+
   // ---- training-shard export -----------------------------------------
 
   /** Deterministic global shuffle + shard assignment: docs ordered by

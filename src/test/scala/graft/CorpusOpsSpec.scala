@@ -302,4 +302,45 @@ class CorpusOpsSpec extends SparkSpec {
     val b = CorpusOps.modelQualityScore(corpus.repartition(13))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("dsirLogRatios: hand-computed add-one log ratios on a 2-doc corpus") {
+    // target doc1 = "x x", raw-only doc2 = "y":
+    //   vocab x: rcnt 2, tcnt 2; y: rcnt 1, tcnt 0; rtot 3, ttot 2, V 2
+    //   score(doc1) = log2((2+1)/(2+2)) - log2((2+1)/(3+2)) = log2(5/4)
+    //   score(doc2) = log2((0+1)/(2+2)) - log2((1+1)/(3+2)) = log2(5/8)
+    val docs = Seq((1L, "x x", "en"), (2L, "y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusOps.dsirLogRatios(docs, col("lang") === "en")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    assert(got == Seq(
+      (1L, 2L, r4(math.log(5.0 / 4) / math.log(2))),
+      (2L, 1L, r4(math.log(5.0 / 8) / math.log(2)))))
+  }
+
+  test("dsirLogRatios: target-like docs outrank off-target, layout-stable") {
+    val scored = CorpusOps.dsirLogRatios(corpus, col("lang") === "en")
+    val byLang = scored.join(corpus.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("dsir_logratio").as("m"))
+      .as[(String, Double)].collect().toMap
+    // the target slice must score higher on average than every other
+    // lang — the ranking signal DSIR selection relies on
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"en ${byLang("en")} !> $l $m") }
+    val again = CorpusOps.dsirLogRatios(corpus.repartition(13),
+      col("lang") === "en")
+    assert(scored.exceptAll(again).isEmpty && again.exceptAll(scored).isEmpty)
+  }
+
+  test("dsirTopK: rank agrees with the full weight relation") {
+    val top = CorpusOps.dsirTopK(corpus, col("lang") === "en", 25)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.length == 25 && top.map(_._1).toSeq == (1L to 25L))
+    val want = CorpusOps.dsirLogRatios(corpus, col("lang") === "en")
+      .orderBy(col("dsir_logratio").desc, col("doc_id").asc).limit(25)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.map(_._2).toSeq == want)
+    // scores are non-increasing down the ranking
+    assert(top.map(_._4).toSeq.reverse == top.map(_._4).toSeq.reverse.sorted)
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.ProfileOps
+import org.apache.spark.sql.functions._
+
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("profileTable: exact stats, native-type min/max, null accounting") {
+    val df = Seq[(java.lang.Long, String)](
+      (99L, "b"), (100L, "a"), (100L, null), (null, "a"))
+      .toDF("n", "s")
+    val p = ProfileOps.profileTable(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = p("n")
+    assert(n.getLong(1) == 4 && n.getLong(2) == 1) // rows, nulls
+    assert(n.getLong(3) == 2) // distinct excludes nulls
+    // min/max aggregated natively THEN cast: 99 < 100 numerically,
+    // while a pre-cast string min would pick "100"
+    assert(n.getString(4) == "99" && n.getString(5) == "100")
+    val s = p("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+  }
+
+  test("profileTable: approxDistinct tracks exact within HLL error") {
+    val exact = ProfileOps.profileTable(corpus)
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = ProfileOps.profileTable(corpus, approxDistinct = true)
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    exact.foreach { case (c, nd) =>
+      assert(math.abs(approx(c) - nd) <= math.max(1L, (nd * 0.08).toLong),
+        s"$c: approx ${approx(c)} vs exact $nd")
+    }
+    // and column selection restricts the output
+    assert(ProfileOps.profileTable(corpus, Seq("lang")).count() == 1)
+  }
+
+  test("keySkew: rank order, basis-point shares, null bucket visible") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(3)(null: String) ++ Seq("c")).toDF("k")
+    val top = ProfileOps.keySkew(df, "k", 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // cnt=6 -> a; tie at cnt=3 -> NULLS FIRST puts the null bucket
+    // ahead of "b" (the explicit cross-engine tie-break)
+    assert(top(0).getString(1) == "a" && top(0).getLong(2) == 6)
+    assert(top(1).isNullAt(1) && top(1).getLong(2) == 3)
+    assert(top(2).getString(1) == "b")
+    // shares: 6/13 and 3/13 in integer basis points (floor)
+    assert(top(0).getLong(3) == 6L * 10000 / 13)
+    assert(top(1).getLong(3) == 3L * 10000 / 13)
+  }
+
+  test("histogramInt: hand-computed bins, edge-bin clamping") {
+    val df = Seq(0L, 49L, 50L, 99L, 100L, 599L, -5L, 700L).toDF("v")
+    val h = ProfileOps.histogramInt(df, "v", nBins = 12, lo = 0L, hi = 600L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // bin 0 covers [0,50): values 0, 49, and the clamped -5
+    assert(h(0L) == ((0L, 50L, 3L)))
+    // bin 1 covers [50,100): 50 and 99
+    assert(h(1L) == ((50L, 100L, 2L)))
+    assert(h(2L) == ((100L, 150L, 1L)))
+    // top bin holds the in-range max AND the clamped overflow
+    assert(h(11L) == ((550L, 600L, 2L)))
+    assert(h.values.map(_._3).sum == df.count())
+  }
+
+  test("histogramInt: corpus lengths — counts conserve, bins ordered") {
+    val h = ProfileOps.histogramInt(corpus, "n_chars", 12, 0L, 600L)
+      .collect()
+    assert(h.map(_.getLong(3)).sum ==
+      corpus.filter(col("n_chars").isNotNull).count())
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).sorted.toSeq)
+  }
+}

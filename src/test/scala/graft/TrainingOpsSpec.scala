@@ -298,4 +298,54 @@ class TrainingOpsSpec extends SparkSpec {
       assert(spark.read.parquet(p.getAbsolutePath).count() <= 40)
     }
   }
+
+  test("temperatureMix: sqrt-weight budgets bind per source, boundary kept") {
+    // sources with 100 vs 400 total tokens -> sqrt weights 1:2, so a
+    // 300-token budget splits 100/200
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "a", Seq.fill(10)("t").mkString(" "))) ++
+      (11 to 30).map(i => (i.toLong, "b", Seq.fill(20)("t").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val kept = TrainingOps.temperatureMix(docs, budget = 300L)
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // budgets: 300*1/3 = 100 and 300*2/3 = 200; doc sizes divide them
+    // exactly, so the boundary doc lands exactly on the line
+    assert(bySrc == Map("a" -> 100L, "b" -> 200L))
+    // cum_tok within each source is the running total in the kept order
+    kept.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ==
+        sorted.map(_._4).toSeq)
+    }
+    // deterministic under physical layout
+    val again = TrainingOps.temperatureMix(docs.repartition(7), 300L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("temperatureMix: boundary doc that crosses the line is kept") {
+    // one source, docs of 7 tokens each, budget 10: the doc that
+    // crosses 10 is kept (cum_before 7 < 10), the next is cut
+    val docs = (1 to 5)
+      .map(i => (i.toLong, "s", Seq.fill(7)("t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val kept = TrainingOps.temperatureMix(docs, budget = 10L)
+      .as[(Long, String, Long, Long)].collect()
+    // weight = round(sqrt(35)*1e4); budget_s = 10*w DIV w = 10
+    assert(kept.map(_._3).sum == 14L) // two 7-token docs
+    assert(kept.map(_._4).max == 14L)
+  }
+
+  test("temperatureMix: integer overflow guard fails loudly") {
+    val docs = Seq((1L, "s", Seq.fill(100)("t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      TrainingOps.temperatureMix(docs, budget = Long.MaxValue / 2)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows")), e.toString)
+  }
 }
