@@ -28,7 +28,8 @@ object Plans {
       "q_dedup_incr_minhash", "q_layout_zorder", "q_events_cms",
       "q_passage_dedup", "q_shards", "q_lm_surprisal",
       "q_events_topk_agg", "q_corpus_overlap", "q_quality_model",
-      "q_ann_pq", "q_pack_seqs", "q_pipeline")
+      "q_ann_pq", "q_pack_seqs", "q_pipeline",
+      "q_profile", "q_key_skew", "q_dsir_weights", "q_mix_temperature")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

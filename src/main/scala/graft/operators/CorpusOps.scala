@@ -427,21 +427,30 @@ object CorpusOps {
     * every raw word gets +1 in BOTH models, so unseen-in-target words
     * are penalized, not −∞).
     *
-    * Shape (the [[TrainingOps.lmSurprisal]] lineage): ONE
-    * tokenize+aggregate pass; target counts are a conditional sum in
-    * the SAME vocabulary aggregation — not a second corpus scan — and
-    * the totals arrive as a broadcast single-row cross join. All
-    * counts integer; the one float surface is ROUNDED to 4 decimals
-    * inside an order-independent sum (the tfIdf/lmSurprisal ulp rule).
+    * Shape: TWO corpus passes, the honest minimum for exact scoring
+    * (the LM must exist before any doc can be scored against it).
+    * Pass 1 TRAINS: one tokenize+aggregate to the vocabulary relation
+    * — target counts are a conditional sum in the SAME aggregation,
+    * not a separate target scan — which is then `localCheckpoint`ed
+    * (it is vocabulary-sized, tiny next to the corpus; the
+    * sourceSketches pattern). Pass 2 SCORES: one tokenize joined
+    * against the checkpointed vocabulary, so the scoring plan carries
+    * a SINGLE Generate (plan-pinned) — without the checkpoint,
+    * Catalyst re-runs the tokenize lineage under the vocab AND totals
+    * branches and the corpus is scanned three times. Totals also read
+    * the checkpoint, never the corpus. All counts integer; the one
+    * float surface is ROUNDED to 4 decimals inside an
+    * order-independent sum (the tfIdf/lmSurprisal ulp rule).
     */
   def dsirLogRatios(docs: DataFrame, targetPred: Column): DataFrame = {
-    val docWord = docs
+    def docWord = docs
       .select(col("doc_id"), targetPred.as("is_t"),
         explode(wsTokens(col("text"))).as("word"))
       .groupBy("doc_id", "is_t", "word").agg(count("*").as("k"))
     val vocab = docWord.groupBy("word").agg(
       sum("k").as("rcnt"),
       sum(when(col("is_t"), col("k")).otherwise(0L)).as("tcnt"))
+      .localCheckpoint()
     val totals = vocab.agg(
       sum("rcnt").as("rtot"), sum("tcnt").as("ttot"),
       count(lit(1)).as("vsz"))

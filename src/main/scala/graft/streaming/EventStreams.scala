@@ -19,6 +19,19 @@ final case class UserSession(user_id: Long, s_start: Timestamp,
 /** State carried between micro-batches for one user's open session. */
 final case class SessionState(start: Long, last: Long, n: Long)
 
+/** Output row of [[EventStreams.asofEnrichStream]] — one per query
+  * event, with the matched reference event (None when the key has no
+  * reference at-or-before the query time). */
+final case class AsofMatch(ev_id: Long, user_id: Long, ev_ts: Timestamp,
+    asof_id: Option[Long], asof_ts: Option[Timestamp],
+    gap_us: Option[Long])
+
+/** Buffered per-key state for the streaming as-of join: pending query
+  * rows (not yet past the watermark) and candidate reference rows,
+  * both as (ts_us, event_id). */
+final case class AsofState(lefts: List[(Long, Long)],
+    rights: List[(Long, Long)])
+
 /** Structured Streaming forms of the event/word-count analytics.
   *
   * The aggregation bodies are shared with the batch operators
@@ -293,6 +306,98 @@ object EventStreams extends Serializable {
             state.setTimeoutTimestamp(fireMs)
           } else state.remove()
           closed.sortBy(_.start).map(close(user, _)).iterator
+      }
+  }
+
+  /** Streaming as-of enrichment: each `queryType` event joined to the
+    * same user's most recent `refType` event at-or-before it — the
+    * incremental form of [[graft.operators.AsofJoin.eventAsof]]
+    * (stream-stream as-of is not a built-in: the built-in
+    * stream-stream join needs a bounded interval condition, while
+    * as-of needs "latest ≤ t", which is state, not a range).
+    *
+    * Out-of-order-safe within the watermark by BUFFERING both sides
+    * per key and emitting a query row only once the watermark passes
+    * STRICTLY beyond its event time: any reference row that could
+    * still change its match (ref_ts ≤ ev_ts < watermark) would be
+    * sub-watermark on arrival, and Spark drops those before they
+    * reach the state function. A naive latest-value cache (enrich on
+    * sight) returns whichever reference happened to arrive first —
+    * the spec pins the fixture where that answer is wrong.
+    *
+    * Matching mirrors the batch operator exactly: ties at equal time
+    * include the reference (rt == lt matches), and equal-time
+    * reference rows resolve to the max event id (the batch path's
+    * max-payload-struct tie-break). gap_us = ev_ts − asof_ts in whole
+    * µs, the same exact-integer surface as the batch query.
+    *
+    * State per key is bounded by the watermark: pending query rows and
+    * reference rows younger than the watermark, plus ONE carry
+    * reference (the latest at-or-before the watermark — still the
+    * answer for future queries until a younger reference lands).
+    * Emission is driven by new batches AND an event-time timeout, so
+    * pending rows drain when the key goes quiet. */
+  def asofEnrichStream(events: DataFrame, queryType: String = "purchase",
+      refType: String = "click",
+      watermarkDelay: String = "1 hour"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // keep rights sorted by (ts, id): "last right with rt <= lt" then
+    // resolves equal-time ties to the max id, matching the batch
+    // window's max(struct(r_id, r_ts)) choice
+    def insertRight(rs: List[(Long, Long)], t: Long,
+        id: Long): List[(Long, Long)] = {
+      val (before, after) =
+        rs.span(r => r._1 < t || (r._1 == t && r._2 <= id))
+      before ::: (t, id) :: after
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(queryType, refType))
+      // the watermark-annotated `ts` column must survive into the
+      // grouped input — event-time timeout resolves against it
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === queryType).as("is_q"), col("event_id"),
+        col("ts"))
+      .as[(Long, Long, Boolean, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Boolean, Long, Timestamp)],
+            state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var lefts = st.lefts
+          var rights = st.rights
+          rows.foreach { case (_, t, isQ, id, _) =>
+            if (isQ) lefts = (t, id) :: lefts
+            else rights = insertRight(rights, t, id)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = lefts.partition(_._1 < wmUs)
+          val out = ready.sortBy(identity).map { case (lt, id) =>
+            val m = rights.takeWhile(_._1 <= lt).lastOption
+            AsofMatch(id, user, tsOf(lt), m.map(_._2), m.map(r => tsOf(r._1)),
+              m.map(lt - _._1))
+          }
+          // prune: every emitted left goes; of the references at-or-
+          // before the watermark only the LATEST can still be an
+          // answer (pending/future queries all have ev_ts >= wm)
+          val (past, fresh) = rights.partition(_._1 <= wmUs)
+          val kept = past.lastOption.toList ::: fresh
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofState(pending, kept))
+            if (pending.nonEmpty) {
+              val fireMs = (pending.map(_._1).min / 1000L + 1L) max
+                (state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(fireMs)
+            }
+          }
+          out.iterator
       }
   }
 }

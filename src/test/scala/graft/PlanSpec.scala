@@ -146,4 +146,46 @@ class PlanSpec extends SparkSpec {
     assert(firstJoin >= 0 && scanIdx > firstJoin,
       s"unexpected plan shape:\n$p")
   }
+
+  test("profileTable: exact multi-distinct is ONE scan through Expand") {
+    val p = plan(graft.operators.ProfileOps.profileTable(
+      documents(spark, sfDir)))
+    assert(p.contains("Expand"), s"no Expand for multi-distinct in:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"profile must read the table once:\n$p")
+    // the approx twin drops the Expand entirely (HLL partials instead)
+    val a = plan(graft.operators.ProfileOps.profileTable(
+      documents(spark, sfDir), approxDistinct = true))
+    assert(!a.contains("Expand"),
+      s"approx profile must not Expand the scan:\n$a")
+  }
+
+  test("keySkew: distributed top-k, window only over the k survivors") {
+    val p = plan(graft.operators.ProfileOps.keySkew(
+      graft.sources.Tables.events(spark, sfDir), "user_id", 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort the key counts:\n$p")
+    // the rank window must sit ABOVE the limit (toString order: Window
+    // appears before TakeOrderedAndProject), never over all keys
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"rank window runs below the top-k limit:\n$p")
+    // and the count partial-aggregates map-side
+    assert(p.contains("partial_count"), s"count not partial:\n$p")
+  }
+
+  test("DSIR weights tokenize the corpus once (single Generate)") {
+    val p = plan(graft.operators.CorpusOps.dsirLogRatios(
+      documents(spark, sfDir), col("lang") === "en"))
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"target counts must come from the same tokenize pass:\n$p")
+  }
+
+  test("temperatureMix: budgets broadcast back, totals partial-aggregated") {
+    val p = plan(graft.operators.TrainingOps.temperatureMix(
+      documents(spark, sfDir), budget = 3000L))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source budget relation must broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-source token totals not partial-aggregated:\n$p")
+  }
 }

@@ -337,4 +337,53 @@ class StreamingSpec extends SparkSpec {
     assert(gotRows.nonEmpty)
     assert(gotRows.forall(wantSet.contains))
   }
+
+  test("streaming as-of enrichment matches the batch as-of join") {
+    import graft.operators.AsofJoin
+    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val got = runToCompletion(
+      EventStreams.asofEnrichStream(stream).toDF(), "append", "ev_asof")
+    val want = AsofJoin.eventAsof(Tables.events(spark, sfDir))
+    val cols = Seq("ev_id", "user_id", "ev_ts", "asof_id", "asof_ts",
+      "gap_us")
+    val wantSet = sortedRows(want.select(cols.head, cols.tail: _*)).toSet
+    val gotRows = sortedRows(got.select(cols.head, cols.tail: _*))
+    // append mode emits only watermark-closed query rows; each must
+    // agree exactly with the batch as-of answer
+    assert(gotRows.nonEmpty)
+    assert(gotRows.forall(wantSet.contains), gotRows.filterNot(wantSet)
+      .take(3).mkString("; "))
+  }
+
+  test("streaming as-of buffers out-of-order references across batches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, user: Long, ts: String, t: String) =
+      (id, Timestamp.valueOf(ts), user, t, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val dir = Files.createTempDirectory("graft-ooo-asof").toString
+    // batch 1: the purchase and an EARLIER click; batch 2 delivers an
+    // out-of-order click BETWEEN them (still inside the watermark) and
+    // a sentinel that closes the purchase. The correct match is the
+    // buffered 10:05 click — an enrich-on-sight cache would have
+    // answered 10:00 before the better reference ever arrived.
+    Seq(ev(1, 1, "2024-01-01 10:10:00", "purchase"),
+      ev(2, 1, "2024-01-01 10:00:00", "click"),
+      ev(4, 2, "2024-01-01 10:00:00", "purchase"))
+      .toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(ev(3, 1, "2024-01-01 10:05:00", "click"),
+      ev(9, 99, "2024-01-01 20:00:00", "click"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventsMicros(spark, dir,
+      maxFilesPerTrigger = 1)
+    val got = runToCompletion(
+      EventStreams.asofEnrichStream(stream).toDF(), "append", "ooo_asof")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, Some(3L), Some(Timestamp.valueOf("2024-01-01 10:05:00"))),
+      // user 2 has no prior click: emitted with a null match
+      (4L, 2L, None, None)))
+  }
 }
