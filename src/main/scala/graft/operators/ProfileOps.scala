@@ -85,7 +85,12 @@ object ProfileOps {
     * its output is exactly the salting decision input ([[Salting]]). */
   def keySkew(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     require(k > 0)
+    // the |keys|-row count relation feeds BOTH the share total and the
+    // top-k; checkpointing it keeps the raw table to ONE scan (without
+    // it Catalyst re-runs the count lineage under each branch —
+    // plan-pinned in PlanSpec)
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = counts.agg(sum("cnt").as("__total"))
     val ord = Seq(col("cnt").desc, col(key).asc_nulls_first)
     val top = counts

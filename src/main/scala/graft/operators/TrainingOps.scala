@@ -199,9 +199,14 @@ object TrainingOps {
     * [[tokenBudgetSample]], boundary doc kept. */
   def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0)
+    // the per-doc (id, source, n_tok, h) relation feeds BOTH the
+    // weight aggregation and the selection join; checkpointing the
+    // ~40-byte rows costs far less than running the tokenize lineage
+    // twice over the corpus (the dsirLogRatios lesson)
     val sized = docs.select(col("doc_id"), col("source"),
       size(wsTokens(col("text"))).cast("long").as("n_tok"),
       md5Hash60(col("doc_id").cast("string")).as("h"))
+      .localCheckpoint()
     // per-source sqrt(token-total) weights in integer ten-thousandths;
     // tiny relation (|sources| rows) — stays broadcast
     val weights = sized.groupBy("source")

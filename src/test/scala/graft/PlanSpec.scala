@@ -169,8 +169,10 @@ class PlanSpec extends SparkSpec {
     // appears before TakeOrderedAndProject), never over all keys
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
       s"rank window runs below the top-k limit:\n$p")
-    // and the count partial-aggregates map-side
-    assert(p.contains("partial_count"), s"count not partial:\n$p")
+    // both branches (share total + top-k) read the checkpointed count
+    // relation — the raw table is scanned once, at checkpoint time
+    assert(!p.contains("FileScan") && p.contains("Scan ExistingRDD"),
+      s"a branch re-scans the raw table instead of the counts:\n$p")
   }
 
   test("DSIR weights tokenize the corpus once (single Generate)") {
