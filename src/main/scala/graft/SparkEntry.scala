@@ -254,6 +254,12 @@ object SparkEntry {
     "q_sample_quota" -> ((s, dir) =>
       CorpusOps.quotaSample(documents(s, dir), quota = 20)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // Bounded-heap twin of q_sample_quota: SAME oracle (plan-not-
+    // answer gate) — map-side partial heaps instead of a stratum-wide
+    // window sort.
+    "q_sample_quota_agg" -> ((s, dir) =>
+      CorpusOps.quotaSampleAgg(documents(s, dir), quota = 20)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     "q_quality_rules" -> ((s, dir) =>
       CorpusOps.qualityRules(documents(s, dir))),
@@ -1328,6 +1334,18 @@ object SparkEntry {
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
     "q_sample_quota" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
+    // the bounded-heap twin answers the SAME question — identical SQL
+    // oracle, the gate proves the aggregate changes the plan, not the
+    // answer
+    "q_sample_quota_agg" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source, row_number() OVER (
         |    PARTITION BY lang

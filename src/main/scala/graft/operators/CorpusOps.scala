@@ -37,6 +37,35 @@ object CorpusOps {
     docs.filter(pmod(md5Hash60(col(keyCol).cast("string")), lit(100)) < pct)
   }
 
+  /** [[quotaSample]] through the bounded-heap
+    * [[graft.functions.GroupTopK]] aggregate: IDENTICAL output (the
+    * harness runs it against the window query's oracle — bottom-quota
+    * by (hash ASC, key ASC) is exactly GroupTopK's (val DESC, key ASC)
+    * on the NEGATED hash; md5Hash60 < 2^60, so negation is exact),
+    * different physics. The window form shuffles every row to its
+    * stratum's reducer and sorts the whole stratum; the aggregate form
+    * partial-aggregates map-side — each map partition ships at most
+    * `quota` 16-byte entries per stratum, no stratum-wide sort — and
+    * the |strata|·quota survivor ids semi-join back (broadcast-sized
+    * by construction), so the wide doc columns never ride a shuffle.
+    * One delta, documented: a null `keyCol` is skipped (aggregate null
+    * semantics) where the window form would rank it; sample keys are
+    * ids, which are non-null in any sane corpus. */
+  def quotaSampleAgg(docs: DataFrame, quota: Int,
+      stratumCol: String = "lang", keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(quota > 0)
+    val top = ColumnBridge.column(graft.functions.GroupTopK(
+      ColumnBridge.expression(col(keyCol)),
+      ColumnBridge.expression(-md5Hash60(col(keyCol).cast("string"))),
+      quota).toAggregateExpression())
+    val keep = docs.select(col(stratumCol), col(keyCol))
+      .groupBy(col(stratumCol)).agg(top.as("__top"))
+      .select(explode(col("__top")).as("__kv"))
+      .select(col("__kv.key").as(keyCol))
+    docs.join(broadcast(keep), Seq(keyCol), "left_semi")
+  }
+
   // ---- TF-IDF keyword extraction -------------------------------------
 
   /** Top-`k` terms per document by TF-IDF, deterministic tie-break on

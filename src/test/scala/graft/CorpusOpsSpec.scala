@@ -43,6 +43,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.quotaSample(corpus, 100000).count() == corpus.count())
   }
 
+  test("quotaSampleAgg: identical rows to the window form, any quota") {
+    for (q <- Seq(1, 7, 20, 100000)) {
+      val a = CorpusOps.quotaSampleAgg(corpus, q)
+      val b = CorpusOps.quotaSample(corpus, q)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"quota=$q diverges")
+    }
+    // and the heap is what runs: partial aggregation before the exchange
+    val p = CorpusOps.quotaSampleAgg(corpus, 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_top_k"),
+      s"no partial heap aggregate in:\n$p")
+    assert(!p.contains("Window"), s"window sort crept back in:\n$p")
+  }
+
   test("tfIdf: k rows per doc, corpus-wide terms score zero") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
