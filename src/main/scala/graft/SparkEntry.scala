@@ -388,6 +388,11 @@ object SparkEntry {
         table(s, dir, "nation"))),
     "q_rel_runsum" -> ((s, dir) =>
       RelationalOps.runningCustomerSpend(table(s, dir, "orders"))),
+    // Navigation windows (lag/lead/ntile) over per-customer order
+    // history; µs-integer gaps, position-based quartiles made
+    // deterministic by the explicit total order.
+    "q_rel_nav" -> ((s, dir) =>
+      RelationalOps.orderNavigation(table(s, dir, "orders"))),
     // Salted join: result provably identical to the unsalted join —
     // the oracle is the plain SQL join.
     "q_rel_salted" -> ((s, dir) =>
@@ -1139,6 +1144,17 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_rel_nav" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  epoch_us(o_orderdate) - epoch_us(lag(o_orderdate, 1) OVER w)
+        |    AS gap_us,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS price_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_rel_quantiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

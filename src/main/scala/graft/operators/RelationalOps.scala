@@ -287,4 +287,33 @@ object RelationalOps {
         round(sum("o_totalprice").over(w), 4).as("cum_spend"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
+
+  /** Navigation window functions — lag/lead/ntile — over each
+    * customer's order history: the inter-order gap (µs since the
+    * previous order — an exact BIGINT, the asof gap rule: no float
+    * date arithmetic cross-engine), the next order's key, and the
+    * order's spend quartile within the customer. All three share one
+    * (o_orderdate, o_orderkey)-ordered window pass; the quartile runs
+    * its own (o_totalprice, o_orderkey) sort — two window sorts over
+    * (key, date, price)-width rows, the fact's wide columns pruned at
+    * the scan. ntile is position-based, so the explicit total order
+    * makes it deterministic and oracle-reproducible. */
+  def orderNavigation(orders: DataFrame): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      // o_orderdate reads as TIMESTAMP_NTZ; unix_micros wants an
+      // instant — the cast is identity under the pinned UTC session
+      .withColumn("gap_us",
+        unix_micros(col("o_orderdate").cast("timestamp")) -
+          unix_micros(lag("o_orderdate", 1).over(byDate)
+            .cast("timestamp")))
+      .withColumn("next_key", lead("o_orderkey", 1).over(byDate))
+      .withColumn("price_quartile", ntile(4).over(byPrice).cast("long"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -234,4 +234,26 @@ class RelationalOpsSpec extends SparkSpec {
     val rev = r.map(_.getAs[Double]("revenue"))
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
   }
+
+  test("orderNavigation: hand-computed gaps, leads, and quartiles") {
+    import java.sql.Timestamp
+    def o(key: Long, cust: Long, day: Int, price: Double) =
+      (key, cust, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), price)
+    // customer 1: four orders a day apart, prices shuffled so the
+    // date order and the price order differ; customer 2: a singleton
+    val df = Seq(o(1, 1, 1, 30.0), o(2, 1, 2, 10.0), o(3, 1, 3, 40.0),
+      o(4, 1, 4, 20.0), o(5, 2, 9, 99.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = RelationalOps.orderNavigation(df).collect()
+      .map(x => (x.getLong(0), Option(x.get(4)), Option(x.get(5)),
+        x.getLong(6))).toSeq
+    val day = 86400000000L
+    assert(r == Seq(
+      // (key, gap to previous, next key, price quartile within cust)
+      (1L, None, Some(2L), 3L),       // price 30 -> 3rd quartile of 4
+      (2L, Some(day), Some(3L), 1L),  // price 10 -> 1st
+      (3L, Some(day), Some(4L), 4L),  // price 40 -> 4th
+      (4L, Some(day), None, 2L),      // price 20 -> 2nd
+      (5L, None, None, 1L)))          // singleton: sole quartile 1
+  }
 }
