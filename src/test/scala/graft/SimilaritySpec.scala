@@ -270,4 +270,44 @@ class SimilaritySpec extends SparkSpec {
     assert(viaKernel.exceptAll(viaComposed).isEmpty &&
       viaComposed.exceptAll(viaKernel).isEmpty)
   }
+
+  test("int8 quantization: codes in range, reconstruction within half-step") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = Similarity.int8Quantize(corpus)
+      .as[(Long, Double, Array[Int])].collect()
+    assert(q.nonEmpty)
+    val orig = corpus.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    q.foreach { case (id, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id range")
+      val v = orig(id)
+      assert(scale == v.map(x => math.abs(x.toDouble)).max, s"vec $id scale")
+      // reconstruction error bound: half a quantization step + ulps
+      codes.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * scale / 127 - x) <= scale / 254 + 1e-9,
+          s"vec $id: code $c vs $x")
+      }
+    }
+    // zero vector: zero codes, no NaN poisoning
+    val z = Similarity.int8Quantize(
+      Seq((9L, Array(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+      .as[(Long, Double, Array[Int])].head()
+    assert(z._2 == 0.0 && z._3.toSeq == Seq(0, 0))
+  }
+
+  test("int8-reconstructed brute force keeps >= 90% top-10 recall") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = col("vec_id") < 20
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recon = Similarity.bruteForceTopK(
+      Similarity.int8Reconstruct(corpus), queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, want) =>
+      recon(qid).intersect(want).size.toDouble / want.size }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean recall ${recalls.sum / recalls.size}")
+  }
 }
