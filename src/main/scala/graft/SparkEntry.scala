@@ -403,6 +403,10 @@ object SparkEntry {
     // deterministic by the explicit total order.
     "q_rel_nav" -> ((s, dir) =>
       RelationalOps.orderNavigation(table(s, dir, "orders"))),
+    // RANGE-framed trailing 7-day window (value-based frame on an
+    // exact µs integer ordering — ROWS' sibling family).
+    "q_rel_trailing" -> ((s, dir) =>
+      RelationalOps.trailingSpend(table(s, dir, "orders"))),
     // Salted join: result provably identical to the unsalted join —
     // the oracle is the plain SQL join.
     "q_rel_salted" -> ((s, dir) =>
@@ -1181,6 +1185,14 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_rel_trailing" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(o_totalprice) OVER w, 4) AS spend_7d
+        |FROM (SELECT *, epoch_us(o_orderdate) AS t_us FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q_rel_quantiles" ->
       """SELECT o_orderstatus,

@@ -288,6 +288,31 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** RANGE-framed trailing window: each order with the customer's
+    * order count and spend over the 7 days ENDING at that order —
+    * value-based frames (RANGE BETWEEN), where the running-total
+    * family ([[runningCustomerSpend]]) is row-based (ROWS BETWEEN).
+    * The frame bound is an exact µs integer on the epoch-µs ordering
+    * column — both engines then resolve the identical frame, where an
+    * INTERVAL bound on a timestamp ordering would differ in sub-second
+    * semantics. Peers (same timestamp) share one frame by RANGE
+    * semantics, deterministically. One window pass over
+    * (custkey, ts, price)-width rows. */
+  def trailingSpend(orders: DataFrame, days: Int = 7): DataFrame = {
+    val us = days * 86400000000L
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("t_us").asc)
+      .rangeBetween(-us, 0L)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("spend_7d", round(sum("o_totalprice").over(w), 4))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "n_7d", "spend_7d")
+      .orderBy("o_orderkey")
+  }
+
   /** Navigation window functions — lag/lead/ntile — over each
     * customer's order history: the inter-order gap (µs since the
     * previous order — an exact BIGINT, the asof gap rule: no float

@@ -235,6 +235,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
   }
 
+  test("trailingSpend: RANGE frame includes the 7-day boundary and peers") {
+    import java.sql.Timestamp
+    def o(key: Long, day: Int, price: Double) =
+      (key, 1L, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), price)
+    // day 1 | day 8 (exactly 7 days later: IN frame) | day 9 twice
+    // (peers: same ts share one frame) — day 1 ages out by day 9
+    val df = Seq(o(1, 1, 10.0), o(2, 8, 20.0), o(3, 9, 30.0),
+      o(4, 9, 40.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = RelationalOps.trailingSpend(df).collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getDouble(4))).toSeq
+    assert(r == Seq(
+      (1L, 1L, 10.0),
+      (2L, 2L, 30.0),   // the 7-day-old order is inside the frame
+      (3L, 3L, 90.0),   // both peers visible to each other
+      (4L, 3L, 90.0)))
+  }
+
   test("orderNavigation: hand-computed gaps, leads, and quartiles") {
     import java.sql.Timestamp
     def o(key: Long, cust: Long, day: Int, price: Double) =
