@@ -273,6 +273,10 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     "q_quality_rules" -> ((s, dir) =>
       CorpusOps.qualityRules(documents(s, dir))),
+    // Per-source ingest health report: docs, exact-dup basis points,
+    // token mass, gate pass count, language spread — one scan pass.
+    "q_corpus_health" -> ((s, dir) =>
+      CorpusOps.corpusHealth(documents(s, dir))),
     "q_pii_redact" -> ((s, dir) => CorpusOps.piiQuery(documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
@@ -1475,6 +1479,48 @@ object SparkEntry {
         |LEFT JOIN tok ON d.doc_id = tok.doc_id
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q_quality_rules' per-doc gate chain, aggregated by source into
+    // the ingest health report; all outputs integer.
+    "q_corpus_health" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w
+        |), tok AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |    max(tf)::BIGINT AS max_tf
+        |  FROM tf GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      len(list_distinct(list_transform(range(len(t) - 1),
+        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
+        |    ELSE 0 END AS n_distinct_2grams
+        |  FROM toks
+        |), q AS (
+        |  SELECT d.source, d.lang, md5(coalesce(d.text, '')) AS fp,
+        |    coalesce(tok.n_tokens, 0) AS n_tokens,
+        |    (coalesce(tok.n_tokens, 0) >= 50
+        |     AND (coalesce(g.n_2grams, 0) - coalesce(g.n_distinct_2grams, 0))
+        |         * 100 <= 20 * coalesce(g.n_2grams, 0)
+        |     AND coalesce(tok.max_tf, 0) * 100
+        |         <= 10 * coalesce(tok.n_tokens, 0)) AS pass
+        |  FROM documents d
+        |  LEFT JOIN tok ON d.doc_id = tok.doc_id
+        |  LEFT JOIN g ON d.doc_id = g.doc_id
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT fp) AS n_distinct,
+        |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
+        |  sum(n_tokens)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM q GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents

@@ -146,6 +146,46 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus health report — the monitoring query a
+    * curation pipeline runs on every ingest batch: document count,
+    * exact-duplicate rate (md5 fingerprints, integer basis points),
+    * token mass, quality-gate pass count ([[qualityRules]]' gates,
+    * same integer cross-multiplied thresholds), and language spread.
+    * ONE pass over the scan: fingerprints and the single-pass
+    * TokenStats kernel ride the same projection, then one aggregation
+    * by source (the two exact distincts Expand the aggregate input
+    * 2x — the profileTable trade-off, acceptable because the rows are
+    * (source, fp, lang)-width, never text). */
+  def corpusHealth(docs: DataFrame, minTokens: Int = 50,
+      maxDupPct: Int = 20, maxTopPct: Int = 10): DataFrame = {
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(col("text"), lit("")))))
+    docs
+      .select(col("source"), col("lang"),
+        md5(coalesce(col("text"), lit(""))).as("fp"), stats.as("q"))
+      .select(col("source"), col("lang"), col("fp"),
+        col("q.n_tokens").as("n_tokens"),
+        (col("q.n_tokens") >= minTokens &&
+          (col("q.n_2grams") - col("q.n_distinct_2grams")) * 100 <=
+            lit(maxDupPct) * col("q.n_2grams") &&
+          col("q.max_tf") * 100 <= lit(maxTopPct) * col("q.n_tokens"))
+          .as("pass"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("dup_bp",
+        expr("(n_docs - n_distinct) * 10000 DIV n_docs"))
+      .select("source", "n_docs", "n_distinct", "dup_bp", "n_tokens",
+        "n_pass", "n_langs")
+      .orderBy("source")
+  }
+
   /** Fixed-quota-per-stratum sampling: exactly `min(quota, |stratum|)`
     * rows per stratum, chosen by ranking on the engine-neutral hash of
     * the key (then the key itself — a total, reproducible order).

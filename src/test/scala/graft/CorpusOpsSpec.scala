@@ -43,6 +43,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.quotaSample(corpus, 100000).count() == corpus.count())
   }
 
+  test("corpusHealth: planted duplicates and gate failures roll up") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "en", "a"),          // passes gates
+      (2L, long, "en", "a"),          // exact dup of 1
+      (3L, "tiny doc", "de", "a"),    // fails min-tokens
+      (4L, long + " x", "en", "b"))   // unique, passes
+      .toDF("doc_id", "text", "lang", "source")
+    val r = CorpusOps.corpusHealth(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2)      // docs, distinct
+    assert(a.getLong(3) == 1L * 10000 / 3)              // dup basis points
+    assert(a.getLong(5) == 2 && a.getLong(6) == 2)      // passes, langs
+    val b = r("b")
+    assert(b.getLong(1) == 1 && b.getLong(3) == 0 && b.getLong(5) == 1)
+    // and the pass counts agree with qualityRules on the real corpus
+    val health = CorpusOps.corpusHealth(corpus)
+      .select("source", "n_pass").as[(String, Long)].collect().toMap
+    val direct = CorpusOps.qualityRules(corpus)
+      .join(corpus.select("doc_id", "source"), "doc_id")
+      .filter(col("pass")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(health.filter(_._2 > 0) == direct)
+  }
+
   test("quotaSampleAgg: identical rows to the window form, any quota") {
     for (q <- Seq(1, 7, 20, 100000)) {
       val a = CorpusOps.quotaSampleAgg(corpus, q)
