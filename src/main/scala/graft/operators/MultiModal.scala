@@ -11,6 +11,11 @@ final case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
 final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
     width: Int, height: Int, features: Array[Float])
 
+/** Decoded audio metadata + signal features — output of
+  * [[MultiModal.decodeWavFeatures]]. */
+final case class WavFeatures(doc_id: Long, sample_rate: Int,
+    n_channels: Int, n_frames: Long, duration_us: Long, rms: Double)
+
 /** Multimodal-column operators: image/audio/video payloads are opaque
   * `BinaryType` columns with typed metadata, processed by batched
   * per-partition decode — the Scala/Dataset analogue of PySpark's
@@ -19,12 +24,15 @@ final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
   * per row).
   *
   * Images decode for real via JDK ImageIO ([[MultiModal.decodeImage]],
-  * PNG/JPEG/GIF/BMP — no external library needed); the harness queries
-  * use the deterministic [[MultiModal.FakeCodec]] instead because the
-  * synthetic payloads are text bytes, not images. Audio/video codecs
-  * are not in the JVM, so those stay behind the same batched map shape
-  * with the fake kernel. Everything Spark-side — schema, binary
-  * slicing, partitioning, batch shape, encoders — is real and tested.
+  * PNG/JPEG/GIF/BMP — no external library needed), and PCM WAV audio
+  * decodes for real via pure RIFF parsing ([[MultiModal.decodeWav]] —
+  * the format is a fixed little-endian layout, no codec needed); the
+  * harness queries use the deterministic [[MultiModal.FakeCodec]]
+  * instead because the synthetic payloads are text bytes, not media.
+  * Compressed audio/video codecs are not in the JVM, so those stay
+  * behind the same batched map shape with the fake kernel. Everything
+  * Spark-side — schema, binary slicing, partitioning, batch shape,
+  * encoders — is real and tested.
   *
   * Scale posture (100 TB):
   *   - Payloads never pass through a shuffle: metadata extraction and
@@ -172,6 +180,75 @@ object MultiModal {
         val out = java.util.Arrays.copyOf(r.payload, target)
         r.copy(payload = out)
       })
+  }
+
+  /** Real PCM WAV decode — pure header + sample parsing, no codec
+    * library (RIFF/WAVE is a fixed little-endian chunk layout):
+    * returns (sample rate, channels, frames, RMS amplitude). The RMS
+    * accumulates integer sample squares in a Long (exact — 16-bit
+    * squares sum safely past 2^40 frames) with ONE final sqrt, so the
+    * value is deterministic across JVMs. Throws on non-RIFF,
+    * non-PCM, or non-16-bit payloads — the quarantine-upstream rule,
+    * same as [[decodeImage]]. */
+  def decodeWav(payload: Array[Byte]): (Int, Int, Long, Double) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 44 &&
+      bb.getInt(0) == 0x46464952 && bb.getInt(8) == 0x45564157,
+      "payload is not RIFF/WAVE")
+    var pos = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= payload.length) {
+      val id = bb.getInt(pos)
+      val sz = bb.getInt(pos + 4)
+      if (id == 0x20746d66) { // 'fmt '
+        val fmt = bb.getShort(pos + 8) & 0xffff
+        require(fmt == 1, s"not PCM (fmt tag $fmt)")
+        ch = bb.getShort(pos + 10) & 0xffff
+        rate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22) & 0xffff
+      } else if (id == 0x61746164) { // 'data'
+        dataOff = pos + 8
+        dataLen = math.min(sz, payload.length - dataOff)
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && ch > 0 && dataOff >= 0,
+      "missing fmt or data chunk")
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    val nSamples = dataLen / 2
+    val nFrames = (nSamples / ch).toLong
+    var i = 0
+    var sumSq = 0L
+    while (i < nSamples) {
+      val s = bb.getShort(dataOff + 2 * i).toLong
+      sumSq += s * s
+      i += 1
+    }
+    val rms =
+      if (nSamples == 0) 0.0 else math.sqrt(sumSq.toDouble / nSamples)
+    (rate, ch, nFrames, rms)
+  }
+
+  /** Batched REAL audio decode — [[decodeWav]] through the same
+    * mapPartitions batch shape as [[decodeImageFeatures]]: audio mimes
+    * filtered at the scan, payloads never shuffled, undecodable rows
+    * raise (quarantine upstream). duration_us is exact integer
+    * arithmetic (frames·1e6 DIV rate). */
+  def decodeWavFeatures(media: DataFrame, batchSize: Int = 64,
+      parallelism: Option[Int] = None): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    val ds = media.filter(col("mime").startsWith("audio/"))
+      .select("doc_id", "mime", "payload").as[MediaRow]
+    val balanced = parallelism.fold(ds)(n => ds.repartition(n))
+    balanced.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val (rate, ch, frames, rms) = decodeWav(r.payload)
+        WavFeatures(r.doc_id, rate, ch, frames,
+          frames * 1000000L / rate, rms)
+      })
+    }
   }
 
   /** Deterministic fake codec: "dimensions" derived from payload

@@ -130,4 +130,52 @@ class MultiModalSpec extends SparkSpec {
     assert(batches == Seq(4, 4, 2)) // the shape decodeFeatures feeds FakeCodec
     assert(MultiModal.FakeCodec.decodeBatch(rows).map(_.doc_id) == (1L to 10L))
   }
+
+  /** Minimal canonical RIFF/WAVE writer for fixtures: 16-bit PCM. */
+  private def wavBytes(rate: Int, ch: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataLen) // "RIFF", riff size
+    bb.putInt(0x45564157)                          // "WAVE"
+    bb.putInt(0x20746d66); bb.putInt(16)           // "fmt ", chunk size
+    bb.putShort(1); bb.putShort(ch.toShort)        // PCM, channels
+    bb.putInt(rate); bb.putInt(rate * ch * 2)      // rate, byte rate
+    bb.putShort((ch * 2).toShort); bb.putShort(16) // block align, bits
+    bb.putInt(0x61746164); bb.putInt(dataLen)      // "data"
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("real WAV decode through the batched path: rate, frames, exact RMS") {
+    // mono 8 kHz square wave at amplitude 1000: RMS is exactly 1000
+    val mono = wavBytes(8000, 1,
+      Array.tabulate(80)(i => if (i % 2 == 0) 1000 else -1000)
+        .map(_.toShort))
+    // stereo 16 kHz: 40 frames of (300, -400) -> RMS = sqrt((9+16)/2)*100
+    val stereo = wavBytes(16000, 2,
+      Array.tabulate(80)(i => if (i % 2 == 0) 300 else -400).map(_.toShort))
+    val media = Seq(
+      MediaRow(1L, "audio/wav", mono),
+      MediaRow(2L, "audio/wav", stereo),
+      MediaRow(3L, "image/png", Array[Byte](1, 2))) // filtered out
+    val out = MultiModal.decodeWavFeatures(media.toDF(), batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L))
+    val m = out(0)
+    assert(m.sample_rate == 8000 && m.n_channels == 1 && m.n_frames == 80)
+    assert(m.duration_us == 10000) // 80 frames / 8 kHz
+    assert(m.rms == 1000.0)        // exact: constant-magnitude samples
+    val s = out(1)
+    assert(s.sample_rate == 16000 && s.n_channels == 2 && s.n_frames == 40)
+    assert(s.duration_us == 2500)
+    assert(math.abs(s.rms - math.sqrt((9.0 + 16.0) / 2) * 100) < 1e-9)
+    // garbage under an audio mime raises loudly
+    intercept[Exception] {
+      MultiModal.decodeWavFeatures(
+        Seq(MediaRow(9L, "audio/wav", Array[Byte](0, 1, 2))).toDF())
+        .collect()
+    }
+  }
 }
