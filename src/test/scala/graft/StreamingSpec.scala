@@ -355,6 +355,44 @@ class StreamingSpec extends SparkSpec {
       .take(3).mkString("; "))
   }
 
+  test("as-of state survives a checkpointed restart") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, user: Long, ts: String, t: String) =
+      (id, Timestamp.valueOf(ts), user, t, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val src = Files.createTempDirectory("graft-asof-src").toString
+    val out = Files.createTempDirectory("graft-asof-out").toString
+    val chk = Files.createTempDirectory("graft-asof-chk").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.asofEnrichStream(
+          EventStreams.readEventsMicros(spark, src)).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val done = q.awaitTermination(120000)
+      if (!done) q.stop()
+      assert(done, "availableNow run did not finish within 120s")
+    }
+    // run 1 buffers a click and a pending purchase (nothing emitted:
+    // the watermark hasn't passed the purchase)...
+    Seq(ev(1, 1, "2024-01-01 10:00:00", "click"),
+      ev(2, 1, "2024-01-01 10:10:00", "purchase"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    // ...run 2 restores BOTH buffers from the checkpoint: a better
+    // click lands between them, a sentinel closes the purchase — the
+    // restored state must produce the 10:05 match, and only once
+    Seq(ev(3, 1, "2024-01-01 10:05:00", "click"),
+      ev(9, 99, "2024-01-01 20:00:00", "click"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toSeq
+    assert(got == Seq((2L, Some(3L))), got.mkString("; "))
+  }
+
   test("streaming as-of buffers out-of-order references across batches") {
     import java.sql.Timestamp
     import spark.implicits._
