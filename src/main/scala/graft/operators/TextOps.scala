@@ -167,14 +167,20 @@ object TextOps {
     * the single-row totals are broadcast by hint. */
   def collocations(docs: DataFrame, minCount: Long = 5L,
       k: Int = 20): DataFrame = {
+    // both count relations are vocabulary-sized: checkpoint them so
+    // the totals and the two unigram joins read the materialized
+    // relation — without this the final plan re-runs the explode
+    // lineages under every consuming branch (NINE Generates;
+    // ReuseExchange collapses just one repeat — graft.ScanAudit).
+    // Corpus cost drops to exactly two passes: one per n-gram order.
     val uni = docs
       .select(explode(wsTokens(col("text"))).as("w"))
       .groupBy("w").agg(count("*").as("c"))
-    // one bigram aggregation feeds both the candidates and the total
-    // mass (identical subplans -> Spark reuses the exchange)
+      .localCheckpoint()
     val biAll = docs
       .select(explode(shingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count("*").as("c_ab"))
+      .localCheckpoint()
     val bi = biAll.filter(col("c_ab") >= minCount)
     val n1 = uni.agg(sum("c").as("n1"))
     val n2 = biAll.agg(sum("c_ab").as("n2"))

@@ -115,18 +115,24 @@ object TrainingOps {
     * vocabulary = often noise; very low = boilerplate). The unigram LM
     * is the corpus itself: p(w) = count(w) / total tokens.
     *
-    * ONE tokenize+aggregate lineage: per-(doc, word) counts roll up to
-    * the vocabulary relation, which joins back by word (planner's
-    * choice — vocabulary cardinality is corpus-dependent, so no forced
-    * broadcast; AQE broadcasts when it measures small). The corpus
-    * total arrives as a broadcast single-row cross join. Output is
-    * ROUNDED to 4 decimals: cross-engine log/sum-order ulps sit ~1e-12
-    * below that boundary. */
+    * TWO corpus passes — train then score, the
+    * [[CorpusOps.dsirLogRatios]] shape: the vocabulary relation is
+    * `localCheckpoint`ed (vocabulary-sized, tiny next to the corpus),
+    * so the totals and the scoring join read the checkpoint instead of
+    * re-running the tokenize lineage under every branch (without it
+    * the final plan carries FIVE Generates — ReuseExchange collapses
+    * only one of the repeats; found by `graft.ScanAudit`). The vocab
+    * join back is the planner's choice — cardinality is
+    * corpus-dependent, AQE broadcasts when it measures small. The
+    * corpus total arrives as a broadcast single-row cross join. Output
+    * is ROUNDED to 4 decimals: cross-engine log/sum-order ulps sit
+    * ~1e-12 below that boundary. */
   def lmSurprisal(docs: DataFrame): DataFrame = {
-    val docWord = docs
+    def docWord = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count("*").as("k"))
     val vocab = docWord.groupBy("word").agg(sum("k").as("cnt"))
+      .localCheckpoint()
     val total = vocab.agg(sum("cnt").as("total"))
     docWord
       .join(vocab, "word")

@@ -182,6 +182,21 @@ class PlanSpec extends SparkSpec {
       s"target counts must come from the same tokenize pass:\n$p")
   }
 
+  test("surprisal scores in one tokenize pass; PMI scores scan-free") {
+    // lmSurprisal: vocab + totals come from the checkpoint — the
+    // scoring plan carries exactly ONE Generate (it carried five)
+    val s = plan(graft.operators.TrainingOps.lmSurprisal(
+      documents(spark, sfDir)))
+    assert("Generate".r.findAllIn(s).size == 1,
+      s"vocab/total branches re-tokenize the corpus:\n$s")
+    // collocations: both count relations are checkpointed, so the
+    // scoring join never touches the corpus at all
+    val p = plan(graft.operators.TextOps.collocations(
+      documents(spark, sfDir)))
+    assert(!p.contains("Generate") && !p.contains("FileScan"),
+      s"PMI scoring re-runs an explode lineage:\n$p")
+  }
+
   test("temperatureMix: budgets broadcast back, totals partial-aggregated") {
     val p = plan(graft.operators.TrainingOps.temperatureMix(
       documents(spark, sfDir), budget = 3000L))
