@@ -429,11 +429,16 @@ object Dedup {
     val cents = centroids.getOrElse(Similarity.ivfCentroids(e, nCells))
     val cs = array(cents.map(c =>
       Vectors.dot(col("v"), typedlit(c.toSeq))): _*)
+    // the cell-indexed relation feeds BOTH sides of the within-cell
+    // join AND the survivor anti-join: checkpoint it so the embedding
+    // scan (and the nCells dot products per row) run once, not three
+    // times per consuming branch (graft.ScanAudit found the repeats)
     val idx = e
       .withColumn("cs", cs)
       .withColumn("cell",
         (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .select("vec_id", "v", "cell")
+      .localCheckpoint()
     val a = idx.toDF("vec_a", "va", "cell")
     val b = idx.toDF("vec_b", "vb", "cell")
     val cos = Vectors.dot(col("va"), col("vb")) /
@@ -443,7 +448,7 @@ object Dedup {
       .filter(cos >= threshold)
       .select(col("vec_b").as("vec_id"))
       .distinct()
-    e.join(dropped, Seq("vec_id"), "left_anti")
+    idx.join(dropped, Seq("vec_id"), "left_anti")
       .select("vec_id").orderBy("vec_id")
   }
 
