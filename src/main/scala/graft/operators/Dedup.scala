@@ -505,8 +505,13 @@ object Dedup {
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
+    // three consumers read the vector relation (banding + both verify
+    // joins); checkpoint it so the source scans once — materialization
+    // equals the input's own size, strictly cheaper than re-scanning
+    // (and re-deriving any upstream fixture arithmetic) three times
     val e = embs.select(col("vec_id"),
       Vectors.toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint()
     val cand = embeddingLshCandidates(e, nPlanes, nTables, dim, seed,
       maxBucket)
     val cos = Vectors.dot(col("va"), col("vb")) /
