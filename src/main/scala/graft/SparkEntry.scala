@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ZOrder
-import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
+import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,19 @@ object SparkEntry {
     // kernel path above.
     "q_fingerprint_winnow" -> ((s, dir) =>
       TextOps.rollingFingerprintsPortable(documents(s, dir))),
+    // ---- graph centrality (GraphOps) ----
+    // Word co-occurrence edge list: one corpus scan, then vocabulary-
+    // scale everywhere — the input relation for TextRank below.
+    "q_graph_edges" -> ((s, dir) =>
+      GraphOps.cooccurrenceEdges(documents(s, dir))
+        .orderBy("src", "dst")),
+    // TextRank keywords: 4 fixed iterations of damped weighted
+    // PageRank; the oracle unrolls the same 4 steps as CTEs. All
+    // transition weights are exact integer ratios (integer sums cast
+    // to double), so the only float divergence is rank addition order
+    // — absorbed by the 6-dp round.
+    "q_text_rank" -> ((s, dir) =>
+      GraphOps.textRank(documents(s, dir))),
     // ---- deduplication extensions ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(documents(s, dir))),
     "q_dedup_keep" -> ((s, dir) =>
@@ -270,7 +283,32 @@ object SparkEntry {
     "q_sample_quota_agg" -> ((s, dir) =>
       CorpusOps.quotaSampleAgg(documents(s, dir), quota = 20)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // Weighted sample without replacement (A-ES), decided entirely in
+    // 60-bit integer space (max-of-w-uniforms ≡ u^(1/w) in law): no
+    // float RNG, so the oracle replays the identical hash race. Weight
+    // = size-tiered 1..10 from n_chars, mirrored exactly in SQL.
+    "q_sample_weighted" -> ((s, dir) =>
+      CorpusOps.weightedSample(documents(s, dir), k = 50,
+        weightCol = least(lit(10L),
+          lit(1L) + (col("n_chars") / lit(300)).cast("long")))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
+    // Okapi BM25 top-10 for a fixed query-term bag: one tokenize
+    // lineage (dl window before the term filter, df window after),
+    // scalars broadcast, ROUNDED score before the top-k cut.
+    "q_bm25" -> ((s, dir) =>
+      CorpusOps.bm25(documents(s, dir),
+        terms = Seq("spark", "window", "scan"))),
+    // C4-style boilerplate line removal. The synthetic corpus is
+    // single-line, so the harness derives a lined twin first (newline
+    // after every " value " — plain left-to-right substring replace,
+    // identical in both engines); the operator itself is the honest
+    // "\n"-line pass. Threshold 3 BINDS on this corpus (7 docs lose
+    // lines at sf0.01); the spec plants real banner boilerplate.
+    "q_line_dedup" -> ((s, dir) =>
+      CorpusOps.lineDedup(
+        documents(s, dir).withColumn("text",
+          regexp_replace(col("text"), lit(" value "), lit(" value\n"))),
+        maxCount = 3L)),
     "q_quality_rules" -> ((s, dir) =>
       CorpusOps.qualityRules(documents(s, dir))),
     // Per-source ingest health report: docs, exact-dup basis points,
@@ -308,6 +346,11 @@ object SparkEntry {
     // order preserved).
     "q_passage_rebuild" -> ((s, dir) =>
       TrainingOps.passageRebuild(documents(s, dir), passageTokens = 16)),
+    // Maximal duplicated token spans: sliding 16-token windows whose
+    // content recurs corpus-wide, merged per doc into the regions a
+    // substring-level dedup (Lee et al. 2022) would cut.
+    "q_dup_spans" -> ((s, dir) =>
+      TrainingOps.duplicatedSpans(documents(s, dir), w = 16)),
     // Cross-document repeated passages: winnowed fingerprints present
     // in >= 2 distinct docs, with site counts.
     "q_shared_fp" -> ((s, dir) =>
@@ -1387,6 +1430,86 @@ object SparkEntry {
         |)
         |SELECT bigram, c_ab, pmi FROM top
         |ORDER BY bigram""".stripMargin,
+    "q_graph_edges" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+        |), bi AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |         count(*) AS c
+        |  FROM (SELECT unnest(list_transform(range(len(t) - 1),
+        |          i -> t[i+1] || ' ' || t[i+2])) AS b
+        |        FROM toks WHERE len(t) >= 2)
+        |  GROUP BY 1, 2
+        |), fil AS (
+        |  SELECT w1, w2, c FROM bi WHERE c >= 5 AND w1 <> w2
+        |)
+        |SELECT src, dst, sum(c)::DOUBLE AS w FROM (
+        |  SELECT w1 AS src, w2 AS dst, c FROM fil
+        |  UNION ALL
+        |  SELECT w2 AS src, w1 AS dst, c FROM fil)
+        |GROUP BY src, dst
+        |ORDER BY src, dst""".stripMargin,
+    "q_text_rank" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+        |), bi AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |         count(*) AS c
+        |  FROM (SELECT unnest(list_transform(range(len(t) - 1),
+        |          i -> t[i+1] || ' ' || t[i+2])) AS b
+        |        FROM toks WHERE len(t) >= 2)
+        |  GROUP BY 1, 2
+        |), fil AS (
+        |  SELECT w1, w2, c FROM bi WHERE c >= 5 AND w1 <> w2
+        |), edges AS (
+        |  SELECT src, dst, sum(c)::DOUBLE AS w FROM (
+        |    SELECT w1 AS src, w2 AS dst, c FROM fil
+        |    UNION ALL
+        |    SELECT w2 AS src, w1 AS dst, c FROM fil)
+        |  GROUP BY src, dst
+        |), wsum AS (
+        |  SELECT src, sum(w) AS wtot FROM edges GROUP BY src
+        |), trans AS (
+        |  SELECT e.src, e.dst, e.w / ws.wtot AS p
+        |  FROM edges e JOIN wsum ws USING (src)
+        |), nn AS (SELECT count(*)::DOUBLE AS n FROM wsum),
+        |r0 AS (SELECT src AS word, 1.0 / nn.n AS r FROM wsum, nn),
+        |r1 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
+        |         + 0.85 * sum(t.p * r.r) AS r
+        |       FROM trans t JOIN r0 r ON r.word = t.src, nn
+        |       GROUP BY t.dst, nn.n),
+        |r2 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
+        |         + 0.85 * sum(t.p * r.r) AS r
+        |       FROM trans t JOIN r1 r ON r.word = t.src, nn
+        |       GROUP BY t.dst, nn.n),
+        |r3 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
+        |         + 0.85 * sum(t.p * r.r) AS r
+        |       FROM trans t JOIN r2 r ON r.word = t.src, nn
+        |       GROUP BY t.dst, nn.n),
+        |r4 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
+        |         + 0.85 * sum(t.p * r.r) AS r
+        |       FROM trans t JOIN r3 r ON r.word = t.src, nn
+        |       GROUP BY t.dst, nn.n),
+        |top AS (
+        |  SELECT word, round(r, 6) AS rank FROM r4
+        |  ORDER BY rank DESC, word ASC LIMIT 20
+        |)
+        |SELECT word, rank FROM top
+        |ORDER BY word""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, least(10, 1 + n_chars // 300) AS wt,
+        |    list_max(list_transform(
+        |      range(1, least(10, 1 + n_chars // 300) + 1),
+        |      j -> ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |              j::VARCHAR), 1, 15))::BIGINT)) AS sample_key
+        |  FROM documents
+        |), top AS (
+        |  SELECT doc_id, wt, sample_key FROM keyed
+        |  ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+        |)
+        |SELECT doc_id, wt, sample_key FROM top
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
@@ -1439,6 +1562,52 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score
         |FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+        |          AS term FROM documents)
+        |  GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, term, tf,
+        |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+        |), fil AS (
+        |  SELECT *, count(*) OVER (PARTITION BY term) AS df
+        |  FROM dl WHERE term IN ('spark', 'window', 'scan')
+        |), sc AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(text, '\S+'))) AS n_tok_total
+        |  FROM documents
+        |), scored AS (
+        |  SELECT f.doc_id,
+        |    ln(1 + (sc.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |      * (f.tf * 2.2)
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
+        |           / (sc.n_tok_total::DOUBLE / sc.n_docs))) AS contrib
+        |  FROM fil f, sc
+        |), top AS (
+        |  SELECT doc_id, round(sum(contrib), 4) AS score FROM scored
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+        |)
+        |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id, string_split(
+        |    replace(text, ' value ', ' value' || chr(10)), chr(10)) AS ls
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, i AS pos, ls[i+1] AS line
+        |  FROM lined, unnest(range(len(ls))) AS t(i)
+        |), cnt AS (
+        |  SELECT doc_id, pos, line, count(*) OVER (
+        |    PARTITION BY ('0x' || substr(md5(line),1,15))::BIGINT) AS n_occ
+        |  FROM lines
+        |)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  sum(CASE WHEN n_occ < 3 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  coalesce(string_agg(CASE WHEN n_occ < 3 THEN line END,
+        |    chr(10) ORDER BY pos), '') AS clean_text
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Integer metrics + integer cross-multiplied thresholds: no float
     // ratio ever crosses the engines (power-of-two denominators land
     // on exact half-values where rounding modes differ).
@@ -1664,6 +1833,37 @@ object SparkEntry {
         |    list(p_text ORDER BY p_idx) FILTER (WHERE keep), ' '), '')
         |    AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // maximal duplicated spans: sliding 16-gram recurrence via the
+    // 60-bit md5 count window, then gaps-and-islands per doc.
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+16], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 15)) AS i
+        |        FROM toks WHERE len(t) >= 16)
+        |), dup AS (
+        |  SELECT doc_id, pos, count(*) OVER (
+        |    PARTITION BY ('0x' || substr(md5(gram),1,15))::BIGINT) AS n_occ
+        |  FROM grams
+        |), d2 AS (
+        |  SELECT doc_id, pos AS s, pos + 15 AS e FROM dup WHERE n_occ >= 2
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM d2
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), isl2 AS (
+        |  SELECT *, sum(opens) OVER (
+        |    PARTITION BY doc_id ORDER BY s) AS island FROM isl
+        |)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  max(e) - min(s) + 1 AS n_tokens, count(*) AS n_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // shared winnowed fingerprints: the q_fingerprint_winnow stream
     // aggregated by fp, kept where seen in >= 2 distinct docs.
     "q_shared_fp" ->

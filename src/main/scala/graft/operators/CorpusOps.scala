@@ -105,6 +105,92 @@ object CorpusOps {
       .orderBy("doc_id", "term")
   }
 
+  /** Okapi BM25 retrieval scores for a fixed bag of query `terms`:
+    * the top-`k` documents by
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                         (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    *
+    * with the Lucene idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always
+    * positive, so a stop-term cannot flip a ranking negative). Shares
+    * [[tfIdf]]'s lineage discipline: ONE tokenize+aggregate pass, with
+    * per-doc length and per-term document frequency as windows over
+    * the small (doc, term, tf) relation — the term filter lands AFTER
+    * the `dl` window (dl must count every token, not just query
+    * terms) and BEFORE the df/score work, so the per-term window and
+    * the join-free scoring touch |terms|-scale rows only. The two
+    * corpus scalars (N, total tokens for avgdl) come from a separate
+    * count-only pass (column-pruned to `text`, no explode — the
+    * [[tfIdf]] nDocs pattern) broadcast into the score expression.
+    * Scores are ROUNDED before the top-k cut ([[tfIdf]]'s ulp rule:
+    * ln differs by 1 ulp between engines, and the per-doc sum adds in
+    * engine order), tie-broken by doc_id. Returns (doc_id, score)
+    * ordered by doc_id; plan = one shuffle per window family +
+    * TakeOrderedAndProject. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val scalars = docs.agg(count("*").as("n_docs"),
+      sum(tokenCountWs(col("text"))).as("n_tok_total"))
+    val scored = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .filter(col("term").isin(terms: _*))
+      .withColumn("df", count("*").over(Window.partitionBy("term")))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("avgdl",
+        col("n_tok_total").cast("double") / col("n_docs"))
+      .withColumn("contrib", col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / col("avgdl"))))
+    scored
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .orderBy("doc_id")
+  }
+
+  // ---- line-level boilerplate dedup ----------------------------------
+
+  /** C4/RefinedWeb-style boilerplate LINE removal: lines whose
+    * corpus-wide occurrence count reaches `maxCount` (nav bars, cookie
+    * banners, license headers — the text that repeats verbatim across
+    * a crawl) are dropped from EVERY document, and the documents are
+    * rebuilt from their surviving lines in order. The boilerplate
+    * signal is TOTAL occurrences, not distinct documents: a window
+    * count over the line hash keeps the whole operator ONE
+    * corpus-scan lineage (a distinct-doc count needs groupBy+join,
+    * i.e. a second pass over the exploded lines — and a page that
+    * repeats its own banner 50× is boilerplate all the same).
+    * The count window keys on the 60-bit md5 of the line, so the
+    * shuffle carries (doc_id, pos, hash) width — the line text rides
+    * only to the rebuild. Docs whose every line was boilerplate
+    * survive with empty text and n_kept = 0 (the [[TrainingOps
+    * .passageRebuild]] convention) so a downstream length gate drops
+    * them explicitly. Returns (doc_id, n_lines, n_kept, clean_text)
+    * ordered by doc_id. */
+  def lineDedup(docs: DataFrame, maxCount: Long = 3L): DataFrame = {
+    require(maxCount >= 2, s"maxCount < 2 would drop every line")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("n_occ",
+        count("*").over(Window.partitionBy(md5Hash60(col("line")))))
+      .groupBy("doc_id")
+      .agg(
+        count("*").as("n_lines"),
+        sum(when(col("n_occ") < maxCount, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("n_occ") < maxCount,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   // ---- Gopher-style quality gates ------------------------------------
 
   /** Per-document repetition/quality metrics (the Gopher/MassiveText
@@ -207,6 +293,46 @@ object CorpusOps {
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) <= quota)
       .drop(rn)
+  }
+
+  /** Weighted sample of `k` documents WITHOUT replacement, integer-
+    * exact. The A-ES scheme (Efraimidis & Spirakis 2006) keys each row
+    * with u^(1/w) for uniform u and takes the top k — but pow/ln on
+    * doubles is exactly the cross-engine float hazard the sampling
+    * family avoids. For INTEGER weights there is an equivalent that
+    * never leaves integer space: the max of w iid uniforms has CDF
+    * x^w, the same law as u^(1/w), so
+    *
+    *   key(doc) = max_{j=1..w} md5Hash60(doc_id ":" j)
+    *
+    * is distributed exactly as an A-ES key, and the top-k cut compares
+    * 60-bit integers — bit-identical in DuckDB. The replicas live
+    * inside a per-row `transform(sequence(...))` (no explode, no extra
+    * shuffle); the plan is one scan + TakeOrderedAndProject, the same
+    * 100 TB shape as every other top-k here. Weights outside
+    * [1, maxWeight] fail the job loudly at the first offending ROW
+    * (`raise_error` inside the key expression — no extra validation
+    * pass over the corpus, and no silent clamp skewing the sample).
+    * Returns (doc_id, wt, sample_key) ordered by doc_id. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: Column,
+      maxWeight: Long = 1000L): DataFrame = {
+    require(k > 0)
+    val wt = weightCol.cast("long")
+    docs
+      .select(col("doc_id"), wt.as("wt"))
+      .withColumn("sample_key", when(
+        col("wt").between(1L, maxWeight),
+        array_max(transform(
+          sequence(lit(1L), col("wt")),
+          j => md5Hash60(concat(col("doc_id").cast("string"), lit(":"),
+            j.cast("string"))))))
+        .otherwise(raise_error(concat(
+          lit(s"weightedSample: weight outside [1, $maxWeight] for doc_id="),
+          col("doc_id").cast("string"),
+          lit(" — clamp or rescale weights explicitly upstream")))))
+      .orderBy(col("sample_key").desc, col("doc_id").asc)
+      .limit(k)
+      .orderBy("doc_id")
   }
 
   // ---- training-sequence chunking ------------------------------------

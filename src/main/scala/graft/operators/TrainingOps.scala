@@ -85,6 +85,60 @@ object TrainingOps {
           s => s.getField("p_text")), " ").as("clean_text"))
       .orderBy("doc_id")
 
+  /** Maximal duplicated token spans (the span-level view Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * builds from a suffix array): every SLIDING `w`-token window
+    * (stride 1 — the alignment-free complement to [[passages]]'
+    * disjoint windows) whose content recurs anywhere in the corpus
+    * marks its token range duplicated; overlapping and touching
+    * ranges then merge, per document, into maximal spans — the
+    * regions a substring-level dedup pass would cut.
+    *
+    * Shape: one corpus scan feeds the codegen'd shingle kernel; the
+    * recurrence test is a count window over the gram's 60-bit md5
+    * (gram text never shuffles — the [[lineDedup]] hash-key rule);
+    * the merge is the gaps-and-islands pattern: a span opens where a
+    * window's start clears every earlier window's end (running `max`
+    * over the doc partition), island ids are the running sum of
+    * opens, and one aggregate per island emits the span. Two window
+    * families over (doc_id, pos)-width rows — no join, no self-join,
+    * nothing quadratic in corpus size.
+    *
+    * Returns (doc_id, span_start, span_end, n_tokens, n_windows) —
+    * token positions 0-based inclusive — ordered by (doc_id,
+    * span_start). */
+  def duplicatedSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+    require(w > 0)
+    val dup = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.shingles(col("text"), w))
+          .as(Seq("pos", "gram")))
+      .withColumn("n_occ",
+        count("*").over(Window.partitionBy(md5Hash60(col("gram")))))
+      .filter(col("n_occ") >= 2)
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        (col("pos") + w - 1).cast("long").as("end"))
+    val byPos = Window.partitionBy("doc_id").orderBy("start")
+    val prevEnd = max("end")
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      // touching counts as merged: a window starting exactly one past
+      // the running end extends the span (the duplicated region is
+      // contiguous in tokens even though no single window crosses it)
+      .withColumn("opens",
+        when(prevEnd.isNull || col("start") > prevEnd + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("opens").over(byPos))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("start").as("span_start"), max("end").as("span_end"),
+        count("*").as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
   // ---- cross-document repeated passages ------------------------------
 
   /** Shared winnowed fingerprints: MOSS-style detection of passages

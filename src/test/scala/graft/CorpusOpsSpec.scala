@@ -384,4 +384,112 @@ class CorpusOpsSpec extends SparkSpec {
     // scores are non-increasing down the ranking
     assert(top.map(_._4).toSeq.reverse == top.map(_._4).toSeq.reverse.sorted)
   }
+
+  /** Brute-force md5Hash60 (first 15 hex digits of md5, base-16). */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("weightedSample: key is the exact max-of-w hash race, layout-" +
+    "deterministic, and weight raises inclusion odds") {
+    val docs = corpus.withColumn("wt0",
+      when(col("doc_id") % 5 === 0, 10L).otherwise(1L))
+    val s1 = CorpusOps.weightedSample(docs, k = 20, col("wt0"))
+    val rows = s1.as[(Long, Long, Long)].collect()
+    assert(rows.length == 20 && rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    // keys replay exactly as max_{j<=w} md5Hash60(id:j)
+    for ((id, wt, key) <- rows)
+      assert(key == (1L to wt).map(j => h60(s"$id:$j")).max)
+    // deterministic under physical layout
+    val s2 = CorpusOps.weightedSample(docs.repartition(11), 20, col("wt0"))
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // weight-10 docs are 1/5 of the corpus but hold ~10x the per-doc
+    // odds: they must dominate the sample (p(win) ~ 10/14 per slot;
+    // binomial slack leaves >= 8 of 20 a safe floor)
+    assert(rows.count(_._2 == 10L) >= 8,
+      s"heavy docs under-represented: ${rows.count(_._2 == 10L)}/20")
+    // out-of-range weight fails the job loudly, at the row
+    val bad = corpus.withColumn("wt0", lit(0L))
+    val ex = intercept[Exception] {
+      CorpusOps.weightedSample(bad, 5, col("wt0")).collect()
+    }
+    assert(ex.getMessage.contains("weightedSample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("weightedSample")))
+  }
+
+  test("bm25: hand-computed scores on a 3-doc corpus") {
+    // N = 3, dl = (4, 4, 2), avgdl = 10/3. Query {x, y}:
+    //   df(x) = 2 (docs 1, 2), df(y) = 1 (doc 1).
+    val docs = Seq(
+      (1L, "x y x b"), (2L, "x c c c"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.bm25(docs, terms = Seq("x", "y"), k = 3)
+      .as[(Long, Double)].collect().toMap
+    val k1 = 1.2; val b = 0.75; val avgdl = 10.0 / 3
+    def idf(df: Int) = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long, df: Int) = idf(df) *
+      (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == r4(w(2, 4, 2) + w(1, 4, 1)))
+    assert(got(2L) == r4(w(1, 4, 2)))
+    // doc 3 holds no query term: absent, not zero-scored
+  }
+
+  test("bm25: dl counts ALL tokens, top-k cuts on rounded score") {
+    // docs 1 and 2 have identical query-term counts; doc 2 is longer,
+    // so BM25's length normalization must rank doc 1 above it — that
+    // only happens if dl is computed before the term filter.
+    val docs = Seq(
+      (1L, "x a"), (2L, "x a a a a a a a"), (3L, "x b"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.bm25(docs, terms = Seq("x"), k = 2)
+      .as[(Long, Double)].collect().toMap
+    // k = 2 keeps the two short docs (tie on score, doc_id tie-break
+    // keeps 1 and 3 over nothing — both score equal and above doc 2)
+    assert(r.keySet == Set(1L, 3L) && r(1L) == r(3L))
+    val layout = CorpusOps.bm25(corpus, Seq("spark", "window"), k = 10)
+    val layout2 = CorpusOps.bm25(corpus.repartition(17),
+      Seq("spark", "window"), k = 10)
+    assert(layout.collect().toSeq == layout2.collect().toSeq)
+  }
+
+  test("lineDedup: planted banner lines drop everywhere, order and " +
+    "empty docs preserved") {
+    val banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    val docs = Seq(
+      (1L, s"$banner\nalpha beta\ngamma"),
+      (2L, s"delta\n$banner\nepsilon"),
+      (3L, s"zeta\n$banner"),
+      (4L, banner), // only boilerplate: survives empty
+      (5L, "eta\ntheta")).toDF("doc_id", "text")
+    val got = CorpusOps.lineDedup(docs, maxCount = 3L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "alpha beta\ngamma"),
+      (2L, 3L, 2L, "delta\nepsilon"),
+      (3L, 2L, 1L, "zeta"),
+      (4L, 1L, 0L, ""),
+      (5L, 2L, 2L, "eta\ntheta")))
+    // threshold is total occurrences: a doc repeating its own line
+    // 3x trips the cap even though only one doc carries it
+    val selfRep = Seq((1L, "spam\nspam\nspam\nkeep"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val s = CorpusOps.lineDedup(selfRep, maxCount = 3L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(s == Seq((1L, 4L, 1L, "keep"), (2L, 1L, 1L, "other")))
+    // determinism under layout on the real corpus (lined twin)
+    val lined = corpus.withColumn("text",
+      regexp_replace(col("text"), lit(" value "), lit(" value\n")))
+    val l1 = CorpusOps.lineDedup(lined, maxCount = 3L).collect().toSeq
+    val l2 = CorpusOps.lineDedup(lined.repartition(11), maxCount = 3L)
+      .collect().toSeq
+    assert(l1 == l2 && l1.nonEmpty)
+    // the harness threshold BINDS on the corpus: some doc loses a line
+    assert(l1.map(_.getLong(2)).sum < l1.map(_.getLong(1)).sum)
+  }
 }

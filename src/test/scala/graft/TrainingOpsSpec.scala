@@ -348,4 +348,73 @@ class TrainingOpsSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("overflows")), e.toString)
   }
+
+  // ---- duplicated spans ----------------------------------------------
+
+  test("duplicatedSpans: partial repeats merge into maximal spans, " +
+    "hand-checked") {
+    // doc 1 and doc 2 share tokens s0..s5 at different offsets; each
+    // doc's remaining tokens are unique. With w = 4, the duplicated
+    // windows in doc 1 start at 0, 1, 2 (covering tokens 0..5) and in
+    // doc 2 at 2, 3, 4 (covering tokens 2..7) — one merged span each.
+    val shared = (0 until 6).map(i => s"s$i").mkString(" ")
+    val docs = docsDf(
+      (1L, s"$shared u1 u2 u3 u4"),
+      (2L, s"v1 v2 $shared w1 w2"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")) // no repeats: absent from output
+    val got = TrainingOps.duplicatedSpans(docs, w = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 5L, 6L, 3L), (2L, 2L, 7L, 6L, 3L)))
+  }
+
+  test("duplicatedSpans: separated repeats stay separate spans; " +
+    "touching spans merge") {
+    // doc 2 repeats doc 1's a-block at tokens 0..3 and b-block at
+    // tokens 8..11 with a unique 4-token gap — two spans, not one.
+    val a = "a1 a2 a3 a4"; val b = "b1 b2 b3 b4"
+    val twoSpans = docsDf(
+      (1L, s"$a z1 z2 z3 z4 $b"),
+      (2L, s"$a y1 y2 y3 y4 $b"))
+    val got = TrainingOps.duplicatedSpans(twoSpans, w = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 4L, 1L), (1L, 8L, 11L, 4L, 1L),
+      (2L, 0L, 3L, 4L, 1L), (2L, 8L, 11L, 4L, 1L)))
+    // zero-gap adjacency (span ends at t, next starts at t+1) merges:
+    // doc 2 carries both blocks back-to-back but NOT the joint window,
+    // so the blocks' windows touch without overlapping.
+    val touching = docsDf(
+      (1L, s"$a q1 q2 q3 q4"), (2L, s"p1 p2 p3 p4 $b"),
+      (3L, s"$a $b"))
+    val spans3 = TrainingOps.duplicatedSpans(touching, w = 4)
+      .filter(col("doc_id") === 3L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans3 == Seq((3L, 0L, 7L, 8L, 2L)))
+  }
+
+  test("duplicatedSpans: deterministic under layout; exact-dup docs " +
+    "span their whole length") {
+    val spans = TrainingOps.duplicatedSpans(corpus, w = 16)
+    val again = TrainingOps.duplicatedSpans(corpus.repartition(13), w = 16)
+    val s1 = spans.collect().toSeq
+    assert(s1 == again.collect().toSeq && s1.nonEmpty)
+    // spans sit inside their documents, and a span of n tokens holds
+    // exactly its duplicated windows when maximal: n_windows is the
+    // span's window count only if EVERY window inside is duplicated —
+    // which is how exact-dup docs present (span = whole doc,
+    // n_windows = n - w + 1). Check both bounds against real token
+    // counts.
+    val nTok = corpus.select(col("doc_id"),
+      size(graft.functions.TextAnalysis.wsTokens(col("text")))
+        .cast("long").as("n_tok"))
+    val joined = spans.join(nTok, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (_, s, e, n, nw, nt) =>
+      assert(s >= 0 && e < nt && n == e - s + 1 && nw <= n - 16 + 1)
+    }
+    // at least one whole-document span exists (the planted exact dups)
+    assert(joined.exists { case (_, s, e, _, nw, nt) =>
+      s == 0 && e == nt - 1 && nw == nt - 16 + 1 })
+  }
 }
