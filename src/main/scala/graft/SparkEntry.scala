@@ -66,6 +66,16 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
     "q_text_ngrams" -> ((s, dir) => TextOps.ngramCounts(documents(s, dir))),
+    // Per-source OOV rate vs a fixed reference vocabulary (broadcast):
+    // the tokenizer-health audit. Vocabulary is a literal relation
+    // here; a trained tokenizer's vocab drops in without a plan change.
+    "q_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.oovRate(documents(s, dir),
+        Seq("table", "scan", "filter", "join", "hash", "row", "batch",
+          "column", "value", "key", "the", "a", "spark", "window",
+          "query", "data").toDF("term"))
+    }),
     "q_text_pmi" -> ((s, dir) => TextOps.collocations(documents(s, dir))),
     // Gopher-style repetition filters: single-pass kernel, exact
     // integer outputs, integer cross-multiplied gate — fully oracled.
@@ -366,6 +376,11 @@ object SparkEntry {
       TrainingOps.tokenBudgetSample(documents(s, dir), budget = 3000L,
         weights = Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L,
           "src3" -> 1L))),
+    // Deterministic T5-style span corruption: per-block hash-chosen
+    // mask spans, zero-shuffle array expressions, sentinel-aligned
+    // (masked_text, target_text) pairs.
+    "q_span_corruption" -> ((s, dir) =>
+      TrainingOps.spanCorruption(documents(s, dir))),
     // Fixed-length sequence packing: docs concatenated in the shard
     // hash order, split at 64-token boundaries; doc pieces carry
     // (seq_off, tok_start, n_tok) so sequences reassemble exactly.
@@ -702,6 +717,53 @@ object SparkEntry {
         |GROUP BY ngram
         |ORDER BY cnt DESC, ngram
         |LIMIT 50""".stripMargin,
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, count(*) AS n_tokens,
+        |    sum(CASE WHEN term NOT IN ('table', 'scan', 'filter',
+        |      'join', 'hash', 'row', 'batch', 'column', 'value', 'key',
+        |      'the', 'a', 'spark', 'window', 'query', 'data')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM tok GROUP BY source
+        |)
+        |SELECT source, n_tokens, n_oov,
+        |  (n_oov * 10000) // n_tokens AS oov_bp
+        |FROM f ORDER BY source""".stripMargin,
+    "q_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, tk, len(tk) AS n, (len(tk) + 9) // 10 AS nb
+        |  FROM t
+        |), blk AS (
+        |  SELECT doc_id, tk, i AS b, least(10, n - i*10) AS blen
+        |  FROM d, unnest(range(nb)) AS u(i)
+        |), jj AS (
+        |  SELECT *, CASE WHEN blen >= 3 THEN
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |         b::VARCHAR),1,15))::BIGINT % (blen - 3 + 1) END AS j
+        |  FROM blk
+        |), piece AS (
+        |  SELECT doc_id, b, j,
+        |    CASE WHEN j IS NULL
+        |    THEN array_to_string(tk[b*10+1 : b*10+blen], ' ')
+        |    ELSE array_to_string(list_concat(list_concat(
+        |           tk[b*10+1 : b*10+j],
+        |           ['<extra_id_' || b || '>']),
+        |           tk[b*10+j+4 : b*10+blen]), ' ')
+        |    END AS mp,
+        |    CASE WHEN j IS NOT NULL THEN '<extra_id_' || b || '> ' ||
+        |      array_to_string(tk[b*10+j+1 : b*10+j+3], ' ') END AS tp
+        |  FROM jj
+        |)
+        |SELECT doc_id, count(j) AS n_spans,
+        |  string_agg(mp, ' ' ORDER BY b) AS masked_text,
+        |  coalesce(string_agg(tp, ' ' ORDER BY b), '') AS target_text
+        |FROM piece GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

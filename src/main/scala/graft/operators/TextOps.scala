@@ -234,6 +234,27 @@ object TextOps {
 
   /** Corpus stats by (lang, source): doc counts, char volume, mean
     * token count. One shuffle on the group keys; partial agg map-side. */
+  /** Per-source out-of-vocabulary rate against a reference vocabulary
+    * — the tokenizer-health audit a pipeline runs when a corpus slice
+    * and a trained tokenizer disagree (new domain, wrong language,
+    * mojibake): a rising OOV share is the first symptom. `vocab` is a
+    * one-column (`term`) relation — tokenizer vocabularies are
+    * O(10⁴⁻⁵) rows, so it BROADCASTS and the whole operator is one
+    * corpus scan + map-side join + per-source aggregate; the OOV
+    * share is integer basis points (the [[CorpusOps.corpusHealth]]
+    * convention — no float division crosses engines). Returns
+    * (source, n_tokens, n_oov, oov_bp) ordered by source. */
+  def oovRate(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(wsTokens(col("text"))).as("term"))
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("in_v"))
+        .dropDuplicates("term")), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count("*").as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+      .orderBy("source")
+
   def langStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang", "source").agg(
       count("*").as("n_docs"),

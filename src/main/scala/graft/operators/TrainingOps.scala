@@ -296,6 +296,65 @@ object TrainingOps {
       .orderBy("source", "cum_tok", "doc_id")
   }
 
+  // ---- span-corruption (denoising) prep ------------------------------
+
+  /** T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4), made
+    * DETERMINISTIC: the doc's tokens are cut into fixed
+    * `blockTokens`-token blocks, and each full-enough block masks one
+    * `spanTokens`-token span whose offset is the block's 60-bit md5
+    * hash mod the legal range — no RNG, so a re-run (or the DuckDB
+    * oracle) reproduces the exact same (masked_text, target_text)
+    * pair, and a resumed 100 TB export job regenerates identical
+    * shards. Sentinels are numbered by BLOCK index (stable under the
+    * parallel per-block construction; T5's sequential numbering would
+    * need a cross-block scan — gaps in the ids don't change the
+    * denoising objective, input and target agree on every id).
+    *
+    * Zero shuffles: the whole operator is array expressions over the
+    * scan (`transform` over the block sequence, slice/concat per
+    * block) — embarrassingly parallel, the ideal 100 TB map stage.
+    * Blocks shorter than `spanTokens` (the document tail) pass
+    * through unmasked. Returns (doc_id, n_spans, masked_text,
+    * target_text) ordered by doc_id. */
+  def spanCorruption(docs: DataFrame, blockTokens: Int = 10,
+      spanTokens: Int = 3): DataFrame = {
+    require(blockTokens > 0 && spanTokens > 0 && spanTokens <= blockTokens,
+      s"need 0 < spanTokens <= blockTokens, got $spanTokens/$blockTokens")
+    val bt = blockTokens; val st = spanTokens
+    val pieces = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("nb", expr(s"CAST((n + ${bt - 1}) DIV $bt AS INT)"))
+      .withColumn("pieces", when(col("nb") > 0,
+        transform(sequence(lit(0), col("nb") - 1), b => {
+          val blen = least(lit(bt), col("n") - b * bt)
+          val blockToks = slice(col("t"), b * bt + 1, lit(bt))
+          val j = pmod(md5Hash60(concat(col("doc_id").cast("string"),
+            lit(":"), b.cast("string"))), blen - st + 1)
+          val sentinel =
+            concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+          val maskedToks = concat(
+            slice(blockToks, lit(1), j), array(sentinel),
+            slice(blockToks, j + st + 1, lit(bt)))
+          struct(
+            when(blen >= st, array_join(maskedToks, " "))
+              .otherwise(array_join(blockToks, " ")).as("m"),
+            when(blen >= st, concat(sentinel, lit(" "),
+              array_join(slice(blockToks, j + 1, lit(st)), " ")))
+              .otherwise(lit(null).cast("string")).as("tt"))
+        }))
+        .otherwise(array().cast("array<struct<m:string,tt:string>>")))
+    val tp = filter(col("pieces"), p => p.getField("tt").isNotNull)
+    pieces
+      .select(col("doc_id"),
+        size(tp).cast("long").as("n_spans"),
+        array_join(transform(col("pieces"),
+          p => p.getField("m")), " ").as("masked_text"),
+        array_join(transform(tp,
+          p => p.getField("tt")), " ").as("target_text"))
+      .orderBy("doc_id")
+  }
+
   // ---- training-shard export -----------------------------------------
 
   /** Deterministic global shuffle + shard assignment: docs ordered by

@@ -183,4 +183,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel == windows)
     assert(kernel.nonEmpty)
   }
+
+  test("oovRate: hand-computed shares, duplicate vocab rows ignored, " +
+    "vocab side broadcast") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b zz a", "s1"),   // 4 tokens, 1 oov (zz)
+      (2L, "zz yy", "s1"),      // 2 tokens, 2 oov
+      (3L, "a a a", "s2"))      // 3 tokens, 0 oov
+      .toDF("doc_id", "text", "source")
+    // duplicate vocab entries must not double-count matched tokens
+    val vocab = Seq("a", "b", "a").toDF("term")
+    val got = TextOps.oovRate(docs, vocab)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // s1: 6 tokens, 3 oov -> 5000 bp; s2: 3 tokens, 0 oov -> 0 bp
+    assert(got == Seq(("s1", 6L, 3L, 5000L), ("s2", 3L, 0L, 0L)))
+    // the vocab relation joins broadcast — no shuffle on the big side
+    val plan = TextOps.oovRate(docs, vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -417,4 +417,59 @@ class TrainingOpsSpec extends SparkSpec {
     assert(joined.exists { case (_, s, e, _, nw, nt) =>
       s == 0 && e == nt - 1 && nw == nt - 16 + 1 })
   }
+
+  // ---- span corruption -----------------------------------------------
+
+  /** 60-bit md5 integer, the test-side twin of md5Hash60. */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("spanCorruption: exact strings on a hand doc, short tail block " +
+    "passes through, empty doc survives") {
+    // 12 tokens: block 0 full (10 tokens, masks 3 at j = h % 8),
+    // block 1 has 2 tokens < spanTokens: unmasked.
+    val toks = (0 until 12).map(i => s"w$i")
+    val docs = docsDf((7L, toks.mkString(" ")), (8L, ""))
+    val got = TrainingOps.spanCorruption(docs, blockTokens = 10,
+      spanTokens = 3).as[(Long, Long, String, String)].collect().toSeq
+    val j = (h60("7:0") % 8).toInt
+    val masked = (toks.take(j) :+ "<extra_id_0>") ++
+      toks.slice(j + 3, 10) ++ toks.drop(10)
+    val target = s"<extra_id_0> ${toks.slice(j, j + 3).mkString(" ")}"
+    assert(got == Seq(
+      (7L, 1L, masked.mkString(" "), target),
+      (8L, 0L, "", "")))
+  }
+
+  test("spanCorruption: masked + target reconstruct every corpus doc") {
+    val pairs = TrainingOps.spanCorruption(corpus)
+      .as[(Long, Long, String, String)].collect()
+    val original = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(pairs.nonEmpty && pairs.exists(_._2 > 0))
+    pairs.foreach { case (id, nSpans, masked, target) =>
+      // parse "<extra_id_b> t1 t2 t3 <extra_id_b'> ..." into spans
+      val sentinel = "<extra_id_\\d+>".r
+      val ids = sentinel.findAllIn(target).toSeq
+      assert(ids.size == nSpans && ids.distinct == ids, s"doc $id")
+      val bodies = sentinel.split(target).toSeq // leading "" when spans
+      val spanOf = ids.zip(bodies.drop(1).map(_.trim)).toMap
+      val rebuilt = masked.split(" ").filter(_.nonEmpty).flatMap { t =>
+        spanOf.get(t) match {
+          case Some(body) => body.split(" ").toSeq
+          case None => Seq(t)
+        }
+      }
+      val want = original(id).split("\\s+").filter(_.nonEmpty).toSeq
+      assert(rebuilt.toSeq == want, s"doc $id failed to reconstruct")
+    }
+    // deterministic under physical layout
+    val again = TrainingOps.spanCorruption(corpus.repartition(13))
+      .as[(Long, Long, String, String)].collect()
+    assert(pairs.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
