@@ -369,6 +369,15 @@ object SparkEntry {
     // score); ulp-stable via rounding, like q_tfidf.
     "q_lm_surprisal" -> ((s, dir) =>
       TrainingOps.lmSurprisal(documents(s, dir))),
+    // CCNet-style add-one bigram cross-entropy per doc; unigrams (for
+    // V) and bigrams ride one tagged explode, LM relations vocabulary-
+    // scale + checkpointed, V broadcast, one rounded float.
+    "q_lm_bigram" -> ((s, dir) =>
+      TrainingOps.lmBigramBits(documents(s, dir))),
+    // head/middle/tail perplexity tertiles: ntile semantics planned as
+    // distributed rank + integer arithmetic, no single-partition window.
+    "q_ppl_buckets" -> ((s, dir) =>
+      TrainingOps.perplexityBuckets(documents(s, dir))),
     // Token-budget mixture sampling: 3000-token corpus assembled
     // 4:3:2:1 from src0..src3 (unlisted sources excluded); budgets
     // bind on every listed source at sf0.01+.
@@ -1967,6 +1976,66 @@ object SparkEntry {
         |    AS bits_per_tok
         |FROM dw JOIN v USING (word) CROSS JOIN t
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // add-one bigram LM: p(w2|w1) = (c(w1,w2)+1)/(c(w1,.)+V); DuckDB
+    // arrays are 1-based so t[i],t[i+1] over i=1..len-1 enumerates the
+    // bigrams; V = distinct unigrams from the same token relation.
+    "q_lm_bigram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok)
+        |), db AS (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM b GROUP BY 1, 2, 3
+        |), gb AS (
+        |  SELECT w1, w2, sum(k) AS cnt FROM db GROUP BY 1, 2
+        |), cx AS (
+        |  SELECT w1, sum(cnt) AS ctx FROM gb GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w1) AS v
+        |  FROM (SELECT unnest(t) AS w1 FROM tok)
+        |)
+        |SELECT doc_id, sum(k)::BIGINT AS n_big,
+        |  round(sum(k * (log2(ctx + v) - log2(cnt + 1))) / sum(k), 4)
+        |    AS bits_per_big
+        |FROM db JOIN gb USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // perplexity tertiles over the bigram bits: the oracle IS the
+    // ntile window the Spark side deliberately does not plan.
+    "q_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok)
+        |), db AS (
+        |  SELECT doc_id, w1, w2, count(*) AS k FROM b GROUP BY 1, 2, 3
+        |), gb AS (
+        |  SELECT w1, w2, sum(k) AS cnt FROM db GROUP BY 1, 2
+        |), cx AS (
+        |  SELECT w1, sum(cnt) AS ctx FROM gb GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w1) AS v
+        |  FROM (SELECT unnest(t) AS w1 FROM tok)
+        |), bits AS (
+        |  SELECT doc_id, sum(k)::BIGINT AS n_big,
+        |    round(sum(k * (log2(ctx + v) - log2(cnt + 1))) / sum(k), 4)
+        |      AS bits_per_big
+        |  FROM db JOIN gb USING (w1, w2) JOIN cx USING (w1)
+        |    CROSS JOIN v
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_big, bits_per_big,
+        |  ntile(3) OVER (ORDER BY bits_per_big, doc_id) AS ppl_bucket
+        |FROM bits
         |ORDER BY doc_id""".stripMargin,
     // mixture sampling: per-source budgets 3000 * w / 10 for
     // src0..src3 (4:3:2:1), md5-hash order, keep while the running

@@ -200,6 +200,107 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document add-one-smoothed bigram cross-entropy in bits — the
+    * CCNet-style perplexity signal (Wenzek et al. 2020 rank documents
+    * by LM perplexity and keep the low-perplexity "head"). The LM is
+    * the corpus itself: p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V), V =
+    * distinct unigrams, so fluent in-distribution text scores low and
+    * rare-transition noise scores high — one modelling step up from
+    * [[lmSurprisal]]'s unigram.
+    *
+    * ONE tokenize per lineage pass: unigrams (for V) and bigrams ride
+    * the SAME explode as tagged rows ('u' rows carry w2 = "" — the
+    * DSIR conditional-sum trick), so train needs no second tokenize.
+    * The global gram relation is `localCheckpoint`ed
+    * (vocabulary-scale) as in [[lmSurprisal]]; context totals pre-join
+    * the bigram counts at vocabulary scale so the corpus-side scoring
+    * join is single. V arrives as a broadcast one-row cross join. All
+    * counts integer; the one float is ROUNDED to 4 decimals ulp-rule.
+    *
+    * Documents with fewer than two tokens have no bigrams and are
+    * absent from the output (CCNet has nothing to score there). */
+  def lmBigramBits(docs: DataFrame): DataFrame = {
+    def docGrams = {
+      val t = col("t")
+      val uni = transform(t, w =>
+        struct(lit("u").as("tag"), w.as("w1"), lit("").as("w2")))
+      val bi = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(lit("b").as("tag"), a.as("w1"), b.as("w2"))))
+        .otherwise(expr(
+          "CAST(array() AS array<struct<tag:string,w1:string,w2:string>>)"))
+      docs.select(col("doc_id"), wsTokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(concat(uni, bi)).as("g"))
+        .select(col("doc_id"), col("g.tag").as("tag"),
+          col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .groupBy("doc_id", "tag", "w1", "w2").agg(count("*").as("k"))
+    }
+    val global = docGrams.groupBy("tag", "w1", "w2")
+      .agg(sum("k").as("cnt")).localCheckpoint()
+    val vocabSize = global.filter(col("tag") === "u")
+      .agg(count("*").as("v"))
+    // context totals fold into the bigram-count relation at vocabulary
+    // scale, so the corpus-scale scoring side joins exactly once
+    val bigramLm = global.filter(col("tag") === "b")
+      .select(col("w1"), col("w2"), col("cnt"))
+      .join(global.filter(col("tag") === "b")
+        .groupBy("w1").agg(sum("cnt").as("ctx")), "w1")
+    docGrams.filter(col("tag") === "b")
+      .join(bigramLm, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_big"),
+        round(
+          sum(col("k") * (log2(col("ctx") + col("v")) -
+            log2(col("cnt") + 1))) / sum("k"), 4).as("bits_per_big"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet's head/middle/tail split: every scoreable document bucketed
+    * by equal-frequency rank of its [[lmBigramBits]] score (bucket 1 =
+    * lowest perplexity = "head", the slice CCNet keeps for training).
+    * Semantics are exactly SQL `ntile(buckets) OVER (ORDER BY
+    * bits_per_big, doc_id)` — but NOT planned as that window: an
+    * unpartitioned ntile is a single-partition WindowExec (every row
+    * on one task). Instead the [[trainingShards]] distributed-rank
+    * shape — range-partition on the order key, rank locally, broadcast
+    * per-partition offsets — then ntile's first-buckets-get-the-
+    * remainder distribution as integer arithmetic on the global rank.
+    * Only (doc_id, n_big, bits)-width rows ride the exchanges. */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    require(buckets > 0)
+    val parted = lmBigramBits(docs)
+      .repartitionByRange(col("bits_per_big"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("bits_per_big").asc, col("doc_id").asc)
+    val local = parted
+      .withColumn("lrn", row_number().over(wLocal).cast("long") - 1L)
+    val offsets = local.groupBy("pid").agg(count("*").as("pn"))
+      .withColumn("off",
+        coalesce(sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = offsets.agg(sum("pn").as("n"))
+    // ntile(b) over n rows: q = n/b, rem = n%b; buckets 1..rem hold
+    // q+1 rows, the rest q. greatest(q,1) keeps the dead branch safe
+    // under ANSI when q = 0 (then every rank satisfies the first arm).
+    local.join(broadcast(offsets.select("pid", "off")), "pid")
+      .crossJoin(broadcast(n))
+      .withColumn("r", col("off") + col("lrn"))
+      .withColumn("q", expr(s"n DIV $buckets"))
+      .withColumn("rem", col("n") % buckets)
+      .withColumn("ppl_bucket",
+        when(col("r") < col("rem") * (col("q") + 1),
+          expr("r DIV (q + 1)"))
+          .otherwise(col("rem") +
+            expr("(r - rem * (q + 1)) DIV greatest(q, 1L)")) + 1L)
+      .select(col("doc_id"), col("n_big"), col("bits_per_big"),
+        col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   // ---- token-budget mixture sampling ---------------------------------
 
   /** Deterministic token-budget mixture sampling (the "data mixing"

@@ -118,6 +118,49 @@ class TrainingOpsSpec extends SparkSpec {
       col("bits_per_tok") > bound).isEmpty)
   }
 
+  test("lmBigramBits matches the hand-computed add-one bigram model") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // docs: "a b b", "b a", "c". Unigram vocab {a,b,c} -> V=3 (the
+    // bigram-less doc 3 still counts into V). Global bigrams each
+    // cnt=1; contexts a->1, b->2.
+    val got = TrainingOps.lmBigramBits(
+      docsDf((1L, "a b b"), (2L, "b a"), (3L, "c")))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    // doc 1: (a,b): log2(1+3)-log2(2)=1; (b,b): log2(2+3)-log2(2)
+    val d1 = (1.0 + (lg2(5) - lg2(2))) / 2
+    val d2 = lg2(5) - lg2(2)
+    assert(got.size == 2) // doc 3 has no bigram to score
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-3)
+    assert(math.abs(got(2L)._2 - d2) < 1e-3)
+  }
+
+  test("perplexityBuckets == the single-window ntile it refuses to plan") {
+    // the distributed rank + integer ntile arithmetic must reproduce
+    // SQL ntile exactly, remainder distribution included — pin against
+    // Spark's own (single-partition) window on the corpus, which has
+    // n % 3 != 0 scoreable docs at sf0.001
+    val bits = TrainingOps.lmBigramBits(corpus)
+    val w = Window.orderBy(col("bits_per_big").asc, col("doc_id").asc)
+    val want = bits.withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+    val got = TrainingOps.perplexityBuckets(corpus, buckets = 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and it is layout-invariant
+    val got13 = TrainingOps.perplexityBuckets(corpus.repartition(13))
+    assert(got13.exceptAll(got).isEmpty && got.exceptAll(got13).isEmpty)
+  }
+
+  test("perplexityBuckets: more buckets than rows degenerates to rank") {
+    val got = TrainingOps.perplexityBuckets(
+      docsDf((1L, "a b b"), (2L, "b a"), (3L, "c")), buckets = 5)
+      .select("doc_id", "ppl_bucket").as[(Long, Long)].collect().toMap
+    // 2 scoreable docs into 5 buckets: ntile gives ranks 1 and 2.
+    // doc 1 ((1+log2(2.5))/2 ~ 1.16 bits) sorts below doc 2
+    // (log2(2.5)+1 ~ 1.32 bits)
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
   // ---- token-budget mixture sampling ---------------------------------
 
   test("tokenBudgetSample: budgets bind, boundary doc kept, unlisted " +
