@@ -326,6 +326,11 @@ object SparkEntry {
     "q_corpus_health" -> ((s, dir) =>
       CorpusOps.corpusHealth(documents(s, dir))),
     "q_pii_redact" -> ((s, dir) => CorpusOps.piiQuery(documents(s, dir))),
+    // Keyword-taxonomy domain tagging: broadcast (topic, keyword)
+    // dictionary, map-side match over one scan, sorted distinct topic
+    // list + hit count per matched doc.
+    "q_topic_tags" -> ((s, dir) =>
+      CorpusOps.topicTagQuery(documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
     // Bloom-prefiltered twin: identical output by construction (the
@@ -1761,6 +1766,24 @@ object SparkEntry {
         |  count(DISTINCT lang) AS n_langs
         |FROM q GROUP BY source
         |ORDER BY source""".stripMargin,
+    // taxonomy tagging: inline (topic, keyword) VALUES dictionary,
+    // token join, sorted distinct topic list + total hits per doc
+    "q_topic_tags" ->
+      """WITH tax(topic, keyword) AS (VALUES
+        |  ('joins', 'join'), ('joins', 'merge'), ('joins', 'hash'),
+        |  ('scans', 'scan'), ('scans', 'filter'), ('scans', 'column'),
+        |  ('streaming', 'stream'), ('streaming', 'window'),
+        |  ('streaming', 'batch'), ('dedup', 'dup')
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  string_agg(DISTINCT topic, ',' ORDER BY topic) AS topics,
+        |  count(*) AS n_hits
+        |FROM tok JOIN tax ON word = keyword
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents

@@ -367,6 +367,49 @@ object CorpusOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---- keyword-taxonomy domain tagging -------------------------------
+
+  /** Keyword-taxonomy domain tagging: each document tagged with every
+    * taxonomy topic whose keyword list it hits (the cheap
+    * domain-classification pass a corpus mix is balanced on — "code",
+    * "medical", "legal" buckets from curated keyword lists). The
+    * taxonomy is a RELATION of (topic, keyword) rows, not config — a
+    * curated 100k-keyword dictionary drops in without a plan change —
+    * and it is dictionary-scale, so it broadcasts: the corpus is
+    * scanned once and tagged map-side; only the matching (doc_id,
+    * topic) rows shuffle into the per-doc aggregation.
+    *
+    * Output per MATCHED doc: the sorted comma-joined distinct topic
+    * list (deterministic cross-engine) and the total keyword-token
+    * hit count. Unmatched docs are absent — tagging yields nothing to
+    * say about them (callers wanting them join back on doc_id). */
+  def topicTag(docs: DataFrame, taxonomy: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
+      .join(broadcast(taxonomy.select(col("topic"),
+        col("keyword").as("word"))), "word")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("topic"))))
+          .as("topics"),
+        count("*").as("n_hits"))
+      .orderBy("doc_id")
+
+  /** Harness query: a fixed 4-topic taxonomy over the corpus
+    * vocabulary, including one genuinely rare keyword ("dup") so the
+    * distinct-topic lists actually vary across docs. */
+  def topicTagQuery(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tax = Seq(
+      ("joins", "join"), ("joins", "merge"), ("joins", "hash"),
+      ("scans", "scan"), ("scans", "filter"), ("scans", "column"),
+      ("streaming", "stream"), ("streaming", "window"),
+      ("streaming", "batch"), ("dedup", "dup"))
+      .toDF("topic", "keyword")
+    topicTag(docs, tax)
+  }
+
   // ---- benchmark decontamination -------------------------------------
 
   /** Eval-set leakage check: for every corpus document, the benchmark

@@ -200,6 +200,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("topicTag: sorted distinct topics, hit counts, unmatched absent, " +
+    "broadcast dictionary") {
+    val tax = Seq(("b_topic", "cat"), ("a_topic", "dog"),
+      ("a_topic", "wolf")).toDF("topic", "keyword")
+    val docs = Seq(
+      (1L, "cat dog cat bird"), // both topics; 3 keyword hits
+      (2L, "wolf wolf"),        // a_topic only, twice
+      (3L, "bird fish"),        // no match -> absent
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.topicTag(docs, tax)
+      .as[(Long, String, Long)].collect().toSeq
+    // topic list is SORTED (a_topic before b_topic despite match order)
+    assert(r == Seq((1L, "a_topic,b_topic", 3L), (2L, "a_topic", 2L)))
+    // the harness dictionary broadcasts and the rare 'dup' topic only
+    // tags some docs
+    val q = CorpusOps.topicTagQuery(corpus)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    val withDup = q.filter(col("topics").contains("dedup")).count()
+    assert(withDup > 0 && withDup < q.count())
+  }
+
   test("bloom decontamination: identical output, codegen probe, real pruning") {
     // identical to the exact operator on the harness corpus (FPs are
     // removed by the verify join) — the oracle-equality claim, locally
