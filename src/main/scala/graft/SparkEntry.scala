@@ -190,6 +190,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // Hard-negative mining: exact top-k nearest with a DIFFERENT
+    // label per broadcast anchor — the contrastive-training miner.
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embeddings(s, dir), col("vec_id") < 5,
+        k = 10)),
     // IVF: rows-only like the LSH path (approximate recall by design);
     // recall pinned vs brute force in SimilaritySpec. Centroids are
     // trained once per dataset and cached (the injected-centroids
@@ -985,6 +990,33 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // hard negatives: q_ann_bruteforce's oracle with the self-match
+    // predicate replaced by label inequality, labels carried through
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, label AS q_label, v AS qv
+        |  FROM e WHERE vec_id < 5
+        |), p AS (
+        |  SELECT query_id, q_label, vec_id, label,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM q JOIN e ON label <> q_label
+        |), s AS (
+        |  SELECT query_id, q_label, vec_id, label,
+        |    dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, q_label, vec_id, label,
+        |  round(cos, 4) AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // Cohesion via the sum identity: both engines compute

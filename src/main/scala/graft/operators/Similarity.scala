@@ -53,6 +53,33 @@ object Similarity {
     scoredTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (selected by `queryPred`, broadcast), the exact cosine top-k
+    * among vectors with a DIFFERENT label — the near-boundary
+    * negatives a contrastive or reranker objective learns most from
+    * (easy negatives are information-free). Same physics as
+    * [[bruteForceTopK]]: one corpus scan, anchors broadcast, the
+    * label-inequality predicate rides the broadcast join (it also
+    * excludes self-matches for free). This is the verification-scale
+    * baseline; at 100 TB the anchor set goes through [[lshTopK]] /
+    * [[ivfTopK]] candidate generation first and this scorer runs on
+    * the candidate relation instead of the full scan. */
+  def hardNegatives(embs: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
+    val e = embs.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(queryPred).toDF("query_id", "q_label", "qv")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("label"), round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def unitVec(c: Array[Double]): Array[Double] = {
     val n = math.sqrt(c.map(x => x * x).sum)
     if (n == 0.0) c else c.map(_ / n)

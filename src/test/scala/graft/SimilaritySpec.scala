@@ -38,6 +38,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._3) < 1e-9) // orthogonal
   }
 
+  test("hardNegatives: same-label neighbors excluded even when nearest") {
+    // anchor 0 (label 0): vecs 1 and 2 are the closest by cosine but
+    // share its label — the miner must skip them and rank the
+    // different-label 3 (orthogonal) above 4 (opposite)
+    val got = Similarity.hardNegatives(embs, col("vec_id") === 0L, k = 2)
+      .as[(Long, Int, Long, Int, Double, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(3L, 4L))
+    assert(got.map(_._6) == Seq(1L, 2L))
+    assert(got.forall { case (_, ql, _, l, _, _) => ql != l })
+    assert(math.abs(got(0)._5) < 1e-9 && math.abs(got(1)._5 + 1.0) < 1e-9)
+  }
+
+  test("hardNegatives on sf0.001: labels differ, anchors broadcast") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val r = Similarity.hardNegatives(e, col("vec_id") < 5, k = 10)
+    assert(r.filter(col("q_label") === col("label")).isEmpty)
+    assert(r.groupBy("query_id").count()
+      .filter(col("count") =!= 10).isEmpty)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
   test("brute-force on sf0.001: k rows per query, self excluded") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
