@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ZOrder
-import graft.operators.{AsofJoin, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
+import graft.operators.{AsofJoin, Bpe, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,16 @@ object SparkEntry {
           "query", "data").toDF("term"))
     }),
     "q_text_pmi" -> ((s, dir) => TextOps.collocations(documents(s, dir))),
+    // BPE training kernel: weighted adjacent-symbol-pair counts over
+    // the char+</w> symbolization of the word-frequency relation —
+    // one corpus scan, then everything is vocabulary-scale.
+    "q_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCountsQuery(documents(s, dir))),
+    // Trained merge table: iterative argmax loop (one 1-row collect
+    // per round over the vocabulary-scale relation) — rows-only;
+    // BpeSpec pins it rule-for-rule vs a plain-Scala reference BPE.
+    "q_bpe_vocab" -> ((s, dir) =>
+      Bpe.trainQuery(documents(s, dir))),
     // Gopher-style repetition filters: single-pass kernel, exact
     // integer outputs, integer cross-multiplied gate — fully oracled.
     "q_text_repetition" -> ((s, dir) =>
@@ -751,6 +761,29 @@ object SparkEntry {
         |SELECT source, n_tokens, n_oov,
         |  (n_oov * 10000) // n_tokens AS oov_bp
         |FROM f ORDER BY source""".stripMargin,
+    // BPE pair kernel: char+</w> symbolization of the word-frequency
+    // relation, weighted adjacent pairs, training total order
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |  GROUP BY word
+        |), s AS (
+        |  SELECT cnt, list_append(list_transform(
+        |    range(1, length(word) + 1), i -> substr(word, i, 1)),
+        |    '</w>') AS syms
+        |  FROM w
+        |), p AS (
+        |  SELECT syms[i] AS s1, syms[i + 1] AS s2, cnt
+        |  FROM (SELECT syms, cnt,
+        |          unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM s)
+        |)
+        |SELECT s1, s2, sum(cnt)::BIGINT AS cnt
+        |FROM p GROUP BY s1, s2
+        |ORDER BY cnt DESC, s1, s2
+        |LIMIT 50""".stripMargin,
     "q_span_corruption" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk

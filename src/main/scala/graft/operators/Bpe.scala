@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.TextAnalysis.wsTokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich et al. 2016) at corpus scale —
+  * the step that produces the merge table a trained tokenizer ships
+  * with. Beyond the reference's surface (the whole reference engine is
+  * `/root/reference/src/main.cpp:1-281`; it tokenizes by byte class
+  * and never builds a vocabulary).
+  *
+  * The scale design is the classic BPE trick: the corpus is scanned
+  * exactly ONCE, into the word-frequency relation (vocabulary-scale —
+  * millions of rows where the corpus is billions of documents), and
+  * every training round iterates over THAT relation, never the
+  * corpus. Each round is one explode + one (s1, s2)-keyed weighted
+  * count with map-side partial aggregation, a ONE-row driver collect
+  * (the argmax pair — index metadata, the [[Similarity.ivfCentroids]]
+  * convention), and one map applying the merge; `localCheckpoint`
+  * truncates the per-round lineage (the [[Clustering]] lesson).
+  *
+  * Determinism: the winning pair is argmax by (count DESC, s1 ASC,
+  * s2 ASC) — a total order, so training is reproducible across runs,
+  * layouts, and engines. Merges apply greedily left-to-right within
+  * each word ("aaa" + (a,a) -> [aa, a]), the reference BPE rule.
+  */
+object Bpe {
+
+  /** One corpus scan -> (word, syms, cnt): the relation training
+    * iterates on. Symbols are the word's characters plus the classic
+    * `</w>` end-of-word marker (so merges can learn word-final
+    * units) — explicit substring indexing, no locale- or
+    * regex-dependent splitting, so the oracle replicates it. */
+  def wordSymbols(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count("*").as("cnt"))
+      .select(col("word"),
+        expr("array_append(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), '</w>')").as("syms"),
+        col("cnt"))
+
+  /** Weighted adjacent-symbol-pair counts over a (syms, cnt)
+    * relation — the kernel one BPE round argmaxes over. */
+  def pairCounts(wordSyms: DataFrame): DataFrame =
+    wordSyms
+      // the size guard matters mid-training: a fully-merged word is a
+      // single symbol, and sequence(1, 0) would run DESCENDING
+      .select(col("cnt"), explode(
+        expr("CASE WHEN size(syms) >= 2 THEN " +
+          "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS s1, syms[i] AS s2)) " +
+          "ELSE CAST(array() AS array<struct<s1:string,s2:string>>) " +
+          "END")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum("cnt").as("cnt"))
+
+  /** Harness query: the initial-symbolization pair counts, top 50 by
+    * the training total order — the exactly-SQL-checkable face of the
+    * training kernel. */
+  def pairCountsQuery(docs: DataFrame, topN: Int = 50): DataFrame =
+    pairCounts(wordSymbols(docs))
+      .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
+      .limit(topN)
+
+  /** Greedy left-to-right application of one merge rule (a, b) to a
+    * symbol array, as a fold: when the accumulator's last symbol is
+    * `a` and the next is `b`, the pair fuses; the fused symbol then
+    * participates in later comparisons (so "aaa" + (a,a) gives
+    * [aa, a], not [aa, aa]). */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      expr("CAST(array() AS array<string>)"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+          s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Train `nMerges` BPE merge rules. Returns (rules, segmented):
+    * rules = (rank, s1, s2, merged, cnt) in training order; segmented
+    * = the word-frequency relation with all merges applied — the
+    * trained tokenizer's view of the vocabulary. Training stops early
+    * when no pair reaches `minCount` (the remaining rule slots would
+    * be noise). */
+  def train(docs: DataFrame, nMerges: Int,
+      minCount: Long = 2L): (DataFrame, DataFrame) = {
+    require(nMerges > 0 && minCount >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wf = wordSymbols(docs).localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    var rank = 1L
+    while (rank <= nMerges && !done) {
+      val top = pairCounts(wf)
+        .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.isEmpty || top(0)._3 < minCount) done = true
+      else {
+        val (a, b, cnt) = top(0)
+        rules += ((rank, a, b, a + b, cnt))
+        wf = wf.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        rank += 1L
+      }
+    }
+    (rules.toSeq.toDF("rank", "s1", "s2", "merged", "cnt"),
+      wf)
+  }
+
+  /** Harness query: the trained merge table. Iterative + argmax-
+    * driven, so no closed-form SQL oracle exists (rows-only entry);
+    * BpeSpec pins it rule-for-rule against a plain-Scala reference
+    * BPE trainer on the same corpus. */
+  def trainQuery(docs: DataFrame, nMerges: Int = 30): DataFrame =
+    train(docs, nMerges)._1.orderBy("rank")
+}
