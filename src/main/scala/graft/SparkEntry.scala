@@ -200,6 +200,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // Semantic decontamination: corpus vectors within cosine 0.9 of
+    // any benchmark vector (vec_id % 97 slice, broadcast) — the
+    // paraphrase-level leakage n-gram decontamination cannot see.
+    // Over the planted corpus (base embeddings are near-orthogonal, so
+    // the raw relation has nothing above 0.47): planted copies of
+    // bench-slice vectors are the contaminants the pass must find.
+    "q_sem_decontaminate" -> ((s, dir) =>
+      Similarity.semanticDecontaminate(
+        Dedup.plantNearDups(embeddings(s, dir)),
+        pmod(col("vec_id"), lit(97)) === 0, minCos = 0.9)),
     // Hard-negative mining: exact top-k nearest with a DIFFERENT
     // label per broadcast anchor — the contrastive-training miner.
     "q_hard_negatives" -> ((s, dir) =>
@@ -1025,6 +1035,35 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // semantic decontamination: rounded-cosine threshold join of the
+    // corpus against the broadcast benchmark slice
+    "q_sem_decontaminate" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), pl AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(len(v)),
+        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
+        |  FROM base WHERE vec_id % 5 = 0
+        |), e AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM pl
+        |), b AS (
+        |  SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 97 = 0
+        |), c AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id % 97 != 0
+        |), p AS (
+        |  SELECT vec_id, round(
+        |    list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * bv[i])) /
+        |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(bv, x -> x * x)))), 4) AS cos
+        |  FROM c CROSS JOIN b
+        |)
+        |SELECT vec_id, count(*) AS n_bench_hits, max(cos) AS max_cos
+        |FROM p WHERE cos >= 0.9
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
     // hard negatives: q_ann_bruteforce's oracle with the self-match
     // predicate replaced by label inequality, labels carried through
     "q_hard_negatives" ->

@@ -80,6 +80,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Semantic eval-set decontamination: every corpus vector whose
+    * embedding cosine against ANY benchmark vector (selected by
+    * `benchPred`) reaches `minCos` — the paraphrase-level leakage the
+    * n-gram decontamination pass ([[CorpusOps.decontaminate]]) cannot
+    * see, because a reworded eval question shares no shingles with
+    * its source. The benchmark side is eval-set-sized, so it
+    * BROADCASTS; the corpus is scanned once and scored map-side, and
+    * only the (rare) flagged rows reach the per-vector aggregation —
+    * the decontamination physics at 100 TB. The threshold compares
+    * the ROUNDED cosine so the boundary is engine-exact.
+    *
+    * Output per flagged corpus vector: how many benchmark vectors it
+    * collides with and the worst (max) cosine. */
+  def semanticDecontaminate(embs: DataFrame, benchPred: Column,
+      minCos: Double): DataFrame = {
+    val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val bench = e.filter(benchPred).toDF("bench_id", "bv")
+    e.filter(!benchPred)
+      .join(broadcast(bench),
+        round(cosine(col("v"), col("bv")), 4) >= minCos)
+      .groupBy("vec_id")
+      .agg(count("*").as("n_bench_hits"),
+        round(max(cosine(col("v"), col("bv"))), 4).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   private def unitVec(c: Array[Double]): Array[Double] = {
     val n = math.sqrt(c.map(x => x * x).sum)
     if (n == 0.0) c else c.map(_ / n)

@@ -61,6 +61,50 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"))
   }
 
+  test("semanticDecontaminate: flags exactly the near-bench vectors") {
+    // bench = vec 1 (nearly parallel to 0). cos(0,1) ~ 0.995 >= 0.9
+    // flags vec 0; vec 2 (~0.775), 3 (0), 4 (-0.995) stay clean.
+    val got = Similarity.semanticDecontaminate(embs,
+      col("vec_id") === 1L, minCos = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 1L)))
+    assert(math.abs(got(0)._3 - 0.995) < 1e-3)
+  }
+
+  test("semanticDecontaminate == Scala brute force on the planted " +
+    "sf0.001 corpus; bench broadcasts") {
+    // the harness regime: base embeddings are near-orthogonal, so the
+    // contaminants are the planted near-dups of bench-slice vectors
+    val planted = graft.operators.Dedup.plantNearDups(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val vecs = planted.select(col("vec_id"),
+      col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }
+    def cosv(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bench = vecs.filter(_._1 % 97 == 0)
+    val want = (for {
+      (id, v) <- vecs if id % 97 != 0
+      hits = bench.map(b => r4(cosv(v, b._2))).filter(_ >= 0.9)
+      if hits.nonEmpty
+    } yield (id, hits.length.toLong, hits.max)).sortBy(_._1).toSeq
+    assert(want.nonEmpty) // the planted contamination is really there
+    val q = Similarity.semanticDecontaminate(planted,
+      pmod(col("vec_id"), lit(97)) === 0, minCos = 0.9)
+    assert(q.as[(Long, Long, Double)].collect().toSeq == want)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
   test("brute-force on sf0.001: k rows per query, self excluded") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
