@@ -271,7 +271,14 @@ object TrainingOps {
     * Only (doc_id, n_big, bits)-width rows ride the exchanges. */
   def perplexityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
     require(buckets > 0)
-    val parted = lmBigramBits(docs)
+    // checkpoint the scored relation: the rank machinery reads it
+    // from THREE branches (local ranks, per-partition offsets, total
+    // count), and without the cut each branch re-runs the whole
+    // bigram-LM lineage — the audited plan carried 3 corpus scans and
+    // 32 exchanges. The materialized rows are narrow (doc_id, n_big,
+    // bits), one per document.
+    val bits = lmBigramBits(docs).localCheckpoint()
+    val parted = bits
       .repartitionByRange(col("bits_per_big"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy("pid")

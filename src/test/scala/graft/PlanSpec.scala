@@ -197,6 +197,27 @@ class PlanSpec extends SparkSpec {
       s"PMI scoring re-runs an explode lineage:\n$p")
   }
 
+  test("bigram LM scores in one tokenize pass; buckets never re-derive it") {
+    // lmBigramBits: unigrams (for V) and bigrams ride ONE tagged
+    // explode; the LM relations read the vocabulary checkpoint, so
+    // the scoring plan carries exactly one Generate
+    val s = plan(graft.operators.TrainingOps.lmBigramBits(
+      documents(spark, sfDir)))
+    assert("Generate".r.findAllIn(s).size == 1,
+      s"LM branches re-tokenize the corpus:\n$s")
+    // perplexityBuckets: all three rank branches read the checkpointed
+    // bits relation (no corpus scan), and the only single-partition
+    // exchanges sit over the numPartitions-row offsets relation (its
+    // cumsum window + the scalar total) — never the doc-scale
+    // relation (that would be the ntile anti-pattern)
+    val p = plan(graft.operators.TrainingOps.perplexityBuckets(
+      documents(spark, sfDir)))
+    assert(!p.contains("FileScan"),
+      s"a rank branch re-runs the bigram-LM lineage:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"doc-scale rows funnel through one partition:\n$p")
+  }
+
   test("temperatureMix: budgets broadcast back, totals partial-aggregated") {
     val p = plan(graft.operators.TrainingOps.temperatureMix(
       documents(spark, sfDir), budget = 3000L))
