@@ -356,6 +356,10 @@ object SparkEntry {
     // list + hit count per matched doc.
     "q_topic_tags" -> ((s, dir) =>
       CorpusOps.topicTagQuery(documents(s, dir))),
+    // Phrase-level taxonomy: multi-word keywords via positional
+    // shingles of every dictionary length, one scan, one explode.
+    "q_topic_phrases" -> ((s, dir) =>
+      CorpusOps.topicTagPhrasesQuery(documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
     // Bloom-prefiltered twin: identical output by construction (the
@@ -1886,6 +1890,33 @@ object SparkEntry {
         |  string_agg(DISTINCT topic, ',' ORDER BY topic) AS topics,
         |  count(*) AS n_hits
         |FROM tok JOIN tax ON word = keyword
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // phrase taxonomy: per-position 1- and 2-gram shingles unioned,
+    // joined to the inline dictionary
+    "q_topic_phrases" ->
+      """WITH tax(topic, keyword) AS (VALUES
+        |  ('joins', 'hash join'), ('joins', 'merge join'),
+        |  ('scans', 'scan'), ('scans', 'filter'),
+        |  ('streaming', 'stream'), ('streaming', 'window batch'),
+        |  ('dedup', 'dup')
+        |), tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), g1 AS (
+        |  SELECT doc_id, unnest(t) AS keyword FROM tok
+        |), g2 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS keyword
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok)
+        |), g AS (
+        |  SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |)
+        |SELECT doc_id,
+        |  string_agg(DISTINCT topic, ',' ORDER BY topic) AS topics,
+        |  count(*) AS n_hits
+        |FROM g JOIN tax USING (keyword)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->

@@ -395,6 +395,53 @@ object CorpusOps {
         count("*").as("n_hits"))
       .orderBy("doc_id")
 
+  /** [[topicTag]] with MULTI-WORD keywords (the FlashText/dictionary-
+    * matcher use case: "hash join", "new york" — phrases a word-level
+    * matcher cannot see). The distinct keyword lengths are collected
+    * from the dictionary (dictionary-scale metadata, like
+    * [[Similarity.ivfCentroids]]' sample); the corpus is still
+    * scanned ONCE — one projection emits the positional n-gram
+    * shingles of every needed length through the codegen'd
+    * [[graft.functions.WordShingles]] kernel, concatenated, and the
+    * single explode+broadcast-join tags all length classes together.
+    * Overlapping phrase hits count separately (positional shingles),
+    * matching the SQL oracle's per-position semantics. */
+  def topicTagPhrases(docs: DataFrame, taxonomy: DataFrame): DataFrame = {
+    val tax = taxonomy.select(col("topic"), col("keyword"),
+      size(wsTokens(col("keyword"))).as("n"))
+    val lens = tax.select("n").distinct().collect().map(_.getInt(0))
+    require(lens.nonEmpty && lens.forall(_ >= 1),
+      s"topicTagPhrases: empty or degenerate keyword lengths " +
+        s"${lens.mkString(",")}")
+    val gramCol = lens.sorted
+      .map(n => shingles(col("text"), n))
+      .reduce(concat(_, _))
+    docs
+      .select(col("doc_id"), explode(gramCol).as("word"))
+      .join(broadcast(tax.select(col("topic"),
+        col("keyword").as("word"))), "word")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("topic"))))
+          .as("topics"),
+        count("*").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Harness query for [[topicTagPhrases]]: mixed 1- and 2-word
+    * keywords so both length classes ride the same scan. */
+  def topicTagPhrasesQuery(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tax = Seq(
+      ("joins", "hash join"), ("joins", "merge join"),
+      ("scans", "scan"), ("scans", "filter"),
+      ("streaming", "stream"), ("streaming", "window batch"),
+      ("dedup", "dup"))
+      .toDF("topic", "keyword")
+    topicTagPhrases(docs, tax)
+  }
+
   /** Harness query: a fixed 4-topic taxonomy over the corpus
     * vocabulary, including one genuinely rare keyword ("dup") so the
     * distinct-topic lists actually vary across docs. */

@@ -222,6 +222,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(withDup > 0 && withDup < q.count())
   }
 
+  test("topicTagPhrases: multi-word hits, overlaps count per position, " +
+    "one scan") {
+    val tax = Seq(("t_pair", "a a"), ("t_word", "b")).toDF("topic", "keyword")
+    val docs = Seq(
+      (1L, "a a a b"),  // "a a" at positions 1 and 2 (overlap), "b" once
+      (2L, "a b a"),    // "b" only (no adjacent a pair)
+      (3L, "c c"),      // no match -> absent
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.topicTagPhrases(docs, tax)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "t_pair,t_word", 3L), (2L, "t_word", 1L)))
+    // the harness query reads the corpus once: both length classes
+    // ride one projection -> a single FileScan and a single Generate
+    val q = CorpusOps.topicTagPhrasesQuery(corpus)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"phrase classes must share one corpus scan:\n$plan")
+    assert("Generate".r.findAllIn(plan).size == 1,
+      s"phrase classes must share one explode:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("bloom decontamination: identical output, codegen probe, real pruning") {
     // identical to the exact operator on the harness corpus (FPs are
     // removed by the verify join) — the oracle-equality claim, locally
