@@ -360,6 +360,16 @@ object SparkEntry {
     // shingles of every dictionary length, one scan, one explode.
     "q_topic_phrases" -> ((s, dir) =>
       CorpusOps.topicTagPhrasesQuery(documents(s, dir))),
+    // Quality-model TRAINING: multinomial Naive Bayes, closed form —
+    // one tokenize + one bucket aggregation; sufficient statistics
+    // exact integers, weights E4 fixed-point log ratios.
+    "q_probe_train" -> ((s, dir) =>
+      CorpusOps.trainNaiveBayesQuery(documents(s, dir))),
+    // The trained probe's training-set confusion matrix: all-integer
+    // scoring of the learned relation (22/25 marker docs recovered,
+    // zero false positives at sf0.01).
+    "q_probe_eval" -> ((s, dir) =>
+      CorpusOps.naiveBayesEvalQuery(documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
     // Bloom-prefiltered twin: identical output by construction (the
@@ -1874,6 +1884,98 @@ object SparkEntry {
         |  count(DISTINCT lang) AS n_langs
         |FROM q GROUP BY source
         |ORDER BY source""".stripMargin,
+    // NB training: counts are exact integers; the four log2 terms
+    // sit inside one round (the lmSurprisal ulp rule); bucket -1 is
+    // the intercept row carrying the class doc counts
+    "q_probe_train" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
+        |      'dup') THEN 1 ELSE 0 END::BIGINT AS y,
+        |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, text,
+        |          unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |), cnt AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c_neg
+        |  FROM tok GROUP BY bucket
+        |), tot AS (
+        |  SELECT sum(c_pos)::BIGINT AS t_pos,
+        |    sum(c_neg)::BIGINT AS t_neg
+        |  FROM cnt
+        |), w AS (
+        |  SELECT bucket, COALESCE(c_pos, 0) AS c_pos,
+        |    COALESCE(c_neg, 0) AS c_neg,
+        |    round(10000.0 * (log2(COALESCE(c_pos, 0) + 1)
+        |      - log2(t_pos + 64) - log2(COALESCE(c_neg, 0) + 1)
+        |      + log2(t_neg + 64)))::BIGINT AS w_int
+        |  FROM (SELECT unnest(range(64)) AS bucket)
+        |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot
+        |), cls AS (
+        |  SELECT sum(CASE WHEN list_contains(
+        |      regexp_extract_all(text, '\S+'), 'dup')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN list_contains(
+        |      regexp_extract_all(text, '\S+'), 'dup')
+        |      THEN 0 ELSE 1 END)::BIGINT AS n_neg
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT bucket, c_pos, c_neg, w_int FROM w
+        |  UNION ALL
+        |  SELECT -1, n_pos, n_neg,
+        |    round(10000.0 * (log2(n_pos) - log2(n_neg)))::BIGINT
+        |  FROM cls
+        |) ORDER BY bucket""".stripMargin,
+    // NB eval: the same training CTEs, then all-integer scoring into
+    // the (y, pred) confusion counts
+    "q_probe_eval" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
+        |      'dup') THEN 1 ELSE 0 END::BIGINT AS y,
+        |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, text,
+        |          unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |), cnt AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c_neg
+        |  FROM tok GROUP BY bucket
+        |), tot AS (
+        |  SELECT sum(c_pos)::BIGINT AS t_pos,
+        |    sum(c_neg)::BIGINT AS t_neg
+        |  FROM cnt
+        |), w AS (
+        |  SELECT bucket,
+        |    round(10000.0 * (log2(COALESCE(c_pos, 0) + 1)
+        |      - log2(t_pos + 64) - log2(COALESCE(c_neg, 0) + 1)
+        |      + log2(t_neg + 64)))::BIGINT AS w_int
+        |  FROM (SELECT unnest(range(64)) AS bucket)
+        |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot
+        |), cls AS (
+        |  SELECT sum(CASE WHEN list_contains(
+        |      regexp_extract_all(text, '\S+'), 'dup')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN list_contains(
+        |      regexp_extract_all(text, '\S+'), 'dup')
+        |      THEN 0 ELSE 1 END)::BIGINT AS n_neg
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, y, sum(w_int)::BIGINT AS s
+        |  FROM tok JOIN w USING (bucket) GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT y, CASE WHEN s + (SELECT
+        |      round(10000.0 * (log2(n_pos) - log2(n_neg)))::BIGINT
+        |      FROM cls) > 0 THEN 1 ELSE 0 END::BIGINT AS pred
+        |  FROM sc
+        |)
+        |SELECT y, pred, count(*)::BIGINT AS n_docs
+        |FROM pr GROUP BY y, pred
+        |ORDER BY y, pred""".stripMargin,
     // taxonomy tagging: inline (topic, keyword) VALUES dictionary,
     // token join, sorted distinct topic list + total hits per doc
     "q_topic_tags" ->

@@ -244,6 +244,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("trainNaiveBayes: hand-computed weights, marker bucket wins, " +
+    "confusion exact, empty class fails loudly") {
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // pos docs carry "spam"; 6 pos tokens, 5 neg tokens, dim 64
+    val ex = Seq(
+      (1L, "spam a b", 1), (2L, "spam spam a", 1),
+      (3L, "a b c", 0), (4L, "b c", 0),
+    ).toDF("doc_id", "text", "y")
+    val m = CorpusOps.trainNaiveBayes(ex)
+    val rows = m.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // intercept: 2 vs 2 docs -> bias 0
+    assert(rows(-1L) == ((2L, 2L, 0L)))
+    // the spam bucket: c_pos=3, c_neg=0
+    val spamBucket = ex.sparkSession.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        graft.functions.TextAnalysis.md5Hash60(lit("spam")), lit(64L)))
+      .as[Long].head()
+    val expW = math.round(10000.0 * (lg2(3 + 1) - lg2(6 + 64) -
+      lg2(0 + 1) + lg2(5 + 64)))
+    assert(rows(spamBucket) == ((3L, 0L, expW)))
+    // counts conserve token totals
+    assert(rows.filterKeys(_ >= 0).values.map(_._1).sum == 6L)
+    assert(rows.filterKeys(_ >= 0).values.map(_._2).sum == 5L)
+    // the fixture separates perfectly
+    val conf = CorpusOps.naiveBayesConfusion(ex, m)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(conf == Set((0L, 0L, 2L), (1L, 1L, 2L)))
+    // one-class input fails loudly
+    val oneClass = Seq((1L, "a", 1), (2L, "b", 1)).toDF("doc_id", "text", "y")
+    intercept[Exception] {
+      CorpusOps.trainNaiveBayes(oneClass).collect()
+    }
+  }
+
+  test("NB marker probe on the corpus: marker bucket has the top " +
+    "weight, no false positives") {
+    val m = CorpusOps.trainNaiveBayesQuery(corpus).localCheckpoint()
+    val dupBucket = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        graft.functions.TextAnalysis.md5Hash60(lit("dup")), lit(64L)))
+      .as[Long].head()
+    val top = m.filter(col("bucket") >= 0)
+      .orderBy(col("w_int").desc).select("bucket").as[Long].head()
+    assert(top == dupBucket)
+    val conf = CorpusOps.naiveBayesEvalQuery(corpus)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(conf.getOrElse((0L, 1L), 0L) == 0L) // no false positives
+    assert(conf.getOrElse((1L, 1L), 0L) >= 1L) // finds real markers
+  }
+
   test("bloom decontamination: identical output, codegen probe, real pruning") {
     // identical to the exact operator on the harness corpus (FPs are
     // removed by the verify join) — the oracle-equality claim, locally
