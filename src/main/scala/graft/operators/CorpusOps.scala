@@ -784,6 +784,36 @@ object CorpusOps {
       .orderBy("y", "pred")
   }
 
+  /** The SERVING form of a trained [[trainNaiveBayes]] relation: the
+    * dictionary-scale weight table collapsed to (bucket -> w_int,
+    * bias) driver values — index metadata, the
+    * [[Similarity.ivfCentroids]] convention. Training-scale EVAL uses
+    * the relation join ([[naiveBayesConfusion]]); serving a stream
+    * uses this literal form so scoring is a stateless map. */
+  def nbServingModel(model: DataFrame): (Map[Long, Long], Long) = {
+    val rows = model.select(col("bucket"), col("w_int"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bias = rows.toMap.getOrElse(-1L,
+      sys.error("nbServingModel: model has no intercept row"))
+    (rows.filter(_._1 >= 0).toMap, bias)
+  }
+
+  /** All-integer NB score of `text` against a literal serving model:
+    * bias + Σ_tokens w[bucket(token)]. A pure column expression — no
+    * join, no shuffle, no state — so it runs identically over a batch
+    * relation and a streaming one (the train-batch/serve-stream
+    * loop). Buckets absent from the map score 0. */
+  def nbScoreColumn(text: Column, weights: Map[Long, Long],
+      biasInt: Long, dim: Int = 64): Column = {
+    require(dim > 0 && weights.nonEmpty,
+      "nbScoreColumn: empty model or degenerate dim")
+    val m = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    aggregate(wsTokens(text), lit(biasInt),
+      (acc, w) => acc + coalesce(
+        element_at(m, pmod(md5Hash60(w), lit(dim.toLong))), lit(0L)))
+  }
+
   private def markerExamples(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"),
       array_contains(wsTokens(col("text")), "dup").cast("int").as("y"))

@@ -189,6 +189,22 @@ object EventStreams extends Serializable {
       .join(baseFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
       .dropDuplicates("fp_md5")
 
+  /** Serve a batch-trained Naive Bayes quality model over a document
+    * STREAM (the train-batch/serve-stream loop: the model relation
+    * from [[graft.operators.CorpusOps.trainNaiveBayes]] collapses to
+    * a literal map via `nbServingModel`, and scoring is the same
+    * all-integer column used in batch — a stateless map, so there is
+    * no state store, no watermark, and append mode just works;
+    * identical rows to the batch scorer by construction, which
+    * StreamingSpec pins across micro-batches). */
+  def nbScoreStream(docs: DataFrame, weights: Map[Long, Long],
+      biasInt: Long, dim: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      graft.operators.CorpusOps.nbScoreColumn(col("text"), weights,
+        biasInt, dim).as("s_int"))
+      .select(col("doc_id"), col("s_int"),
+        (col("s_int") > 0).as("flagged"))
+
   /** Stream-stream interval join: purchases attributed to same-user
     * clicks in the preceding `window`, incrementally. Watermarks bound
     * BOTH sides' join state — clicks older than watermark - window can

@@ -148,6 +148,30 @@ class StreamingSpec extends SparkSpec {
       want.select("fp_md5").as[String].collect().toSet)
   }
 
+  test("streaming NB scoring matches the batch scorer row for row") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    // train in batch, collapse to the serving model
+    val (w, bias) = graft.operators.CorpusOps.nbServingModel(
+      graft.operators.CorpusOps.trainNaiveBayesQuery(corpus))
+    // serve the same corpus as a stream across several micro-batches
+    val dir = Files.createTempDirectory("graft-nb-stream").toString
+    corpus.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      EventStreams.nbScoreStream(stream, w, bias), "append", "nb_stream")
+    val want = EventStreams.nbScoreStream(corpus, w, bias)
+    assert(got.count() == corpus.count())
+    assert(sortedRows(got) == sortedRows(want))
+    // and the serving scores agree with the training-side confusion:
+    // flagged counts match the relation-join evaluator's predictions
+    val conf = graft.operators.CorpusOps.naiveBayesEvalQuery(corpus)
+      .filter(col("pred") === 1L)
+      .agg(coalesce(sum("n_docs"), lit(0L))).as[Long].head()
+    assert(got.filter(col("flagged")).count() == conf)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val stream = EventStreams.readEvents(spark, nsEventsDir)
     val got = runToCompletion(
