@@ -360,6 +360,14 @@ object SparkEntry {
     // shingles of every dictionary length, one scan, one explode.
     "q_topic_phrases" -> ((s, dir) =>
       CorpusOps.topicTagPhrasesQuery(documents(s, dir))),
+    // Snapshot diff audit: before/after corpus versions compared by
+    // fingerprint through one full-outer join; all four statuses bind.
+    "q_corpus_diff" -> ((s, dir) =>
+      CorpusOps.corpusDiffQuery(documents(s, dir))),
+    // Vocabulary pruning: top-20 words (of 31) kept, OOV -> <unk>,
+    // rewrite via the broadcast-join form, coverage audited in-pass.
+    "q_vocab_unk" -> ((s, dir) =>
+      CorpusOps.applyVocab(documents(s, dir), topK = 20)),
     // Quality-model TRAINING: multinomial Naive Bayes, closed form —
     // one tokenize + one bucket aggregation; sufficient statistics
     // exact integers, weights E4 fixed-point log ratios.
@@ -1884,6 +1892,54 @@ object SparkEntry {
         |  count(DISTINCT lang) AS n_langs
         |FROM q GROUP BY source
         |ORDER BY source""".stripMargin,
+    // snapshot diff: md5 fingerprints full-outer joined on doc_id
+    "q_corpus_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents
+        |  WHERE doc_id % 7 != 0
+        |), a AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' edited' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 != 0
+        |), j AS (
+        |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'added'
+        |      WHEN a.doc_id IS NULL THEN 'removed'
+        |      WHEN a.fp = b.fp THEN 'same'
+        |      ELSE 'changed' END AS status
+        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        |)
+        |SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM j GROUP BY status
+        |ORDER BY status""".stripMargin,
+    // vocab pruning: deterministic top-K cut (cnt DESC, word), left
+    // join rewrite, position-ordered reassembly
+    "q_vocab_unk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(tk) AS word,
+        |    generate_subscripts(tk, 1) AS pos
+        |  FROM t
+        |), v AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+        |  ORDER BY cnt DESC, word
+        |  LIMIT 20
+        |), r AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN v.word IS NOT NULL THEN tok.word
+        |      ELSE '<unk>' END AS tk,
+        |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS is_unk
+        |  FROM tok LEFT JOIN v ON tok.word = v.word
+        |)
+        |SELECT doc_id,
+        |  string_agg(tk, ' ' ORDER BY pos) AS unk_text,
+        |  count(*) AS n_tok, sum(is_unk)::BIGINT AS n_unk
+        |FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // NB training: counts are exact integers; the four log2 terms
     // sit inside one round (the lmSurprisal ulp rule); bucket -1 is
     // the intercept row carrying the class doc counts

@@ -832,6 +832,90 @@ object CorpusOps {
     naiveBayesConfusion(ex, trainNaiveBayes(ex).localCheckpoint())
   }
 
+  // ---- vocabulary pruning + <unk> re-mapping -------------------------
+
+  /** Classic LM preprocessing: fix the vocabulary to the corpus's
+    * `topK` most frequent words (ties broken lexicographically — a
+    * total order, so the vocabulary is deterministic cross-engine)
+    * and rewrite every document with out-of-vocabulary tokens
+    * replaced by `<unk>`. Output carries the rewritten text plus the
+    * per-doc token/unk counts, so coverage is auditable in the same
+    * pass.
+    *
+    * Shape: one corpus scan builds the word-count relation
+    * (vocabulary-scale); the top-K cut is a TakeOrderedAndProject-
+    * style limit on it, NOT a global sort of the corpus. The rewrite
+    * is the scalable join form — tokens exploded with positions, left
+    * join against the broadcast vocabulary, reassembled in position
+    * order — so a 500k-word vocabulary works the same as the 20-word
+    * test one (an `array_contains` against a collected literal would
+    * cap vocabulary size at what fits in a plan). The reassembly
+    * window shuffles (doc_id, pos, token)-width rows once. */
+  def applyVocab(docs: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0)
+    val vocab = docs
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topK)
+      .select(col("word"), lit(1).as("in_v"))
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_v").isNotNull, col("word")).otherwise(lit("<unk>"))
+          .as("tok"),
+        when(col("in_v").isNull, 1L).otherwise(0L).as("is_unk"))
+    toks
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("unk_text"),
+        count("*").as("n_tok"),
+        sum("is_unk").as("n_unk"))
+      .orderBy("doc_id")
+  }
+
+  // ---- snapshot diff audit -------------------------------------------
+
+  /** Ingest-to-ingest snapshot diff: per-status document counts
+    * between two corpus versions — the audit a recurring crawl runs
+    * before promoting a snapshot ("this refresh added 2M docs,
+    * removed 40k, silently rewrote 300k"). Documents pair by doc_id;
+    * content equality is the 16-byte md5 fingerprint, so the compare
+    * shuffles (doc_id, fp)-width rows — never text — through one
+    * full-outer join. Output: (status, n_docs, min_doc, max_doc) for
+    * status in added / removed / changed / same. */
+  def corpusDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    def fps(df: DataFrame, fpName: String) = df.select(col("doc_id"),
+      fingerprintMd5(col("text")).as(fpName))
+    fps(before, "fp_b")
+      .join(fps(after, "fp_a"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_b").isNull, "added")
+          .when(col("fp_a").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy("status")
+      .agg(count("*").as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("status")
+  }
+
+  /** Harness query: before = the doc_id % 7 != 0 slice, after = the
+    * doc_id % 5 != 0 slice with every doc_id % 11 == 0 text edited —
+    * all four statuses bind. */
+  def corpusDiffQuery(docs: DataFrame): DataFrame =
+    corpusDiff(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text")))
+
   // ---- DSIR-style importance weighting -------------------------------
 
   /** Per-document importance weight for data selection, DSIR-style

@@ -296,6 +296,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(conf.getOrElse((1L, 1L), 0L) >= 1L) // finds real markers
   }
 
+  test("applyVocab: top-K cut deterministic, OOV -> <unk>, counts audit") {
+    // counts: a=2, b=2, c=2, d=1; top-2 by (cnt DESC, word) = a, b
+    val docs = Seq((1L, "a a b c"), (2L, "b c d"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.applyVocab(docs, topK = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "a a b <unk>", 4L, 1L),
+      (2L, "b <unk> <unk>", 3L, 2L)))
+    // full-vocabulary cut is the identity rewrite, zero unks
+    val full = CorpusOps.applyVocab(corpus, topK = 1000)
+    assert(full.filter(col("n_unk") =!= 0L).isEmpty)
+    val orig = corpus.select(col("doc_id"),
+      array_join(expr("regexp_extract_all(text, '\\\\S+', 0)"), " ")
+        .as("norm"))
+    assert(full.join(orig, "doc_id")
+      .filter(col("unk_text") =!= col("norm")).isEmpty)
+  }
+
+  test("corpusDiff: all four statuses with exact membership") {
+    val before = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val after = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val r = CorpusOps.corpusDiff(before, after)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("added", 1L, 4L, 4L), ("changed", 1L, 3L, 3L),
+      ("removed", 1L, 1L, 1L), ("same", 1L, 2L, 2L)))
+    // the harness split binds every status on the corpus
+    val q = CorpusOps.corpusDiffQuery(corpus)
+      .select("status").as[String].collect().toSet
+    assert(q == Set("added", "removed", "changed", "same"))
+  }
+
   test("bloom decontamination: identical output, codegen probe, real pruning") {
     // identical to the exact operator on the harness corpus (FPs are
     // removed by the verify join) — the oracle-equality claim, locally
