@@ -399,6 +399,21 @@ object SparkEntry {
     // independent) + engine-neutral md5 feature hash = bit-exact oracle.
     "q_quality_model" -> ((s, dir) =>
       CorpusOps.modelQualityScore(documents(s, dir))),
+    // Compaction planning: files (one pseudo-file per doc, bytes =
+    // n_chars) binned into ~10KB groups by distributed prefix sums —
+    // key order survives, no single-partition window.
+    "q_compaction" -> ((s, dir) =>
+      graft.sources.Layout.planCompaction(
+        documents(s, dir).select(
+          concat(lit("f"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("file"),
+          col("n_chars").as("bytes")),
+        targetBytes = 10000L)),
+    // DPO-style preference pairs: per-source best-vs-worst by the
+    // integer model score, both extremes via the bounded-heap
+    // aggregate (worst side = negated score), margin > 0.
+    "q_pref_pairs" -> ((s, dir) =>
+      CorpusOps.preferencePairs(documents(s, dir))),
     // ---- training-export suite (TrainingOps) ----
     // Passage-level exact dedup: every 16-token window flagged keep
     // iff it is the corpus-wide first occurrence of its content.
@@ -2177,6 +2192,54 @@ object SparkEntry {
         |SELECT doc_id, n_tok, round((s_int - 500) / 10000.0, 4) AS score,
         |  (s_int - 500) > 0 AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // compaction plan: running-byte binning in file order; the
+    // single cumsum window IS the oracle for the distributed plan
+    "q_compaction" ->
+      """WITH f AS (
+        |  SELECT 'f' || lpad(doc_id::VARCHAR, 6, '0') AS file,
+        |    n_chars::BIGINT AS bytes
+        |  FROM documents
+        |), c AS (
+        |  SELECT file, bytes,
+        |    COALESCE(sum(bytes) OVER (ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS cum0
+        |  FROM f
+        |)
+        |SELECT file, bytes, cum0 // 10000 AS group_id, cum0
+        |FROM c ORDER BY file""".stripMargin,
+    // preference pairs: the window form IS the oracle for the
+    // bounded-heap plan (plan-not-answer gate, like q_events_topk_agg)
+    "q_pref_pairs" ->
+      """WITH w AS (
+        |  SELECT range AS bucket,
+        |    (range * 2654435761) % 2001 - 1000 AS w_int
+        |  FROM range(1024)
+        |), feats AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM (SELECT source, doc_id,
+        |          unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |), sc AS (
+        |  SELECT source, doc_id, CAST(sum(w_int) AS BIGINT) AS s_int
+        |  FROM feats JOIN w USING (bucket) GROUP BY 1, 2
+        |), b AS (
+        |  SELECT source, doc_id AS chosen_doc, s_int AS s_c,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s_int DESC, doc_id) AS rn
+        |  FROM sc
+        |), r AS (
+        |  SELECT source, doc_id AS rejected_doc, s_int AS s_r,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s_int ASC, doc_id) AS rn
+        |  FROM sc
+        |)
+        |SELECT source, rn::BIGINT AS pair_idx, chosen_doc,
+        |  rejected_doc, (s_c - s_r)::BIGINT AS margin
+        |FROM b JOIN r USING (source, rn)
+        |WHERE rn <= 5 AND s_c > s_r
+        |ORDER BY source, pair_idx""".stripMargin,
     // passage dedup: 16-token windows, keep = corpus-wide first
     // occurrence of the passage md5 by (doc_id, p_idx).
     "q_passage_dedup" ->

@@ -784,6 +784,53 @@ object CorpusOps {
       .orderBy("y", "pred")
   }
 
+  /** DPO-style preference-pair mining: per source, the k BEST-scoring
+    * documents paired rank-for-rank against the k WORST — the
+    * (chosen, rejected) construction preference-tuning datasets are
+    * built from when only a pointwise quality score exists. Scores
+    * are [[modelQualityScore]]'s integer path (so pairing is
+    * bit-exact); both extremes come from the bounded-heap
+    * [[graft.functions.GroupTopK]] aggregate — the worst side feeds
+    * the NEGATED score, the [[quotaSampleAgg]] trick — so each map
+    * partition ships <= k 16-byte entries per source and no
+    * source-wide window sort runs. Pairs where the "chosen" doc does
+    * not strictly outscore the "rejected" one (small sources where
+    * the halves overlap) are dropped by the margin > 0 filter.
+    *
+    * Output: (source, pair_idx, chosen_doc, rejected_doc, margin),
+    * margin in integer ten-thousandths. */
+  def preferencePairs(docs: DataFrame, k: Int = 5,
+      dim: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(k > 0 && dim > 0)
+    val spark = docs.sparkSession
+    val scored = docs
+      .select(col("source"), col("doc_id"),
+        explode(wsTokens(col("text"))).as("word"))
+      .select(col("source"), col("doc_id"),
+        pmod(md5Hash60(col("word")), lit(dim.toLong)).as("bucket"))
+      .join(broadcast(linearModelWeights(spark, dim)), "bucket")
+      .groupBy("source", "doc_id").agg(sum("w_int").as("s_int"))
+    def heap(valCol: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.GroupTopK(
+        ColumnBridge.expression(col("doc_id")),
+        ColumnBridge.expression(valCol), k).toAggregateExpression())
+    val best = scored.groupBy("source").agg(heap(col("s_int")).as("t"))
+      .select(col("source"), posexplode(col("t")).as(Seq("pair_idx", "kv")))
+      .select(col("source"), col("pair_idx"),
+        col("kv.key").as("chosen_doc"), col("kv.val").as("s_chosen"))
+    val worst = scored.groupBy("source").agg(heap(-col("s_int")).as("t"))
+      .select(col("source"), posexplode(col("t")).as(Seq("pair_idx", "kv")))
+      .select(col("source"), col("pair_idx"),
+        col("kv.key").as("rejected_doc"), (-col("kv.val")).as("s_rejected"))
+    best.join(worst, Seq("source", "pair_idx"))
+      .filter(col("s_chosen") > col("s_rejected"))
+      .select(col("source"), (col("pair_idx") + 1).cast("long").as("pair_idx"),
+        col("chosen_doc"), col("rejected_doc"),
+        (col("s_chosen") - col("s_rejected")).as("margin"))
+      .orderBy("source", "pair_idx")
+  }
+
   /** The SERVING form of a trained [[trainNaiveBayes]] relation: the
     * dictionary-scale weight table collapsed to (bucket -> w_int,
     * bias) driver values — index metadata, the

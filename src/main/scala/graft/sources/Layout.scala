@@ -62,6 +62,49 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Compaction planning — the table-maintenance step that turns a
+    * small-files mess into target-size files: files ordered by their
+    * layout key are binned into groups by the running byte total,
+    * `group = cum_bytes_before DIV targetBytes` — consecutive files
+    * land in the same group until it fills, so each group rewrites to
+    * ~targetBytes and the layout's key-order clustering SURVIVES the
+    * compaction (bin-packing by size alone would scramble the min-max
+    * stats the layout bought). The prefix sum is the distributed
+    * [[graft.operators.TrainingOps.packSequences]] shape:
+    * range-partition on the order key, per-partition cumsum,
+    * broadcast per-partition offsets — no single-partition window, so
+    * planning a million-file table is itself distributed.
+    *
+    * Input: any (fileCol, bytesCol) relation (e.g. a catalog file
+    * listing). Output: one row per file with its group and position —
+    * the rewrite job's work list. */
+  def planCompaction(files: DataFrame, targetBytes: Long,
+      fileCol: String = "file",
+      bytesCol: String = "bytes"): DataFrame = {
+    require(targetBytes > 0)
+    import org.apache.spark.sql.expressions.Window
+    val parted = files
+      .select(col(fileCol).as("file"),
+        col(bytesCol).cast("long").as("bytes"))
+      .repartitionByRange(col("file"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy(col("file").asc)
+    val local = parted.withColumn("lcum",
+      coalesce(sum("bytes").over(wLocal.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = local.groupBy("pid").agg(sum("bytes").as("pb"))
+      .withColumn("off",
+        coalesce(sum("pb").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum0", col("off") + col("lcum"))
+      .select(col("file"), col("bytes"),
+        expr(s"cum0 DIV $targetBytes").as("group_id"),
+        col("cum0"))
+      .orderBy("file")
+  }
+
   /** How many files of `path` a stats-based pruner must READ for an
     * axis-aligned box predicate `lo(c) <= c <= hi(c)`: files whose
     * [min, max] box intersects the query box. The complement is the

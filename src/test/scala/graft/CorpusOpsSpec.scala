@@ -329,6 +329,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(q == Set("added", "removed", "changed", "same"))
   }
 
+  test("preferencePairs: heap plan == window witness, margins positive, " +
+    "partial aggregation pinned") {
+    val got = CorpusOps.preferencePairs(corpus, k = 5)
+    // in-repo window-form witness (the oracle's shape)
+    val scored = corpus
+      .select(col("source"), col("doc_id"),
+        expr("explode(regexp_extract_all(text, '\\\\S+', 0))").as("word"))
+      .select(col("source"), col("doc_id"),
+        pmod(graft.functions.TextAnalysis.md5Hash60(col("word")),
+          lit(1024L)).as("bucket"))
+      .join(CorpusOps.linearModelWeights(spark, 1024), "bucket")
+      .groupBy("source", "doc_id").agg(sum("w_int").as("s_int"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("s_int").desc, col("doc_id").asc)
+    val wR = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("s_int").asc, col("doc_id").asc)
+    val b = scored.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id").as("chosen_doc"),
+        col("s_int").as("s_c"))
+    val r = scored.withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"),
+        col("doc_id").as("rejected_doc"), col("s_int").as("s_r"))
+    val want = b.join(r, Seq("source", "rn"))
+      .filter(col("s_c") > col("s_r"))
+      .select(col("source"), col("rn").cast("long").as("pair_idx"),
+        col("chosen_doc"), col("rejected_doc"),
+        (col("s_c") - col("s_r")).as("margin"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(col("margin") <= 0).isEmpty)
+    // the heap partial-aggregates map-side (the window form cannot)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k"),
+      s"best/worst heaps must partial-aggregate:\n$plan")
+  }
+
   test("bloom decontamination: identical output, codegen probe, real pruning") {
     // identical to the exact operator on the harness corpus (FPs are
     // removed by the verify join) — the oracle-equality claim, locally

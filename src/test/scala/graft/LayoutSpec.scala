@@ -40,6 +40,40 @@ class LayoutSpec extends SparkSpec {
     assert(r(0).isDefined && r(1).isEmpty && r(2).isEmpty)
   }
 
+  test("planCompaction: hand groups, boundary spill bound, " +
+    "distributed == single-window witness") {
+    // bytes 5,5,5,5 at target 10: cum0 = 0,5,10,15 -> groups 0,0,1,1
+    val hand = Layout.planCompaction(
+      Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("file", "bytes"),
+      targetBytes = 10L)
+      .select("file", "group_id").as[(String, Long)].collect().toSeq
+    assert(hand == Seq(("a", 0L), ("b", 0L), ("c", 1L), ("d", 1L)))
+    // corpus-scale fixture: one pseudo-file per doc
+    val files = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("f"),
+        lpad(col("doc_id").cast("string"), 6, "0")).as("file"),
+        col("n_chars").cast("long").as("bytes"))
+    val got = Layout.planCompaction(files, targetBytes = 3000L)
+    // distributed prefix sums == the single window the op refuses
+    val w = org.apache.spark.sql.expressions.Window.orderBy("file")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val want = files
+      .withColumn("cum0", coalesce(sum("bytes").over(w), lit(0L)))
+      .select(col("file"), col("bytes"),
+        expr("cum0 DIV 3000").as("group_id"), col("cum0"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every group is at most target + its boundary file's spill
+    val maxBytes = files.agg(max("bytes")).as[Long].head()
+    val over = got.groupBy("group_id").agg(sum("bytes").as("gb"))
+      .filter(col("gb") > lit(3000L) + maxBytes)
+    assert(over.isEmpty)
+    // and groups are contiguous in file order
+    val nonMono = got.orderBy("file").select("group_id").as[Long]
+      .collect().sliding(2).exists(p => p.length == 2 && p(0) > p(1))
+    assert(!nonMono)
+  }
+
   test("z-ordered layout: same rows, far fewer files touched by a 2-D box") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val zDir = Files.createTempDirectory("graft-zorder").toString
