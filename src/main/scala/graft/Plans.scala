@@ -29,7 +29,9 @@ object Plans {
       "q_passage_dedup", "q_shards", "q_lm_surprisal",
       "q_events_topk_agg", "q_corpus_overlap", "q_quality_model",
       "q_ann_pq", "q_pack_seqs", "q_pipeline",
-      "q_profile", "q_key_skew", "q_dsir_weights", "q_mix_temperature")
+      "q_profile", "q_key_skew", "q_dsir_weights", "q_mix_temperature",
+      "q_lm_bigram", "q_ppl_buckets", "q_topic_phrases", "q_bpe_pairs",
+      "q_probe_train", "q_pref_pairs", "q_vocab_unk", "q_compaction")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
