@@ -405,7 +405,9 @@ object SparkEntry {
     "q_compaction" -> ((s, dir) =>
       graft.sources.Layout.planCompaction(
         documents(s, dir).select(
-          concat(lit("f"), lpad(col("doc_id").cast("string"), 6, "0"))
+          // 12-digit pad: lpad TRUNCATES overlong inputs in both
+          // engines, which would collide file keys past 10^pad docs
+          concat(lit("f"), lpad(col("doc_id").cast("string"), 12, "0"))
             .as("file"),
           col("n_chars").as("bytes")),
         targetBytes = 10000L)),
@@ -2036,13 +2038,18 @@ object SparkEntry {
         |      THEN 0 ELSE 1 END)::BIGINT AS n_neg
         |  FROM documents
         |), sc AS (
-        |  SELECT doc_id, y, sum(w_int)::BIGINT AS s
-        |  FROM tok JOIN w USING (bucket) GROUP BY 1, 2
+        |  SELECT doc_id, sum(w_int)::BIGINT AS s
+        |  FROM tok JOIN w USING (bucket) GROUP BY 1
+        |), dy AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
+        |      'dup') THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM documents
         |), pr AS (
-        |  SELECT y, CASE WHEN s + (SELECT
+        |  SELECT y, CASE WHEN COALESCE(s, 0) + (SELECT
         |      round(10000.0 * (log2(n_pos) - log2(n_neg)))::BIGINT
         |      FROM cls) > 0 THEN 1 ELSE 0 END::BIGINT AS pred
-        |  FROM sc
+        |  FROM dy LEFT JOIN sc USING (doc_id)
         |)
         |SELECT y, pred, count(*)::BIGINT AS n_docs
         |FROM pr GROUP BY y, pred
@@ -2196,7 +2203,7 @@ object SparkEntry {
     // single cumsum window IS the oracle for the distributed plan
     "q_compaction" ->
       """WITH f AS (
-        |  SELECT 'f' || lpad(doc_id::VARCHAR, 6, '0') AS file,
+        |  SELECT 'f' || lpad(doc_id::VARCHAR, 12, '0') AS file,
         |    n_chars::BIGINT AS bytes
         |  FROM documents
         |), c AS (

@@ -384,16 +384,11 @@ object CorpusOps {
     * hit count. Unmatched docs are absent — tagging yields nothing to
     * say about them (callers wanting them join back on doc_id). */
   def topicTag(docs: DataFrame, taxonomy: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("word"))
-      .join(broadcast(taxonomy.select(col("topic"),
-        col("keyword").as("word"))), "word")
-      .groupBy("doc_id")
-      .agg(
-        concat_ws(",", sort_array(collect_set(col("topic"))))
-          .as("topics"),
-        count("*").as("n_hits"))
-      .orderBy("doc_id")
+    // exactly the all-lengths-are-1 case of [[topicTagPhrases]]
+    // (shingles(text, 1) == the token stream), so the match/aggregate
+    // contract — sorted topic list, per-position hit counting,
+    // unmatched-doc absence — is defined once
+    topicTagPhrases(docs, taxonomy)
 
   /** [[topicTag]] with MULTI-WORD keywords (the FlashText/dictionary-
     * matcher use case: "hash join", "new york" — phrases a word-level
@@ -769,13 +764,19 @@ object CorpusOps {
       .select(col("bucket"), col("w_int"))
     val bias = model.filter(col("bucket") === -1L)
       .select(col("w_int").as("bias_int"))
-    examples
-      .select(col("doc_id"), col("y").cast("long").as("y"),
+    val sums = examples
+      .select(col("doc_id"),
         explode(wsTokens(col("text"))).as("word"))
-      .select(col("doc_id"), col("y"),
+      .select(col("doc_id"),
         pmod(md5Hash60(col("word")), lit(dim.toLong)).as("bucket"))
       .join(broadcast(w), "bucket")
-      .groupBy("doc_id", "y").agg(sum("w_int").as("s"))
+      .groupBy("doc_id").agg(sum("w_int").as("s"))
+    // LEFT join from examples: a zero-token doc has no feature rows
+    // but still gets a prediction (the bias decides) — serving scores
+    // it too, and the confusion cells must sum to the doc count
+    examples.select(col("doc_id"), col("y").cast("long").as("y"))
+      .join(sums, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("s"))
       .crossJoin(broadcast(bias))
       .select(col("y"),
         when(col("s") + col("bias_int") > 0, 1L).otherwise(0L)
@@ -815,19 +816,22 @@ object CorpusOps {
       ColumnBridge.column(graft.functions.GroupTopK(
         ColumnBridge.expression(col("doc_id")),
         ColumnBridge.expression(valCol), k).toAggregateExpression())
-    val best = scored.groupBy("source").agg(heap(col("s_int")).as("t"))
-      .select(col("source"), posexplode(col("t")).as(Seq("pair_idx", "kv")))
-      .select(col("source"), col("pair_idx"),
-        col("kv.key").as("chosen_doc"), col("kv.val").as("s_chosen"))
-    val worst = scored.groupBy("source").agg(heap(-col("s_int")).as("t"))
-      .select(col("source"), posexplode(col("t")).as(Seq("pair_idx", "kv")))
-      .select(col("source"), col("pair_idx"),
-        col("kv.key").as("rejected_doc"), (-col("kv.val")).as("s_rejected"))
-    best.join(worst, Seq("source", "pair_idx"))
-      .filter(col("s_chosen") > col("s_rejected"))
-      .select(col("source"), (col("pair_idx") + 1).cast("long").as("pair_idx"),
-        col("chosen_doc"), col("rejected_doc"),
-        (col("s_chosen") - col("s_rejected")).as("margin"))
+    // BOTH heaps ride ONE aggregation over the scored relation — two
+    // separate groupBys would re-run the corpus-scale scoring lineage
+    // twice (the perplexityBuckets lesson). Per source the heaps hold
+    // the same min(k, n) entries, so arrays_zip aligns rank i's best
+    // with rank i's worst and the join disappears entirely.
+    scored.groupBy("source")
+      .agg(heap(col("s_int")).as("tb"), heap(-col("s_int")).as("tw"))
+      .select(col("source"),
+        posexplode(arrays_zip(col("tb"), col("tw")))
+          .as(Seq("pair_idx", "z")))
+      .filter(col("z.tb.val") > -col("z.tw.val"))
+      .select(col("source"),
+        (col("pair_idx") + 1).cast("long").as("pair_idx"),
+        col("z.tb.key").as("chosen_doc"),
+        col("z.tw.key").as("rejected_doc"),
+        (col("z.tb.val") + col("z.tw.val")).as("margin"))
       .orderBy("source", "pair_idx")
   }
 

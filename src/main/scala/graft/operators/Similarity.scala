@@ -30,14 +30,19 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def scoredTopK(cand: DataFrame, k: Int): DataFrame = {
+  /** The per-query top-k contract — (cos DESC, vec_id ASC) total
+    * order, rounded output — defined ONCE for every scorer; `extra`
+    * columns (e.g. labels) ride along after the core four. */
+  private def scoredTopK(cand: DataFrame, k: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("query_id") +: col("vec_id") +:
+        round(col("cos"), 4).as("cos") +: col("rank") +:
+        extra.map(col): _*)
       .orderBy("query_id", "rank")
   }
 
@@ -69,14 +74,11 @@ object Similarity {
     val e = embs.select(col("vec_id"), col("label"),
       toDoubleVec(col("embedding")).as("v"))
     val q = e.filter(queryPred).toDF("query_id", "q_label", "qv")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(q), col("label") =!= col("q_label"))
+    val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
       .withColumn("cos", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    scoredTopK(scored, k, extra = Seq("q_label", "label"))
       .select(col("query_id"), col("q_label"), col("vec_id"),
-        col("label"), round(col("cos"), 4).as("cos"), col("rank"))
+        col("label"), col("cos"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

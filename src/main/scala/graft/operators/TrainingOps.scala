@@ -278,24 +278,16 @@ object TrainingOps {
     // 32 exchanges. The materialized rows are narrow (doc_id, n_big,
     // bits), one per document.
     val bits = lmBigramBits(docs).localCheckpoint()
-    val parted = bits
-      .repartitionByRange(col("bits_per_big"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("bits_per_big").asc, col("doc_id").asc)
-    val local = parted
-      .withColumn("lrn", row_number().over(wLocal).cast("long") - 1L)
-    val offsets = local.groupBy("pid").agg(count("*").as("pn"))
-      .withColumn("off",
-        coalesce(sum("pn").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val n = offsets.agg(sum("pn").as("n"))
+    // cum0 with value 1 = the 0-based global rank in (bits, doc_id)
+    // order; the grand total is ntile's n
+    val (ranked, total) = PrefixSum.exclusive(bits,
+      Seq(col("bits_per_big"), col("doc_id")), lit(1L))
     // ntile(b) over n rows: q = n/b, rem = n%b; buckets 1..rem hold
     // q+1 rows, the rest q. greatest(q,1) keeps the dead branch safe
     // under ANSI when q = 0 (then every rank satisfies the first arm).
-    local.join(broadcast(offsets.select("pid", "off")), "pid")
-      .crossJoin(broadcast(n))
-      .withColumn("r", col("off") + col("lrn"))
+    ranked
+      .crossJoin(broadcast(total.select(col("total").as("n"))))
+      .withColumn("r", col("cum0"))
       .withColumn("q", expr(s"n DIV $buckets"))
       .withColumn("rem", col("n") % buckets)
       .withColumn("ppl_bucket",
@@ -480,29 +472,17 @@ object TrainingOps {
     * (doc_id, n_tok, h)-width rows ride the exchanges, never text. */
   def trainingShards(docs: DataFrame, shardSize: Int = 100): DataFrame = {
     require(shardSize > 0)
-    val parted = docs
+    val narrow = docs
       .select(col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_tok"),
         md5Hash60(col("doc_id").cast("string")).as("h"))
-      .repartitionByRange(col("h"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("h").asc, col("doc_id").asc)
-    val local = parted
-      .withColumn("lrn", row_number().over(wLocal).cast("long") - 1L)
-    // per-partition counts → exclusive prefix sums: a numPartitions-row
-    // relation, so the unpartitioned cumsum window is over ~dozens of
-    // rows (the acceptable place for one), and the join is broadcast
-    val offsets = local.groupBy("pid").agg(count("*").as("pn"))
-      .withColumn("off",
-        coalesce(sum("pn").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
-    local.join(broadcast(offsets), "pid")
-      .withColumn("rn", col("off") + col("lrn"))
+    // cum0 with value 1 = the 0-based global rank in (h, doc_id) order
+    val (ranked, _) = PrefixSum.exclusive(narrow,
+      Seq(col("h"), col("doc_id")), lit(1L))
+    ranked
       .select(col("doc_id"),
-        expr(s"rn DIV $shardSize").as("shard_id"),
-        (col("rn") % shardSize).as("pos"), col("n_tok"))
+        expr(s"cum0 DIV $shardSize").as("shard_id"),
+        (col("cum0") % shardSize).as("pos"), col("n_tok"))
       .orderBy("shard_id", "pos")
   }
 
@@ -529,23 +509,12 @@ object TrainingOps {
         size(wsTokens(col("text"))).cast("long").as("n_tok"),
         md5Hash60(col("doc_id").cast("string")).as("h"))
       .filter(col("n_tok") > 0)
-      .repartitionByRange(col("h"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("h").asc, col("doc_id").asc)
-    val local = narrow.withColumn("lcum",
-      coalesce(sum("n_tok").over(wLocal.rowsBetween(
-        Window.unboundedPreceding, -1)), lit(0L)))
-    val offsets = local.groupBy("pid").agg(sum("n_tok").as("pn"))
-      .withColumn("off",
-        coalesce(sum("pn").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
     // cum0 = exclusive global token prefix; the doc occupies
     // [cum0, cum0 + n_tok) of the concatenated stream and intersects
     // every seqLen-sized window that interval touches
-    val pieces = local.join(broadcast(offsets), "pid")
-      .withColumn("cum0", col("off") + col("lcum"))
+    val (withCum, _) = PrefixSum.exclusive(narrow,
+      Seq(col("h"), col("doc_id")), col("n_tok"))
+    val pieces = withCum
       .withColumn("seq_id", explode(sequence(
         expr(s"cum0 DIV $seqLen"),
         expr(s"(cum0 + n_tok - 1) DIV $seqLen"))))

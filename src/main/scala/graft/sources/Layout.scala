@@ -82,23 +82,11 @@ object Layout {
       fileCol: String = "file",
       bytesCol: String = "bytes"): DataFrame = {
     require(targetBytes > 0)
-    import org.apache.spark.sql.expressions.Window
-    val parted = files
-      .select(col(fileCol).as("file"),
-        col(bytesCol).cast("long").as("bytes"))
-      .repartitionByRange(col("file"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid").orderBy(col("file").asc)
-    val local = parted.withColumn("lcum",
-      coalesce(sum("bytes").over(wLocal.rowsBetween(
-        Window.unboundedPreceding, -1)), lit(0L)))
-    val offsets = local.groupBy("pid").agg(sum("bytes").as("pb"))
-      .withColumn("off",
-        coalesce(sum("pb").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "off")
-    local.join(broadcast(offsets), "pid")
-      .withColumn("cum0", col("off") + col("lcum"))
+    val narrow = files.select(col(fileCol).as("file"),
+      col(bytesCol).cast("long").as("bytes"))
+    val (withCum, _) = graft.operators.PrefixSum.exclusive(narrow,
+      Seq(col("file")), col("bytes"))
+    withCum
       .select(col("file"), col("bytes"),
         expr(s"cum0 DIV $targetBytes").as("group_id"),
         col("cum0"))

@@ -51,7 +51,7 @@ class LayoutSpec extends SparkSpec {
     // corpus-scale fixture: one pseudo-file per doc
     val files = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(concat(lit("f"),
-        lpad(col("doc_id").cast("string"), 6, "0")).as("file"),
+        lpad(col("doc_id").cast("string"), 12, "0")).as("file"),
         col("n_chars").cast("long").as("bytes"))
     val got = Layout.planCompaction(files, targetBytes = 3000L)
     // distributed prefix sums == the single window the op refuses
