@@ -727,6 +727,9 @@ object CorpusOps {
       .groupBy("bucket")
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c_neg"))
+      // dim-row relation; the checkpoint keeps the totals branch from
+      // re-running the tokenize lineage (the lmSurprisal pattern)
+      .localCheckpoint()
     val tot = cnt.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"))
     val weights = spark.range(dim).select(col("id").as("bucket"))
       .join(cnt, Seq("bucket"), "left")
