@@ -87,6 +87,12 @@ object SparkEntry {
     // BpeSpec pins it rule-for-rule vs a plain-Scala reference BPE.
     "q_bpe_vocab" -> ((s, dir) =>
       Bpe.trainQuery(documents(s, dir))),
+    // Encode the corpus with the trained table: rules fold into ONE
+    // projection over the distinct-word relation, segmentations join
+    // back broadcast — rows-only (BpeSpec pins vs training's own
+    // segmented relation + reconstruction).
+    "q_bpe_encode" -> ((s, dir) =>
+      Bpe.encodeQuery(documents(s, dir))),
     // Gopher-style repetition filters: single-pass kernel, exact
     // integer outputs, integer cross-multiplied gate — fully oracled.
     "q_text_repetition" -> ((s, dir) =>

@@ -117,4 +117,57 @@ object Bpe {
     * BPE trainer on the same corpus. */
   def trainQuery(docs: DataFrame, nMerges: Int = 30): DataFrame =
     train(docs, nMerges)._1.orderBy("rank")
+
+  /** ENCODE a corpus with a trained merge table — the serving step
+    * (train once, tokenize every future snapshot). The merge rules
+    * fold into ONE projection (rule i is an `aggregate` lambda over
+    * rule i−1's output — no per-rule job, no loop state), applied to
+    * the DISTINCT words of the corpus (vocabulary-scale), and the
+    * per-word segmentation joins back broadcast onto the exploded
+    * token stream — so the corpus-side cost is one scan + one
+    * map-side join regardless of rule count. Output per doc: the
+    * space-joined piece stream (with `</w>` markers), piece and token
+    * counts — fertility (pieces per word) is the tokenizer-quality
+    * audit, in integer basis points. */
+  def encode(docs: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    val charSyms = expr(
+      "array_append(transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1)), '</w>')")
+    val segCol = rules.foldLeft(charSyms) {
+      case (acc, (a, b)) => applyMerge(acc, a, b)
+    }
+    val segs = docs
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"), segCol.as("syms"))
+    docs
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(segs), "word")
+      .groupBy("doc_id")
+      .agg(
+        array_join(flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))), " ").as("bpe_text"),
+        sum(size(col("syms"))).cast("long").as("n_pieces"),
+        count("*").as("n_tok"))
+      .select(col("doc_id"), col("bpe_text"), col("n_pieces"),
+        col("n_tok"),
+        expr("n_pieces * 10000 DIV n_tok").as("fertility_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Harness query: encode the corpus with its own freshly-trained
+    * 30-rule table (rows-only like [[trainQuery]]; BpeSpec pins the
+    * per-word segmentation equal to training's own segmented relation
+    * and reconstruction of every document). */
+  def encodeQuery(docs: DataFrame, nMerges: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = train(docs, nMerges)._1
+      .orderBy("rank").select("s1", "s2")
+      .as[(String, String)].collect().toSeq
+    encode(docs, rules)
+  }
 }

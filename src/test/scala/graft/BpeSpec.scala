@@ -96,6 +96,39 @@ class BpeSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("encode == training's own segmentation; documents reconstruct") {
+    val (rulesDf, seg) = Bpe.train(corpus, nMerges = 15)
+    val rules = rulesDf.orderBy("rank").select("s1", "s2")
+      .as[(String, String)].collect().toSeq
+    val enc = Bpe.encode(corpus, rules)
+    // per-word segmentation equals the trainer's final state: rebuild
+    // each doc's piece stream from the trainer's segmented relation
+    val want = corpus
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.wsTokens(col("text")))
+          .as(Seq("pos", "word")))
+      .join(seg.select("word", "syms"), "word")
+      .groupBy("doc_id")
+      .agg(array_join(flatten(transform(
+        sort_array(collect_list(struct(col("pos"), col("syms")))),
+        s => s.getField("syms"))), " ").as("bpe_text"))
+    assert(enc.select("doc_id", "bpe_text").exceptAll(want).isEmpty &&
+      want.exceptAll(enc.select("doc_id", "bpe_text")).isEmpty)
+    // drop piece boundaries, turn each </w> marker back into a word
+    // boundary: the token stream reconstructs exactly
+    val rebuilt = enc.select(col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(col("bpe_text"), " ", ""), "</w>", " "))
+        .as("again"))
+    val orig = corpus.select(col("doc_id"),
+      array_join(expr("regexp_extract_all(text, '\\\\S+', 0)"), " ")
+        .as("norm"))
+    assert(rebuilt.join(orig, "doc_id")
+      .filter(col("again") =!= col("norm")).isEmpty)
+    // fertility is sane: at least one piece per word
+    assert(enc.filter(col("fertility_bp") < 10000L).isEmpty)
+  }
+
   test("minCount stops training early on a tiny corpus") {
     // every word unique -> every pair count 1 < minCount 2
     val (rules, _) = Bpe.train(docsDf((1L, "xy zw")), nMerges = 5,
