@@ -31,7 +31,8 @@ object Plans {
       "q_ann_pq", "q_pack_seqs", "q_pipeline",
       "q_profile", "q_key_skew", "q_dsir_weights", "q_mix_temperature",
       "q_lm_bigram", "q_ppl_buckets", "q_topic_phrases", "q_bpe_pairs",
-      "q_probe_train", "q_pref_pairs", "q_vocab_unk", "q_compaction")
+      "q_probe_train", "q_pref_pairs", "q_vocab_unk", "q_compaction",
+      "q_bpe_encode")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
