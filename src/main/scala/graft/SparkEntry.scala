@@ -84,6 +84,11 @@ object SparkEntry {
           "query", "data").toDF("term"))
     }),
     "q_text_pmi" -> ((s, dir) => TextOps.collocations(documents(s, dir))),
+    // Typo/OCR-variant mining: every vocabulary pair within edit
+    // distance 2, found via FastSS deletion-neighborhood blocking +
+    // exact levenshtein verify (never the |V|^2 self-join).
+    "q_vocab_editdist" -> ((s, dir) =>
+      TextOps.vocabEditPairs(documents(s, dir), maxDist = 2, minLen = 4)),
     // BPE training kernel: weighted adjacent-symbol-pair counts over
     // the char+</w> symbolization of the word-frequency relation —
     // one corpus scan, then everything is vocabulary-scale.
@@ -172,6 +177,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"),
           md5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
+    // Leakage-free train/val split: the split key is the near-dup
+    // CLUSTER representative, so duplicate families never straddle
+    // the split (a per-doc hash split would leak them at 2p(1-p)).
+    "q_split_leakfree" -> ((s, dir) =>
+      Clustering.leakFreeSplit(documents(s, dir), n = 3,
+        threshold = 0.8, trainPct = 90)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
     // LSH-bucketed variant: exact-verified candidates, approximate
@@ -524,6 +535,13 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) =>
       ProfileOps.histogramInt(
         documents(s, dir), "n_chars", nBins = 12, lo = 0L, hi = 600L)),
+    // Heaps-law vocabulary growth: cumulative distinct BIGRAMS at
+    // 50-doc checkpoints in hash order (distributed ranks via the
+    // PrefixSum scaffold; text never rides the range exchange).
+    // Bigrams, because the synthetic token vocabulary saturates in
+    // one checkpoint — the n-gram curve actually grows.
+    "q_vocab_growth" -> ((s, dir) =>
+      ProfileOps.vocabGrowth(documents(s, dir), step = 50L, n = 2)),
     // ---- relational suite over the TPC-H-ish star schema ----
     "q_rel_pricing" -> ((s, dir) =>
       RelationalOps.pricingSummary(table(s, dir, "lineitem"))),
@@ -1640,6 +1658,33 @@ object SparkEntry {
         |FROM cl JOIN documents d USING (doc_id)
         |WHERE cl.doc_id = cl.cluster
         |ORDER BY doc_id""".stripMargin,
+    // Leakage-free split: same recursive closure; the split decision
+    // replays the engine-neutral 60-bit-md5 arithmetic on the cluster
+    // representative, so family atomicity is checked hash-exactly.
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes
+        |SELECT doc_id, cluster,
+        |  CASE WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 15))::BIGINT
+        |            % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM cl
+        |ORDER BY doc_id""".stripMargin,
+    // Vocabulary edit-distance pairs: the oracle is the brute-force
+    // |V|^2 levenshtein self-join the operator exists to avoid — at
+    // oracle scale it is cheap, and DuckDB's levenshtein is the same
+    // classic edit distance as Spark's.
+    "q_vocab_editdist" ->
+      """WITH v AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 4 GROUP BY word
+        |)
+        |SELECT a.word AS word_a, b.word AS word_b,
+        |  levenshtein(a.word, b.word) AS dist,
+        |  a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM v a JOIN v b ON a.word < b.word
+        |WHERE levenshtein(a.word, b.word) <= 2
+        |ORDER BY word_a, word_b""".stripMargin,
     // PMI over unigram/bigram mass; rank on the rounded score (ulp
     // stability), bigram tie-break, final order by bigram.
     "q_text_pmi" ->
@@ -2787,6 +2832,32 @@ object SparkEntry {
         |SELECT bin, 0 + bin * 600 // 12 AS bin_lo,
         |  0 + (bin + 1) * 600 // 12 AS bin_hi, count(*) AS n
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // Heaps-law growth: row_number over the same 60-bit-md5 hash
+    // order the Spark side ranks by (PrefixSum scaffold), first
+    // occurrence = min rank per word, ceil-division checkpoints via
+    // integer arithmetic (positive domain — floor == trunc).
+    "q_vocab_growth" ->
+      """WITH rk AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |             doc_id) AS rk
+        |  FROM documents
+        |), toks AS (
+        |  SELECT r.rk, regexp_extract_all(d.text, '\S+') AS t
+        |  FROM documents d JOIN rk r USING (doc_id)
+        |), firsts AS (
+        |  SELECT g, min(rk) AS fr FROM (
+        |    SELECT rk, unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i+1] || ' ' || t[i+2])) AS g
+        |    FROM toks WHERE len(t) >= 2)
+        |  GROUP BY g
+        |), b AS (
+        |  SELECT (fr + 49) // 50 AS checkpoint, count(*) AS new_words
+        |  FROM firsts GROUP BY 1
+        |), t AS (SELECT count(*) AS n FROM documents)
+        |SELECT checkpoint, least(checkpoint * 50, n) AS n_docs, new_words,
+        |  (sum(new_words) OVER (ORDER BY checkpoint))::BIGINT AS cum_words
+        |FROM b, t ORDER BY checkpoint""".stripMargin,
   )
 
   /** Shared CTE chain (pre-stripped) for the near-dup transitive

@@ -154,6 +154,39 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/validation split — split assignment at the
+    * NEAR-DUP CLUSTER level, not the document level. A per-document
+    * hash split leaks: a near-duplicate pair lands train/val with
+    * probability 2·p·(1−p), and eval on the val half then scores
+    * memorization, not generalization. Here the split key is the
+    * cluster representative (minimum reachable doc_id under the
+    * near-dup pair graph), so every member of a duplicate family —
+    * including transitive members that never matched each other
+    * directly — lands on the same side by construction.
+    *
+    * The decision is the stratified-sampling convention: engine-
+    * neutral 60-bit md5 of the cluster id mod 100 < `trainPct` →
+    * "train", else "val" — deterministic, layout-independent, and
+    * exactly reproducible by the SQL oracle. Note the EXPECTED train
+    * share is trainPct of *clusters* (weighted by family size on
+    * docs); that is the correct unit — split fractions that must hold
+    * doc-exactly would have to break family atomicity.
+    *
+    * Scale: clustering cost (see [[nearDupClusters]]) plus one narrow
+    * (doc_id, cluster)-width projection; the hash decision is a
+    * zero-shuffle map. Returns (doc_id, cluster, split). */
+  def leakFreeSplit(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, trainPct: Int = 90): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct=$trainPct must be in (0, 100)")
+    nearDupClusters(docs, n, threshold)
+      .withColumn("split",
+        when(graft.functions.TextAnalysis.md5Hash60(
+          col("cluster").cast("string")) % 100 < trainPct, "train")
+          .otherwise("val"))
+      .orderBy("doc_id")
+  }
+
   /** The DEDUPLICATED corpus — the artifact the pipeline actually
     * ships: one survivor row (the cluster-minimum doc_id) per near-dup
     * cluster, full document payload attached only for survivors (the

@@ -105,6 +105,60 @@ object ProfileOps {
       .orderBy("rank")
   }
 
+  /** Heaps-law vocabulary growth curve: cumulative distinct token
+    * count at every `step`-document checkpoint, documents taken in
+    * engine-neutral 60-bit-md5 hash order (deterministic and
+    * layout-independent — "arrival order" on a distributed ingest is
+    * not a thing). The curve is a tokenizer/corpus-health audit: a
+    * healthy natural-language corpus grows sub-linearly (Heaps' law);
+    * a curve that stays linear means unbounded novel-token production
+    * (OCR noise, serial numbers, broken tokenization), one that goes
+    * flat almost immediately means templated or duplicated content.
+    *
+    * Shape: document ranks in hash order come from the [[PrefixSum]]
+    * scaffold over a (doc_id, hash)-width relation — never a
+    * single-partition window, and the wide text column stays OUT of
+    * the range exchange. The token stream is deduplicated per
+    * document in the map (`array_distinct` before the explode), joins
+    * the narrow rank relation on doc_id, and a word's first
+    * occurrence is then a plain min-aggregate; new-word counts bucket
+    * by checkpoint and the one unpartitioned cumulative window runs
+    * over the ≤ |docs|/step checkpoint rows (the acceptable place for
+    * one). `n` picks the vocabulary unit: 1 = tokens, ≥ 2 = word
+    * n-gram shingles (the single-pass [[graft.functions.WordShingles]]
+    * kernel) — the n-gram curve keeps growing long after a small
+    * token vocabulary saturates, which is what makes it the sharper
+    * novelty probe. Returns (checkpoint, n_docs, new_words,
+    * cum_words). */
+  def vocabGrowth(docs: DataFrame, step: Long = 100L,
+      n: Int = 1): DataFrame = {
+    require(step > 0, s"vocabGrowth needs step > 0, got $step")
+    require(n >= 1, s"vocabGrowth needs n >= 1, got $n")
+    import graft.functions.TextAnalysis.{md5Hash60, shingles, wsTokens}
+    val ids = docs.select(col("doc_id"),
+      md5Hash60(col("doc_id").cast("string")).as("h"))
+    val (ranked, _) = PrefixSum.exclusive(
+      ids, Seq(col("h"), col("doc_id")), lit(1L))
+    val ranks = ranked.select(col("doc_id"), (col("cum0") + 1L).as("rk"))
+    val units = if (n == 1) wsTokens(col("text"))
+                else shingles(col("text"), n)
+    val docWords = docs.select(col("doc_id"),
+      explode(array_distinct(units)).as("word"))
+    val firsts = docWords.join(ranks, "doc_id")
+      .groupBy("word").agg(min("rk").as("fr"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    firsts
+      .select(expr(s"(fr + ${step - 1}) DIV $step").as("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("new_words"))
+      .crossJoin(broadcast(total))
+      .select(col("checkpoint"),
+        least(col("checkpoint") * step, col("__n")).as("n_docs"),
+        col("new_words"))
+      .withColumn("cum_words",
+        sum("new_words").over(Window.orderBy("checkpoint")))
+      .orderBy("checkpoint")
+  }
+
   /** Equi-width integer histogram of `valueCol` over [`lo`, `hi`):
     * bin = (x − lo)·nBins DIV (hi − lo), clamped into [0, nBins−1] so
     * out-of-range values land in the edge bins (they stay visible —

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ColumnOps.pairsOf
 import graft.functions.TextAnalysis._
 import graft.functions.TextProfile
 import org.apache.spark.sql.DataFrame
@@ -254,6 +255,82 @@ object TextOps {
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
       .orderBy("source")
+
+  /** Vocabulary edit-distance pairs — typo/OCR-variant mining over
+    * the corpus vocabulary (a rare token one or two edits from a
+    * frequent one is the classic noise signature: scanner errors,
+    * mojibake, concatenation artifacts — the frequencies ride along so
+    * downstream cleaning can rank variant → canonical). Exact result:
+    * every unordered vocabulary pair within Levenshtein `maxDist`,
+    * with corpus frequencies.
+    *
+    * Candidate generation is FastSS/SymSpell deletion-neighborhood
+    * blocking (Bocek et al. 2007, public algorithm): an inverted index
+    * on DELETION KEYS — every string obtainable from a word by
+    * deleting up to `maxDist` characters. Completeness: take an
+    * optimal alignment witnessing ed(u,v) = d ≤ maxDist and delete
+    * from each word its non-matched positions (substituted positions
+    * on both sides, inserted ones on their own side); both words are
+    * left holding the SAME subsequence having deleted ≤ d characters
+    * each, so they share a key and the bucket pass emits the pair.
+    * Exactness: every candidate is re-checked with the real
+    * `levenshtein` before emission — blocking can only add work,
+    * never results.
+    *
+    * Scale: after the one corpus scan every relation is VOCABULARY-
+    * scale (|V| words; |V|·O(L²) deletion keys). Pairs are generated
+    * per posting list by the codegen'd AllPairs kernel; lists are
+    * naturally tiny (words sharing a key are within 2·maxDist of each
+    * other), so candidate volume is bounded by bucket sizes, never
+    * |V|². `minLen` must exceed maxDist + 1: shorter words reach
+    * near-empty deletion keys shared by entire length classes — the
+    * one skew trap of the scheme. */
+  def vocabEditPairs(docs: DataFrame, maxDist: Int = 2,
+      minLen: Int = 4): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"vocabEditPairs supports maxDist 1 or 2, got $maxDist")
+    require(minLen > maxDist + 1,
+      s"minLen=$minLen must exceed maxDist+1=${maxDist + 1} — shorter " +
+        "words collapse to near-empty deletion keys (one bucket per " +
+        "length class, the quadratic blowup blocking exists to avoid)")
+    val vocab = docs
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= minLen)
+      .groupBy("word").agg(count("*").as("cnt"))
+    // 0-, 1- (and for maxDist = 2: 2-) deletion keys as pure array
+    // expressions — codegen'd, no UDF. substring is 1-based; i < j are
+    // 0-based deleted positions; the del2 inner bound needs no empty
+    // guard because length(word) ≥ minLen > 3 keeps both sequences
+    // ascending (sequence(a, b) with a > b DESCENDS, it is not empty).
+    val del1 =
+      """transform(sequence(0, length(word) - 1), i ->
+        |  concat(substring(word, 1, i),
+        |         substring(word, i + 2, length(word))))""".stripMargin
+    val del2 =
+      """flatten(transform(sequence(0, length(word) - 2), i ->
+        |  transform(sequence(i + 1, length(word) - 1), j ->
+        |    concat(substring(word, 1, i),
+        |           substring(word, i + 2, j - i - 1),
+        |           substring(word, j + 2, length(word))))))""".stripMargin
+    val keys =
+      if (maxDist == 1) expr(s"array_union(array(word), $del1)")
+      else expr(s"array_union(array(word), array_union($del1, $del2))")
+    vocab
+      .select(explode(keys).as("k"),
+        struct(col("word"), col("cnt")).as("wc"))
+      .groupBy("k").agg(collect_list(col("wc")).as("ws"))
+      .filter(size(col("ws")) > 1)
+      .select(explode(pairsOf(array_sort(col("ws")))).as("p"))
+      // a pair can share many deletion keys — dedupe on the words (cnt
+      // is functionally dependent on the word, so max is exact)
+      .groupBy(col("p.a.word").as("word_a"), col("p.b.word").as("word_b"))
+      .agg(max(col("p.a.cnt")).as("cnt_a"), max(col("p.b.cnt")).as("cnt_b"))
+      .withColumn("dist",
+        levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("word_a", "word_b", "dist", "cnt_a", "cnt_b")
+      .orderBy("word_a", "word_b")
+  }
 
   def langStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang", "source").agg(

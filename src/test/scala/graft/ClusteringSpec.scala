@@ -59,6 +59,36 @@ class ClusteringSpec extends SparkSpec {
     clusters.foreach { case (d, c) => assert(ids.contains(c), s"doc $d") }
   }
 
+  test("leakFreeSplit: duplicate families never straddle the split") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val split = Clustering.leakFreeSplit(corpus, trainPct = 90)
+      .as[(Long, Long, String)].collect()
+    assert(split.length == corpus.count())
+    assert(split.map(_._3).toSet.subsetOf(Set("train", "val")))
+    val byDoc = split.map(r => r._1 -> r._3).toMap
+    // the leakage property: every near-dup PAIR (incl. transitive
+    // members through the cluster) lands on one side
+    val pairs = graft.operators.Dedup.ngramJaccard(corpus, 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a, $b) straddles the split") }
+    // family atomicity at the cluster level: one split per cluster
+    split.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c") }
+    // the decision replays the stratified-sampling hash arithmetic
+    val expect = split.map(_._2).distinct.map { c =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      c -> (if (h % 100 < 90) "train" else "val")
+    }.toMap
+    split.foreach { case (_, c, s) => assert(s == expect(c)) }
+    // both sides are populated at this corpus size
+    assert(split.map(_._3).distinct.length == 2)
+  }
+
   test("nearDupClusters: clusters close over pair chains; ids are min") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val clusters = Clustering.nearDupClusters(corpus)

@@ -75,4 +75,62 @@ class ProfileOpsSpec extends SparkSpec {
       corpus.filter(col("n_chars").isNotNull).count())
     assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("vocabGrowth == brute-force hash-order accumulation") {
+    import spark.implicits._
+    val step = 20L
+    // independent witness: order docs by the same engine-neutral hash,
+    // walk them accumulating the distinct-unit set, snapshot per step
+    val docs = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val ordered = docs.sortBy { case (id, _) => (h60(id.toString), id) }
+    def unitsOf(text: String, n: Int): Seq[String] = {
+      val t = "\\S+".r.findAllIn(text).toSeq
+      if (n == 1) t else t.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+    }
+    def brute(n: Int): Seq[(Long, Long, Long, Long)] = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      val curve =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var newAtCp = 0L
+      ordered.zipWithIndex.foreach { case ((_, text), i) =>
+        val before = seen.size
+        seen ++= unitsOf(text, n)
+        newAtCp += seen.size - before
+        val rank = i + 1L
+        if (rank % step == 0 || rank == ordered.length) {
+          val cp = (rank + step - 1) / step
+          if (newAtCp > 0) curve += ((cp, rank, newAtCp))
+          newAtCp = 0L
+        }
+      }
+      curve.zip(curve.scanLeft(0L)(_ + _._3).drop(1))
+        .map { case ((cp, nd, nw), cum) => (cp, nd, nw, cum) }.toSeq
+    }
+    for (n <- Seq(1, 2)) {
+      val expected = brute(n)
+      val got = ProfileOps.vocabGrowth(corpus, step, n)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"n=$n")
+      // empty checkpoints are absent (the histogramInt convention), so
+      // coverage is checked on totals: final cumulative count IS the
+      // corpus-wide distinct-unit count, per-checkpoint news sum to it
+      val vocabSize =
+        docs.flatMap(d => unitsOf(d._2, n)).toSet.size.toLong
+      assert(got.last._4 == vocabSize, s"n=$n")
+      assert(got.map(_._3).sum == vocabSize, s"n=$n")
+      // Heaps-law shape: the first checkpoint is the largest single
+      // contributor on any natural-ish corpus
+      assert(got.head._3 == got.map(_._3).max, s"n=$n")
+      // layout independence: identical under a different partitioning
+      val reparted = ProfileOps.vocabGrowth(corpus.repartition(7), step, n)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(reparted == expected, s"n=$n")
+    }
+  }
 }

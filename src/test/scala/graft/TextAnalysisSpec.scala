@@ -203,4 +203,79 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  /** Plain-Scala Levenshtein — the spec's independent witness for
+    * vocabEditPairs (two-row DP, no library). */
+  private def lev(a: String, b: String): Int = {
+    var prev = (0 to b.length).toArray
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  test("vocabEditPairs: planted typo families, exact distances") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tokenizer filter spark query pipeline"),
+      (2L, "tokenzer filler sprak query pipeline"),   // del, sub, transpose
+      (3L, "quarry pipeline pipeline zzzz"),          // quarry~query d=2
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabEditPairs(docs, maxDist = 2, minLen = 4)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // deletion (d=1), substitution (d=1), transposition (d=2 in plain
+    // Levenshtein — no Damerau move), and a 2-edit sub+insert pair
+    assert(got(("tokenizer", "tokenzer"))._1 == 1L)
+    assert(got(("filler", "filter"))._1 == 1L)
+    assert(got(("spark", "sprak"))._1 == 2L)
+    assert(got(("quarry", "query"))._1 == 2L)
+    // frequencies ride along: pipeline appears 3x but pairs with
+    // nothing within distance 2 of it
+    assert(!got.keySet.exists(p => p._1 == "pipeline" || p._2 == "pipeline"))
+    // counts are the corpus frequencies (query occurs twice)
+    assert(got(("quarry", "query"))._3 == 2L)
+    // pairs are (a < b)-canonical and within-distance only
+    got.keys.foreach { case (a, b) => assert(a < b) }
+    got.foreach { case ((a, b), (d, _, _)) => assert(lev(a, b) == d && d <= 2) }
+  }
+
+  test("vocabEditPairs == brute-force levenshtein join on the corpus") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = corpus
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 4)
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val expected = (for {
+      a <- vocab.keys; b <- vocab.keys if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b) -> (d.toLong, vocab(a), vocab(b))).toMap
+    val got = TextOps.vocabEditPairs(corpus, maxDist = 2, minLen = 4)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus must actually exercise the path
+    // maxDist = 1 is the strict subset at distance 1
+    val got1 = TextOps.vocabEditPairs(corpus, maxDist = 1, minLen = 4)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got1 == expected.filter(_._2._1 <= 1L))
+  }
+
+  test("vocabEditPairs rejects a minLen that opens the skew trap") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.vocabEditPairs(docs, maxDist = 2, minLen = 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.vocabEditPairs(docs, maxDist = 3)
+    }
+  }
 }
