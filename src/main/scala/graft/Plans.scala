@@ -32,7 +32,8 @@ object Plans {
       "q_profile", "q_key_skew", "q_dsir_weights", "q_mix_temperature",
       "q_lm_bigram", "q_ppl_buckets", "q_topic_phrases", "q_bpe_pairs",
       "q_probe_train", "q_pref_pairs", "q_vocab_unk", "q_compaction",
-      "q_bpe_encode")
+      "q_bpe_encode", "q_vocab_editdist", "q_split_leakfree",
+      "q_vocab_growth")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
