@@ -419,6 +419,11 @@ object SparkEntry {
       CorpusOps.decontaminateBloomQuery(documents(s, dir))),
     "q_chunk" -> ((s, dir) =>
       CorpusOps.chunkTokens(documents(s, dir), chunkTokens = 64, overlap = 8)),
+    // Content-defined chunking: md5-boundary runs + forced cuts at 24
+    // tokens — shift-resistant passage segmentation (an insertion
+    // re-chunks only up to the next content boundary).
+    "q_chunk_cdc" -> ((s, dir) =>
+      CorpusOps.chunkCdc(documents(s, dir), divisor = 8L, maxLen = 24)),
     // Theta-sketch pairwise source overlap: estimates are EXACT in the
     // under-nominal regime (lgK 18 vs ~110k shingles/source at the 10x
     // rehearsal scale — see the operator comment), so the oracle is the
@@ -1109,7 +1114,7 @@ object SparkEntry {
         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
         |  FROM p
         |)
-        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank
+        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // semantic decontamination: rounded-cosine threshold join of the
@@ -1165,7 +1170,7 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT query_id, q_label, vec_id, label,
-        |  round(cos, 4) AS cos, rank
+        |  round(cos, 4) + 0.0 AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // Cohesion via the sum identity: both engines compute
@@ -1192,7 +1197,8 @@ object SparkEntry {
         |), cnt AS (
         |  SELECT label, count(*) AS n FROM u GROUP BY 1
         |)
-        |SELECT label, n, round((sumsq - n) / (n * (n - 1.0)), 4) AS mean_cos
+        |SELECT label, n, round((sumsq - n) / (n * (n - 1.0)), 4) + 0.0
+        |  AS mean_cos
         |FROM agg JOIN cnt USING (label)
         |WHERE n >= 2
         |ORDER BY label""".stripMargin,
@@ -1703,7 +1709,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT b AS bigram, c_ab,
         |    round(ln((c_ab::DOUBLE / n2.n2)
-        |      / ((ca.c::DOUBLE / n1.n1) * (cb.c::DOUBLE / n1.n1))), 4) AS pmi
+        |      / ((ca.c::DOUBLE / n1.n1) * (cb.c::DOUBLE / n1.n1))), 4) + 0.0
+        |      AS pmi
         |  FROM bi
         |  JOIN uni ca ON ca.w = split_part(b, ' ', 1)
         |  JOIN uni cb ON cb.w = split_part(b, ' ', 2), n1, n2
@@ -2218,6 +2225,40 @@ object SparkEntry {
         |    ' ') AS chunk_text
         |FROM idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Content-defined chunking: identical boundary arithmetic — the
+    // 60-bit-md5 divisor rule, prefix-sum run ids, run-relative
+    // forced cuts, ordered string_agg reassembly.
+    "q_chunk_cdc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
+        |  FROM toks, unnest(range(len(t))) AS u(i)
+        |), f AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = 0
+        |         THEN 1 ELSE 0 END AS bnd
+        |  FROM tok
+        |), r AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        |  FROM f
+        |), s AS (
+        |  SELECT doc_id, pos, tok, run,
+        |    (pos - min(pos) OVER (PARTITION BY doc_id, run)) // 24 AS sub
+        |  FROM r
+        |), c AS (
+        |  SELECT doc_id, run, sub, min(pos) AS start_pos,
+        |    count(*)::BIGINT AS n_tok,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM s GROUP BY doc_id, run, sub
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
+        |    AS chunk_idx,
+        |  n_tok, chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // Theta-sketch source overlap: exact distinct-shingle set algebra
     // (sketch estimates are exact in the under-nominal regime, see
     // CorpusOps.sourceOverlapSketch); n_union via inclusion-exclusion.
@@ -2737,7 +2778,7 @@ object SparkEntry {
         |)
         |SELECT doc_id, sum(k)::BIGINT AS n_tok,
         |  round(sum(k * (log2(tcnt + 1) - log2(rcnt + 1) -
-        |    log2(ttot + vsz) + log2(rtot + vsz))) / sum(k), 4)
+        |    log2(ttot + vsz) + log2(rtot + vsz))) / sum(k), 4) + 0.0
         |    AS dsir_logratio
         |FROM dw JOIN v USING (word) CROSS JOIN t
         |GROUP BY doc_id
@@ -2761,7 +2802,7 @@ object SparkEntry {
         |), wts AS (
         |  SELECT doc_id, sum(k)::BIGINT AS n_tok,
         |    round(sum(k * (log2(tcnt + 1) - log2(rcnt + 1) -
-        |      log2(ttot + vsz) + log2(rtot + vsz))) / sum(k), 4)
+        |      log2(ttot + vsz) + log2(rtot + vsz))) / sum(k), 4) + 0.0
         |      AS dsir_logratio
         |  FROM dw JOIN v USING (word) CROSS JOIN t
         |  GROUP BY doc_id

@@ -367,6 +367,59 @@ object CorpusOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Content-defined chunking (CDC — the LBFS/FastCDC idea at token
+    * granularity, Muthitacharoen SOSP'01; public algorithms): chunk
+    * boundaries fall AFTER any token whose engine-neutral 60-bit md5
+    * is ≡ 0 mod `divisor`, plus a forced cut every `maxLen` tokens
+    * inside oversized runs. Boundaries depend only on CONTENT, so an
+    * insertion re-chunks text only up to the next content boundary and
+    * every later chunk is byte-identical — the property that makes
+    * passage-level exact dedup robust to edits, where fixed-stride
+    * windows ([[chunkTokens]]) shift every downstream chunk and lose
+    * all matches after the edit point. Expected chunk length ≈
+    * `divisor` (geometric), hard-capped at `maxLen`.
+    *
+    * Shape: one tokenize pass, then three window families over
+    * (doc_id, pos)-width rows (boundary prefix-sum → run id, min-pos
+    * within run → forced-cut sub-index, start-pos rank → chunk index)
+    * and one grouped assembly — the duplicated-spans convention: no
+    * join, nothing quadratic, text re-joined exactly once at the end.
+    * The forced cut stays parallel because a cut's position depends
+    * only on the token's offset WITHIN its run, never on earlier
+    * chunks — the sequential min-size/max-size coupling of classic
+    * CDC is deliberately traded for the run-relative rule.
+    * Returns (doc_id, chunk_idx, n_tok, chunk_text). */
+  def chunkCdc(docs: DataFrame, divisor: Long = 8L,
+      maxLen: Int = 24): DataFrame = {
+    require(divisor > 1, s"chunkCdc needs divisor > 1, got $divisor")
+    require(maxLen > 0, s"chunkCdc needs maxLen > 0, got $maxLen")
+    val toks = docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = Window.partitionBy("doc_id", "run")
+    val chunks = toks
+      .withColumn("bnd",
+        (md5Hash60(col("tok")) % divisor === 0L).cast("long"))
+      .withColumn("run", coalesce(
+        sum("bnd").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("minp", min("pos").over(wRun))
+      .withColumn("sub", expr(s"(pos - minp) DIV $maxLen"))
+      .groupBy(col("doc_id"), col("run"), col("sub"))
+      .agg(min("pos").as("start_pos"),
+        count(lit(1)).as("n_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+    chunks
+      .withColumn("chunk_idx",
+        (row_number().over(Window.partitionBy("doc_id")
+          .orderBy("start_pos")) - 1).cast("long"))
+      .select("doc_id", "chunk_idx", "n_tok", "chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- keyword-taxonomy domain tagging -------------------------------
 
   /** Keyword-taxonomy domain tagging: each document tagged with every
@@ -1022,10 +1075,14 @@ object CorpusOps {
       .groupBy("doc_id")
       .agg(
         sum("k").cast("long").as("n_tok"),
-        round(
+        // + 0.0 normalizes IEEE negative zero: a tiny negative ratio
+        // rounds to -0.0 in one engine and +0.0 in the other (caught
+        // at the 10x rehearsal — invisible at sf0.01), and -0.0
+        // renders as "-0" in the driver's float canonicalization
+        (round(
           sum(col("k") * (log2(col("tcnt") + 1) - log2(col("rcnt") + 1) -
             log2(col("ttot") + col("vsz")) +
-            log2(col("rtot") + col("vsz")))) / sum("k"), 4)
+            log2(col("rtot") + col("vsz")))) / sum("k"), 4) + lit(0.0))
           .as("dsir_logratio"))
       .orderBy("doc_id")
   }

@@ -41,7 +41,9 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id") +: col("vec_id") +:
-        round(col("cos"), 4).as("cos") +: col("rank") +:
+        // + 0.0: a tiny negative cosine rounds to IEEE -0.0, rendered
+        // "-0" vs "0" across engines (the 10x-rehearsal dsir lesson)
+        (round(col("cos"), 4) + lit(0.0)).as("cos") +: col("rank") +:
         extra.map(col): _*)
       .orderBy("query_id", "rank")
   }
@@ -282,8 +284,10 @@ object Similarity {
     counts.join(dimSums, "label")
       .filter(col("n") >= 2)
       .select(col("label"), col("n"),
-        round((col("sumsq") - col("n")) /
-          (col("n") * (col("n") - lit(1.0))), 4).as("mean_cos"))
+        // + 0.0 normalizes IEEE -0.0 (near-orthogonal labels round to
+        // zero from below; "-0" vs "0" breaks the driver's compare)
+        (round((col("sumsq") - col("n")) /
+          (col("n") * (col("n") - lit(1.0))), 4) + lit(0.0)).as("mean_cos"))
       .orderBy("label")
   }
 

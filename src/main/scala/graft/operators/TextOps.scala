@@ -191,10 +191,13 @@ object TextOps {
       .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
       .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      // + 0.0 normalizes IEEE negative zero: a ratio epsilon under 1
+      // rounds to -0.0, which the driver's float canonicalization
+      // renders "-0" in one engine and "0" in the other
       .withColumn("pmi", round(
         log((col("c_ab").cast("double") / col("n2")) /
           ((col("ca").cast("double") / col("n1")) *
-            (col("cb").cast("double") / col("n1")))), 4))
+            (col("cb").cast("double") / col("n1")))), 4) + lit(0.0))
     scored
       .orderBy(col("pmi").desc, col("bigram").asc)
       .limit(k)

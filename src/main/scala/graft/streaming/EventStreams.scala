@@ -189,6 +189,74 @@ object EventStreams extends Serializable {
       .join(baseFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
       .dropDuplicates("fp_md5")
 
+  /** Stream-static incremental NEAR-dup: streamed documents probe the
+    * base corpus's minhash band index ([[graft.operators.Dedup
+    * .bandBuckets]] — the materialize-once relation a 100 TB corpus
+    * keeps next to itself) and candidates are exact-Jaccard-verified
+    * against the base shingle sets. Same semantics as the batch
+    * [[graft.operators.Dedup.incrementalNearDupPairs]], which
+    * StreamingSpec pins across micro-batches.
+    *
+    * The streamed side computes its minhash signature as a PURE
+    * PROJECTION — `array_min` over the transformed shingle array,
+    * value-identical to the batch min-aggregate (same `xxhash64(s, i)`
+    * per shingle, min over the same values) — because a streaming
+    * aggregation would buffer rows until a watermark closes, while a
+    * projection emits in the arriving micro-batch with no state at
+    * all. Band hashes reuse the batch formula over the projected
+    * mins. The only state in the whole query is the terminal
+    * `dropDuplicates` collapsing multi-band hits of the SAME verified
+    * pair — bounded by true near-dup output, not candidate volume
+    * (each pair can only ever arrive in its document's one batch).
+    * The shingle array rides the 16-band fan-out inside one codegen
+    * stage; the static index and shingle relations are
+    * `localCheckpoint`ed so they are not re-derived per micro-batch. */
+  def incrementalNearDupStream(docs: DataFrame, base: DataFrame,
+      n: Int = 3, threshold: Double = 0.8, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import graft.operators.Dedup
+    val baseSets = Dedup.shingleSets(base, n)
+      .toDF("doc_base", "sh_base").localCheckpoint(true)
+    val baseIdx = Dedup.bandBuckets(
+        Dedup.minhashSignatures(
+          baseSets.toDF("doc_id", "sh"), numHashes),
+        numHashes, bands)
+      .groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("base_ds"))
+      .filter(size(col("base_ds")) <= maxBucket)
+      .localCheckpoint(true)
+    val sh = docs
+      .select(col("doc_id").as("doc_batch"),
+        array_distinct(graft.functions.TextAnalysis
+          .shingles(col("text"), n)).as("sh_batch"))
+      .filter(size(col("sh_batch")) > 0)
+    val mins = array((0 until numHashes).map(i =>
+      array_min(transform(col("sh_batch"),
+        s => xxhash64(s, lit(i))))): _*)
+    sh
+      .withColumn("m", mins)
+      .select(col("doc_batch"), col("sh_batch"),
+        posexplode(array((0 until bands).map { j =>
+          xxhash64((j * r until (j + 1) * r)
+            .map(i => element_at(col("m"), i + 1)) :+ lit(j): _*)
+        }: _*)))
+      .toDF("doc_batch", "sh_batch", "band", "bucket")
+      .join(baseIdx, Seq("band", "bucket"))
+      .select(col("doc_batch"), col("sh_batch"),
+        explode(col("base_ds")).as("doc_base"))
+      .join(baseSets, "doc_base")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_base"), col("sh_batch")))
+          .cast("double") /
+          size(array_union(col("sh_base"), col("sh_batch"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_batch"), col("doc_base"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .dropDuplicates("doc_batch", "doc_base")
+  }
+
   /** Serve a batch-trained Naive Bayes quality model over a document
     * STREAM (the train-batch/serve-stream loop: the model relation
     * from [[graft.operators.CorpusOps.trainNaiveBayes]] collapses to

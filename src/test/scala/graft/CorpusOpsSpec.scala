@@ -148,6 +148,64 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pass > 0 && pass < corpus.count())
   }
 
+  test("chunkCdc == Scala witness; shift-resistant after an insertion") {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val divisor = 8L; val maxLen = 24
+    // independent witness: sequential CDC walk per document
+    def cdc(text: String): Seq[(Long, Long, String)] = {
+      val toks = "\\S+".r.findAllIn(text).toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { t =>
+        cur += t
+        if (h60(t) % divisor == 0L || cur.length == maxLen) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
+        }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.length.toLong, c.mkString(" ")) }.toSeq
+    }
+    val docs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    val got = CorpusOps.chunkCdc(corpus, divisor, maxLen)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Nil) == cdc(text), s"doc $id") }
+    // both boundary kinds must actually bind on this corpus
+    assert(got.values.flatten.exists(_._2 == maxLen.toLong)) // forced cut
+    assert(got.values.exists(_.size > 1))                    // content cut
+    // token conservation + in-order reconstruction
+    docs.foreach { case (id, text) =>
+      val toks = "\\S+".r.findAllIn(text).mkString(" ")
+      assert(got.getOrElse(id, Nil).map(_._3).mkString(" ") == toks)
+    }
+    // THE CDC property: prepend tokens to a doc — chunks after the
+    // first content boundary are byte-identical (fixed-stride
+    // chunking would shift every one of them)
+    val (bigId, bigText) = docs.maxBy(_._2.length)
+    val edited = "inserted tokens at the front " + bigText
+    val before = cdc(bigText).map(_._3)
+    val after = cdc(edited).map(_._3)
+    assert(before.nonEmpty && after.nonEmpty)
+    // drop everything up to and including the first chunk whose
+    // content differs; the remainder must match exactly
+    val tailLen = before.reverse.zip(after.reverse)
+      .takeWhile { case (a, b) => a == b }.length
+    assert(tailLen >= before.length - 5,
+      s"only $tailLen/${before.length} chunks survived the insertion")
+    // and the operator agrees with the witness on the edited doc
+    val editedDf = Seq((bigId, edited)).toDF("doc_id", "text")
+    val gotEdited = CorpusOps.chunkCdc(editedDf, divisor, maxLen)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+    assert(gotEdited == cdc(edited))
+  }
+
   test("chunking covers every token once, with exact overlap carry") {
     val ck = 8; val ov = 2; val stride = ck - ov
     val docs = Seq(

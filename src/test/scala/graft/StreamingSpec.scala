@@ -148,6 +148,29 @@ class StreamingSpec extends SparkSpec {
       want.select("fp_md5").as[String].collect().toSet)
   }
 
+  test("stream-static incremental near-dup matches the batch probe") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (baseCorpus, batch) =
+      graft.operators.Dedup.splitIncremental(corpus)
+    // duplicates split across micro-batches, as in the exact-dedup test
+    val dir = Files.createTempDirectory("graft-incr-near-stream").toString
+    batch.orderBy("doc_id").repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      EventStreams.incrementalNearDupStream(stream, baseCorpus),
+      "append", "incr_near_stream")
+    val want =
+      graft.operators.Dedup.incrementalNearDupPairs(baseCorpus, batch)
+    // the planted re-keys must produce pairs, and the streaming probe
+    // must agree with the batch operator row for row (the projected
+    // array_min signature is value-identical to the min-aggregate)
+    assert(want.count() > 0)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("streaming NB scoring matches the batch scorer row for row") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
