@@ -15,15 +15,29 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet stores ts as Parquet TIMESTAMP(NANOS), which Spark
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos
-    * long via the legacy nanosAsLong conf, then truncate to micros —
-    * the same wall-clock value DuckDB produces when it narrows ns to
-    * its native µs timestamps, so the oracles line up exactly. */
+  /** events.parquet has shipped with `ts` in two encodings over time:
+    * Parquet TIMESTAMP(NANOS) — which Spark rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as a raw long via the legacy
+    * nanosAsLong conf — and plain TIMESTAMP(MICROS). Sniff the loaded
+    * type instead of assuming: a LongType `ts` is the nanos path and
+    * gets truncated to µs (the same wall-clock value DuckDB produces
+    * when it narrows ns to its native µs timestamps, so the oracles
+    * line up exactly); a timestamp `ts` passes through unchanged. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs files infer as TIMESTAMP_NTZ; downstream operators use
+        // unix_micros/interval arithmetic, which want TIMESTAMP. All
+        // sessions run with session.timeZone=UTC, so the cast keeps
+        // the stored micros value bit-for-bit.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** TPC-H-ish star-schema tables (plain parquet, no normalization). */

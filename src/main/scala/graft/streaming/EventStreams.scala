@@ -48,10 +48,10 @@ object EventStreams extends Serializable {
 
   /** Schema of the events table (streaming file sources must declare
     * their schema up front — no inference race at scale). `ts` is
-    * declared as raw nanos (LongType): the source files store Parquet
-    * TIMESTAMP(NANOS), which Spark can only read via the legacy
-    * nanosAsLong conf — same normalization as the batch reader
-    * ([[graft.sources.Tables.events]]). */
+    * declared as raw nanos (LongType) — the variant used when the
+    * source files store Parquet TIMESTAMP(NANOS), which Spark can only
+    * read via the legacy nanosAsLong conf; µs-encoded files use
+    * [[eventSchema]] instead (see [[readEvents]]'s sniff). */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -65,17 +65,25 @@ object EventStreams extends Serializable {
     rawEventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = TimestampType) else f))
 
-  /** Streaming file source over an events parquet directory, ts
-    * normalized ns → µs exactly like the batch reader so batch and
-    * stream agree to the microsecond. */
+  /** Streaming file source over an events parquet directory, tolerant
+    * of both `ts` encodings the data has shipped with (raw TIMESTAMP
+    * NANOS read as a long, or plain TIMESTAMP MICROS). A streaming
+    * source must declare its schema up front, so sniff the footer of
+    * the existing files with a one-off batch read, then declare the
+    * matching schema; the nanos path is normalized ns → µs exactly
+    * like the batch reader ([[graft.sources.Tables.events]]) so batch
+    * and stream agree to the microsecond. */
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawEventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(path).schema("ts").dataType
+    if (onDisk == LongType)
+      spark.readStream
+        .schema(rawEventSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else readEventsMicros(spark, path, maxFilesPerTrigger)
   }
 
   /** Streaming source over µs-timestamp event parquet (e.g. files this
