@@ -105,8 +105,19 @@ object Bench {
       else omitted += 1
     }
     val qs = kept.mkString("{", ",", "}")
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
+    // stdout errors are CAPPED (full list lives in the detail file):
+    // round 5 emitted 19 error names inline and the line overflowed the
+    // driver's ~2000-char stdout window again — parsed:null, no bench
+    // signal. "errored" (a count, leading) survives any truncation.
+    val errShown = errors.sorted.take(8)
+    val errJson = (errShown.map("\"" + _ + "\"") ++
+      (if (errors.length > errShown.length)
+        Seq("\"+" + (errors.length - errShown.length) + " more\"")
+      else Nil)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","errored":${errors.length},"queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench with errored queries must not read as clean to automation
+    // keying on the exit code (round-5 advice: rc was 0 with 19 errors).
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

@@ -200,11 +200,22 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(Dedup.plantNearDups(embeddings(s, dir)),
         threshold = 0.9, nPlanes = 16, nTables = 32)),
     // SemDeDup over the planted corpus: k-means cells + within-cell
-    // keep-smallest-id at cos >= 0.9. Rows-only (distributed k-means
-    // centroids are not bit-reproducible in SQL); the nCells = 1
-    // regime is pinned exactly equal to the global embeddingNearDup
-    // rule in DedupSpec.
+    // keep-smallest-id at cos >= 0.9. Registered in the nCells = 1
+    // regime, where cell assignment is trivial and the result equals
+    // the global exact rule (pinned in DedupSpec) — which IS
+    // SQL-expressible, so this entry is fully oracled: survivors =
+    // vectors with no smaller-id neighbor at cos >= 0.9, all double
+    // arithmetic reproduced bit-for-bit by DuckDB (the same planted
+    // CTE as q_dedup_embedding_lsh09).
     "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(Dedup.plantNearDups(embeddings(s, dir)),
+        threshold = 0.9, nCells = 1)),
+    // The multi-cell production regime (cells actually partition the
+    // space): rows-only by design — distributed k-means centroids are
+    // not bit-reproducible in SQL; DedupSpec pins that cells only
+    // ever LOSE pairs relative to the global rule (supersets of the
+    // nCells = 1 survivor set) and that planted pairs survive intact.
+    "q_dedup_semantic_cells" -> ((s, dir) =>
       Dedup.semanticDedup(Dedup.plantNearDups(embeddings(s, dir)),
         threshold = 0.9, nCells = 8)),
     // ---- incremental (delta) dedup: the 100 TB operating mode ----
@@ -1070,6 +1081,34 @@ object SparkEntry {
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup at nCells = 1 == the global keep-smallest-id rule:
+    // survivors are vectors with NO smaller-id neighbor at cos >= 0.9
+    // over the planted corpus (same planted CTE as lsh09; the spec
+    // pins the cell path's equality to this rule). Output is id-only,
+    // so the only engine-agreement surface is the >= comparison on
+    // bit-identical doubles.
+    "q_dedup_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), pl AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(len(v)),
+        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
+        |  FROM base WHERE vec_id % 5 = 0
+        |), e AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM pl
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k]))
+        |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
+        |)
+        |SELECT e.vec_id FROM e
+        |LEFT JOIN dropped d ON d.vec_id = e.vec_id
+        |WHERE d.vec_id IS NULL
+        |ORDER BY e.vec_id""".stripMargin,
     // q_dedup_simhash: the 60-bit md5-derived token hash is computed
     // identically by both engines; the oracle is the brute-force
     // self-join, which equals the banded query exactly for
@@ -1644,9 +1683,36 @@ object SparkEntry {
         |  substring(hx, frame_idx * 128 + 1, 128) AS frame_hex
         |FROM f WHERE frame_idx % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // q_mm_features: intentionally no oracle — the feature vector comes
-    // from the batched mapPartitions decode path (rows-only check);
-    // its determinism and shape are pinned in MultiModalSpec.
+    // q_mm_features: the batched mapPartitions decode path, oracled —
+    // the FakeCodec is pure byte arithmetic (16-bin byte histogram,
+    // dims from the first two bytes) and the corpus is ASCII, so
+    // DuckDB reproduces the decode from the text column exactly. The
+    // CSV carries exact integer counts (see MultiModal.featureQuery),
+    // so no float-formatting divergence can creep in.
+    "q_mm_features" ->
+      """WITH b AS (
+        |  SELECT d.doc_id, ascii(substring(d.text, i, 1)) // 16 AS bin
+        |  FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(i)
+        |), c AS (
+        |  SELECT doc_id, bin, count(*) AS n FROM b GROUP BY doc_id, bin
+        |), g AS (
+        |  SELECT d.doc_id, r.range AS bin, coalesce(c.n, 0) AS n
+        |  FROM documents d CROSS JOIN range(0, 16) r
+        |  LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = r.range
+        |), f AS (
+        |  SELECT doc_id, string_agg(n::VARCHAR, ',' ORDER BY bin) AS features_csv
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  length(d.text) AS n_bytes,
+        |  16 + ascii(substring(d.text, 1, 1)) AS width,
+        |  16 + ascii(substring(d.text, 2, 1)) AS height,
+        |  f.features_csv
+        |FROM documents d JOIN f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // ---- corpus-curation extensions ----
     // Connected components via transitive min-label closure (recursive
     // CTE); candidate edges are the same n-gram Jaccard pairs as

@@ -78,15 +78,39 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(s))))
 
+  /** Hard ceiling on trainable rules — see the scale note on
+    * [[train]]. */
+  val MaxTrainableRules = 1000
+
   /** Train `nMerges` BPE merge rules. Returns (rules, segmented):
     * rules = (rank, s1, s2, merged, cnt) in training order; segmented
     * = the word-frequency relation with all merges applied — the
     * trained tokenizer's view of the vocabulary. Training stops early
     * when no pair reaches `minCount` (the remaining rule slots would
-    * be noise). */
+    * be noise).
+    *
+    * SCALE CEILING — read before raising `nMerges`: each merge rank
+    * is a SEQUENTIAL driver-coordinated Spark job (one vocabulary-
+    * scale pair count + a 1-row argmax collect). That is inherent to
+    * exact BPE — rule i's counts depend on rule i−1's merge — so
+    * wall-clock grows linearly in the rule count no matter the
+    * cluster size. The 30-rule harness regime is fine; a production
+    * 32k-rule vocabulary would mean ~32k sequential jobs (days), and
+    * the right tool there is a single-machine trainer over the
+    * word-frequency relation this method already computes (it is
+    * vocabulary-scale, i.e. small — export `wordSymbols` and train
+    * locally). `MaxTrainableRules` (=1000) enforces that boundary
+    * loudly rather than letting a job queue for days. A distributed
+    * fix — batching non-overlapping merges per scan — changes the
+    * greedy order and therefore the trained vocabulary; it is
+    * deliberately not implemented. */
   def train(docs: DataFrame, nMerges: Int,
       minCount: Long = 2L): (DataFrame, DataFrame) = {
     require(nMerges > 0 && minCount >= 1)
+    require(nMerges <= MaxTrainableRules,
+      s"nMerges=$nMerges exceeds MaxTrainableRules=$MaxTrainableRules: " +
+        "BPE ranks are sequential driver-coordinated jobs; train large " +
+        "vocabularies locally over the (small) wordSymbols relation")
     val spark = docs.sparkSession
     import spark.implicits._
     var wf = wordSymbols(docs).localCheckpoint()

@@ -103,17 +103,25 @@ object MultiModal {
   }
 
   /** Feature rows as a DataFrame query, totally ordered for the
-    * harness. The histogram is serialized to a CSV string (6 decimal
-    * places — exact for float→double widening) because the harness
-    * sorts/hashes rows and an array column is unhashable there; the
-    * typed `Array[Float]` stays on the [[decodeFeatures]] Dataset
-    * path for API users. */
+    * harness. The histogram is serialized to a CSV of the exact
+    * INTEGER bin counts (recovered losslessly from the normalized
+    * float32 histogram: count = round(f · n_bytes) is exact because
+    * f = fl(count/n) carries < 1e-7 relative error and counts are far
+    * below 2^23) because the harness sorts/hashes rows — an array
+    * column is unhashable there, and a float CSV would pit Java's
+    * HALF_UP `%f` against the oracle engine's round-half-even printf
+    * at exact dyadic boundaries (odd/128 quotients). The typed
+    * normalized `Array[Float]` stays on the [[decodeFeatures]]
+    * Dataset path for API users. */
   def featureQuery(media: DataFrame): DataFrame =
     decodeFeatures(media).toDF()
-      .select(col("doc_id"), col("mime"), col("n_bytes"),
-        col("width"), col("height"),
+      .select(col("doc_id"), col("mime"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
         array_join(transform(col("features"),
-          f => format_string("%.6f", f)), ",").as("features_csv"))
+          f => round(f.cast("double") * col("n_bytes")).cast("long")
+            .cast("string")), ",").as("features_csv"))
       .orderBy("doc_id")
 
   /** Real image decode via JDK ImageIO (PNG/JPEG/GIF/BMP — built into

@@ -53,23 +53,35 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
-  test("featureQuery serializes the histogram to a sortable CSV string") {
+  test("featureQuery serializes exact integer bin counts") {
     val rows = MultiModal.featureQuery(media).collect()
     assert(rows.length == media.count())
     val csv = rows.head.getAs[String]("features_csv")
     val parts = csv.split(",")
     assert(parts.length == MultiModal.FakeCodec.Bins)
-    assert(parts.forall(_.matches("""-?\d+\.\d{6}""")))
-    // matches the typed path bit-for-bit after %.6f formatting
-    // (Locale.US explicitly — Spark's format_string is locale-pinned,
-    // the f-interpolator is not)
+    assert(parts.forall(_.matches("""\d+""")))
+    // counts recovered from the normalized typed path must equal the
+    // raw byte histogram, bin for bin, and sum to n_bytes
     val typed = MultiModal.decodeFeatures(media).collect()
-      .map(f => f.doc_id -> f.features).toMap
+      .map(f => f.doc_id -> f).toMap
+    val payloads = media.select("doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
     rows.foreach { r =>
-      val expect = typed(r.getAs[Long]("doc_id"))
-        .map(f => String.format(java.util.Locale.US, "%.6f",
-          Float.box(f))).mkString(",")
-      assert(r.getAs[String]("features_csv") == expect)
+      val id = r.getAs[Long]("doc_id")
+      val counts = r.getAs[String]("features_csv").split(",").map(_.toLong)
+      val bytes = payloads(id)
+      val expect = new Array[Long](MultiModal.FakeCodec.Bins)
+      bytes.foreach(b => expect((b & 0xff) / 16) += 1L)
+      assert(counts.sameElements(expect),
+        s"doc $id: counts do not round-trip the byte histogram")
+      assert(counts.sum == r.getAs[Long]("n_bytes"))
+      // and the normalized typed value reproduces from the counts
+      val f = typed(id)
+      counts.zip(f.features).foreach { case (c, fl) =>
+        if (f.n_bytes > 0)
+          assert(math.abs(fl - c.toFloat / f.n_bytes) < 1e-6f)
+      }
     }
   }
 
