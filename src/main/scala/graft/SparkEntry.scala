@@ -303,6 +303,10 @@ object SparkEntry {
     // ---- event analytics (batch forms; streaming in graft.streaming) ----
     "q_events_tumbling" -> ((s, dir) => EventOps.tumblingCounts(events(s, dir))),
     "q_events_sliding" -> ((s, dir) => EventOps.slidingCounts(events(s, dir))),
+    // Per-window rate anomalies: hourly counts z-scored against each
+    // type's own mean/stddev from exact integer sums (never the
+    // engine's stddev aggregate — accumulation order differs).
+    "q_events_anomaly" -> ((s, dir) => EventOps.rateAnomaly(events(s, dir))),
     "q_events_session" -> ((s, dir) => EventOps.sessionCounts(events(s, dir))),
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
@@ -406,6 +410,18 @@ object SparkEntry {
     // fingerprint through one full-outer join; all four statuses bind.
     "q_corpus_diff" -> ((s, dir) =>
       CorpusOps.corpusDiffQuery(documents(s, dir))),
+    // Snapshot drift monitor: per-(source, length-bucket) PSI terms
+    // between the corpus_diff before/after snapshots — Laplace-
+    // smoothed shares, psi >= 0 per bucket, sum = corpus PSI.
+    "q_corpus_drift" -> ((s, dir) => {
+      val d = documents(s, dir)
+      ProfileOps.distributionDrift(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("len_bucket", expr("n_chars DIV 100")),
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .withColumn("len_bucket", expr("n_chars DIV 100")),
+        Seq("source", "len_bucket"))
+    }),
     // Vocabulary pruning: top-20 words (of 31) kept, OOV -> <unk>,
     // rewrite via the broadcast-join form, coverage audited in-pass.
     "q_vocab_unk" -> ((s, dir) =>
@@ -494,6 +510,16 @@ object SparkEntry {
     // distributed rank + integer arithmetic, no single-partition window.
     "q_ppl_buckets" -> ((s, dir) =>
       TrainingOps.perplexityBuckets(documents(s, dir))),
+    // Difficulty-interleaved training order: length tertiles,
+    // hash-shuffled within tier, round-robin across tiers — every
+    // batch sees the full difficulty mix (two PrefixSum passes).
+    "q_curriculum" -> ((s, dir) =>
+      TrainingOps.curriculumInterleave(documents(s, dir))),
+    // Quality-greedy token-budget selection: lexical-diversity bp
+    // score, (score DESC, doc_id) order, keep while the running total
+    // BEFORE the doc is under budget (boundary doc kept).
+    "q_token_budget" -> ((s, dir) =>
+      CorpusOps.tokenBudgetSelect(documents(s, dir), budgetTokens = 20000L)),
     // Token-budget mixture sampling: 3000-token corpus assembled
     // 4:3:2:1 from src0..src3 (unlisted sources excluded); budgets
     // bind on every listed source at sf0.01+.
@@ -1267,6 +1293,27 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // rate anomalies: variance from exact integer sums (n, Σx, Σx²)
+    // with the identical explicit formula — never the engine's stddev
+    // aggregate; + 0.0 normalizes IEEE -0.0 from rounded tiny z's
+    "q_events_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS nw,
+        |    sum(n_events) AS s1, sum(n_events * n_events) AS s2
+        |  FROM h GROUP BY event_type
+        |)
+        |SELECT h.event_type, h.w_start, h.n_events,
+        |  round(s1::DOUBLE / nw, 4) AS mean_events,
+        |  round(CASE WHEN (s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw > 0
+        |    THEN (h.n_events - s1::DOUBLE / nw)
+        |      / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw)
+        |    ELSE 0.0 END, 4) + 0.0 AS z
+        |FROM h JOIN st USING (event_type)
+        |ORDER BY h.event_type, h.w_start""".stripMargin,
     // Spark's sliding window(ts, 1h, 15m): event belongs to the 4
     // windows starting at trunc15(ts) - k*15min, k = 0..3, whose span
     // still covers ts.
@@ -2068,6 +2115,35 @@ object SparkEntry {
         |  max(doc_id) AS max_doc
         |FROM j GROUP BY status
         |ORDER BY status""".stripMargin,
+    // snapshot drift: per-(source, length-bucket) PSI terms with
+    // Laplace-smoothed shares — p = (cnt+1)/(total+k) in the same
+    // IEEE double ops both engines run; ln ulps absorbed by round(,6)
+    "q_corpus_drift" ->
+      """WITH b AS (
+        |  SELECT source, n_chars // 100 AS len_bucket FROM documents
+        |  WHERE doc_id % 7 != 0
+        |), a AS (
+        |  SELECT source, n_chars // 100 AS len_bucket FROM documents
+        |  WHERE doc_id % 5 != 0
+        |), cb AS (
+        |  SELECT source, len_bucket, count(*) AS cnt_a FROM b GROUP BY 1, 2
+        |), ca AS (
+        |  SELECT source, len_bucket, count(*) AS cnt_b FROM a GROUP BY 1, 2
+        |), j AS (
+        |  SELECT COALESCE(cb.source, ca.source) AS source,
+        |    COALESCE(cb.len_bucket, ca.len_bucket) AS len_bucket,
+        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM cb FULL OUTER JOIN ca
+        |    ON cb.source = ca.source AND cb.len_bucket = ca.len_bucket
+        |), t AS (
+        |  SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb, count(*) AS k FROM j
+        |)
+        |SELECT source, len_bucket, cnt_a, cnt_b,
+        |  round(((cnt_a + 1)::DOUBLE / (ta + k) - (cnt_b + 1)::DOUBLE / (tb + k))
+        |    * ln(((cnt_a + 1)::DOUBLE / (ta + k))
+        |          / ((cnt_b + 1)::DOUBLE / (tb + k))), 6) AS psi
+        |FROM j CROSS JOIN t
+        |ORDER BY source, len_bucket""".stripMargin,
     // vocab pruning: deterministic top-K cut (cnt DESC, word), left
     // join rewrite, position-ordered reassembly
     "q_vocab_unk" ->
@@ -2595,6 +2671,53 @@ object SparkEntry {
         |  ntile(3) OVER (ORDER BY bits_per_big, doc_id) AS ppl_bucket
         |FROM bits
         |ORDER BY doc_id""".stripMargin,
+    // curriculum interleave: length-rank tertiles, md5-shuffled within
+    // tier, position = within-tier rank * 3 + tier — the oracle uses
+    // the row_number windows the Spark side plans as PrefixSum.
+    "q_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM s
+        |), b AS (
+        |  SELECT *, (rnk * 3) // n AS bucket FROM r
+        |), g AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rib
+        |  FROM b
+        |)
+        |SELECT rib * 3 + bucket AS position, doc_id, bucket, n_tokens
+        |FROM g
+        |ORDER BY position""".stripMargin,
+    // token-budget greedy selection: integer diversity score, running
+    // token total via the window the Spark side plans as PrefixSum,
+    // keep while the total BEFORE the doc is under budget.
+    "q_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+        |    len(list_distinct(regexp_extract_all(text, '\S+')))::BIGINT
+        |      AS n_distinct
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, n_tokens,
+        |    n_distinct * 10000 // n_tokens AS score_bp
+        |  FROM s WHERE n_tokens > 0
+        |), c AS (
+        |  SELECT doc_id, n_tokens, score_bp,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY score_bp DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_before
+        |  FROM sc
+        |)
+        |SELECT doc_id, n_tokens, score_bp, cum_before
+        |FROM c WHERE cum_before < 20000
+        |ORDER BY score_bp DESC, doc_id""".stripMargin,
     // mixture sampling: per-source budgets 3000 * w / 10 for
     // src0..src3 (4:3:2:1), md5-hash order, keep while the running
     // total before the doc is under budget.

@@ -1124,6 +1124,41 @@ object CorpusOps {
           regexp_replace(col(textCol), EmailRegex, "<EMAIL>"),
           PhoneRegex, "<PHONE>"))
 
+  /** Quality-greedy token-budget selection — the knapsack-shaped
+    * curation step: spend a fixed token budget on the highest-value
+    * documents first. Value here is lexical diversity in integer
+    * basis points (distinct tokens × 10000 DIV tokens — the
+    * cross-engine-exact convention of this module; swap in any
+    * integer score), documents are taken in (score DESC, doc_id)
+    * order, and a document is kept while the running token total
+    * BEFORE it is inside the budget — so the boundary document that
+    * crosses the line is kept (budget met, never starved), the
+    * [[TrainingOps.tokenBudgetSample]] boundary rule. Differs from
+    * that sampler in WHAT it optimizes: this is quality-ordered
+    * selection (greedy knapsack by value-per-token), not
+    * source-weighted random mixing.
+    *
+    * Scale shape: one scan computes the integer scores; the running
+    * total is the [[PrefixSum]] scaffold over (doc_id, tokens,
+    * score)-width rows in (−score, doc_id) range-partitioned order —
+    * never a single-partition window, text never rides an exchange. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val scored = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(wsTokens(col("text")))).cast("long")
+        .as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score_bp", expr("n_distinct * 10000 DIV n_tokens"))
+    val (ranked, _) = PrefixSum.exclusive(scored,
+      Seq(col("score_bp") * -1, col("doc_id")), col("n_tokens"))
+    ranked
+      .filter(col("cum0") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("score_bp"),
+        col("cum0").as("cum_before"))
+      .orderBy(col("score_bp").desc, col("doc_id"))
+  }
+
   /** Harness query: the corpus carries no PII, so plant a
     * deterministic contact line per document (same expression the
     * oracle uses), redact it, and fingerprint the scrubbed text. */

@@ -44,6 +44,44 @@ object EventOps {
     windowedCounts(events, windowDur, Some(slideDur))
       .orderBy("w_start", "event_type")
 
+  /** Per-window rate anomalies: each (event_type, window) count
+    * z-scored against that type's own across-window mean/stddev — the
+    * "did ingest rate spike or stall this hour" monitor a streaming
+    * pipeline alarms on. The variance comes from EXACT integer sums
+    * (n, Σx, Σx²) via the explicit population formula — never the
+    * engine's `stddev` aggregate, whose Welford-vs-naive accumulation
+    * order differs across engines — so the one float per row is
+    * reproducible and ROUNDED to 4 decimals (ulp rule). A type whose
+    * counts never vary (σ = 0) z-scores to 0 by definition. `+ 0.0`
+    * normalizes IEEE −0.0 from rounded tiny-negative z's (the
+    * [[graft.operators.CorpusOps]] render rule).
+    *
+    * Scale shape: the windowed aggregation is the only data-scale
+    * pass (map-side combined, keyed on (window, type)); the stats
+    * relation is |types| rows, broadcast back onto the |windows ×
+    * types| count relation, which the checkpoint keeps to one
+    * computation under its two consumers. */
+  def rateAnomaly(events: DataFrame, windowDur: String = "1 hour"): DataFrame = {
+    val hourly = windowedCounts(events, windowDur)
+      .select("w_start", "event_type", "n_events")
+      .localCheckpoint()
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("__nw"),
+      sum("n_events").as("__s1"),
+      sum(col("n_events") * col("n_events")).as("__s2"))
+    val mean = col("__s1").cast("double") / col("__nw")
+    val variance =
+      (col("__s2").cast("double") - col("__s1").cast("double") * col("__s1") /
+        col("__nw")) / col("__nw")
+    val z = when(variance > 0,
+      (col("n_events") - mean) / sqrt(variance)).otherwise(lit(0.0))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("w_start"), col("n_events"),
+        round(mean, 4).as("mean_events"),
+        (round(z, 4) + lit(0.0)).as("z"))
+      .orderBy("event_type", "w_start")
+  }
+
   /** Shared session-agg body (unsorted — the streaming form reuses
     * this with a watermark, exactly like [[windowedCounts]]). */
   def sessionCountsUnsorted(events: DataFrame, gap: String): DataFrame =

@@ -186,4 +186,41 @@ object ProfileOps {
         col("n"))
       .orderBy("bin")
   }
+
+  /** Distribution drift between two corpus snapshots — the per-bucket
+    * Population Stability Index terms, the standard monitor for "did
+    * this week's crawl change shape" on a continuously-ingested
+    * corpus. For each categorical bucket (the `keyCols` tuple):
+    * psi = (p_a − p_b) · ln(p_a / p_b), with Laplace-smoothed shares
+    * p = (cnt + 1) / (total + |buckets|) so buckets present in only
+    * one snapshot contribute finite mass instead of ±∞. Each term is
+    * ≥ 0; their sum is the corpus PSI (industry rule of thumb: < 0.1
+    * stable, > 0.25 investigate). Counts are exact integers; the one
+    * float per row is ROUNDED to 6 decimals (the cross-engine
+    * ulp-stability rule, cf. [[TrainingOps.lmSurprisal]]).
+    *
+    * Scale shape: each snapshot collapses to a bucket-count relation
+    * in one map-side-combined aggregation (the only data-scale pass);
+    * everything after — the full-outer bucket join, the totals, the
+    * PSI arithmetic — runs on |buckets| rows. The checkpoint keeps
+    * the bucket relation to one computation under its two consumers
+    * (totals + output), the [[keySkew]] lesson. */
+  def distributionDrift(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "distributionDrift needs at least one key column")
+    val ks = keyCols.map(col)
+    val ca = before.groupBy(ks: _*).agg(count(lit(1)).as("cnt_a"))
+    val cb = after.groupBy(ks: _*).agg(count(lit(1)).as("cnt_b"))
+    val buckets = ca.join(cb, keyCols, "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .localCheckpoint()
+    val tot = buckets.agg(sum("cnt_a").as("__ta"), sum("cnt_b").as("__tb"),
+      count(lit(1)).as("__k"))
+    val pa = (col("cnt_a") + lit(1)).cast("double") / (col("__ta") + col("__k"))
+    val pb = (col("cnt_b") + lit(1)).cast("double") / (col("__tb") + col("__k"))
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("psi", round((pa - pb) * log(pa / pb), 6))
+      .select(ks ++ Seq(col("cnt_a"), col("cnt_b"), col("psi")): _*)
+      .orderBy(ks: _*)
+  }
 }

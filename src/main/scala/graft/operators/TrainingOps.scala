@@ -594,6 +594,60 @@ object TrainingOps {
     packSequences(clean.join(mixed, Seq("doc_id"), "left_semi"), seqLen)
   }
 
+  /** Difficulty-interleaved training order — the "balanced batches"
+    * curriculum: documents are ranked by a difficulty proxy (token
+    * count — the standard length curriculum), cut into `nBuckets`
+    * equal-frequency difficulty tiers, deterministically shuffled
+    * WITHIN each tier (md5 hash order — engine-neutral, seedable via
+    * the salt), and emitted in round-robin interleave across tiers:
+    * position p ≡ bucket (mod nBuckets). Consecutive training
+    * positions therefore cycle easy → … → hard, so every batch sees
+    * the full difficulty mix instead of the length-sorted clumps a
+    * naive ORDER BY length produces (which wreck gradient noise
+    * scale). Positions are unique but not contiguous once tiers
+    * differ in size by one — it is a total order, not a row_number.
+    *
+    * Scale shape: two [[PrefixSum]] passes over (doc_id, n_tokens,
+    * hash)-width rows — difficulty rank → tier, then (tier, hash)
+    * rank → within-tier rank via broadcast tier offsets. The wide
+    * text column never rides an exchange; re-join the order back by
+    * doc_id at export time ([[trainingShards]] convention). */
+  def curriculumInterleave(docs: DataFrame, nBuckets: Int = 3,
+      salt: String = "cur:"): DataFrame = {
+    require(nBuckets >= 1, s"curriculumInterleave needs nBuckets >= 1")
+    val scored = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+      md5Hash60(concat(lit(salt), col("doc_id"))).as("__h"))
+    // pass 1: global difficulty rank -> equal-frequency tier
+    val (ranked, total) = PrefixSum.exclusive(scored,
+      Seq(col("n_tokens"), col("doc_id")), lit(1L))
+    val tiered = ranked
+      .crossJoin(broadcast(total.select(col("total").as("__n"))))
+      .withColumn("bucket", expr(s"cum0 * $nBuckets DIV __n").cast("int"))
+      .select("doc_id", "n_tokens", "__h", "bucket")
+    // pass 2: global rank in (bucket, hash) order; subtracting the
+    // tier's exclusive row offset (an nBuckets-row broadcast) gives
+    // the within-tier shuffled rank without a per-tier window
+    // checkpoint: the ranked relation feeds BOTH the tier offsets and
+    // the output join; without the cut each branch replays both
+    // PrefixSum passes (the perplexityBuckets lesson)
+    val (granked0, _) = PrefixSum.exclusive(tiered,
+      Seq(col("bucket"), col("__h"), col("doc_id")), lit(1L))
+    val granked = granked0.localCheckpoint()
+    val offsets = granked.groupBy("bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum("__bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "__boff")
+    granked.join(broadcast(offsets), "bucket")
+      .withColumn("position",
+        (col("cum0") - col("__boff")) * nBuckets + col("bucket"))
+      .select(col("position"), col("doc_id"), col("bucket").cast("long")
+        .as("bucket"), col("n_tokens"))
+      .orderBy("position")
+  }
+
   /** Physically write the shard layout: repartition by range on
     * (shard_id, pos) so each output task owns contiguous shards, write
     * hive-partitioned by shard_id with `maxRecordsPerFile` bounding

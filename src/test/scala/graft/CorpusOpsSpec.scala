@@ -716,4 +716,40 @@ class CorpusOpsSpec extends SparkSpec {
     // the harness threshold BINDS on the corpus: some doc loses a line
     assert(l1.map(_.getLong(2)).sum < l1.map(_.getLong(1)).sum)
   }
+
+  test("tokenBudgetSelect: greedy by score, boundary doc kept, budget binds") {
+    val budget = 5000L
+    val rows = CorpusOps.tokenBudgetSelect(corpus, budget)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // the budget BINDS on the corpus (not everything selected)
+    assert(rows.length < corpus.count())
+    // greedy order: scores non-increasing, cum_before = running total
+    assert(rows.map(_._3) == rows.map(_._3).sorted.reverse)
+    var cum = 0L
+    rows.foreach { case (_, nt, _, before) =>
+      assert(before == cum && before < budget)
+      cum += nt
+    }
+    // boundary rule: the last doc may cross the line, so the total is
+    // >= budget but the total BEFORE the last doc is under it
+    assert(cum >= budget || rows.length == corpus.count())
+    // brute-force witness on the same integer scores
+    val scored = corpus.selectExpr("doc_id",
+        "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS LONG) AS nt",
+        "CAST(size(array_distinct(regexp_extract_all(text, '\\\\S+', 0))) AS LONG) AS nd")
+      .selectExpr("doc_id", "nt", "nd * 10000 DIV nt AS score_bp")
+      .as[(Long, Long, Long)].collect()
+    val greedy = scored.sortBy(t => (-t._3, t._1))
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, acc), (id, nt, sc)) =>
+        (id, nt, sc, acc + nt) }
+      .drop(1)
+      .takeWhile { case (_, nt, _, cumAfter) => cumAfter - nt < budget }
+      .map { case (id, nt, sc, cumAfter) => (id, nt, sc, cumAfter - nt) }
+    assert(rows == greedy.toSeq)
+    // deterministic under layout
+    val again = CorpusOps.tokenBudgetSelect(corpus.repartition(13), budget)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == rows)
+  }
 }

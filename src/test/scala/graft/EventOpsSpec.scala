@@ -37,6 +37,36 @@ class EventOpsSpec extends SparkSpec {
     assert(got.head._1 == ts("2023-12-31 23:15:00"))
   }
 
+  test("rate anomaly: hand-computed z-scores from exact integer sums") {
+    val got = EventOps.rateAnomaly(events)
+      .as[(String, Timestamp, Long, Double, Double)].collect().toSeq
+    // click hours: [2, 1]  -> mean 1.5, var 0.25, sd 0.5 -> z = ±1.0
+    // view hours:  [1, 1, 1] -> sd 0 -> z = 0 by definition
+    assert(got == Seq(
+      ("click", ts("2024-01-01 00:00:00"), 2L, 1.5, 1.0),
+      ("click", ts("2024-01-01 01:00:00"), 1L, 1.5, -1.0),
+      ("view", ts("2024-01-01 00:00:00"), 1L, 1.0, 0.0),
+      ("view", ts("2024-01-01 01:00:00"), 1L, 1.0, 0.0),
+      ("view", ts("2024-01-01 03:00:00"), 1L, 1.0, 0.0)))
+    // -0.0 never rendered (the CorpusOps render rule)
+    assert(got.forall(r => !(r._5 == 0.0 && 1.0 / r._5 < 0)))
+  }
+
+  test("rate anomaly on sf0.001: z means/vars consistent per type") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val rows = EventOps.rateAnomaly(ev)
+      .as[(String, Timestamp, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // per type: mean column is constant and equals the count mean
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).distinct.length == 1)
+      val mean = rs.map(_._3).sum.toDouble / rs.length
+      assert(math.abs(rs.head._4 - mean) < 1e-3)
+      // z-scores of a full population sum to ~0
+      assert(math.abs(rs.map(_._5).sum) < 0.01 * rs.length)
+    }
+  }
+
   test("session windows: 30m gap splits sessions, end = last + gap") {
     val got = EventOps.sessionCounts(events)
       .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq

@@ -133,4 +133,41 @@ class ProfileOpsSpec extends SparkSpec {
       assert(reparted == expected, s"n=$n")
     }
   }
+
+  test("distributionDrift: hand-computed PSI terms; identical snapshots -> 0") {
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "z").toDF("k")
+    val got = ProfileOps.distributionDrift(a, b, Seq("k")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // Laplace-smoothed over 3 buckets, totals 4+3=7 each side:
+    // p_a = (cnt_a+1)/7, p_b = (cnt_b+1)/7
+    def psi(ca: Long, cb: Long): Double = {
+      val pa = (ca + 1).toDouble / 7; val pb = (cb + 1).toDouble / 7
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("x") == ((3L, 1L, psi(3, 1))))
+    assert(got("y") == ((1L, 2L, psi(1, 2))))
+    assert(got("z") == ((0L, 1L, psi(0, 1))))
+    // every term is non-negative; a bucket present on one side only
+    // still gets finite mass
+    assert(got.values.forall(_._3 >= 0.0))
+    // identical snapshots: zero drift in every bucket
+    val same = ProfileOps.distributionDrift(a, a, Seq("k")).collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+  }
+
+  test("distributionDrift on the corpus: multi-key, layout-independent") {
+    val before = corpus.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("len_bucket", expr("n_chars DIV 100"))
+    val after = corpus.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("len_bucket", expr("n_chars DIV 100"))
+    val keys = Seq("source", "len_bucket")
+    val got = ProfileOps.distributionDrift(before, after, keys).collect()
+    assert(got.nonEmpty && got.forall(_.getDouble(4) >= 0.0))
+    val reparted = ProfileOps.distributionDrift(
+      before.repartition(7), after.repartition(3), keys).collect()
+    assert(got.map(_.toSeq).toSeq == reparted.map(_.toSeq).toSeq)
+  }
 }

@@ -515,4 +515,44 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect()
     assert(pairs.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  // ---- curriculum interleave -----------------------------------------
+
+  test("curriculumInterleave: positions cycle tiers round-robin and " +
+    "equal the brute-force window computation") {
+    val rows = TrainingOps.curriculumInterleave(corpus, nBuckets = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = corpus.count()
+    assert(rows.length == n)
+    // positions are unique and every position p sits in tier p mod 3
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (p, _, b, _) => p % 3 == b })
+    // brute-force witness: rank by (n_tokens, doc_id) -> tertile,
+    // shuffle within tier by the same md5 hash, interleave
+    val scored = corpus.select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens"),
+        conv(substring(md5(concat(lit("cur:"), col("doc_id"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .as[(Long, Long, Long)].collect()
+    val ranked = scored.sortBy(t => (t._2, t._1)).zipWithIndex
+    val tiers = ranked.map { case ((id, nt, h), r) =>
+      (id, nt, h, r.toLong * 3 / n) }
+    val expect = tiers.groupBy(_._4).toSeq.flatMap { case (b, ts) =>
+      ts.sortBy(t => (t._3, t._1)).zipWithIndex.map { case (t, rib) =>
+        (rib.toLong * 3 + b, t._1, b, t._2) }
+    }.sortBy(_._1)
+    assert(rows == expect)
+    // deterministic under layout
+    val again = TrainingOps.curriculumInterleave(corpus.repartition(13),
+      nBuckets = 3).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == rows)
+  }
+
+  test("curriculumInterleave: nBuckets=1 is plain hash-shuffle order") {
+    val rows = TrainingOps.curriculumInterleave(corpus, nBuckets = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == rows.indices.map(_.toLong))
+    assert(rows.forall(_._3 == 0L))
+  }
 }
