@@ -33,7 +33,9 @@ object Plans {
       "q_lm_bigram", "q_ppl_buckets", "q_topic_phrases", "q_bpe_pairs",
       "q_probe_train", "q_pref_pairs", "q_vocab_unk", "q_compaction",
       "q_bpe_encode", "q_vocab_editdist", "q_split_leakfree",
-      "q_vocab_growth")
+      "q_vocab_growth",
+      "q_corpus_drift", "q_events_anomaly", "q_curriculum",
+      "q_token_budget", "q_dedup_weights", "q_snapshot_merge")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

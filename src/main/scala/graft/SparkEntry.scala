@@ -183,6 +183,16 @@ object SparkEntry {
     "q_split_leakfree" -> ((s, dir) =>
       Clustering.leakFreeSplit(documents(s, dir), n = 3,
         threshold = 0.8, trainPct = 90)),
+    // Soft dedup: every doc kept with weight 1/|near-dup family| in
+    // integer basis points — each family contributes one doc's worth
+    // of training probability mass (SlimPajama economics).
+    "q_dedup_weights" -> ((s, dir) =>
+      Clustering.dedupWeights(documents(s, dir), n = 3, threshold = 0.8)),
+    // CDC changeset merge: upserts replace, deletes remove, untouched
+    // rows pass through one broadcast anti-join — the snapshot never
+    // shuffles.
+    "q_snapshot_merge" -> ((s, dir) =>
+      CorpusOps.changesetQuery(documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
     // LSH-bucketed variant: exact-verified candidates, approximate
@@ -1776,6 +1786,36 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, md5(d.text) AS fp_md5
         |FROM cl JOIN documents d USING (doc_id)
         |WHERE cl.doc_id = cl.cluster
+        |ORDER BY doc_id""".stripMargin,
+    // Soft dedup weights: same closure, family sizes counted per
+    // cluster, weight = 10000 DIV size in integer basis points.
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes,
+        |fs AS (
+        |  SELECT cluster, count(*) AS family_size FROM cl GROUP BY cluster
+        |)
+        |SELECT cl.doc_id, cl.cluster, fs.family_size,
+        |  10000 // fs.family_size AS weight_bp
+        |FROM cl JOIN fs USING (cluster)
+        |ORDER BY cl.doc_id""".stripMargin,
+    // CDC merge: upserts (text edited) replace, deletes remove,
+    // untouched rows pass through.
+    "q_snapshot_merge" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 'upsert' AS op, text || ' edited' AS text, source
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'delete', NULL, NULL
+        |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 != 0
+        |), merged AS (
+        |  SELECT d.doc_id, d.text, d.source
+        |  FROM documents d LEFT JOIN ch ON d.doc_id = ch.doc_id
+        |  WHERE ch.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM ch WHERE op = 'upsert'
+        |)
+        |SELECT doc_id, source, md5(text) AS fp_md5
+        |FROM merged
         |ORDER BY doc_id""".stripMargin,
     // Leakage-free split: same recursive closure; the split decision
     // replays the engine-neutral 60-bit-md5 arithmetic on the cluster

@@ -199,4 +199,30 @@ object Clustering {
       .select("doc_id")
       .join(docs, "doc_id")
       .orderBy("doc_id")
+
+  /** Duplication-aware training weights — the soft alternative to
+    * dropping near-duplicates: EVERY document survives, but carries
+    * sampling weight 1/|its near-dup family| so each duplicate family
+    * contributes one document's worth of probability mass to the
+    * training mix (the "keep one copy's worth" economics of
+    * SlimPajama-style curation, without discarding the textual
+    * variation the family members carry). Weights are integer basis
+    * points (10000 DIV family size — the cross-engine-exact
+    * convention), ready to feed a weighted sampler such as
+    * [[CorpusOps.weightedSample]].
+    *
+    * Scale: clustering cost (see [[nearDupClusters]]) plus one
+    * |clusters|-row count aggregation joined back onto the narrow
+    * (doc_id, cluster) relation — text is never touched. */
+  def dedupWeights(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(docs, n, threshold)
+      .localCheckpoint()
+    val sizes = clusters.groupBy("cluster")
+      .agg(count(lit(1)).as("family_size"))
+    clusters.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("family_size"),
+        expr("10000 DIV family_size").as("weight_bp"))
+      .orderBy("doc_id")
+  }
 }

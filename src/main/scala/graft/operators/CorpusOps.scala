@@ -1023,6 +1023,54 @@ object CorpusOps {
             concat(col("text"), lit(" edited")))
             .otherwise(col("text")).as("text")))
 
+  /** Apply a CDC changeset to a corpus snapshot — the lakehouse MERGE
+    * a continuously-refreshed corpus runs instead of rewriting 100 TB:
+    * rows in `changes` with op = "upsert" replace (or insert) the
+    * snapshot row with the same key; op = "delete" removes it;
+    * everything untouched passes through. One anti-join on the key
+    * routes the untouched side (the changeset is typically ≪ the
+    * snapshot, so Spark broadcasts its key projection and the
+    * snapshot never shuffles), and upserts union in by name.
+    *
+    * Contract: at most ONE changeset row per key — a multi-row key
+    * would both delete and insert, or insert twice; dedupe upstream
+    * (e.g. keep the latest by a version column) before applying, the
+    * same precondition a lakehouse MERGE enforces.
+    *
+    * `broadcastChanges` (default true) pins the anti-join's build
+    * side: a daily changeset is megabytes against a 100 TB snapshot,
+    * and broadcasting its key projection means the snapshot NEVER
+    * shuffles. Pass false for a rare full-rewrite-scale changeset and
+    * let AQE plan the shuffled anti-join instead. */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String = "doc_id", opCol: String = "op",
+      broadcastChanges: Boolean = true): DataFrame = {
+    val keys = changes.select(col(keyCol))
+    val untouched = snapshot.join(
+      if (broadcastChanges) broadcast(keys) else keys,
+      Seq(keyCol), "left_anti")
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+      .select(snapshot.columns.map(col).toSeq: _*)
+    untouched.unionByName(upserts)
+  }
+
+  /** Harness query: upsert every doc_id % 11 == 0 (text edited),
+    * delete every remaining doc_id % 13 == 0 — both paths and the
+    * pass-through bind; output fingerprinted, totally ordered. */
+  def changesetQuery(docs: DataFrame): DataFrame = {
+    val upserts = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .withColumn("text", concat(col("text"), lit(" edited")))
+      .withColumn("op", lit("upsert"))
+    val deletes = docs.filter(pmod(col("doc_id"), lit(13)) === 0 &&
+        pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), lit("delete").as("op"))
+    applyChangeset(docs,
+      upserts.unionByName(deletes, allowMissingColumns = true))
+      .select(col("doc_id"), col("source"),
+        fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- DSIR-style importance weighting -------------------------------
 
   /** Per-document importance weight for data selection, DSIR-style

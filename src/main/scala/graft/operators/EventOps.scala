@@ -69,17 +69,38 @@ object EventOps {
       count(lit(1)).as("__nw"),
       sum("n_events").as("__s1"),
       sum(col("n_events") * col("n_events")).as("__s2"))
-    val mean = col("__s1").cast("double") / col("__nw")
-    val variance =
-      (col("__s2").cast("double") - col("__s1").cast("double") * col("__s1") /
-        col("__nw")) / col("__nw")
-    val z = when(variance > 0,
-      (col("n_events") - mean) / sqrt(variance)).otherwise(lit(0.0))
+    val (mean, z) = anomalyScore(col("n_events"),
+      col("__nw"), col("__s1"), col("__s2"))
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("w_start"), col("n_events"),
-        round(mean, 4).as("mean_events"),
-        (round(z, 4) + lit(0.0)).as("z"))
+        mean.as("mean_events"), z.as("z"))
       .orderBy("event_type", "w_start")
+  }
+
+  /** The exact per-type count statistics (windows, Σx, Σx²) behind
+    * [[rateAnomaly]], exposed as a trainable relation — the
+    * train-batch/serve-stream loop's model: collect these |types| rows
+    * once from history and serve them over live windows via
+    * [[graft.streaming.EventStreams.rateAnomalyStream]]. */
+  def rateStats(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    windowedCounts(events, windowDur)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("nw"),
+        sum("n_events").as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+
+  /** The z-score arithmetic shared by the batch and streaming anomaly
+    * forms — one definition so batch == stream bit-for-bit: mean and
+    * population variance from the exact integer sums, z = 0 when
+    * σ = 0, both rounded to 4 decimals, −0.0 normalized. */
+  def anomalyScore(nEvents: Column, nw: Column, s1: Column,
+      s2: Column): (Column, Column) = {
+    val mean = s1.cast("double") / nw
+    val variance =
+      (s2.cast("double") - s1.cast("double") * s1 / nw) / nw
+    val z = when(variance > 0,
+      (nEvents - mean) / sqrt(variance)).otherwise(lit(0.0))
+    (round(mean, 4), round(z, 4) + lit(0.0))
   }
 
   /** Shared session-agg body (unsorted — the streaming form reuses

@@ -621,10 +621,14 @@ object TrainingOps {
     // pass 1: global difficulty rank -> equal-frequency tier
     val (ranked, total) = PrefixSum.exclusive(scored,
       Seq(col("n_tokens"), col("doc_id")), lit(1L))
+    // checkpoint between the passes: PrefixSum's internal branches
+    // (local ranks, partition offsets) would otherwise each replay
+    // pass 1's range exchange and windows
     val tiered = ranked
       .crossJoin(broadcast(total.select(col("total").as("__n"))))
       .withColumn("bucket", expr(s"cum0 * $nBuckets DIV __n").cast("int"))
       .select("doc_id", "n_tokens", "__h", "bucket")
+      .localCheckpoint()
     // pass 2: global rank in (bucket, hash) order; subtracting the
     // tier's exclusive row offset (an nBuckets-row broadcast) gives
     // the within-tier shuffled rank without a per-tier window

@@ -281,6 +281,33 @@ object EventStreams extends Serializable {
       .select(col("doc_id"), col("s_int"),
         (col("s_int") > 0).as("flagged"))
 
+  /** Serve batch-trained rate statistics over STREAMING window counts
+    * — the anomaly monitor's train-batch/serve-stream loop: the
+    * per-type (windows, Σx, Σx²) relation from
+    * [[graft.operators.EventOps.rateStats]] (|types| rows, collected
+    * once from history) joins the live windowed aggregation
+    * stream-static, and the z-score is the SAME shared arithmetic as
+    * the batch form ([[graft.operators.EventOps.anomalyScore]]) — so
+    * a drained stream scores its windows exactly as the batch scorer
+    * would against the same history (StreamingSpec pins it). The
+    * static side is a literal broadcast relation; the only streaming
+    * state is the windowed count's own, watermark-bounded as usual. */
+  def rateAnomalyStream(events: DataFrame,
+      stats: Seq[(String, Long, Long, Long)],
+      windowDur: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val statsDf = stats.toDF("event_type", "nw", "s1", "s2")
+    val counted = windowedCounts(events, windowDur, watermark)
+      .select(col("w_start"), col("event_type"), col("n_events"))
+    val (mean, z) = EventOps.anomalyScore(col("n_events"),
+      col("nw"), col("s1"), col("s2"))
+    counted.join(broadcast(statsDf), "event_type")
+      .select(col("event_type"), col("w_start"), col("n_events"),
+        mean.as("mean_events"), z.as("z"))
+  }
+
   /** Stream-stream interval join: purchases attributed to same-user
     * clicks in the preceding `window`, incrementally. Watermarks bound
     * BOTH sides' join state — clicks older than watermark - window can

@@ -106,4 +106,23 @@ class ClusteringSpec extends SparkSpec {
     // and cluster id <= every member (min-reachable)
     clusters.foreach { case (d, c) => assert(c <= d) }
   }
+
+  test("dedupWeights: every doc kept, family mass sums to one family") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = Clustering.dedupWeights(corpus)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == corpus.count())
+    // weight = 10000 DIV size, every member of a family agrees
+    rows.groupBy(_._2).foreach { case (_, fam) =>
+      val size = fam.length.toLong
+      assert(fam.forall(_._3 == size))
+      assert(fam.forall(_._4 == 10000L / size))
+    }
+    // families match nearDupClusters exactly
+    val clusters = Clustering.nearDupClusters(corpus)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (d, c, _, _) => assert(clusters(d) == c) }
+    // the corpus HAS non-singleton families, so weights bind below 10000
+    assert(rows.exists(_._4 < 10000L))
+  }
 }

@@ -717,6 +717,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(l1.map(_.getLong(2)).sum < l1.map(_.getLong(1)).sum)
   }
 
+  test("applyChangeset: upserts replace, deletes remove, untouched pass") {
+    val snap = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s"),
+      (4L, "d", "s")).toDF("doc_id", "text", "source")
+    val changes = Seq(
+      (2L, "upsert", "B2", "s2"),   // replace
+      (3L, "delete", null, null),   // remove
+      (9L, "upsert", "new", "s9")). // insert
+      toDF("doc_id", "op", "text", "source")
+    val got = CorpusOps.applyChangeset(snap, changes)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", "s"), (2L, "B2", "s2"),
+      (4L, "d", "s"), (9L, "new", "s9")))
+  }
+
+  test("changesetQuery: both paths bind on the corpus; merge is consistent") {
+    val n = corpus.count()
+    val rows = CorpusOps.changesetQuery(corpus)
+      .as[(Long, String, String)].collect()
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    val deleted = ids.filter(i => i % 13 == 0 && i % 11 != 0)
+    val edited = ids.filter(_ % 11 == 0)
+    assert(deleted.nonEmpty && edited.nonEmpty) // both paths bind
+    assert(rows.length == n - deleted.size)
+    assert(rows.map(_._1).toSet == ids -- deleted)
+    // edited docs changed fingerprint, untouched kept theirs
+    val baseFp = corpus.selectExpr("doc_id", "md5(text)")
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, fp) =>
+      if (edited(id)) assert(fp != baseFp(id)) else assert(fp == baseFp(id))
+    }
+  }
+
   test("tokenBudgetSelect: greedy by score, boundary doc kept, budget binds") {
     val budget = 5000L
     val rows = CorpusOps.tokenBudgetSelect(corpus, budget)

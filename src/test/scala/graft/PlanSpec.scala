@@ -226,4 +226,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"per-source token totals not partial-aggregated:\n$p")
   }
+
+  test("changeset merge: broadcast anti-join, snapshot never shuffles") {
+    val p = plan(graft.operators.CorpusOps.changesetQuery(
+      documents(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"untouched side must route through a broadcast anti-join:\n$p")
+    // the snapshot side must not hash-exchange for the anti-join (the
+    // only exchanges are the changeset broadcast + the final sort)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"snapshot hash-shuffled for the merge:\n$p")
+  }
+
+  test("rate anomaly: per-type stats broadcast back onto the counts") {
+    val p = plan(graft.operators.EventOps.rateAnomaly(
+      graft.sources.Tables.events(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"|types|-row stats relation must broadcast:\n$p")
+  }
 }

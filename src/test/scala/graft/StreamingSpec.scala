@@ -32,8 +32,9 @@ class StreamingSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.toSeq
 
   /** The streaming file source wants a directory; the testdata table is
-    * a single ns-timestamp parquet file — expose it via a symlink. */
-  private lazy val nsEventsDir: String = {
+    * a single parquet file (ns- or µs-encoded ts, depending on the
+    * generation — readEvents sniffs) — expose it via a symlink. */
+  private lazy val rawEventsDir: String = {
     val dir = Files.createTempDirectory("graft-ns-events")
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -57,13 +58,30 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
-  test("streaming tumbling windows over ns-timestamp events equal batch") {
-    // real source dir: Parquet TIMESTAMP(NANOS) — exercises readEvents'
-    // schema + normalization against files we did not write ourselves
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+  test("streaming tumbling windows over driver-written events equal batch") {
+    // real source dir: whatever ts encoding the driver generated —
+    // exercises readEvents' schema sniff + normalization against
+    // files we did not write ourselves
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.windowedCounts(stream), "complete", "ev_stream")
     val want = EventOps.windowedCounts(Tables.events(spark, sfDir), "1 hour")
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("rate anomaly served over the stream equals the batch scorer") {
+    // train on the batch history, serve the same events as a stream:
+    // a drained stream must score every window exactly as the batch
+    // rateAnomaly does (shared anomalyScore arithmetic)
+    val batch = Tables.events(spark, sfDir)
+    val stats = EventOps.rateStats(batch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
+    val got = runToCompletion(
+      EventStreams.rateAnomalyStream(stream, stats), "complete", "ev_anom")
+    val want = EventOps.rateAnomaly(batch)
     assert(got.count() > 0)
     assert(sortedRows(got) == sortedRows(want))
   }
@@ -82,7 +100,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("append mode with watermark emits only closed windows, all correct") {
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.windowedCounts(stream, watermark = Some("1 hour")),
       "append", "ev_wm")
@@ -196,7 +214,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join matches the batch interval join") {
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.purchaseAttribution(stream), "append", "ev_attrib")
     val want = EventOps.purchaseAttribution(Tables.events(spark, sfDir))
@@ -318,7 +336,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming HLL sketch equals the batch sketch after draining") {
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.distinctUsersSketchStream(stream), "complete",
       "ev_hll_stream")
@@ -330,7 +348,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("built-in streaming session_window matches closed batch sessions") {
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.sessionCounts(stream), "append", "ev_sess_native")
     val want = EventOps.sessionCounts(Tables.events(spark, sfDir))
@@ -372,7 +390,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("flatMapGroupsWithState sessions match closed batch sessions") {
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.userSessions(stream).toDF(), "append", "ev_sess")
     val want = EventOps.sessionCounts(Tables.events(spark, sfDir))
@@ -387,7 +405,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming as-of enrichment matches the batch as-of join") {
     import graft.operators.AsofJoin
-    val stream = EventStreams.readEvents(spark, nsEventsDir)
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
     val got = runToCompletion(
       EventStreams.asofEnrichStream(stream).toDF(), "append", "ev_asof")
     val want = AsofJoin.eventAsof(Tables.events(spark, sfDir))
