@@ -1064,8 +1064,13 @@ object CorpusOps {
     val deletes = docs.filter(pmod(col("doc_id"), lit(13)) === 0 &&
         pmod(col("doc_id"), lit(11)) =!= 0)
       .select(col("doc_id"), lit("delete").as("op"))
+    // in production the changeset IS a materialized input (a CDC
+    // table); deriving it from the snapshot here would otherwise
+    // re-scan documents once per consuming branch (keys + upserts) —
+    // checkpoint recreates the materialized-input shape
     applyChangeset(docs,
-      upserts.unionByName(deletes, allowMissingColumns = true))
+      upserts.unionByName(deletes, allowMissingColumns = true)
+        .localCheckpoint())
       .select(col("doc_id"), col("source"),
         fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy("doc_id")
@@ -1192,12 +1197,16 @@ object CorpusOps {
     * never a single-partition window, text never rides an exchange. */
   def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    // checkpoint before the prefix sum: its internal branches (local
+    // ranks + partition offsets) would otherwise each replay the
+    // tokenize lineage — the ScanAudit found 2 corpus scans without it
     val scored = docs.select(col("doc_id"),
       size(wsTokens(col("text"))).cast("long").as("n_tokens"),
       size(array_distinct(wsTokens(col("text")))).cast("long")
         .as("n_distinct"))
       .filter(col("n_tokens") > 0)
       .withColumn("score_bp", expr("n_distinct * 10000 DIV n_tokens"))
+      .localCheckpoint()
     val (ranked, _) = PrefixSum.exclusive(scored,
       Seq(col("score_bp") * -1, col("doc_id")), col("n_tokens"))
     ranked

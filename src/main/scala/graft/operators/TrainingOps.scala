@@ -615,9 +615,13 @@ object TrainingOps {
   def curriculumInterleave(docs: DataFrame, nBuckets: Int = 3,
       salt: String = "cur:"): DataFrame = {
     require(nBuckets >= 1, s"curriculumInterleave needs nBuckets >= 1")
+    // checkpoint before pass 1: PrefixSum's internal branches would
+    // otherwise each replay the tokenize lineage (the tokenBudgetSelect
+    // ScanAudit finding)
     val scored = docs.select(col("doc_id"),
       size(wsTokens(col("text"))).cast("long").as("n_tokens"),
       md5Hash60(concat(lit(salt), col("doc_id"))).as("__h"))
+      .localCheckpoint()
     // pass 1: global difficulty rank -> equal-frequency tier
     val (ranked, total) = PrefixSum.exclusive(scored,
       Seq(col("n_tokens"), col("doc_id")), lit(1L))

@@ -99,7 +99,12 @@ def embeddings(t, k):
 def events(t, k):
     t = shift_col(t, "event_id", k * 1_000_000, pa.int64())
     t = shift_col(t, "user_id", k * 100_000, pa.int64())
-    return shift_col(t, "ts", k * DAY_NS, pa.timestamp("ns"))
+    # ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    # testdata generations — shift one day per replica in the SOURCE
+    # unit and keep it (a hard-coded ns cast would reinterpret µs ints)
+    unit = t.schema.field("ts").type.unit
+    day = 86400 * (10**9 if unit == "ns" else 10**6)
+    return shift_col(t, "ts", k * day, pa.timestamp(unit))
 
 
 def orders(t, k):
