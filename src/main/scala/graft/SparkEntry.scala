@@ -70,6 +70,9 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => TextOps.textStats(documents(s, dir))),
     "q_text_quality" -> ((s, dir) => TextOps.textQuality(documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langIdQuery(documents(s, dir))),
+    // Per-line language mix on the lined twin (q_line_dedup's
+    // convention): dominant line language + minority share in bp.
+    "q_lang_mix" -> ((s, dir) => TextOps.langMixQuery(documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_lang_stats" -> ((s, dir) => TextOps.langStats(documents(s, dir))),
     "q_text_ngrams" -> ((s, dir) => TextOps.ngramCounts(documents(s, dir))),
@@ -317,6 +320,13 @@ object SparkEntry {
     // type's own mean/stddev from exact integer sums (never the
     // engine's stddev aggregate — accumulation order differs).
     "q_events_anomaly" -> ((s, dir) => EventOps.rateAnomaly(events(s, dir))),
+    // User-journey Markov transitions: consecutive per-user event
+    // pairs in (ts, event_id) order, counted into the |types|² matrix.
+    "q_events_transitions" -> ((s, dir) =>
+      EventOps.typeTransitions(events(s, dir))),
+    // Same-type inter-arrival cadence per user, aggregated per type —
+    // exact integer µs gaps, one rounded mean.
+    "q_events_gaps" -> ((s, dir) => EventOps.interArrival(events(s, dir))),
     "q_events_session" -> ((s, dir) => EventOps.sessionCounts(events(s, dir))),
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
@@ -794,6 +804,47 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // per-line language mix on the lined twin: the q_lang_id stopword
+    // argmax per LINE, then a per-doc argmax by (cnt DESC, lang
+    // earlier-in-list) — both total orders, replicated exactly.
+    "q_lang_mix" ->
+      """WITH lined AS (
+        |  SELECT doc_id, string_split(
+        |    replace(text, ' value ', ' value' || chr(10)), chr(10)) AS ls
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, ls[i+1] AS line
+        |  FROM lined, unnest(range(len(ls))) AS t(i)
+        |  WHERE length(trim(ls[i+1])) > 0
+        |), c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS c_en,
+        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('el','los','las','que','y','en','por'))) AS c_es,
+        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS c_de,
+        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('le','les','et','des','une','est','dans'))) AS c_fr
+        |  FROM lines
+        |), lid AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+        |         WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |         WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |         WHEN c_de >= c_fr THEN 'de'
+        |         ELSE 'fr' END AS line_lang
+        |  FROM c
+        |), lc AS (
+        |  SELECT doc_id, line_lang, count(*) AS cnt FROM lid GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT doc_id, line_lang, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC,
+        |      CASE line_lang WHEN 'en' THEN 0 WHEN 'es' THEN 1
+        |        WHEN 'de' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) AS rk,
+        |    (sum(cnt) OVER (PARTITION BY doc_id))::BIGINT AS n_lines
+        |  FROM lc
+        |)
+        |SELECT doc_id, n_lines, line_lang AS lang_major, cnt AS n_major,
+        |  (n_lines - cnt) * 10000 // n_lines AS minor_bp
+        |FROM ranked WHERE rk = 1
         |ORDER BY doc_id""".stripMargin,
     // Repetition signals: per-doc n-gram frequency tables via unnest +
     // group-by, max/dup-mass aggregated back — integer-exact, so the
@@ -1324,6 +1375,35 @@ object SparkEntry {
         |    ELSE 0.0 END, 4) + 0.0 AS z
         |FROM h JOIN st USING (event_type)
         |ORDER BY h.event_type, h.w_start""".stripMargin,
+    // user-journey transitions: lead() in the identical total order
+    "q_events_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // same-type inter-arrival gaps: exact integer µs, one rounded mean
+    "q_events_gaps" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, us - prev_us AS gap_us
+        |  FROM s WHERE prev_us IS NOT NULL
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  round(sum(gap_us)::DOUBLE / count(*), 4) AS mean_gap_us
+        |FROM g GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Spark's sliding window(ts, 1h, 15m): event belongs to the 4
     // windows starting at trunc15(ts) - k*15min, k = 0..3, whose span
     // still covers ts.

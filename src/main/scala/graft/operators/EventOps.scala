@@ -89,6 +89,63 @@ object EventOps {
         sum("n_events").as("s1"),
         sum(col("n_events") * col("n_events")).as("s2"))
 
+  /** User-journey transition counts — the Markov-chain view of event
+    * flow: for every user, consecutive event pairs in (ts, event_id)
+    * order (the id tie-break makes simultaneous events a total
+    * order), counted corpus-wide as (from_type, to_type, n). The
+    * funnel/attribution family answers "did the user reach step k";
+    * this answers "where do users actually GO next" — the input to
+    * drop-off analysis and next-event prediction baselines.
+    *
+    * Scale shape: one hash shuffle on user_id, the per-user window
+    * sorts only (user, ts, id, type)-width rows, and the pair counts
+    * partial-aggregate map-side; the transition matrix itself is
+    * |types|² rows. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Inter-arrival statistics per event type: the gaps between a
+    * user's consecutive events of the SAME type, aggregated per type
+    * — the cadence profile behind retention modeling and anomalous-
+    * burst detection (a type whose min gap collapses to ~0 is a bot
+    * or a duplicate-delivery bug). Gaps are exact integer µs; the one
+    * float (the mean) divides the exact sums once and is ROUNDED to 4
+    * decimals (ulp rule). Same shuffle shape as [[typeTransitions]]
+    * with the window keyed on (user, type). */
+  def interArrival(events: DataFrame): DataFrame = {
+    // ordering on the µs value == ordering on ts (monotone cast), and
+    // it keeps the wide-enough ts column out of the projection
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("us") - col("prev_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        sum("gap_us").as("__sum"))
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"),
+        round(col("__sum").cast("double") / col("n_gaps"), 4)
+          .as("mean_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** The z-score arithmetic shared by the batch and streaming anomaly
     * forms — one definition so batch == stream bit-for-bit: mean and
     * population variance from the exact integer sums, z = 0 when

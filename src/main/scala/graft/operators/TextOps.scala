@@ -68,6 +68,59 @@ object TextOps {
       langId(col("text")).as("lang_pred"),
     ).orderBy("doc_id")
 
+  /** Per-LINE language mix — the code-switch / mixed-language
+    * detector a multilingual curation pass runs where the per-document
+    * [[langIdQuery]] washes out minority-language content: each
+    * non-empty line is language-ID'd independently (same stopword
+    * argmax as the document form), then per document: line count, the
+    * dominant line language (ties (cnt DESC, lang ASC) — a total
+    * order), and the minority-line share in integer basis points. A
+    * high `minor_bp` flags boilerplate-in-another-language, code-
+    * switched forums, or concatenation bugs — docs a doc-level ID
+    * confidently mislabels.
+    *
+    * Scale shape: one scan, lines explode map-side ((doc_id, lang)-
+    * width rows into the shuffle — never line text), two aggregations
+    * (per-(doc, lang) counts, then the per-doc argmax via max_by on
+    * the (cnt, reversed-lang) struct — no window). */
+  def langMix(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), langId(col("line")).as("line_lang"))
+    val counts = lines.groupBy("doc_id", "line_lang")
+      .agg(count(lit(1)).as("cnt"))
+    // argmax by (cnt DESC, lang ASC) without a window: max_by over a
+    // struct ordered by (cnt, negated-lang-bytes) would need a string
+    // negation, so flip the comparison onto a struct of (cnt,
+    // reverse-rank of lang) — languages are a small closed set, so
+    // rank them explicitly; unknown sorts last.
+    val langs = graft.functions.TextAnalysis.LangStopwords.map(_._1) :+
+      "unknown"
+    val langRank = langs.zipWithIndex
+      .map { case (l, i) => (l, langs.length - i) }
+      .foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("line_lang") === l, lit(r)).otherwise(acc) }
+    counts.groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_lines"),
+        max_by(col("line_lang"),
+          struct(col("cnt"), langRank)).as("lang_major"),
+        max(struct(col("cnt"), langRank)).getField("cnt").as("n_major"))
+      .select(col("doc_id"), col("n_lines"), col("lang_major"),
+        col("n_major"),
+        expr("(n_lines - n_major) * 10000 DIV n_lines").as("minor_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Harness form of [[langMix]]: the corpus is single-line, so give
+    * it the deterministic lined twin (the q_line_dedup convention —
+    * a plain substring replace both engines compute identically). */
+  def langMixQuery(docs: DataFrame): DataFrame =
+    langMix(docs.withColumn("text",
+      regexp_replace(col("text"), lit(" value "), lit(" value\n"))))
+
   /** Whole-document fingerprints (exact-dedup keys). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(

@@ -37,6 +37,33 @@ class EventOpsSpec extends SparkSpec {
     assert(got.head._1 == ts("2023-12-31 23:15:00"))
   }
 
+  test("type transitions: hand-computed Markov counts in (ts, id) order") {
+    val got = EventOps.typeTransitions(events)
+      .as[(String, String, Long)].collect().toSeq
+    // user 1: click(00:05) -> click(00:20) -> click(01:10)
+    // user 2: view(00:40) -> view(01:15) -> view(03:00)
+    assert(got == Seq(("click", "click", 2L), ("view", "view", 2L)))
+    // ties on ts broken by event_id: duplicate-ts events stay ordered
+    val dup = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 9L, "a", 0.0, "{}"),
+      (11L, ts("2024-01-01 00:00:00"), 9L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t2 = EventOps.typeTransitions(dup)
+      .as[(String, String, Long)].collect().toSeq
+    assert(t2 == Seq(("a", "b", 1L)))
+  }
+
+  test("inter-arrival gaps: exact integer µs, hand-computed per type") {
+    val got = EventOps.interArrival(events)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // click (user 1): gaps 15 min, 50 min; view (user 2): 35 min, 105 min
+    assert(got("click") == (("click", 2L, 15L * 60000000L,
+      50L * 60000000L, (15L + 50L) * 60000000L / 2.0)))
+    assert(got("view") == (("view", 2L, 35L * 60000000L,
+      105L * 60000000L, (35L + 105L) * 60000000L / 2.0)))
+  }
+
   test("rate anomaly: hand-computed z-scores from exact integer sums") {
     val got = EventOps.rateAnomaly(events)
       .as[(String, Timestamp, Long, Double, Double)].collect().toSeq

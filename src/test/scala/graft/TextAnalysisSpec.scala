@@ -79,6 +79,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == "unknown")
   }
 
+  test("langMix: per-line ID, dominant language, minority share") {
+    import spark.implicits._
+    val mixed = Seq(
+      // 3 en lines + 1 es line -> en dominant, 2500 bp minority
+      (1L, "the cat and the dog\nel gato y el perro\nit is a test\nto be and to do"),
+      // pure en, with an empty line that must not count
+      (2L, "the a and of\n\nto in is it"),
+      // tie 1-1 between en and es -> en wins (earlier in the list)
+      (3L, "the cat and dog\nel gato y perro")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.langMix(mixed)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, "en", 3L, 2500L)))
+    assert(got(2L) == ((2L, 2L, "en", 2L, 0L)))
+    assert(got(3L) == ((3L, 2L, "en", 1L, 5000L)))
+  }
+
+  test("langMix on the lined corpus: lines conserve, shares in range") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = TextOps.langMixQuery(corpus)
+      .as[(Long, Long, String, Long, Long)].collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { case (_, nLines, _, nMajor, minorBp) =>
+      assert(nLines >= 1 && nMajor >= 1 && nMajor <= nLines)
+      assert(minorBp == (nLines - nMajor) * 10000 / nLines)
+    }
+    // the lined twin actually produces multi-line docs
+    assert(rows.exists(_._2 > 1))
+  }
+
   test("quality score in [0,1], lower for stopword-heavy docs") {
     val q = TextOps.textQuality(docs)
       .select("doc_id", "quality").as[(Long, Double)].collect().toMap
