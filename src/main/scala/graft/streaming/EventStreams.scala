@@ -32,6 +32,17 @@ final case class AsofMatch(ev_id: Long, user_id: Long, ev_ts: Timestamp,
 final case class AsofState(lefts: List[(Long, Long)],
     rights: List[(Long, Long)])
 
+/** One user-journey transition — output row of
+  * [[EventStreams.typeTransitionsStream]]. */
+final case class Transition(user_id: Long, from_id: Long, to_id: Long,
+    from_type: String, to_type: String)
+
+/** Per-user state for the streaming transition miner: events not yet
+  * final (ts at-or-past the watermark) as (ts_us, event_id, type),
+  * plus the last FINAL event — the "from" side of the next emission. */
+final case class TransState(buf: List[(Long, Long, String)],
+    carry: Option[(Long, Long, String)])
+
 /** Structured Streaming forms of the event/word-count analytics.
   *
   * The aggregation bodies are shared with the batch operators
@@ -456,6 +467,58 @@ object EventStreams extends Serializable {
     * answer for future queries until a younger reference lands).
     * Emission is driven by new batches AND an event-time timeout, so
     * pending rows drain when the key goes quiet. */
+  /** Streaming user-journey transition mining — the incremental form
+    * of [[graft.operators.EventOps.typeTransitions]]: per user,
+    * consecutive event pairs in the (ts, event_id) total order, each
+    * pair emitted exactly once (append mode). Out-of-order-SAFE: an
+    * event's outgoing edge is only known once no earlier-timestamped
+    * event can still arrive, so events buffer per user until the
+    * watermark passes them; finalized events emit their chain in
+    * order, and the LAST final event carries forward as the "from"
+    * side of the next emission (its successor is still unknown —
+    * exactly the reason a naive lead()-per-batch is wrong under
+    * out-of-order arrival). Event-time timeout drains quiet users.
+    * State per user: the pending buffer (bounded by the watermark
+    * delay × arrival rate) plus one carried event. The spec pins the
+    * emitted pairs against the batch operator, including a fixture
+    * whose batch-2 event lands BETWEEN batch-1 events. */
+  def typeTransitionsStream(events: DataFrame,
+      watermarkDelay: String = "1 hour"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Timestamp)],
+            state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(Nil, None))
+          var buf = st.buf
+          rows.foreach { case (_, us, id, tp, _) => buf = (us, id, tp) :: buf }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (fin, pending) = buf.sortBy(e => (e._1, e._2))
+            .partition(_._1 < wmUs)
+          val chain = st.carry.toList ::: fin
+          val out = chain.sliding(2).collect {
+            case List(a, b) => Transition(user, a._2, b._2, a._3, b._3)
+          }.toList
+          val carry = chain.lastOption
+          if (pending.isEmpty && carry.isEmpty) state.remove()
+          else {
+            state.update(TransState(pending, carry))
+            if (pending.nonEmpty) {
+              val fireMs = (pending.map(_._1).min / 1000L + 1L) max
+                (state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(fireMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
   def asofEnrichStream(events: DataFrame, queryType: String = "purchase",
       refType: String = "click",
       watermarkDelay: String = "1 hour"): Dataset[AsofMatch] = {

@@ -458,6 +458,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((2L, Some(3L))), got.mkString("; "))
   }
 
+  test("streaming transitions emit each batch pair exactly once") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lead, unix_micros}
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
+    val got = runToCompletion(
+      EventStreams.typeTransitionsStream(stream).toDF(), "append",
+      "ev_trans")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    // batch witness: the same (ts, id)-ordered per-user pair relation
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("to_id", lead("event_id", 1).over(w))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("to_id"),
+        col("event_type"), col("to_type"))
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    // append mode withholds each user's tail inside the watermark;
+    // everything emitted must be a batch pair, exactly once
+    assert(got.nonEmpty)
+    assert(got.distinct.length == got.length)
+    assert(got.forall(want.contains))
+  }
+
+  test("streaming transitions order out-of-order arrivals correctly") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, user: Long, ts: String) =
+      (id, Timestamp.valueOf(ts), user, s"t$id", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val dir = Files.createTempDirectory("graft-ooo-trans").toString
+    // batch 1: events at 10:00 and 12:00; batch 2 lands BETWEEN them
+    // (11:00, still inside the watermark) plus a sentinel that
+    // finalizes everything. Correct chain: 1 -> 2 -> 3. A naive
+    // per-batch lead() would have emitted the wrong 1 -> 3 edge.
+    Seq(ev(1, 1, "2024-01-01 10:00:00"), ev(3, 1, "2024-01-01 12:00:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(ev(2, 1, "2024-01-01 11:00:00"), ev(9, 99, "2024-01-02 20:00:00"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventsMicros(spark, dir,
+      maxFilesPerTrigger = 1)
+    val got = runToCompletion(
+      EventStreams.typeTransitionsStream(stream).toDF(), "append",
+      "ooo_trans")
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L, 2L, "t1", "t2"), (1L, 2L, 3L, "t2", "t3")))
+  }
+
   test("streaming as-of buffers out-of-order references across batches") {
     import java.sql.Timestamp
     import spark.implicits._
