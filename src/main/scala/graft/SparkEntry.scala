@@ -327,6 +327,10 @@ object SparkEntry {
     // Same-type inter-arrival cadence per user, aggregated per type —
     // exact integer µs gaps, one rounded mean.
     "q_events_gaps" -> ((s, dir) => EventOps.interArrival(events(s, dir))),
+    // Tukey-fence value outliers per type: exact quartiles -> fences
+    // broadcast back -> counts; compare on unrounded doubles.
+    "q_events_outliers" -> ((s, dir) =>
+      EventOps.valueOutliers(events(s, dir))),
     "q_events_session" -> ((s, dir) => EventOps.sessionCounts(events(s, dir))),
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
@@ -441,6 +445,15 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
           .withColumn("len_bucket", expr("n_chars DIV 100")),
         Seq("source", "len_bucket"))
+    }),
+    // Per-column statistics drift between the same snapshots: profile
+    // each side, full-outer join per column, null-safe range flag.
+    "q_profile_drift" -> ((s, dir) => {
+      val d = documents(s, dir)
+      ProfileOps.profileDrift(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        Seq("doc_id", "lang", "source", "n_chars"))
     }),
     // Vocabulary pruning: top-20 words (of 31) kept, OOV -> <unk>,
     // rewrite via the broadcast-join form, coverage audited in-pass.
@@ -805,6 +818,26 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // per-column statistics drift: the q_profile shape per snapshot,
+    // full-outer joined per column, null-safe range-changed flag
+    "q_profile_drift" ->
+      s"""WITH bs AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 != 0
+        |), asn AS (
+        |  SELECT * FROM documents WHERE doc_id % 5 != 0
+        |), pa AS (
+        |  ${profileSql("bs", Seq("doc_id", "lang", "source", "n_chars"))}
+        |), pb AS (
+        |  ${profileSql("asn", Seq("doc_id", "lang", "source", "n_chars"))}
+        |)
+        |SELECT col_name,
+        |  pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+        |  pa.n_nulls AS n_nulls_a, pb.n_nulls AS n_nulls_b,
+        |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+        |  (pa.mn IS DISTINCT FROM pb.mn OR pa.mx IS DISTINCT FROM pb.mx)
+        |    AS range_changed
+        |FROM pa FULL OUTER JOIN pb USING (col_name)
+        |ORDER BY col_name""".stripMargin,
     // per-line language mix on the lined twin: the q_lang_id stopword
     // argmax per LINE, then a per-doc argmax by (cnt DESC, lang
     // earlier-in-list) — both total orders, replicated exactly.
@@ -1388,6 +1421,29 @@ object SparkEntry {
         |FROM s WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // Tukey fences from exact interpolated quartiles — identical IEEE
+    // fence arithmetic, comparison on unrounded values, rounded output
+    "q_events_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS p25,
+        |    quantile_cont(value, 0.75) AS p75
+        |  FROM events GROUP BY event_type
+        |), b AS (
+        |  SELECT event_type,
+        |    p25 - (p75 - p25) * 1.5 AS lo,
+        |    p75 + (p75 - p25) * 1.5 AS hi
+        |  FROM f
+        |)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |      THEN 1 ELSE 0 END)::BIGINT * 10000 // count(*) AS outlier_bp,
+        |  round(min(b.lo), 4) AS lo, round(min(b.hi), 4) AS hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     // same-type inter-arrival gaps: exact integer µs, one rounded mean
     "q_events_gaps" ->
       """WITH s AS (
@@ -3217,6 +3273,20 @@ object SparkEntry {
     * `cl(doc_id, cluster)`. Interpolated after `WITH RECURSIVE` by
     * BOTH q_dedup_cc and q_dedup_corpus so the closure definition
     * cannot drift between them. */
+  /** Per-column profile SELECT over a named relation — the q_profile
+    * shape (count/nulls/distinct/min/max, BIGINT-cast, string-cast
+    * min/max AFTER native aggregation), unioned per column. Shared by
+    * q_profile_drift's two snapshot sides. */
+  private def profileSql(rel: String, cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |    (count(*) - count($c))::BIGINT AS n_nulls,
+         |    count(DISTINCT $c)::BIGINT AS n_distinct,
+         |    CAST(min($c) AS VARCHAR) AS mn,
+         |    CAST(max($c) AS VARCHAR) AS mx
+         |  FROM $rel""".stripMargin)
+      .mkString("", "\n  UNION ALL ", "")
+
   private val NearDupClosureCtes: String =
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents

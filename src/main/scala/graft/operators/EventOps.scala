@@ -89,6 +89,38 @@ object EventOps {
         sum("n_events").as("s1"),
         sum(col("n_events") * col("n_events")).as("s2"))
 
+  /** Per-type value outliers via Tukey fences: exact interpolated
+    * quartiles of `value` per event_type, fences at p25/p75 ∓ k·IQR,
+    * and the per-type outlier count/share — the "is this metric
+    * stream producing garbage values" gate next to [[rateAnomaly]]'s
+    * volume gate. Two passes by construction (fences need the full
+    * distribution before anything can be flagged): the |types|-row
+    * fence relation broadcasts back onto the second scan. Fence
+    * arithmetic is the same IEEE double ops in both engines (the
+    * comparison runs on UNROUNDED fences; rounding happens only at
+    * output — the [[graft.operators.CorpusOps]] threshold rule); at
+    * 100 TB swap `percentile` for the mergeable KLL sketch
+    * ([[RelationalOps.orderValueQuantilesKll]]) and the first pass
+    * loses its sort buffer. */
+  def valueOutliers(events: DataFrame, k: Double = 1.5): DataFrame = {
+    val fences = events.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("p25"),
+      expr("percentile(value, 0.75)").as("p75"))
+      .withColumn("lo", col("p25") - (col("p75") - col("p25")) * k)
+      .withColumn("hi", col("p75") + (col("p75") - col("p25")) * k)
+      .select("event_type", "lo", "hi")
+    events.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"),
+          1L).otherwise(0L)).as("n_outliers"),
+        min("lo").as("__lo"), min("hi").as("__hi"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        expr("n_outliers * 10000 DIV n_events").as("outlier_bp"),
+        round(col("__lo"), 4).as("lo"), round(col("__hi"), 4).as("hi"))
+      .orderBy("event_type")
+  }
+
   /** User-journey transition counts — the Markov-chain view of event
     * flow: for every user, consecutive event pairs in (ts, event_id)
     * order (the id tie-break makes simultaneous events a total

@@ -187,6 +187,36 @@ object ProfileOps {
       .orderBy("bin")
   }
 
+  /** Schema/statistics drift between two snapshots — [[profileTable]]
+    * run on each side and full-outer joined per column: row/null/
+    * distinct counts side by side plus a `range_changed` flag
+    * (null-safe min/max comparison). The companion to
+    * [[distributionDrift]]: that one watches a chosen categorical's
+    * SHAPE, this one watches every column's summary statistics — the
+    * cheap always-on monitor that catches a refresh silently nulling
+    * a column or exploding a cardinality. A column present in only
+    * one snapshot (schema drift proper) survives the full-outer join
+    * with nulls on the missing side. Cost: one profile aggregation
+    * per side; the join runs on |columns| rows. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+      columns: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, suffix: String) =
+      profileTable(df, columns).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$suffix"),
+        col("n_nulls").as(s"n_nulls_$suffix"),
+        col("n_distinct").as(s"n_distinct_$suffix"),
+        col("min_val").as(s"__mn_$suffix"),
+        col("max_val").as(s"__mx_$suffix"))
+    side(before, "a").join(side(after, "b"), Seq("col_name"), "full_outer")
+      .withColumn("range_changed",
+        !(col("__mn_a") <=> col("__mn_b")) ||
+          !(col("__mx_a") <=> col("__mx_b")))
+      .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+        col("n_nulls_a"), col("n_nulls_b"),
+        col("n_distinct_a"), col("n_distinct_b"), col("range_changed"))
+      .orderBy("col_name")
+  }
+
   /** Distribution drift between two corpus snapshots — the per-bucket
     * Population Stability Index terms, the standard monitor for "did
     * this week's crawl change shape" on a continuously-ingested

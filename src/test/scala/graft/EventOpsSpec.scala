@@ -37,6 +37,30 @@ class EventOpsSpec extends SparkSpec {
     assert(got.head._1 == ts("2023-12-31 23:15:00"))
   }
 
+  test("value outliers: hand-computed Tukey fences flag exactly the spike") {
+    // 9 calm values 1..9 plus one 100.0 spike, one type
+    val vals = (1 to 9).map(_.toDouble) :+ 100.0
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts("2024-01-01 00:00:00"), 1L, "m", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.valueOutliers(df)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // p25 = 3.25, p75 = 7.75 (linear interpolation over 10 values),
+    // IQR = 4.5 -> fences [-3.5, 14.5]: only the 100 is outside
+    assert(got == Seq(("m", 10L, 1L, 1000L, -3.5, 14.5)))
+  }
+
+  test("value outliers on sf0.001: counts conserve, fences ordered") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val rows = EventOps.valueOutliers(ev)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == ev.count())
+    rows.foreach { case (_, n, out, bp, lo, hi) =>
+      assert(lo <= hi && out <= n && bp == out * 10000 / n)
+    }
+  }
+
   test("type transitions: hand-computed Markov counts in (ts, id) order") {
     val got = EventOps.typeTransitions(events)
       .as[(String, String, Long)].collect().toSeq

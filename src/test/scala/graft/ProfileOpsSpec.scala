@@ -134,6 +134,29 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("profileDrift: per-column deltas, schema drift survives, null-safe flag") {
+    import spark.implicits._
+    val before = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, null, 30L))
+      .toDF("id", "s", "v")
+    val after = Seq((1L, "x"), (2L, "z"), (4L, "z"), (5L, "w"))
+      .toDF("id", "s") // column v dropped: schema drift
+    val got = ProfileOps.profileDrift(before, after).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = got("id")
+    assert(id.getLong(1) == 3 && id.getLong(2) == 4)   // rows
+    assert(id.getLong(5) == 3 && id.getLong(6) == 4)   // distinct
+    assert(id.getBoolean(7))                            // max 3 -> 5
+    val s = got("s")
+    assert(s.getLong(3) == 1 && s.getLong(4) == 0)      // nulls
+    assert(s.getBoolean(7))                             // max y -> z
+    val v = got("v")                                    // dropped column
+    assert(v.getLong(1) == 3 && v.isNullAt(2))
+    assert(v.getBoolean(7))                             // present -> absent
+    // identical snapshots: nothing changes
+    val same = ProfileOps.profileDrift(before, before).collect()
+    assert(same.forall(!_.getBoolean(7)))
+  }
+
   test("distributionDrift: hand-computed PSI terms; identical snapshots -> 0") {
     val a = Seq("x", "x", "x", "y").toDF("k")
     val b = Seq("x", "y", "y", "z").toDF("k")
