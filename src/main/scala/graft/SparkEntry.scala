@@ -196,6 +196,15 @@ object SparkEntry {
     // shuffles.
     "q_snapshot_merge" -> ((s, dir) =>
       CorpusOps.changesetQuery(documents(s, dir))),
+    // The soft-dedup pipeline end-to-end: family weights feed the
+    // integer A-ES weighted sampler (weight = bp DIV 100, floored at
+    // 1 so >100-member families stay sampleable) — duplicate families
+    // contribute ~one doc's worth of sampling mass.
+    "q_dedup_sample" -> ((s, dir) =>
+      CorpusOps.weightedSample(
+        Clustering.dedupWeights(documents(s, dir), n = 3, threshold = 0.8)
+          .withColumn("w", greatest(lit(1L), expr("weight_bp DIV 100"))),
+        k = 50, weightCol = col("w"), maxWeight = 100L)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
     // LSH-bucketed variant: exact-verified candidates, approximate
@@ -1934,6 +1943,28 @@ object SparkEntry {
         |  10000 // fs.family_size AS weight_bp
         |FROM cl JOIN fs USING (cluster)
         |ORDER BY cl.doc_id""".stripMargin,
+    // soft-dedup weighted sample: the closure's family weights race
+    // through the same integer A-ES max-of-w-hashes as q_sample_weighted
+    "q_dedup_sample" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes,
+        |fs AS (
+        |  SELECT cluster, count(*) AS family_size FROM cl GROUP BY cluster
+        |), wts AS (
+        |  SELECT cl.doc_id,
+        |    greatest(1, (10000 // fs.family_size) // 100) AS wt
+        |  FROM cl JOIN fs USING (cluster)
+        |), keyed AS (
+        |  SELECT doc_id, wt,
+        |    list_max(list_transform(range(1, wt + 1),
+        |      j -> ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |              j::VARCHAR), 1, 15))::BIGINT)) AS sample_key
+        |  FROM wts
+        |), top AS (
+        |  SELECT doc_id, wt, sample_key FROM keyed
+        |  ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+        |)
+        |SELECT doc_id, wt, sample_key FROM top
+        |ORDER BY doc_id""".stripMargin,
     // CDC merge: upserts (text edited) replace, deletes remove,
     // untouched rows pass through.
     "q_snapshot_merge" ->
