@@ -638,6 +638,22 @@ object SparkEntry {
         table(s, dir, "region"))),
     "q_rel_rollup" -> ((s, dir) =>
       RelationalOps.orderRollup(table(s, dir, "orders"))),
+    // Referential-integrity audit over the star schema's FK edges;
+    // one parent deliberately thinned (o_orderkey % 97 != 0) so the
+    // orphan path BINDS — the clean edges prove the zero case.
+    "q_rel_integrity" -> ((s, dir) =>
+      RelationalOps.refIntegrity(Seq(
+        ("lineitem_orders_thinned", table(s, dir, "lineitem"), "l_orderkey",
+          table(s, dir, "orders")
+            .filter(pmod(col("o_orderkey"), lit(97)) =!= 0), "o_orderkey"),
+        ("orders_customer", table(s, dir, "orders"), "o_custkey",
+          table(s, dir, "customer"), "c_custkey"),
+        ("customer_nation", table(s, dir, "customer"), "c_nationkey",
+          table(s, dir, "nation"), "n_nationkey"),
+        ("supplier_nation", table(s, dir, "supplier"), "s_nationkey",
+          table(s, dir, "nation"), "n_nationkey"),
+        ("nation_region", table(s, dir, "nation"), "n_regionkey",
+          table(s, dir, "region"), "r_regionkey")))),
     "q_rel_cube" -> ((s, dir) =>
       RelationalOps.orderCube(table(s, dir, "orders"))),
     // Explicit GROUPING SETS (the rollup/cube general form; skips the
@@ -1745,6 +1761,50 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    // FK integrity: per-edge child/null/orphan counts; the thinned
+    // edge makes orphans non-zero, the rest pin the clean case
+    "q_rel_integrity" ->
+      """WITH e1 AS (
+        |  SELECT count(*) AS n_child,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (
+        |        SELECT o_orderkey FROM orders WHERE o_orderkey % 97 != 0))
+        |      AS n_orphans
+        |  FROM lineitem
+        |), e2 AS (
+        |  SELECT count(*) AS n_child,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  FROM orders
+        |), e3 AS (
+        |  SELECT count(*) AS n_child,
+        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |  FROM customer
+        |), e4 AS (
+        |  SELECT count(*) AS n_child,
+        |    sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL
+        |      AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |  FROM supplier
+        |), e5 AS (
+        |  SELECT count(*) AS n_child,
+        |    sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
+        |      AND n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        |  FROM nation
+        |)
+        |SELECT * FROM (
+        |  SELECT 'customer_nation' AS edge, * FROM e3
+        |  UNION ALL SELECT 'lineitem_orders_thinned', * FROM e1
+        |  UNION ALL SELECT 'nation_region', * FROM e5
+        |  UNION ALL SELECT 'orders_customer', * FROM e2
+        |  UNION ALL SELECT 'supplier_nation', * FROM e4
+        |) t(edge, n_child, n_null_keys, n_orphans)
+        |ORDER BY edge""".stripMargin,
     "q_rel_quantiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -341,4 +341,31 @@ object RelationalOps {
       .withColumn("price_quartile", ntile(4).over(byPrice).cast("long"))
       .orderBy("o_orderkey")
   }
+
+  /** Referential-integrity audit across foreign-key edges — the
+    * ingest-time constraint check a lakehouse without enforced
+    * constraints has to run itself: per (child.key → parent.key) edge,
+    * the child row count, null-key count, and ORPHAN count (non-null
+    * child keys with no parent row). Edges are (label, child, childKey,
+    * parent, parentKey).
+    *
+    * Scale shape per edge: the orphan check anti-joins the child's
+    * key PROJECTION against the parent's distinct key projection —
+    * key-width rows only; Catalyst broadcasts dimension-sized parents
+    * and AQE plans the fact-fact edges. Counts are one aggregation per
+    * side; the per-edge results union into an \|edges\|-row report. */
+  def refIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty)
+    edges.map { case (label, child, ck, parent, pk) =>
+      val orphans = child.filter(col(ck).isNotNull).select(col(ck))
+        .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+      child
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(ck).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(label).as("edge"), col("n_child"),
+          col("n_null_keys"), col("n_orphans"))
+    }.reduce(_ unionByName _).orderBy("edge")
+  }
 }

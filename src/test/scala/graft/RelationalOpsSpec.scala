@@ -274,4 +274,19 @@ class RelationalOpsSpec extends SparkSpec {
       (4L, Some(day), None, 2L),      // price 20 -> 2nd
       (5L, None, None, 1L)))          // singleton: sole quartile 1
   }
+
+  test("refIntegrity: orphans, null keys, and clean edges counted exactly") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "a"), (1L, "b"), (2L, "c"),  // matched
+      (9L, "d"), (9L, "e"),             // orphaned key, twice
+      (null, "f")                       // null key: not an orphan
+    ).toDF("fk", "payload")
+    val got = RelationalOps.refIntegrity(Seq(
+      ("dirty", child, "fk", parent, "pk"),
+      ("clean", child.filter(child("fk").isin(1L, 2L)), "fk", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("clean", 3L, 0L, 0L), ("dirty", 6L, 1L, 2L)))
+  }
 }
