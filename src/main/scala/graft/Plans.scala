@@ -35,7 +35,10 @@ object Plans {
       "q_bpe_encode", "q_vocab_editdist", "q_split_leakfree",
       "q_vocab_growth",
       "q_corpus_drift", "q_events_anomaly", "q_curriculum",
-      "q_token_budget", "q_dedup_weights", "q_snapshot_merge")
+      "q_token_budget", "q_dedup_weights", "q_snapshot_merge",
+      "q_events_transitions", "q_events_gaps", "q_events_outliers",
+      "q_lang_mix", "q_profile_drift", "q_rel_integrity",
+      "q_dedup_sample")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
