@@ -731,6 +731,31 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, "d", "s"), (9L, "new", "s9")))
   }
 
+  test("applyChangeset is idempotent: applying the same changeset twice = once") {
+    val snap = corpus.select("doc_id", "text", "source")
+    val changes = corpus.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"), col("source"))
+      .unionByName(corpus.filter(col("doc_id") % 13 === 0 &&
+          col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("source")))
+    val once = CorpusOps.applyChangeset(snap, changes)
+    val twice = CorpusOps.applyChangeset(once, changes)
+    val a = once.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = twice.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("tokenBudgetSelect: a larger budget strictly extends a smaller one") {
+    val small = CorpusOps.tokenBudgetSelect(corpus, 3000L)
+      .select("doc_id").as[Long].collect().toSet
+    val large = CorpusOps.tokenBudgetSelect(corpus, 9000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.nonEmpty && small.subsetOf(large) && large.size > small.size)
+  }
+
   test("changesetQuery: both paths bind on the corpus; merge is consistent") {
     val n = corpus.count()
     val rows = CorpusOps.changesetQuery(corpus)

@@ -181,6 +181,23 @@ class ProfileOpsSpec extends SparkSpec {
     assert(same.forall(_.getDouble(3) == 0.0))
   }
 
+  test("distributionDrift is symmetric: psi(a,b) == psi(b,a) per bucket") {
+    // (p-q)·ln(p/q) is symmetric under p<->q — swapping the snapshots
+    // must flip the count columns and leave every PSI term unchanged
+    val before = corpus.filter(col("doc_id") % 7 =!= 0)
+    val after = corpus.filter(col("doc_id") % 5 =!= 0)
+    val ab = ProfileOps.distributionDrift(before, after, Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ba = ProfileOps.distributionDrift(after, before, Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(ab.keySet == ba.keySet && ab.nonEmpty)
+    ab.foreach { case (k, (ca, cb, psi)) =>
+      assert(ba(k) == ((cb, ca, psi)), s"bucket $k not symmetric")
+    }
+  }
+
   test("distributionDrift on the corpus: multi-key, layout-independent") {
     val before = corpus.filter(col("doc_id") % 7 =!= 0)
       .withColumn("len_bucket", expr("n_chars DIV 100"))
