@@ -349,21 +349,27 @@ object RelationalOps {
     * child keys with no parent row). Edges are (label, child, childKey,
     * parent, parentKey).
     *
-    * Scale shape per edge: the orphan check anti-joins the child's
-    * key PROJECTION against the parent's distinct key projection —
-    * key-width rows only; Catalyst broadcasts dimension-sized parents
-    * and AQE plans the fact-fact edges. Counts are one aggregation per
-    * side; the per-edge results union into an \|edges\|-row report. */
+    * Scale shape per edge: ONE pass over the child's key projection,
+    * left-joined against the parent's distinct key projection — all
+    * three counts (rows, null keys, orphans) fall out of the same
+    * aggregation, so the child is scanned once, not once per count
+    * (the ScanAudit rule). Key-width rows only; Catalyst broadcasts
+    * dimension-sized parents and AQE plans the fact-fact edges. The
+    * per-edge results union into an \|edges\|-row report. */
   def refIntegrity(
       edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(edges.nonEmpty)
     edges.map { case (label, child, ck, parent, pk) =>
-      val orphans = child.filter(col(ck).isNotNull).select(col(ck))
-        .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
-      child
+      // a NULL child key joins nothing (SQL join semantics), so the
+      // __hit flag distinguishes matched / orphaned / null in one agg
+      val keys = parent.select(col(pk).as(ck)).distinct()
+        .withColumn("__hit", lit(1))
+      child.select(col(ck))
+        .join(keys, Seq(ck), "left_outer")
         .agg(count(lit(1)).as("n_child"),
-          sum(when(col(ck).isNull, 1L).otherwise(0L)).as("n_null_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          sum(when(col(ck).isNull, 1L).otherwise(0L)).as("n_null_keys"),
+          sum(when(col(ck).isNotNull && col("__hit").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
         .select(lit(label).as("edge"), col("n_child"),
           col("n_null_keys"), col("n_orphans"))
     }.reduce(_ unionByName _).orderBy("edge")
