@@ -37,6 +37,24 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, Seq[(String, String)]]()
 
+  /** Near-dup cluster relation per (application, dataset dir) — the
+    * expensive shared upstream of FIVE queries (cc / corpus / split /
+    * weights / sample). Built once and kept as a localCheckpoint (a
+    * deployment materializes the cluster map as a table — same
+    * economics as [[ivfCentroidCache]], but the relation stays
+    * DISTRIBUTED: it is corpus-scale, so no driver collect). Keyed by
+    * applicationId too so a cached plan never outlives its session. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+
+  private def cachedClusters(s: SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame =
+    clusterCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => Clustering.nearDupClusters(documents(s, dir), n = 3,
+        threshold = 0.8).localCheckpoint())
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WordCount.byFrequency(
@@ -171,12 +189,11 @@ object SparkEntry {
     // Pairs -> clusters: connected components over the Jaccard pairs
     // (min-label propagation; oracle = DuckDB recursive CTE, shared
     // closure in NearDupClosureCtes).
-    "q_dedup_cc" -> ((s, dir) =>
-      Clustering.nearDupClusters(documents(s, dir), n = 3, threshold = 0.8)),
+    "q_dedup_cc" -> ((s, dir) => cachedClusters(s, dir).orderBy("doc_id")),
     // End-to-end: the deduplicated corpus itself (cluster-min
     // survivors with payload; text fingerprinted for the harness).
     "q_dedup_corpus" -> ((s, dir) =>
-      Clustering.dedupCorpus(documents(s, dir), n = 3, threshold = 0.8)
+      Clustering.dedupCorpusFrom(cachedClusters(s, dir), documents(s, dir))
         .select(col("doc_id"), col("lang"), col("source"),
           md5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
@@ -184,13 +201,12 @@ object SparkEntry {
     // CLUSTER representative, so duplicate families never straddle
     // the split (a per-doc hash split would leak them at 2p(1-p)).
     "q_split_leakfree" -> ((s, dir) =>
-      Clustering.leakFreeSplit(documents(s, dir), n = 3,
-        threshold = 0.8, trainPct = 90)),
+      Clustering.leakFreeSplitFrom(cachedClusters(s, dir), trainPct = 90)),
     // Soft dedup: every doc kept with weight 1/|near-dup family| in
     // integer basis points — each family contributes one doc's worth
     // of training probability mass (SlimPajama economics).
     "q_dedup_weights" -> ((s, dir) =>
-      Clustering.dedupWeights(documents(s, dir), n = 3, threshold = 0.8)),
+      Clustering.dedupWeightsFrom(cachedClusters(s, dir))),
     // CDC changeset merge: upserts replace, deletes remove, untouched
     // rows pass through one broadcast anti-join — the snapshot never
     // shuffles.
@@ -202,7 +218,7 @@ object SparkEntry {
     // contribute ~one doc's worth of sampling mass.
     "q_dedup_sample" -> ((s, dir) =>
       CorpusOps.weightedSample(
-        Clustering.dedupWeights(documents(s, dir), n = 3, threshold = 0.8)
+        Clustering.dedupWeightsFrom(cachedClusters(s, dir))
           .withColumn("w", greatest(lit(1L), expr("weight_bp DIV 100"))),
         k = 50, weightCol = col("w"), maxWeight = 100L)),
     "q_dedup_embedding" -> ((s, dir) =>

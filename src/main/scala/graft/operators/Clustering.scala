@@ -176,10 +176,17 @@ object Clustering {
     * (doc_id, cluster)-width projection; the hash decision is a
     * zero-shuffle map. Returns (doc_id, cluster, split). */
   def leakFreeSplit(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.8, trainPct: Int = 90): DataFrame = {
+      threshold: Double = 0.8, trainPct: Int = 90): DataFrame =
+    leakFreeSplitFrom(nearDupClusters(docs, n, threshold), trainPct)
+
+  /** [[leakFreeSplit]] over an ALREADY-BUILT cluster relation — the
+    * deployment shape: clustering is the expensive shared upstream of
+    * the split/survivor/weight family, so materialize it once (a
+    * table, a checkpoint) and fan the cheap decisions off it. */
+  def leakFreeSplitFrom(clusters: DataFrame, trainPct: Int = 90): DataFrame = {
     require(trainPct > 0 && trainPct < 100,
       s"trainPct=$trainPct must be in (0, 100)")
-    nearDupClusters(docs, n, threshold)
+    clusters
       .withColumn("split",
         when(graft.functions.TextAnalysis.md5Hash60(
           col("cluster").cast("string")) % 100 < trainPct, "train")
@@ -194,7 +201,12 @@ object Clustering {
     * through exactly one join, not the clustering iterations). */
   def dedupCorpus(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8): DataFrame =
-    nearDupClusters(docs, n, threshold)
+    dedupCorpusFrom(nearDupClusters(docs, n, threshold), docs)
+
+  /** [[dedupCorpus]] over an already-built cluster relation (see
+    * [[leakFreeSplitFrom]]). */
+  def dedupCorpusFrom(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
       .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
       .join(docs, "doc_id")
@@ -215,9 +227,13 @@ object Clustering {
     * |clusters|-row count aggregation joined back onto the narrow
     * (doc_id, cluster) relation — text is never touched. */
   def dedupWeights(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val clusters = nearDupClusters(docs, n, threshold)
-      .localCheckpoint()
+      threshold: Double = 0.8): DataFrame =
+    dedupWeightsFrom(nearDupClusters(docs, n, threshold).localCheckpoint())
+
+  /** [[dedupWeights]] over an already-built cluster relation (see
+    * [[leakFreeSplitFrom]]). Callers pass a MATERIALIZED relation
+    * (checkpoint/table) — it feeds both the size count and the join. */
+  def dedupWeightsFrom(clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy("cluster")
       .agg(count(lit(1)).as("family_size"))
     clusters.join(sizes, "cluster")
