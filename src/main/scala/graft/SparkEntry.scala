@@ -55,6 +55,32 @@ object SparkEntry {
       _ => Clustering.nearDupClusters(documents(s, dir), n = 3,
         threshold = 0.8).localCheckpoint())
 
+  /** Bigram-LM document scores per (application, dataset) — the
+    * expensive shared upstream of q_lm_bigram and q_ppl_buckets;
+    * distributed checkpoint, same shape as [[clusterCache]]. */
+  private val bigramBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+
+  private def cachedBigramBits(s: SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame =
+    bigramBitsCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => TrainingOps.lmBigramBits(documents(s, dir)).localCheckpoint())
+
+  /** Trained NB probe per (application, dataset) — train once, score
+    * everywhere (q_probe_train serves the relation, q_probe_eval
+    * scores with it); dim+1-row distributed checkpoint. */
+  private val nbModelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+
+  private def cachedNbModel(s: SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame =
+    nbModelCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => CorpusOps.markerNbModel(documents(s, dir)).localCheckpoint())
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WordCount.byFrequency(
@@ -488,12 +514,13 @@ object SparkEntry {
     // one tokenize + one bucket aggregation; sufficient statistics
     // exact integers, weights E4 fixed-point log ratios.
     "q_probe_train" -> ((s, dir) =>
-      CorpusOps.trainNaiveBayesQuery(documents(s, dir))),
+      cachedNbModel(s, dir).orderBy("bucket")),
     // The trained probe's training-set confusion matrix: all-integer
     // scoring of the learned relation (22/25 marker docs recovered,
     // zero false positives at sf0.01).
     "q_probe_eval" -> ((s, dir) =>
-      CorpusOps.naiveBayesEvalQuery(documents(s, dir))),
+      CorpusOps.naiveBayesEvalFrom(documents(s, dir),
+        cachedNbModel(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
     // Bloom-prefiltered twin: identical output by construction (the
@@ -563,11 +590,11 @@ object SparkEntry {
     // V) and bigrams ride one tagged explode, LM relations vocabulary-
     // scale + checkpointed, V broadcast, one rounded float.
     "q_lm_bigram" -> ((s, dir) =>
-      TrainingOps.lmBigramBits(documents(s, dir))),
+      cachedBigramBits(s, dir).orderBy("doc_id")),
     // head/middle/tail perplexity tertiles: ntile semantics planned as
     // distributed rank + integer arithmetic, no single-partition window.
     "q_ppl_buckets" -> ((s, dir) =>
-      TrainingOps.perplexityBuckets(documents(s, dir))),
+      TrainingOps.perplexityBucketsFrom(cachedBigramBits(s, dir))),
     // Difficulty-interleaved training order: length tertiles,
     // hash-shuffled within tier, round-robin across tiers — every
     // batch sees the full difficulty mix (two PrefixSum passes).

@@ -932,12 +932,21 @@ object CorpusOps {
   def trainNaiveBayesQuery(docs: DataFrame): DataFrame =
     trainNaiveBayes(markerExamples(docs))
 
+  /** The marker probe trained as a standalone relation — the
+    * cacheable upstream of both harness probe queries (train once,
+    * serve the relation AND score with it). */
+  def markerNbModel(docs: DataFrame): DataFrame =
+    trainNaiveBayes(markerExamples(docs))
+
+  /** Confusion matrix of an ALREADY-TRAINED model over the marker
+    * examples — the shared-upstream form. */
+  def naiveBayesEvalFrom(docs: DataFrame, model: DataFrame): DataFrame =
+    naiveBayesConfusion(markerExamples(docs), model)
+
   /** Harness query: the trained probe's training-set confusion
     * matrix — the proof the learned relation actually classifies. */
-  def naiveBayesEvalQuery(docs: DataFrame): DataFrame = {
-    val ex = markerExamples(docs)
-    naiveBayesConfusion(ex, trainNaiveBayes(ex).localCheckpoint())
-  }
+  def naiveBayesEvalQuery(docs: DataFrame): DataFrame =
+    naiveBayesEvalFrom(docs, markerNbModel(docs).localCheckpoint())
 
   // ---- vocabulary pruning + <unk> re-mapping -------------------------
 

@@ -269,15 +269,21 @@ object TrainingOps {
     * per-partition offsets — then ntile's first-buckets-get-the-
     * remainder distribution as integer arithmetic on the global rank.
     * Only (doc_id, n_big, bits)-width rows ride the exchanges. */
-  def perplexityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
-    require(buckets > 0)
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame =
     // checkpoint the scored relation: the rank machinery reads it
     // from THREE branches (local ranks, per-partition offsets, total
     // count), and without the cut each branch re-runs the whole
     // bigram-LM lineage — the audited plan carried 3 corpus scans and
     // 32 exchanges. The materialized rows are narrow (doc_id, n_big,
     // bits), one per document.
-    val bits = lmBigramBits(docs).localCheckpoint()
+    perplexityBucketsFrom(lmBigramBits(docs).localCheckpoint(), buckets)
+
+  /** [[perplexityBuckets]] over an ALREADY-SCORED (materialized)
+    * bigram-bits relation — the shared-upstream shape: scoring is the
+    * expensive pass, so compute it once and fan the bucketing (and
+    * any other consumer) off the materialized relation. */
+  def perplexityBucketsFrom(bits: DataFrame, buckets: Int = 3): DataFrame = {
+    require(buckets > 0)
     // cum0 with value 1 = the 0-based global rank in (bits, doc_id)
     // order; the grand total is ntile's n
     val (ranked, total) = PrefixSum.exclusive(bits,
