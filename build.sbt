@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The full 146-query bench compiles thousands of Janino/whole-stage
+  // classes in one JVM; the JDK default 240 MB code cache fills mid-run
+  // and the JIT shuts off, slowing the CPU-bound tail queries ~5x
+  // (round-6 bench regression). 512 MB keeps compilation on end-to-end.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq)
+  .getOrElse(Nil)

@@ -48,12 +48,48 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
 
+  /** All three distributed-checkpoint caches, for cross-cache
+    * eviction in [[checkpointCached]]. */
+  private lazy val dfCaches = Seq(clusterCache, bigramBitsCache, nbModelCache)
+
+  /** Build-once checkpoint admission with a rolling window of ONE
+    * dataset per application: localCheckpoint blocks are pinned for
+    * the JVM lifetime, so a long-lived session iterating many
+    * datasets would grow executor storage without bound. Admitting a
+    * new (app, dir) key evicts every OTHER dataset's entry across all
+    * three caches and unpersists its checkpointed RDD. The harness is
+    * single-dataset per run, so eviction never fires there. */
+  private def checkpointCached(
+      cache: java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.DataFrame],
+      s: SparkSession, dir: String)(
+      build: => org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val appId = s.sparkContext.applicationId
+    val key = appId + "|" + dir
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      dfCaches.foreach { c =>
+        c.forEach { (k, df) =>
+          if (k.startsWith(appId + "|") && k != key) {
+            c.remove(k)
+            df.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(blocking = false)
+            }
+          }
+        }
+      }
+      cache.computeIfAbsent(key, _ => build.localCheckpoint())
+    }
+  }
+
   private def cachedClusters(s: SparkSession, dir: String):
       org.apache.spark.sql.DataFrame =
-    clusterCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir,
-      _ => Clustering.nearDupClusters(documents(s, dir), n = 3,
-        threshold = 0.8).localCheckpoint())
+    checkpointCached(clusterCache, s, dir)(
+      Clustering.nearDupClusters(documents(s, dir), n = 3,
+        threshold = 0.8))
 
   /** Bigram-LM document scores per (application, dataset) — the
     * expensive shared upstream of q_lm_bigram and q_ppl_buckets;
@@ -64,9 +100,8 @@ object SparkEntry {
 
   private def cachedBigramBits(s: SparkSession, dir: String):
       org.apache.spark.sql.DataFrame =
-    bigramBitsCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir,
-      _ => TrainingOps.lmBigramBits(documents(s, dir)).localCheckpoint())
+    checkpointCached(bigramBitsCache, s, dir)(
+      TrainingOps.lmBigramBits(documents(s, dir)))
 
   /** Trained NB probe per (application, dataset) — train once, score
     * everywhere (q_probe_train serves the relation, q_probe_eval
@@ -77,9 +112,8 @@ object SparkEntry {
 
   private def cachedNbModel(s: SparkSession, dir: String):
       org.apache.spark.sql.DataFrame =
-    nbModelCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir,
-      _ => CorpusOps.markerNbModel(documents(s, dir)).localCheckpoint())
+    checkpointCached(nbModelCache, s, dir)(
+      CorpusOps.markerNbModel(documents(s, dir)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -274,14 +308,23 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(Dedup.plantNearDups(embeddings(s, dir)),
         threshold = 0.9, nCells = 1)),
-    // The multi-cell production regime (cells actually partition the
-    // space): rows-only by design — distributed k-means centroids are
-    // not bit-reproducible in SQL; DedupSpec pins that cells only
-    // ever LOSE pairs relative to the global rule (supersets of the
-    // nCells = 1 survivor set) and that planted pairs survive intact.
+    // The multi-cell regime (cells actually partition the space, so
+    // the within-cell join and cross-cell pair loss both bind), made
+    // fully ORACLED by injecting axis-aligned centroids e0/e1/e2:
+    // cell = argmax over (v[0], v[1], v[2]) — closed-form in SQL
+    // (first-max tie-break = the CASE ladder), while the operator
+    // still runs its production path (argmax assignment, within-cell
+    // pair join, survivor anti-join). The TRAINED-centroid regime —
+    // k-means sums aren't bit-reproducible in SQL — stays spec-pinned
+    // in DedupSpec (cells only ever lose pairs vs the global rule;
+    // planted pairs survive).
     "q_dedup_semantic_cells" -> ((s, dir) =>
       Dedup.semanticDedup(Dedup.plantNearDups(embeddings(s, dir)),
-        threshold = 0.9, nCells = 8)),
+        threshold = 0.9, nCells = 3,
+        centroids = Some(Array(
+          Array(1.0, 0.0, 0.0),
+          Array(0.0, 1.0, 0.0),
+          Array(0.0, 0.0, 1.0))))),
     // ---- incremental (delta) dedup: the 100 TB operating mode ----
     // Batch = new docs + planted re-keys (within-batch dups) + planted
     // re-deliveries of base docs (the re-crawl case); both drop paths
@@ -1289,6 +1332,38 @@ object SparkEntry {
         |), dropped AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k]))
+        |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
+        |)
+        |SELECT e.vec_id FROM e
+        |LEFT JOIN dropped d ON d.vec_id = e.vec_id
+        |WHERE d.vec_id IS NULL
+        |ORDER BY e.vec_id""".stripMargin,
+    // Injected axis-aligned centroids make the cell argmax exact SQL:
+    // dot(v, e_k) folds to v[k] bit-for-bit (the zero terms add ±0.0),
+    // and Spark's array_position-of-array_max picks the FIRST maximal
+    // cell — the CASE ladder below is that same first-max tie-break.
+    // Cosine/planting arithmetic identical to q_dedup_semantic's.
+    "q_dedup_semantic_cells" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), pl AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(len(v)),
+        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
+        |  FROM base WHERE vec_id % 5 = 0
+        |), e0 AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM pl
+        |), e AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
+        |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell
+        |  FROM e0
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.cell = b.cell
         |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k]))
         |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
         |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9

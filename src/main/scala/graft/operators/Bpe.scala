@@ -82,6 +82,12 @@ object Bpe {
     * [[train]]. */
   val MaxTrainableRules = 1000
 
+  /** Max merges applied per corpus scan in [[train]]'s batched exact
+    * greedy. Bounds the expression depth of the one-projection merge
+    * application (each batched rule nests another `aggregate` fold),
+    * keeping the generated code well inside codegen limits. */
+  val MaxMergesPerScan = 8
+
   /** Train `nMerges` BPE merge rules. Returns (rules, segmented):
     * rules = (rank, s1, s2, merged, cnt) in training order; segmented
     * = the word-frequency relation with all merges applied — the
@@ -89,27 +95,46 @@ object Bpe {
     * when no pair reaches `minCount` (the remaining rule slots would
     * be noise).
     *
-    * SCALE CEILING — read before raising `nMerges`: each merge rank
-    * is a SEQUENTIAL driver-coordinated Spark job (one vocabulary-
-    * scale pair count + a 1-row argmax collect). That is inherent to
-    * exact BPE — rule i's counts depend on rule i−1's merge — so
-    * wall-clock grows linearly in the rule count no matter the
-    * cluster size. The 30-rule harness regime is fine; a production
-    * 32k-rule vocabulary would mean ~32k sequential jobs (days), and
-    * the right tool there is a single-machine trainer over the
-    * word-frequency relation this method already computes (it is
-    * vocabulary-scale, i.e. small — export `wordSymbols` and train
-    * locally). `MaxTrainableRules` (=1000) enforces that boundary
-    * loudly rather than letting a job queue for days. A distributed
-    * fix — batching non-overlapping merges per scan — changes the
-    * greedy order and therefore the trained vocabulary; it is
-    * deliberately not implemented. */
+    * SCALE SHAPE — batched exact greedy: naively each merge rank is
+    * one SEQUENTIAL driver-coordinated Spark job (one vocabulary-
+    * scale pair count + a 1-row argmax collect), because rule i's
+    * counts depend on rule i−1's merge. But a PREFIX of one round's
+    * stale ranking can be applied together without changing the
+    * greedy order, which cuts driver round trips up to
+    * [[MaxMergesPerScan]]×. Soundness argument (why the batch
+    * reproduces sequential greedy EXACTLY):
+    *
+    *  1. Collect the top B+1 stale pairs in the training total order
+    *     and accept the maximal pairwise-DISJOINT-symbol prefix,
+    *     stopping at the first pair that shares a symbol with any
+    *     accepted one (position k+1, count `stopCnt`). Disjoint
+    *     merges cannot touch each other's occurrences, so accepted
+    *     pair j's count is still exact after applying pairs 1..j−1.
+    *  2. Any pair whose count CAN change (conflicting stale pairs,
+    *     and brand-new pairs involving a merged symbol — a new pair's
+    *     occurrences embed occurrences of some conflicting stale
+    *     pair) is bounded by `stopCnt`, because every conflicting
+    *     pair sits at rank ≥ k+1 in the stale order.
+    *  3. Therefore sequential greedy at step j must pick accepted
+    *     pair j — UNLESS a changed pair could TIE its count and win
+    *     the (s1, s2) tie-break. Truncating the batch to members with
+    *     cnt STRICTLY greater than `stopCnt` eliminates that case.
+    *
+    * The first pair is always accepted, so a round makes ≥1 rule of
+    * progress and degenerates to the sequential loop only on
+    * adversarial all-overlapping rankings. BpeSpec pins the result
+    * rule-for-rule against a plain-Scala sequential trainer, so any
+    * batching bug fails a named test, not an eyeball. A production
+    * 32k-rule vocabulary is still better served by exporting the
+    * (small, vocabulary-scale) `wordSymbols` relation and training
+    * locally; `MaxTrainableRules` (=1000) enforces that boundary
+    * loudly rather than letting a job queue for hours. */
   def train(docs: DataFrame, nMerges: Int,
       minCount: Long = 2L): (DataFrame, DataFrame) = {
     require(nMerges > 0 && minCount >= 1)
     require(nMerges <= MaxTrainableRules,
       s"nMerges=$nMerges exceeds MaxTrainableRules=$MaxTrainableRules: " +
-        "BPE ranks are sequential driver-coordinated jobs; train large " +
+        "BPE ranks are driver-coordinated jobs; train large " +
         "vocabularies locally over the (small) wordSymbols relation")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -117,18 +142,49 @@ object Bpe {
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var done = false
-    var rank = 1L
-    while (rank <= nMerges && !done) {
+    while (rules.length < nMerges && !done) {
+      val budget = nMerges - rules.length
+      val batchCap = math.min(MaxMergesPerScan, budget)
+      // B+1 rows: B batch candidates + 1 to witness the stop count
+      // when the whole window is disjoint (bounded index metadata —
+      // the Similarity.ivfCentroids collect convention)
       val top = pairCounts(wf)
         .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
-        .limit(1).as[(String, String, Long)].collect()
-      if (top.isEmpty || top(0)._3 < minCount) done = true
+        .limit(batchCap + 1).as[(String, String, Long)].collect()
+      val live = top.takeWhile(_._3 >= minCount)
+      if (live.isEmpty) done = true
       else {
-        val (a, b, cnt) = top(0)
-        rules += ((rank, a, b, a + b, cnt))
-        wf = wf.withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint()
-        rank += 1L
+        // maximal disjoint prefix (step 1 of the soundness argument)
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var i = 0
+        var conflict = false
+        while (i < live.length && i < batchCap && !conflict) {
+          val (a, b, _) = live(i)
+          if (used.contains(a) || used.contains(b)) conflict = true
+          else { prefix += live(i); used += a; used += b; i += 1 }
+        }
+        // stop count: the first conflicting/overflow pair if any
+        // (steps 2–3 — strict inequality kills tie-break hazards)
+        val stopCnt =
+          if (i < top.length) Some(top(i)._3) else None
+        val accepted0 = stopCnt match {
+          case Some(c) => prefix.takeWhile(_._3 > c)
+          case None => prefix
+        }
+        // progress guarantee: rank 1 of the stale order IS the next
+        // sequential merge even when its count ties the stop count
+        val accepted =
+          if (accepted0.isEmpty) prefix.take(1) else accepted0
+        var seg = col("syms")
+        accepted.foreach { case (a, b, cnt) =>
+          rules += ((rules.length + 1L, a, b, a + b, cnt))
+          seg = applyMerge(seg, a, b)
+        }
+        wf = wf.withColumn("syms", seg).localCheckpoint()
+        if (live.length < top.length && accepted.length == live.length)
+          done = true // everything at or below minCount from here on
       }
     }
     (rules.toSeq.toDF("rank", "s1", "s2", "merged", "cnt"),

@@ -1161,6 +1161,8 @@ object CorpusOps {
     val ord = Seq(col("dsir_logratio").desc, col("doc_id").asc)
     val top = dsirLogRatios(docs, targetPred).orderBy(ord: _*).limit(n)
     top
+      // bounded window: ≤ n rows post-limit (the WindowExec single-
+      // partition warning in the bench tail is this k-row relation)
       .withColumn("rank",
         row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .select("rank", "doc_id", "n_tok", "dsir_logratio")

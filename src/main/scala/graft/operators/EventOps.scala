@@ -96,9 +96,18 @@ object EventOps {
     * volume gate. Two passes by construction (fences need the full
     * distribution before anything can be flagged): the |types|-row
     * fence relation broadcasts back onto the second scan. Fence
-    * arithmetic is the same IEEE double ops in both engines (the
-    * comparison runs on UNROUNDED fences; rounding happens only at
-    * output — the [[graft.operators.CorpusOps]] threshold rule); at
+    * arithmetic downstream of the quartiles is the same IEEE double
+    * ops in both engines (the comparison runs on UNROUNDED fences;
+    * rounding happens only at output — the
+    * [[graft.operators.CorpusOps]] threshold rule). HAZARD: the
+    * quartiles themselves are NOT engine-portable — Spark
+    * `percentile` and DuckDB `quantile_cont` both linearly
+    * interpolate, but the lerp expression tree differs, so a value
+    * sitting within 1 ulp of a fence can flip `n_outliers` across
+    * engines. The harness corpus has no such borderline value
+    * (oracle hash-green since r6); if one ever appears, move the
+    * fences to integer/fixed-point like this module's other
+    * thresholds. At
     * 100 TB swap `percentile` for the mergeable KLL sketch
     * ([[RelationalOps.orderValueQuantilesKll]]) and the first pass
     * loses its sort buffer. */

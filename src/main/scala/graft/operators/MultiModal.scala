@@ -115,6 +115,16 @@ object MultiModal {
     * Dataset path for API users. */
   def featureQuery(media: DataFrame): DataFrame =
     decodeFeatures(media).toDF()
+      // The integer-count recovery below is exact only while every bin
+      // count < 2^23 (float32 mantissa); a payload over ~8 MB could
+      // round to a wrong count SILENTLY. Fail loudly instead — the
+      // typed decodeFeatures path (no recovery) is the route for
+      // oversized media.
+      .withColumn("n_bytes", when(col("n_bytes") < (1 << 23),
+        col("n_bytes")).otherwise(raise_error(concat(
+          lit("featureQuery: payload too large for exact integer " +
+            "bin-count recovery (n_bytes >= 2^23): doc_id="),
+          col("doc_id").cast("string")))))
       .select(col("doc_id"), col("mime"),
         col("n_bytes").cast("long").as("n_bytes"),
         col("width").cast("long").as("width"),

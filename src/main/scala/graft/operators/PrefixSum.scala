@@ -44,7 +44,8 @@ object PrefixSum {
         Window.unboundedPreceding, -1)), lit(0L)))
     // per-partition totals -> exclusive offsets: a numPartitions-row
     // relation, so the unpartitioned cumsum window is over ~dozens of
-    // rows (the acceptable place for one), and the join is broadcast
+    // rows (the acceptable place for one — and the source of the
+    // harmless WindowExec single-partition warning), join broadcast
     val offsets = local.groupBy("__pid").agg(sum("__v").as("__pn"))
       .withColumn("__off",
         coalesce(sum("__pn").over(Window.orderBy("__pid")

@@ -99,6 +99,8 @@ object ProfileOps {
       .orderBy(ord: _*)
       .limit(k)
     top
+      // bounded window: ≤ k rows post-limit (source of a harmless
+      // WindowExec single-partition warning)
       .withColumn("rank",
         row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .select(col("rank"), col(key), col("cnt"), col("share_bp"))
@@ -154,6 +156,8 @@ object ProfileOps {
       .select(col("checkpoint"),
         least(col("checkpoint") * step, col("__n")).as("n_docs"),
         col("new_words"))
+      // bounded window: ≤ ⌈n_docs/step⌉ checkpoint rows, post-
+      // aggregation (harmless WindowExec single-partition warning)
       .withColumn("cum_words",
         sum("new_words").over(Window.orderBy("checkpoint")))
       .orderBy("checkpoint")

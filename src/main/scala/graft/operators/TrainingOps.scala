@@ -650,6 +650,8 @@ object TrainingOps {
     val granked = granked0.localCheckpoint()
     val offsets = granked.groupBy("bucket")
       .agg(count(lit(1)).as("__bn"))
+      // bounded window: exactly nBuckets rows (the WindowExec single-
+      // partition warning this emits is over that fixed-size relation)
       .withColumn("__boff",
         coalesce(sum("__bn").over(Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -24,6 +24,11 @@ object Tables {
     * when it narrows ns to its native µs timestamps, so the oracles
     * line up exactly); a timestamp `ts` passes through unchanged. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    // The NTZ→TIMESTAMP cast below is value-preserving ONLY under a
+    // UTC session; any other zone would silently shift every event
+    // time away from the DuckDB oracles. Pin it here (the one place
+    // that owns the cast) rather than trusting every entry point.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

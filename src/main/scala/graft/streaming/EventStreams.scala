@@ -86,8 +86,19 @@ object EventStreams extends Serializable {
     * and stream agree to the microsecond. */
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    // Same UTC pin as the batch reader (Tables.events): the declared-
+    // schema read of NTZ-encoded files is value-preserving only there.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(path).schema("ts").dataType
+    // The sniff is a batch read, which fails on a directory with no
+    // files yet — a legitimate streaming start state (files arrive
+    // later). Fall back to the declared µs schema then: every file
+    // this engine writes is µs, and a late-arriving nanos file would
+    // fail the stream loudly (schema mismatch), not silently shift.
+    val onDisk =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        eventSchema("ts").dataType }
     if (onDisk == LongType)
       spark.readStream
         .schema(rawEventSchema)

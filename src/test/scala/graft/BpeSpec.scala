@@ -129,6 +129,30 @@ class BpeSpec extends SparkSpec {
     assert(enc.filter(col("fertility_bp") < 10000L).isEmpty)
   }
 
+  test("batched rounds preserve exact greedy order under conflicts") {
+    // Adversarial for batching: stale ranking (a,b)=10, (b,</w>)=10,
+    // (c,d)=9 — rank 2 CONFLICTS with rank 1 (shares b) and ties its
+    // count, and after merging (a,b) the NEW pair (ab,</w>) cnt 10
+    // overtakes the disjoint (c,d). A batcher that skipped conflicts
+    // and kept (c,d) in the same round would emit rank 2 = (c,d);
+    // exact greedy demands (ab,</w>). Also exercises the strict-
+    // count truncation fallback (accepted prefix empties on the tie).
+    val text = (Seq.fill(5)("xab") ++ Seq.fill(5)("ab") ++
+      Seq.fill(9)("cd")).mkString(" ")
+    val docs = docsDf((1L, text))
+    val (wantRules, wantSyms) = refBpe(Seq(text), nMerges = 4,
+      minCount = 2L)
+    val (gotRulesDf, gotSegDf) = Bpe.train(docs, nMerges = 4)
+    assert(gotRulesDf.orderBy("rank").as[Rule].collect().toSeq
+      == wantRules)
+    assert(wantRules.map(r => (r._2, r._3)) ==
+      Seq(("a", "b"), ("ab", "</w>"), ("c", "d"), ("cd", "</w>")))
+    val gotSyms = gotSegDf.select("word", "syms")
+      .as[(String, Seq[String])].collect()
+      .map { case (w, s) => w -> s.toVector }.toMap
+    assert(gotSyms == wantSyms)
+  }
+
   test("minCount stops training early on a tiny corpus") {
     // every word unique -> every pair count 1 < minCount 2
     val (rules, _) = Bpe.train(docsDf((1L, "xy zw")), nMerges = 5,

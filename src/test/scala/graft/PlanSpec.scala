@@ -197,6 +197,35 @@ class PlanSpec extends SparkSpec {
       s"PMI scoring re-runs an explode lineage:\n$p")
   }
 
+  test("event transitions/gaps: per-user windows, never one partition") {
+    // the r6-restored event readers regressed silently once (ts
+    // encoding drift); these pins make a reader/plan regression fail
+    // a named test instead of a driver run
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val t = plan(graft.operators.EventOps.typeTransitions(ev))
+    assert(t.contains("Window"), s"transitions lost the lead window:\n$t")
+    assert(!t.contains("Exchange SinglePartition"),
+      s"per-user window funnels through one partition:\n$t")
+    assert(t.contains("partial_count"),
+      s"transition counts not partial-aggregated:\n$t")
+    val g = plan(graft.operators.EventOps.interArrival(ev))
+    assert(g.contains("Window") && !g.contains("Exchange SinglePartition"),
+      s"gap window must stay partitioned by (user, type):\n$g")
+    // the wide ts column stays out of the window sort: the projection
+    // under the window carries the µs long, not the timestamp
+    assert(g.contains("partial_count"),
+      s"gap stats not partial-aggregated:\n$g")
+  }
+
+  test("value outliers: |types|-row fences broadcast onto second scan") {
+    val p = plan(graft.operators.EventOps.valueOutliers(
+      graft.sources.Tables.events(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"fence relation must broadcast, not shuffle the events:\n$p")
+    assert(p.contains("partial_count"),
+      s"outlier counts not partial-aggregated:\n$p")
+  }
+
   test("bigram LM scores in one tokenize pass; buckets never re-derive it") {
     // lmBigramBits: unigrams (for V) and bigrams ride ONE tagged
     // explode; the LM relations read the vocabulary checkpoint, so
