@@ -240,6 +240,19 @@ object SparkEntry {
       Dedup.stopShingles(documents(s, dir), n = 3, maxDocFreq = 5L)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
+    // Which sources copy each other: exact pairs by count arithmetic
+    // (never materialized), near pairs from the capped Jaccard index.
+    // Planted mirror/re-delivery fixtures make BOTH halves bind (the
+    // raw corpus has no exact dups) — the oracle replays the plant.
+    // The FIXTURE is checkpointed: it is a 3-branch union of the same
+    // table, and the operator's five consumers would re-scan every
+    // branch (18 FileScans in ScanAudit). A production corpus is one
+    // table — the operator's own pass structure (documented in its
+    // scaladoc) is what holds at 100 TB; the checkpoint only stops
+    // harness scaffolding from tripling it.
+    "q_dedup_sources" -> ((s, dir) =>
+      Dedup.crossSourceDupMatrix(
+        Dedup.plantCrossSourceDups(documents(s, dir)).localCheckpoint())),
     // Weighted (frequency-vector) cosine twin of q_dedup_ngram:
     // integer dot/norms make it exactly SQL-reproducible.
     "q_dedup_ngram_cosine" -> ((s, dir) =>
@@ -1185,6 +1198,70 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Cross-source duplication matrix over the planted corpus: exact
+    // pairs from per-(md5, source) count arithmetic (c*(c-1)//2
+    // within, c_a*c_b across — integer both engines), near pairs from
+    // the capped-Jaccard pair relation attributed via least/greatest
+    // source normalization. The `aug` CTE replays the Spark-side
+    // plant: mirror copies of doc_id % 7 == 0 docs, same-source
+    // re-deliveries of doc_id % 13 == 0.
+    "q_dedup_sources" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, source FROM documents
+        |  WHERE doc_id % 13 = 0
+        |), fpc AS (
+        |  SELECT md5(text) AS fp, source, count(*)::BIGINT AS c
+        |  FROM aug GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT src_a, src_b, sum(np)::BIGINT AS n_exact_pairs FROM (
+        |    SELECT source AS src_a, source AS src_b,
+        |      c * (c - 1) // 2 AS np FROM fpc
+        |    UNION ALL
+        |    SELECT a.source, b.source, a.c * b.c
+        |    FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.source < b.source
+        |  ) GROUP BY 1, 2 HAVING sum(np) > 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM aug
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), keep AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+        |), shb AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |), nr AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b,
+        |    count(*)::BIGINT AS n_near_pairs
+        |  FROM jp JOIN aug da ON da.doc_id = jp.doc_a
+        |    JOIN aug db ON db.doc_id = jp.doc_b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT coalesce(ex.src_a, nr.src_a) AS src_a,
+        |  coalesce(ex.src_b, nr.src_b) AS src_b,
+        |  coalesce(n_exact_pairs, 0)::BIGINT AS n_exact_pairs,
+        |  coalesce(n_near_pairs, 0)::BIGINT AS n_near_pairs
+        |FROM ex FULL JOIN nr
+        |  ON ex.src_a = nr.src_a AND ex.src_b = nr.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // Frequency-vector cosine: integer tf products/norms (order-
     // independent sums), float only in the final sqrt/divide; the
     // df <= 1000 cap prunes the vector space identically in both

@@ -560,6 +560,93 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — the curation dashboard that
+    * tells you WHICH sources copy each other (a mirror re-crawled
+    * under a new name, a dataset aggregated into another) before you
+    * pick per-source sampling weights. One row per unordered source
+    * pair (src_a <= src_b), counting exact-duplicate pairs and
+    * near-duplicate (n-gram Jaccard >= `threshold`) pairs between
+    * them; within-source rows (src_a == src_b) report each source's
+    * internal duplication.
+    *
+    * Scale shape (100 TB): the exact half NEVER materializes a pair —
+    * it aggregates per-(fingerprint, source) counts (map-side
+    * combined, 16-byte keys) and turns them into pair counts by
+    * arithmetic: c*(c-1)/2 within a source, c_a*c_b across, via a
+    * per-fingerprint source list bounded by |sources|, not by copy
+    * count. Within- and cross-source entries ride ONE grouped lineage
+    * (a concat of two transforms, exploded once — a second consumer
+    * of the count relation would re-scan the corpus; ScanAudit is the
+    * regression guard), and the pair arithmetic stays integer
+    * end-to-end: shiftright(c*(c-1), 1) == c*(c-1)//2 exactly for
+    * non-negative counts at any magnitude a long holds. The near half
+    * rides [[ngramJaccard]]'s capped inverted index (its pair
+    * relation is output-scale, tiny vs the corpus) and joins two
+    * column-pruned (doc_id, source) scans — AQE broadcasts the pair
+    * side, and text never rides those joins. Total corpus passes: one
+    * fingerprint pass + ngramJaccard's two tokenize passes + two
+    * 2-column pruned scans; both halves meet in a
+    * |sources|^2-bounded full-outer join. */
+  def crossSourceDupMatrix(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, maxDocFreq: Long = 1000L): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val srcCounts = docs
+      .groupBy(fingerprintMd5(col("text")).as("fp"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("fp")
+      .agg(collect_list(struct(col("source"), col("c"))).as("sc"))
+    val exact = srcCounts
+      .select(explode(concat(
+        transform(col("sc"), e => struct(
+          e.getField("source").as("src_a"),
+          e.getField("source").as("src_b"),
+          shiftright(e.getField("c") * (e.getField("c") - 1), 1).as("np"))),
+        transform(pairsOf(array_sort(col("sc"))), p => struct(
+          p.getField("a").getField("source").as("src_a"),
+          p.getField("b").getField("source").as("src_b"),
+          (p.getField("a").getField("c") * p.getField("b").getField("c"))
+            .as("np"))))).as("e"))
+      .select(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"),
+        col("e.np").as("np"))
+      .groupBy("src_a", "src_b").agg(sum("np").as("n_exact_pairs"))
+      .filter(col("n_exact_pairs") > 0)
+    val near = ngramJaccard(docs, n, threshold, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"))
+      .join(srcOf.toDF("doc_a", "sa"), "doc_a")
+      .join(srcOf.toDF("doc_b", "sb"), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_near_pairs"))
+    exact.join(near, Seq("src_a", "src_b"), "full_outer")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Harness fixture for [[crossSourceDupMatrix]]: the raw corpus has
+    * no exact duplicates, so plant them deterministically — a
+    * synthetic "mirror" source re-hosting every doc_id % 7 == 0 doc
+    * (the aggregator-copies-everyone case: exact CROSS-source pairs
+    * bind for every source), plus a same-source re-delivery of every
+    * doc_id % 13 == 0 doc (WITHIN-source pairs bind). Integer
+    * arithmetic only, so a SQL oracle replays the plant exactly; same
+    * id-collision guard convention as [[splitIncremental]]. */
+  def plantCrossSourceDups(docs: DataFrame,
+      idOffset: Long = 1000000L): DataFrame = {
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    val maxId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
+    require(maxId < idOffset,
+      s"plantCrossSourceDups: max(doc_id)=$maxId >= idOffset=$idOffset — " +
+        "planted ids would collide with real ids; raise idOffset")
+    val mirrored = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("doc_id", col("doc_id") + idOffset)
+      .withColumn("source", lit("mirror"))
+    val redelivered = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("doc_id", col("doc_id") + 2 * idOffset)
+    docs.unionByName(mirrored).unionByName(redelivered)
+  }
+
   /** Incremental near-dup probe: (doc_batch, doc_base, jaccard) pairs
     * with exact n-gram Jaccard >= `threshold` between a new batch and
     * the base corpus. Candidates come from the batch's minhash band

@@ -261,6 +261,68 @@ class DedupSpec extends SparkSpec {
       s"$missed planted pairs straddled cells — centroid geometry broke")
   }
 
+  test("cross-source dup matrix: count arithmetic and attribution") {
+    // s1: two identical docs; s2: one exact copy of them + one
+    // near-dup; s3: unrelated. Exact pairs never materialize — the
+    // counts below are pure c*(c-1)/2 / c_a*c_b arithmetic.
+    val d = Seq(
+      (1L, base, "en", "s1", 10L),
+      (2L, base, "en", "s1", 10L),
+      (5L, base, "en", "s2", 10L),
+      (6L, base.replace("epsilon", "omega"), "en", "s2", 10L),
+      (7L, "one two three four five six seven eight nine ten", "en", "s3", 10L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.crossSourceDupMatrix(d, n = 3, threshold = 0.3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "s1", 1L, 1L),   // C(2,2)=1 exact; (1,2) near
+      ("s1", "s2", 2L, 4L),   // 2*1 exact; (1,5)(1,6)(2,5)(2,6) near
+      ("s2", "s2", 0L, 1L),   // (5,6) near only
+    ))
+  }
+
+  test("cross-source dup matrix equals brute force on planted sf0.001") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planted = Dedup.plantCrossSourceDups(corpus)
+    val got = Dedup.crossSourceDupMatrix(planted)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // brute force over the collected planted corpus
+    val rows = planted.select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect()
+    def sh(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val shs = rows.map { case (id, t, _) => id -> sh(t) }.toMap
+    val src = rows.map { case (id, _, s) => id -> s }.toMap
+    def key(a: Long, b: Long): (String, String) = {
+      val (x, y) = (src(a), src(b))
+      if (x <= y) (x, y) else (y, x)
+    }
+    val exact = rows.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).toSeq
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield key(ids(i), ids(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ids = rows.map(_._1).sorted
+    val near = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      sa = shs(a); sb = shs(b)
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.8
+    } yield key(a, b)).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = (exact.keySet ++ near.keySet).toSeq.sorted.map { k =>
+      (k._1, k._2, exact.getOrElse(k, 0L), near.getOrElse(k, 0L)) }
+    assert(got == expect)
+    // both halves bind: planted mirror copies create cross-source
+    // exact pairs, re-deliveries create within-source ones
+    assert(got.exists(r => r._1 != r._2 && r._3 > 0))
+    assert(got.exists(r => r._1 == r._2 && r._3 > 0))
+    assert(got.exists(_._4 > 0))
+  }
+
   test("embedding near-dup picks parallel vectors only") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
