@@ -38,7 +38,7 @@ object Plans {
       "q_token_budget", "q_dedup_weights", "q_snapshot_merge",
       "q_events_transitions", "q_events_gaps", "q_events_outliers",
       "q_lang_mix", "q_profile_drift", "q_rel_integrity",
-      "q_dedup_sample")
+      "q_dedup_sample", "q_dedup_sources")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
