@@ -696,6 +696,13 @@ object SparkEntry {
     // q_mix_budget's keep-while-under-budget window.
     "q_mix_temperature" -> ((s, dir) =>
       TrainingOps.temperatureMix(documents(s, dir), budget = 3000L)),
+    // UniMax mixing: uniform per-source budget waterfilling with a
+    // 2-epoch cap, budget = 1.8x the corpus's own token total so
+    // BOTH regimes bind at every harness scale (below-average
+    // sources hit the epoch cap, the rest split the remainder
+    // evenly, +1s distributed deterministically).
+    "q_mix_unimax" -> ((s, dir) =>
+      TrainingOps.unimaxMix(documents(s, dir))),
     // ---- DSIR-style importance weighting ----
     // Per-doc target-vs-raw unigram log-likelihood ratio (target =
     // the 'en' slice); exact integer counts, one rounded float.
@@ -3407,6 +3414,71 @@ object SparkEntry {
         |  (cum_before + n_tok)::BIGINT AS cum_tok
         |FROM c WHERE cum_before < b
         |ORDER BY source, cum_tok, doc_id""".stripMargin,
+    // UniMax waterfilling, closed form: sources ordered by cap
+    // ascending; the capped prefix is where cap_i*(L-i+1) <=
+    // B-prefix_{i-1} (monotone along that order), the rest split
+    // (B-capsum) evenly with the integer remainder handed +1 each to
+    // the first r uncapped sources. All-integer; the realization is
+    // q_mix_temperature's keep-while window plus quota DIV/MOD
+    // ntok_src full/partial epochs.
+    "q_mix_unimax" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, sum(n_tok)::BIGINT AS ntok_src FROM d GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(ntok_src)::BIGINT AS t_tok, count(*)::BIGINT AS l
+        |  FROM s
+        |), ord AS (
+        |  SELECT source, ntok_src, ntok_src * 2 AS cap, t_tok, l,
+        |    t_tok * 1800 // 1000 AS b,
+        |    row_number() OVER (ORDER BY ntok_src * 2, source) AS i,
+        |    sum(ntok_src * 2) OVER (ORDER BY ntok_src * 2, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prefix
+        |  FROM s CROSS JOIN tot
+        |), flags AS (
+        |  SELECT *, cap * (l - i + 1) <= b - (prefix - cap) AS capped
+        |  FROM ord
+        |), kk AS (
+        |  SELECT coalesce(sum(CASE WHEN capped THEN 1 END), 0)::BIGINT
+        |      AS k,
+        |    coalesce(sum(CASE WHEN capped THEN cap END), 0)::BIGINT
+        |      AS capsum
+        |  FROM flags
+        |), alloc AS (
+        |  SELECT source, ntok_src,
+        |    CASE WHEN capped THEN cap
+        |      ELSE (b - capsum) // (l - k) +
+        |        (CASE WHEN i - k <= (b - capsum) % (l - k)
+        |         THEN 1 ELSE 0 END)
+        |    END AS quota
+        |  FROM flags CROSS JOIN kk
+        |), per AS (
+        |  SELECT source,
+        |    CASE WHEN ntok_src = 0 THEN 0
+        |      ELSE quota // ntok_src END AS full_ep,
+        |    CASE WHEN ntok_src = 0 THEN 0
+        |      ELSE quota % ntok_src END AS part_quota
+        |  FROM alloc
+        |), c AS (
+        |  SELECT doc_id, source, n_tok, full_ep, part_quota,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d JOIN per USING (source)
+        |)
+        |SELECT doc_id, source, n_tok,
+        |  (full_ep + CASE WHEN cum_before < part_quota
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |FROM c
+        |WHERE full_ep + CASE WHEN cum_before < part_quota
+        |  THEN 1 ELSE 0 END > 0
+        |ORDER BY source, doc_id""".stripMargin,
     // DSIR: add-one-smoothed unigram log-likelihood ratio, target =
     // the 'en' slice; the constant total/vocab terms sit INSIDE the
     // sum so both engines aggregate the identical expression.

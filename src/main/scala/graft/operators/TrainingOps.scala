@@ -402,6 +402,82 @@ object TrainingOps {
       .orderBy("source", "cum_tok", "doc_id")
   }
 
+  /** UniMax mixture sampling (Chung et al. 2023): spread a token
+    * budget as UNIFORMLY as possible across sources, capping every
+    * source at `maxEpochs` passes — the fairer alternative to
+    * temperature sampling for multilingual/multi-source pretraining
+    * (no tail language is over-epoched, no head language starves the
+    * rest). The budget is RELATIVE — `budgetPerMille` thousandths of
+    * the corpus's own token total — so the binding structure is
+    * scale-invariant and the whole computation stays in-plan (a
+    * one-row broadcast carries the total; no driver collect, no
+    * config to keep in sync with the data).
+    *
+    * The greedy allocation has a closed form: order sources by cap
+    * ascending; a PREFIX of them is budget-capped (the condition
+    * cap_i*(L-i+1) <= B-prefix_{i-1} is monotone along that order),
+    * every later source gets the equal share (B-capsum) DIV (L-k),
+    * with the MOD remainder distributed one token each to the first
+    * r uncapped sources — integer end-to-end, so the oracle replays
+    * it exactly. Allocation windows run unpartitioned but over the
+    * |sources|-row relation (bounded, like ProfileOps' per-bucket
+    * windows) — never over docs.
+    *
+    * Realization: quota DIV ntok_src full passes over every doc of
+    * the source plus a partial pass — the same hash-permutation
+    * keep-while-under-budget window as [[tokenBudgetSample]],
+    * boundary doc kept. Output (doc_id, source, n_tok, n_copies>0):
+    * n_copies is the doc's multiplicity in the training mix; text
+    * never rides the windows. */
+  def unimaxMix(docs: DataFrame, budgetPerMille: Int = 1800,
+      maxEpochs: Int = 2): DataFrame = {
+    require(budgetPerMille > 0 && maxEpochs > 0)
+    val sized = docs.select(col("doc_id"), col("source"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"),
+        md5Hash60(col("doc_id").cast("string")).as("h"))
+      .localCheckpoint()
+    // |sources| rows; checkpointed so its two consumers (ranking and
+    // the one-row total) don't re-aggregate the corpus-scale rows
+    val src = sized.groupBy("source").agg(sum("n_tok").as("ntok_src"))
+      .localCheckpoint()
+    val tot = src.agg(sum("ntok_src").as("t_tok"),
+      count(lit(1)).as("l"))
+    val ordAsc = Window.orderBy(col("cap").asc, col("source").asc)
+    val ranked = src
+      .withColumn("cap", col("ntok_src") * maxEpochs)
+      .crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"t_tok * ${budgetPerMille}L DIV 1000"))
+      .withColumn("i", row_number().over(ordAsc).cast("long"))
+      .withColumn("prefix", sum("cap").over(
+        ordAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        col("cap") * (col("l") - col("i") + 1) <=
+          col("b") - (col("prefix") - col("cap")))
+    val caps = ranked.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("capsum"))
+    val perSrc = ranked.crossJoin(broadcast(caps))
+      .withColumn("quota", when(col("capped"), col("cap")).otherwise(
+        expr("(b - capsum) DIV (l - k) + " +
+          "CASE WHEN i - k <= (b - capsum) % (l - k) THEN 1 ELSE 0 END")))
+      .select(col("source"),
+        expr("CASE WHEN ntok_src = 0 THEN 0L " +
+          "ELSE quota DIV ntok_src END").as("full_ep"),
+        expr("CASE WHEN ntok_src = 0 THEN 0L " +
+          "ELSE quota % ntok_src END").as("part_quota"))
+    val selW = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    sized.join(broadcast(perSrc), "source")
+      .withColumn("cum_before",
+        coalesce(sum("n_tok").over(selW.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_copies", col("full_ep") +
+        when(col("cum_before") < col("part_quota"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_copies"))
+      .orderBy("source", "doc_id")
+  }
+
   // ---- span-corruption (denoising) prep ------------------------------
 
   /** T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4), made

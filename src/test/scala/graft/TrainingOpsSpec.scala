@@ -555,4 +555,85 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.map(_._1) == rows.indices.map(_.toLong))
     assert(rows.forall(_._3 == 0L))
   }
+
+  /** Scala witness of the UniMax waterfilling (sequential greedy, the
+    * definition the closed form must reproduce): sources ascending by
+    * cap; each takes min(cap, remaining DIV sourcesLeft), remainder
+    * +1s to the first takers among the uncapped. */
+  private def unimaxQuotas(ntok: Seq[(String, Long)], budget: Long,
+      maxEpochs: Int): Map[String, Long] = {
+    val byCap = ntok.map { case (s, n) => (s, n * maxEpochs) }
+      .sortBy { case (s, c) => (c, s) }
+    val capped = scala.collection.mutable.Map.empty[String, Long]
+    var rest = byCap
+    var remaining = budget
+    // peel off capped sources until every survivor takes the share
+    var changed = true
+    while (changed) {
+      changed = false
+      rest = rest.filter { case (s, c) =>
+        // c*|rest| <= remaining  ⟺  c <= remaining DIV |rest|
+        if (c <= remaining / rest.size) {
+          capped += s -> c; remaining -= c; changed = true; false
+        } else true
+      }
+    }
+    val share = if (rest.isEmpty) 0L else remaining / rest.size
+    val rem = if (rest.isEmpty) 0L else remaining % rest.size
+    val uncapped = rest.zipWithIndex.map { case ((s, _), j) =>
+      s -> (share + (if (j < rem) 1L else 0L)) }
+    capped.toMap ++ uncapped
+  }
+
+  test("unimaxMix: hand allocation — caps, even split, +1 remainder") {
+    // a:4 tokens, b:10, c:10 tokens; E=1; budget relative 80% of 24 =
+    // 19. Ascending caps: a(4): 4*3=12 <= 19 -> capped. Remaining 15
+    // over {b,c}: share 7 rem 1 -> b gets 8, c gets 7.
+    val d = Seq(
+      (1L, "t1 t2 t3 t4", "a"),
+      (2L, "u1 u2 u3 u4 u5", "b"), (3L, "u6 u7 u8 u9 u10", "b"),
+      (4L, "v1 v2 v3 v4 v5", "c"), (5L, "v6 v7 v8 v9 v10", "c"),
+    ).toDF("doc_id", "text", "source")
+    val got = TrainingOps.unimaxMix(d, budgetPerMille = 800, maxEpochs = 1)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val quota = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    // doc-level copies: a takes its full (single) epoch; b/c keep-
+    // while windows stop after the boundary doc of the partial pass
+    assert(quota == Map("a" -> 1L, "b" -> 2L, "c" -> 2L))
+    // token-level: per-source selected mass is quota to within the
+    // kept boundary doc
+    val mass = got.groupBy(_._2).view
+      .mapValues(g => g.map(r => r._3 * r._4).sum).toMap
+    val want = unimaxQuotas(Seq("a" -> 4L, "b" -> 10L, "c" -> 10L),
+      budget = 19L, maxEpochs = 1)
+    assert(want == Map("a" -> 4L, "b" -> 8L, "c" -> 7L))
+    for ((s, q) <- want)
+      assert(mass(s) >= q && mass(s) - q < 5L,
+        s"source $s mass ${mass(s)} vs quota $q (boundary overshoot only)")
+  }
+
+  test("unimaxMix: multi-epoch copies and witness parity on sf0.001") {
+    val got = TrainingOps.unimaxMix(corpus).collect()
+    assert(got.nonEmpty)
+    // witness: per-source token totals -> greedy waterfilling quotas
+    val ntok = corpus.select(col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("nt"))
+      .as[(String, Long)].collect().toSeq
+    val t = ntok.map(_._2).sum
+    val want = unimaxQuotas(ntok, t * 1800L / 1000L, maxEpochs = 2)
+    val mass = got.groupBy(_.getString(1)).view.mapValues(
+      _.map(r => r.getLong(2) * r.getLong(3)).sum).toMap
+    val maxDoc = corpus.select(max(size(split(trim(col("text")), "\\s+"))))
+      .head.getInt(0).toLong
+    for ((s, q) <- want if q > 0)
+      assert(mass(s) >= q && mass(s) - q <= maxDoc,
+        s"source $s mass ${mass(s)} vs quota $q")
+    // budget 1.8x total with a 2-epoch cap: every doc of a CAPPED
+    // source appears exactly twice (full quota = cap = 2 epochs)
+    val capped = want.filter { case (s, q) =>
+      q == ntok.toMap.apply(s) * 2 }.keySet
+    assert(got.filter(r => capped(r.getString(1)))
+      .forall(_.getLong(3) == 2L))
+  }
 }
