@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ZOrder
-import graft.operators.{AsofJoin, Bpe, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, WordCount}
+import graft.operators.{AsofJoin, Bpe, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, Unigram, WordCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,22 @@ object SparkEntry {
   private val bpeRulesCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, Seq[(String, String)]]()
+
+  /** Trained unigram-LM piece tables per dataset dir — the
+    * [[bpeRulesCache]] convention for the second tokenizer family:
+    * the trained table is a bounded |V|-row relation (index
+    * metadata), collected once and re-materialized per query. */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(String, Long, Long)]]()
+
+  private def cachedUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramCache.computeIfAbsent(dir, d =>
+      graft.operators.Unigram.train(documents(s, d))
+        .as[(String, Long, Long)].collect().toSeq)
+      .toDF("piece", "cnt", "w")
+  }
 
   /** Near-dup cluster relation per (application, dataset dir) — the
     * expensive shared upstream of FIVE queries (cc / corpus / split /
@@ -193,6 +209,22 @@ object SparkEntry {
           .as[(String, String)].collect().toSeq)
       Bpe.encode(documents(s, dir), rules)
     }),
+    // ---- unigram-LM (SentencePiece) tokenizer family ----
+    // The exact-SQL face: corpus-weighted substring (seed piece)
+    // counts, top 50 in the training total order (q_bpe_pairs' role).
+    "q_unigram_seed" -> ((s, dir) =>
+      Unigram.seedQuery(documents(s, dir))),
+    // Hard-EM trained piece table: argmax loop, rows-only like
+    // q_bpe_vocab (UnigramSpec pins piece-for-piece vs a plain-Scala
+    // trainer). Trained once per dataset (bpeRulesCache convention —
+    // a bounded |V|-row table, index metadata).
+    "q_unigram_vocab" -> ((s, dir) =>
+      cachedUnigram(s, dir).orderBy(col("cnt").desc, col("piece").asc)),
+    // Serving face: Viterbi-segment the distinct words with the
+    // trained table, broadcast back onto the token stream; rows-only
+    // (UnigramSpec pins segmentation parity + reconstruction).
+    "q_unigram_encode" -> ((s, dir) =>
+      Unigram.encode(documents(s, dir), cachedUnigram(s, dir))),
     // Gopher-style repetition filters: single-pass kernel, exact
     // integer outputs, integer cross-multiplied gate — fully oracled.
     "q_text_repetition" -> ((s, dir) =>
@@ -1137,6 +1169,27 @@ object SparkEntry {
         |SELECT s1, s2, sum(cnt)::BIGINT AS cnt
         |FROM p GROUP BY s1, s2
         |ORDER BY cnt DESC, s1, s2
+        |LIMIT 50""".stripMargin,
+    // Unigram-LM seed statistic: every substring up to 4 chars of
+    // every distinct word, weighted by word frequency — plain
+    // substring indexing both engines, integer counts, the training
+    // total order (cnt DESC, piece).
+    "q_unigram_seed" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |  GROUP BY word
+        |), sub AS (
+        |  SELECT unnest(flatten(list_transform(
+        |      range(1, length(word) + 1), i ->
+        |    list_transform(range(i, least(length(word), i + 3) + 1),
+        |      k -> substr(word, i, k - i + 1))))) AS piece, cnt
+        |  FROM w
+        |)
+        |SELECT piece, sum(cnt)::BIGINT AS cnt
+        |FROM sub GROUP BY piece
+        |ORDER BY cnt DESC, piece
         |LIMIT 50""".stripMargin,
     "q_span_corruption" ->
       """WITH t AS (
