@@ -891,6 +891,12 @@ object SparkEntry {
       MultiModal.frameSample(MultiModal.asMedia(documents(s, dir)))),
     "q_mm_features" -> ((s, dir) =>
       MultiModal.featureQuery(MultiModal.asMedia(documents(s, dir)))),
+    // Perceptual (dHash) image near-dup over the text payloads with
+    // planted one-character edits — the banded hamming pipeline the
+    // real-codec path (imageDHash, spec-tested on real PNGs) shares;
+    // fake-luma grid arithmetic is all floor division, SQL-replayed.
+    "q_mm_imagedup" -> ((s, dir) =>
+      MultiModal.imageDupQuery(documents(s, dir))),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -2230,6 +2236,59 @@ object SparkEntry {
         |  f.features_csv
         |FROM documents d JOIN f USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q_mm_imagedup: the fake-luma dHash is pure floor arithmetic on
+    // code points (8x9 box-average grid, adjacent-cell comparison
+    // bits), replayed cell for cell; the banded pair join equals this
+    // brute-force hamming <= 3 self-join exactly while no band bucket
+    // exceeds the cap (pigeonhole — the simhashPairsPortable
+    // argument, never binding at harness scale). `aug` replays the
+    // planted one-character edits.
+    "q_mm_imagedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 36) || 'Q' || substr(text, 38)
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), cpt AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      p -> ord(substr(text, p, 1))::BIGINT) AS cp
+        |  FROM aug WHERE length(text) >= 72
+        |), grid AS (
+        |  SELECT doc_id, flatten(list_transform(range(0, 8), r ->
+        |    list_transform(range(0, 9), c ->
+        |      list_sum(cp[
+        |        (r * len(cp)) // 8 + 1 +
+        |          (c * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9 :
+        |        (r * len(cp)) // 8 +
+        |          (((c+1) * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9)])
+        |      // (((c+1) * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9 -
+        |         (c * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9)))) AS g
+        |  FROM cpt
+        |), h AS (
+        |  -- bit 63 as the literal sign value: DuckDB checks 1 << 63
+        |  -- for signed overflow where Spark's shiftleft wraps; the
+        |  -- disjoint-bit sum is numerically identical either way
+        |  SELECT doc_id,
+        |    list_sum(flatten(list_transform(range(0, 8), r ->
+        |      list_transform(range(0, 8), c ->
+        |        CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1] THEN
+        |          CASE WHEN r * 8 + c = 63
+        |            THEN (-9223372036854775807 - 1)::BIGINT
+        |            ELSE 1::BIGINT << (r * 8 + c) END
+        |        ELSE 0::BIGINT END))))::BIGINT AS dhash
+        |  FROM grid
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // ---- corpus-curation extensions ----
     // Connected components via transitive min-label closure (recursive
     // CTE); candidate edges are the same n-gram Jaccard pairs as

@@ -298,4 +298,133 @@ object MultiModal {
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map(decode)
   }
+
+  // ---- perceptual near-dup (dHash) -----------------------------------
+
+  /** 64-bit difference hash (dHash) of a REAL decoded image — the
+    * standard perceptual near-dup fingerprint for image dedup
+    * (resize-, compression-, and small-edit-invariant where exact
+    * fingerprints are not): integer box-average the luma plane onto a
+    * 9x8 grid, bit r*8+c = 1 iff grid(r, c+1) > grid(r, c). All
+    * arithmetic is integer (the [[decodeImage]] BT.601 luma, exact
+    * box sums, floor division), so the hash is deterministic across
+    * JVMs. Requires >= 9x8 pixels (quarantine smaller upstream, the
+    * [[decodeImage]] rule). */
+  def imageDHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8 px, got ${w}x$h")
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      // the 9 box averages of this grid row
+      val row = new Array[Long](9)
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        row(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+        c += 1
+      }
+      c = 0
+      while (c < 8) {
+        if (row(c + 1) > row(c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Batched real dHash over image payloads — the
+    * [[decodeImageFeatures]] mapPartitions shape; returns
+    * (doc_id, dhash). */
+  def imageDHashes(media: DataFrame, batchSize: Int = 64,
+      parallelism: Option[Int] = None): DataFrame = {
+    import media.sparkSession.implicits._
+    val ds = media.filter(col("mime").startsWith("image/"))
+      .select("doc_id", "mime", "payload").as[MediaRow]
+    val balanced = parallelism.fold(ds)(n => ds.repartition(n))
+    balanced.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r =>
+        (r.doc_id, imageDHash(r.payload))))
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Near-dup pairs within `maxHamming` over a (doc_id, dhash)
+    * relation — [[Dedup.simhashPairs]]'s banded shape: 4 disjoint
+    * 16-bit bands guarantee (pigeonhole) every pair within
+    * maxHamming <= 3 shares an intact band; `maxBucket` skips
+    * degenerate buckets (a solid-color-image pile) instead of
+    * exploding B^2/2 pairs on one task. One shuffle of the 16-byte
+    * keyed rows; the corpus-scale payloads never pass this join. */
+  def dHashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < 4, "4 x 16-bit bands guarantee only hamming <= 3")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("dhash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "dhash", "band", "key")
+    banded.groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("dhash"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(graft.functions.ColumnOps.pairsOf(
+        array_sort(col("ds")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.dhash").bitwiseXOR(col("p.b.dhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dHash over the harness's TEXT payloads — the deterministic fake
+    * standing in for pixel luma (the [[FakeCodec]] convention: the
+    * synthetic corpus has no decodable images, so the "luma plane" is
+    * the character code-point sequence, box-averaged onto the same
+    * 8x9 grid with the same integer arithmetic). Exactly SQL — the
+    * DuckDB oracle replays every floor division — which gives the
+    * BANDED pair pipeline an oracled face the real-codec path shares
+    * structurally. The grid runs as the codegen'd
+    * [[graft.functions.TextDHash]] kernel (one JIT loop per row; the
+    * interpreted slice/aggregate formulation it replaced was 3x the
+    * whole query's cost). Texts shorter than 72 chars (grid
+    * underflow) are excluded, mirroring [[imageDHash]]'s >= 9x8 px
+    * rule. */
+  def textDHashes(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 72)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.TextDHash(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col("text")))).as("dhash"))
+
+  /** Harness fixture + query: perceptual near-dup pairs over the text
+    * payloads with planted one-character edits (doc_id % 5 == 0,
+    * re-keyed +1e6 — a tiny edit moves one box average, flipping at
+    * most a couple of comparison bits, the exact case dHash exists to
+    * catch; integer plant, SQL-replayable). */
+  def imageDupQuery(docs: DataFrame, idOffset: Long = 1000000L): DataFrame = {
+    val perturbed = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + idOffset)
+      .withColumn("text", concat(substring(col("text"), 1, 36), lit("Q"),
+        expr("substring(text, 38)")))
+    dHashPairs(textDHashes(docs.select("doc_id", "text")
+      .unionByName(perturbed.select("doc_id", "text"))))
+  }
 }

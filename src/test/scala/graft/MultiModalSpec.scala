@@ -136,6 +136,89 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("imageDHash: real PNGs — small edits stay within hamming 3, " +
+      "unrelated images differ, banded pairs find the planted family") {
+    val rnd = new scala.util.Random(42)
+    def noisyPng(seed: Int, w: Int = 36, h: Int = 32,
+        edit: Option[(Int, Int, Int)] = None): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, r.nextInt(0x1000000))
+      edit.foreach { case (x, y, rgb) => img.setRGB(x, y, rgb) }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val base = noisyPng(1)
+    // identical content re-encoded: hamming 0
+    assert(MultiModal.imageDHash(base) ==
+      MultiModal.imageDHash(noisyPng(1)))
+    // a single-pixel edit moves one box average: at most the two
+    // comparisons that box participates in can flip
+    val edited = noisyPng(1, edit = Some((17, 15, 0xffffff)))
+    val hamEdit = java.lang.Long.bitCount(
+      MultiModal.imageDHash(base) ^ MultiModal.imageDHash(edited))
+    assert(hamEdit <= 2)
+    // independent noise images land far apart (64 coin-flip bits)
+    val other = noisyPng(2)
+    assert(java.lang.Long.bitCount(
+      MultiModal.imageDHash(base) ^ MultiModal.imageDHash(other)) > 10)
+    // too small to grid → loud failure, the quarantine rule
+    intercept[Exception] {
+      MultiModal.imageDHash(noisyPng(3, w = 8, h = 8))
+    }
+    // distributed: batched hashes + banded pairs == brute force over
+    // a family of edited copies and unrelated noise
+    val imgs = (0 until 6).map(i =>
+      MediaRow(10L + i, "image/png",
+        noisyPng(7, edit = Some((i % 6 * 5, i % 4 * 7, 0x123456))))) ++
+      (0 until 4).map(i => MediaRow(50L + i, "image/png",
+        noisyPng(100 + i))) :+
+      MediaRow(99L, "audio/wav", Array[Byte](1, 2))
+    val hashes = MultiModal.imageDHashes(imgs.toDF(), batchSize = 3)
+    val got = MultiModal.dHashPairs(hashes)
+      .as[(Long, Long, Int)].collect().toSeq
+    val hs = hashes.as[(Long, Long)].collect().sortBy(_._1)
+    val brute = for {
+      i <- hs.indices; j <- i + 1 until hs.length
+      ham = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if ham <= 3
+    } yield (hs(i)._1, hs(j)._1, ham)
+    assert(got == brute.toSeq)
+    assert(got.nonEmpty, "edited family should produce near pairs")
+    rnd.nextInt() // keep the seeded rng referenced
+  }
+
+  test("textDHashes: SQL grid equals a plain-Scala dHash witness") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val got = MultiModal.textDHashes(
+      texts.toSeq.toDF("doc_id", "text")).as[(Long, Long)]
+      .collect().toMap
+    def witness(t: String): Long = {
+      val cp = t.map(_.toInt.toLong).toArray
+      val n = cp.length
+      var hash = 0L
+      for (r <- 0 until 8) {
+        val lo = r * n / 8; val hi = (r + 1) * n / 8
+        val m = hi - lo
+        val row = (0 until 9).map { c =>
+          val a = lo + c * m / 9; val b = lo + (c + 1) * m / 9
+          cp.slice(a, b).sum / (b - a)
+        }
+        for (c <- 0 until 8)
+          if (row(c + 1) > row(c)) hash |= 1L << (r * 8 + c)
+      }
+      hash
+    }
+    val eligible = texts.filter(_._2.length >= 72)
+    assert(got.keySet == eligible.map(_._1).toSet)
+    eligible.foreach { case (id, t) =>
+      assert(got(id) == witness(t), s"doc $id dhash diverged") }
+  }
+
   test("codec batch entry point sees decoder-sized batches") {
     val rows = (1L to 10L).map(i => MediaRow(i, "image/png", Array[Byte](i.toByte)))
     val batches = rows.iterator.grouped(4).map(_.size).toSeq
