@@ -312,6 +312,11 @@ object SparkEntry {
     // of training probability mass (SlimPajama economics).
     "q_dedup_weights" -> ((s, dir) =>
       Clustering.dedupWeightsFrom(cachedClusters(s, dir))),
+    // Family-size histogram over the same cached cluster relation —
+    // the duplication dashboard that picks between hard dedup, soft
+    // weights, and skew guards.
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      Clustering.clusterSizeHistogram(cachedClusters(s, dir))),
     // CDC changeset merge: upserts replace, deletes remove, untouched
     // rows pass through one broadcast anti-join — the snapshot never
     // shuffles.
@@ -2298,6 +2303,18 @@ object SparkEntry {
       s"""WITH RECURSIVE $NearDupClosureCtes
         |SELECT doc_id, cluster FROM cl
         |ORDER BY doc_id""".stripMargin,
+    // Family-size histogram: same closure, sizes per cluster, grouped
+    // by size; n_docs = size * families (derived, integer).
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes,
+        |fs AS (
+        |  SELECT cluster, count(*)::BIGINT AS family_size
+        |  FROM cl GROUP BY cluster
+        |)
+        |SELECT family_size, count(*)::BIGINT AS n_families,
+        |  (family_size * count(*))::BIGINT AS n_docs
+        |FROM fs GROUP BY family_size
+        |ORDER BY family_size""".stripMargin,
     // Survivors = nodes equal to their component min, payload joined
     // back; same recursive closure (shared CTEs) as q_dedup_cc.
     "q_dedup_corpus" ->

@@ -241,4 +241,19 @@ object Clustering {
         expr("10000 DIV family_size").as("weight_bp"))
       .orderBy("doc_id")
   }
+
+  /** Duplication dashboard: the near-dup family-size distribution —
+    * (family_size, n_families, n_docs) — the one-glance answer to
+    * "how duplicated is this corpus, and is it many small families or
+    * a few pathological ones" that decides between hard dedup, soft
+    * weights, and skew guards BEFORE any of them run. Two |clusters|-
+    * and |families|-row aggregations over the narrow (doc_id,
+    * cluster) relation; n_docs = size * families is derived, not a
+    * third pass. */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"))
+      .orderBy("family_size")
 }

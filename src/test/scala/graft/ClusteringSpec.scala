@@ -125,4 +125,22 @@ class ClusteringSpec extends SparkSpec {
     // the corpus HAS non-singleton families, so weights bind below 10000
     assert(rows.exists(_._4 < 10000L))
   }
+
+  test("clusterSizeHistogram: doc mass conserved, sizes match weights") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val clusters = Clustering.nearDupClusters(corpus).localCheckpoint()
+    val hist = Clustering.clusterSizeHistogram(clusters)
+      .as[(Long, Long, Long)].collect().toSeq
+    // ordered by size, every doc accounted for exactly once
+    assert(hist.map(_._1) == hist.map(_._1).sorted)
+    assert(hist.map(_._3).sum == corpus.count())
+    assert(hist.forall { case (s, f, d) => d == s * f })
+    // agrees with the family sizes dedupWeights reports
+    val bySize = Clustering.dedupWeightsFrom(clusters)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    hist.foreach { case (s, _, d) => assert(bySize(s) == d) }
+    // non-singleton families exist (the planted dup families)
+    assert(hist.exists(_._1 > 1))
+  }
 }

@@ -273,4 +273,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"|types|-row stats relation must broadcast:\n$p")
   }
+
+  test("cross-source matrix: pair-side joins broadcast the pruned " +
+      "(doc_id, source) scans; exact half is one grouped lineage") {
+    val p = plan(Dedup.crossSourceDupMatrix(documents(spark, sfDir)))
+    // near pairs are output-scale: both source-attribution joins must
+    // broadcast, never shuffle the corpus side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"source-attribution joins must broadcast:\n$p")
+    // the exact half's count arithmetic rides ONE grouped lineage —
+    // concat-explode, not a second aggregation over the corpus: the
+    // single-table corpus is scanned exactly 5x (fingerprints,
+    // ngramJaccard's two tokenize passes, two pruned source joins); a
+    // 6th scan means the within/cross halves split lineage again
+    assert("FileScan".r.findAllIn(p).size <= 5,
+      s"exact half re-aggregated the corpus:\n$p")
+  }
+
+  test("unimax: allocation windows only over the |sources| relation; " +
+      "per-source quotas broadcast back onto the doc stream") {
+    val p = plan(graft.operators.TrainingOps.unimaxMix(
+      documents(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source quota relation must broadcast:\n$p")
+    // the corpus-side selection window partitions by source — the only
+    // unpartitioned windows are the |sources|-row allocation ranking
+    assert(p.contains("windowspecdefinition(source"),
+      s"selection window must partition by source:\n$p")
+  }
+
+  test("dHash near-dup: codegen kernel in the scan projection, " +
+      "text never crosses the banding shuffle") {
+    val p = plan(graft.operators.MultiModal.textDHashes(
+      documents(spark, sfDir)))
+    assert(p.contains("graft_text_dhash"),
+      s"dHash must run as the codegen kernel:\n$p")
+    val pairs = plan(graft.operators.MultiModal.imageDupQuery(
+      documents(spark, sfDir)))
+    // the only exchanges carry (doc_id, dhash)-width rows: no text
+    // column may appear in an Exchange's output schema
+    val exchanges = pairs.split("\n").filter(_.contains("Exchange "))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"text rides a shuffle in:\n$pairs")
+  }
+
+  test("unigram encode: distinct-word segmentation joins back " +
+      "broadcast onto the token stream") {
+    val pieces = graft.operators.Unigram.train(documents(spark, sfDir))
+    val p = plan(graft.operators.Unigram.encode(
+      documents(spark, sfDir), pieces))
+    assert(p.contains("BroadcastHashJoin"),
+      s"segmented vocabulary must broadcast onto the token stream:\n$p")
+  }
 }
