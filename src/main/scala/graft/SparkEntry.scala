@@ -902,6 +902,18 @@ object SparkEntry {
     // fake-luma grid arithmetic is all floor division, SQL-replayed.
     "q_mm_imagedup" -> ((s, dir) =>
       MultiModal.imageDupQuery(documents(s, dir))),
+    // Incremental image-dedup mode: the perturbed plant arrives as a
+    // NEW batch probing the base corpus's materialized dHash band
+    // index — never re-pairing the base (the
+    // q_dedup_incr_minhash economics for the image modality).
+    "q_mm_imagedup_incr" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(substring(col("text"), 1, 36),
+          lit("Q"), expr("substring(text, 38)")))
+      MultiModal.dHashProbe(batch, d).orderBy("doc_batch", "doc_base")
+    }),
   )
 
   /** DuckDB oracle per query (same table names, same column aliases,
@@ -2294,6 +2306,55 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q_mm_imagedup_incr: same grid/plant arithmetic; the probe
+    // equals this brute-force batch x base hamming join exactly while
+    // no band bucket exceeds the cap (pigeonhole, as above).
+    "q_mm_imagedup_incr" ->
+      """WITH pert AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, 36) || 'Q' || substr(text, 38) AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), allh AS (
+        |  SELECT doc_id, CASE WHEN doc_id >= 1000000
+        |      THEN 'batch' ELSE 'base' END AS side, text
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT doc_id, text FROM pert)
+        |), cpt AS (
+        |  SELECT doc_id, side,
+        |    list_transform(range(1, length(text) + 1),
+        |      p -> ord(substr(text, p, 1))::BIGINT) AS cp
+        |  FROM allh WHERE length(text) >= 72
+        |), grid AS (
+        |  SELECT doc_id, side, flatten(list_transform(range(0, 8), r ->
+        |    list_transform(range(0, 9), c ->
+        |      list_sum(cp[
+        |        (r * len(cp)) // 8 + 1 +
+        |          (c * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9 :
+        |        (r * len(cp)) // 8 +
+        |          (((c+1) * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9)])
+        |      // (((c+1) * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9 -
+        |         (c * (((r+1) * len(cp)) // 8 -
+        |            (r * len(cp)) // 8)) // 9)))) AS g
+        |  FROM cpt
+        |), h AS (
+        |  SELECT doc_id, side,
+        |    list_sum(flatten(list_transform(range(0, 8), r ->
+        |      list_transform(range(0, 8), c ->
+        |        CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1] THEN
+        |          CASE WHEN r * 8 + c = 63
+        |            THEN (-9223372036854775807 - 1)::BIGINT
+        |            ELSE 1::BIGINT << (r * 8 + c) END
+        |        ELSE 0::BIGINT END))))::BIGINT AS dhash
+        |  FROM grid
+        |)
+        |SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
+        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+        |FROM h a JOIN h b ON a.side = 'base' AND b.side = 'batch'
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY doc_batch, doc_base""".stripMargin,
     // ---- corpus-curation extensions ----
     // Connected components via transitive min-label closure (recursive
     // CTE); candidate edges are the same n-gram Jaccard pairs as

@@ -414,6 +414,45 @@ object MultiModal {
             org.apache.spark.sql.graft.ColumnBridge.expression(
               col("text")))).as("dhash"))
 
+  private def bandKeys(h: org.apache.spark.sql.Column) =
+    array((0 until 4).map(j =>
+      shiftright(h, j * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  /** Incremental perceptual probe — the 100 TB operating mode for
+    * image dedup, mirroring [[Dedup.incrementalNearDupPairs]]: a new
+    * batch's dHashes probe the BASE corpus's materialized
+    * (band, key -> [(id, dhash)]) index instead of re-pairing the
+    * whole corpus; candidates verify with exact hamming. Every step
+    * is streaming-safe (stateless projections, a stream-static join,
+    * one output-bounded dropDuplicates), so the same code IS the
+    * streaming ingest face — StreamingSpec runs it over a file stream
+    * and pins batch equivalence. Returns (doc_batch, doc_base,
+    * hamming); callers order (batch mode only). */
+  def dHashProbe(batch: DataFrame, base: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < 4, "4 x 16-bit bands guarantee only hamming <= 3")
+    val baseIdx = textDHashes(base).toDF("doc_base", "dhash_base")
+      .select(col("doc_base"), col("dhash_base"),
+        posexplode(bandKeys(col("dhash_base"))))
+      .toDF("doc_base", "dhash_base", "band", "key")
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_base"), col("dhash_base")))
+        .as("bs"))
+      .filter(size(col("bs")) <= maxBucket)
+      .localCheckpoint(true)
+    textDHashes(batch).toDF("doc_batch", "dhash")
+      .select(col("doc_batch"), col("dhash"),
+        posexplode(bandKeys(col("dhash"))))
+      .toDF("doc_batch", "dhash", "band", "key")
+      .join(baseIdx, Seq("band", "key"))
+      .select(col("doc_batch"), col("dhash"), explode(col("bs")).as("b"))
+      .select(col("doc_batch"), col("b.doc_base").as("doc_base"),
+        bit_count(col("dhash").bitwiseXOR(col("b.dhash_base")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_batch", "doc_base")
+  }
+
   /** Harness fixture + query: perceptual near-dup pairs over the text
     * payloads with planted one-character edits (doc_id % 5 == 0,
     * re-keyed +1e6 — a tiny edit moves one box average, flipping at

@@ -189,6 +189,28 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-static dHash probe matches the batch probe") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the perturbed plant arrives as the streamed batch, split across
+    // micro-batches; the base keeps the originals
+    val batch = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(substring(col("text"), 1, 36),
+        lit("Q"), expr("substring(text, 38)")))
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dhash-stream").toString
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      graft.operators.MultiModal.dHashProbe(stream, corpus),
+      "append", "dhash_stream")
+    val want = graft.operators.MultiModal.dHashProbe(batch, corpus)
+    assert(want.count() > 0, "planted edits must probe-hit the base")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("streaming NB scoring matches the batch scorer row for row") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
