@@ -429,6 +429,18 @@ object SparkEntry {
       Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
         centroids = Some(cents))
     }),
+    // Fully-ORACLED IVF regime: injected axis-aligned centroids make
+    // cell assignment (first-argmax over (v[0], v[1], v[2])) and
+    // probe ranking closed-form SQL — the production
+    // serve-from-trained-index shape with exact answer checking (the
+    // q_dedup_semantic_cells convention). The approximation is still
+    // exercised: nProbe=2 of 3 cells cuts candidates, and the oracle
+    // models the identical cuts.
+    "q_ann_ivf_injected" -> ((s, dir) =>
+      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
+        nCells = 3, nProbe = 2,
+        centroids = Some(Array.tabulate(3)(k =>
+          Array.tabulate(64)(i => if (i == k) 1.0 else 0.0))))),
     // Per-label cohesion via the sum identity — the O(n^2) pairwise
     // mean cosine as one O(n*d) aggregation; oracled exactly (both
     // engines compute the identical identity, output rounded).
@@ -1570,6 +1582,46 @@ object SparkEntry {
         |    list_sum(list_transform(qv, x -> x * x)) AS na,
         |    list_sum(list_transform(v, x -> x * x)) AS nb
         |  FROM q JOIN e ON vec_id <> query_id
+        |), s AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // Injected-centroid IVF: dot(v, e_k) folds to v[k] (±0.0 terms
+    // collapse under comparison), first-argmax = the CASE ladder,
+    // probe ranking = (score DESC, cell ASC), then the exact cosine
+    // rerank over ONLY the probed cells' members — the oracle models
+    // the same candidate cuts the operator makes.
+    "q_ann_ivf_injected" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), cellq AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
+        |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        |), probes AS (
+        |  SELECT query_id, qv, cell FROM (
+        |    SELECT query_id, qv, u.c AS cell,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY qv[u.c + 1] DESC, u.c) AS r
+        |    FROM q, unnest([0, 1, 2]) AS u(c)
+        |  ) WHERE r <= 2
+        |), p AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM probes JOIN cellq USING (cell)
+        |  WHERE vec_id <> query_id
         |), s AS (
         |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
         |    row_number() OVER (PARTITION BY query_id
