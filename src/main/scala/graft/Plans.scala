@@ -38,7 +38,9 @@ object Plans {
       "q_token_budget", "q_dedup_weights", "q_snapshot_merge",
       "q_events_transitions", "q_events_gaps", "q_events_outliers",
       "q_lang_mix", "q_profile_drift", "q_rel_integrity",
-      "q_dedup_sample", "q_dedup_sources")
+      "q_dedup_sample", "q_dedup_sources", "q_mix_unimax",
+      "q_unigram_encode", "q_mm_imagedup", "q_mm_imagedup_incr",
+      "q_ann_ivf_injected", "q_dedup_cluster_sizes")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
