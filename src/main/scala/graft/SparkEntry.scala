@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ZOrder
-import graft.operators.{AsofJoin, Bpe, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, Unigram, WordCount}
+import graft.operators.{AsofJoin, Bpe, Clustering, CorpusOps, Dedup, EventOps, GraphOps, MultiModal, ProfileOps, RelationalOps, Salting, Similarity, TextOps, TrainingOps, Unigram, WordCount, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,15 @@ object SparkEntry {
     WordCount.byFrequency(
       documents(spark, "/root/testdata/sf0.001"), col("text"))
 
+  /** Injected multi-char pieces for q_wordpiece_encode — embedded
+    * verbatim in the DuckDB oracle below (the q_ann_ivf_injected
+    * convention), chosen so greedy longest-match binds at lengths
+    * 2–4 on the corpus vocabulary (bare-initial and `##`-continuation
+    * forms both exercised). */
+  private val WordPieceEncodePieces = Seq(
+    "ta", "##ble", "sc", "##an", "wind", "##ow", "val", "##ue",
+    "the", "##ast", "me")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+T2+A3/X4+O6+tie-break: the reference's frequency output.
@@ -209,6 +218,24 @@ object SparkEntry {
           .as[(String, String)].collect().toSeq)
       Bpe.encode(documents(s, dir), rules)
     }),
+    // ---- WordPiece (BERT) tokenizer family ----
+    // The exact-SQL face of the likelihood argmax: initial-
+    // symbolization pair counts joined to symbol totals, E12-quantized
+    // score cnt*10^12 DIV (c1*c2) in DECIMAL — integer both engines.
+    "q_wordpiece_pairs" -> ((s, dir) =>
+      WordPiece.scoredPairsQuery(documents(s, dir))),
+    // Trained rule table: sequential likelihood-argmax loop (scores
+    // move non-monotonically, so no BPE-style batching) — rows-only;
+    // WordPieceSpec pins rule-for-rule vs a plain-Scala trainer.
+    "q_wordpiece_vocab" -> ((s, dir) =>
+      WordPiece.train(documents(s, dir), nMerges = 20)),
+    // Greedy longest-match encode against corpus chars + INJECTED
+    // multi-char pieces — unlike BPE/unigram encode this is fully
+    // ORACLED: the greedy walk is a recursive CTE in DuckDB, the
+    // injected list embedded verbatim in both engines (the
+    // q_ann_ivf_injected convention).
+    "q_wordpiece_encode" -> ((s, dir) =>
+      WordPiece.encode(documents(s, dir), WordPieceEncodePieces)),
     // ---- unigram-LM (SentencePiece) tokenizer family ----
     // The exact-SQL face: corpus-weighted substring (seed piece)
     // counts, top 50 in the training total order (q_bpe_pairs' role).
@@ -272,6 +299,11 @@ object SparkEntry {
       Dedup.stopShingles(documents(s, dir), n = 3, maxDocFreq = 5L)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), n = 3, threshold = 0.8)),
+    // LOSSLESS scale path for exact Jaccard: AllPairs prefix filtering
+    // — candidates only from each doc's rarest-shingle prefix, answer
+    // provably identical to the uncapped run (shares its oracle).
+    "q_dedup_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(documents(s, dir), n = 3, threshold = 0.8)),
     // Which sources copy each other: exact pairs by count arithmetic
     // (never materialized), near pairs from the capped Jaccard index.
     // Planted mirror/re-delivery fixtures make BOTH halves bind (the
@@ -397,6 +429,14 @@ object SparkEntry {
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // Hybrid RAG retrieval: Reciprocal Rank Fusion of the BM25 leg
+    // (q_bm25's terms) and the dense cosine leg (query = vec 0) —
+    // both legs and the 1/(60+rank) fusion are closed-form, so the
+    // full stack is oracled end-to-end.
+    "q_retrieval_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(documents(s, dir), embeddings(s, dir),
+        terms = Seq("spark", "window", "scan"),
+        queryPred = col("vec_id") === 0)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
     // Semantic decontamination: corpus vectors within cosine 0.9 of
@@ -1205,6 +1245,101 @@ object SparkEntry {
         |FROM p GROUP BY s1, s2
         |ORDER BY cnt DESC, s1, s2
         |LIMIT 50""".stripMargin,
+    // WordPiece scoring kernel: BERT symbolization (first char bare,
+    // ## continuations), adjacent-pair counts joined to symbol
+    // totals, E12-quantized likelihood in HUGEINT — exact integers
+    "q_wordpiece_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents)
+        |  GROUP BY word
+        |), s AS (
+        |  SELECT cnt, list_transform(range(1, length(word) + 1),
+        |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+        |         ELSE '##' || substr(word, i, 1) END) AS syms
+        |  FROM w
+        |), p AS (
+        |  SELECT syms[i] AS s1, syms[i + 1] AS s2, cnt
+        |  FROM (SELECT syms, cnt,
+        |          unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM s)
+        |), pc AS (
+        |  SELECT s1, s2, sum(cnt)::BIGINT AS cnt FROM p GROUP BY s1, s2
+        |), sym AS (
+        |  SELECT sym, sum(c)::BIGINT AS c
+        |  FROM (SELECT unnest(syms) AS sym, cnt AS c FROM s)
+        |  GROUP BY sym
+        |)
+        |SELECT s1, s2, pc.cnt, a.c AS c1, b.c AS c2,
+        |  ((pc.cnt::HUGEINT * 1000000000000) //
+        |   (a.c::HUGEINT * b.c::HUGEINT))::BIGINT AS score_e12
+        |FROM pc JOIN sym a ON a.sym = pc.s1
+        |        JOIN sym b ON b.sym = pc.s2
+        |ORDER BY score_e12 DESC, s1, s2
+        |LIMIT 50""".stripMargin,
+    // WordPiece greedy longest-match encode: vocab = corpus chars +
+    // the injected literal pieces (kept in sync with
+    // WordPieceEncodePieces above); the greedy walk is the recursive
+    // CTE — LEFT JOIN miss = no vocab match at that position = the
+    // whole word [UNK], the standard WordPiece rule
+    "q_wordpiece_encode" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT unnest(regexp_extract_all(text, '\S+')) AS word
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(1, length(word) + 1),
+        |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+        |         ELSE '##' || substr(word, i, 1) END)) AS piece
+        |  FROM words
+        |  UNION
+        |  SELECT unnest(['ta', '##ble', 'sc', '##an', 'wind', '##ow',
+        |    'val', '##ue', 'the', '##ast', 'me']) AS piece
+        |), cand AS (
+        |  SELECT word, p, l,
+        |    CASE WHEN p = 1 THEN substr(word, p, l)
+        |         ELSE '##' || substr(word, p, l) END AS piece
+        |  FROM words,
+        |    unnest(generate_series(1, length(word))) AS t(p),
+        |    unnest(generate_series(1,
+        |      least(4, length(word) - p + 1))) AS u(l)
+        |), best AS (
+        |  SELECT word, p, arg_max(piece, l) AS piece, max(l) AS l
+        |  FROM cand JOIN vocab USING (piece)
+        |  GROUP BY word, p
+        |), walk AS (
+        |  SELECT word, 1::BIGINT AS pos,
+        |    CAST([] AS VARCHAR[]) AS pieces, false AS unk
+        |  FROM words
+        |  UNION ALL
+        |  SELECT w.word, w.pos + coalesce(b.l, 1),
+        |    CASE WHEN b.piece IS NULL THEN w.pieces
+        |         ELSE list_append(w.pieces, b.piece) END,
+        |    w.unk OR b.piece IS NULL
+        |  FROM walk w LEFT JOIN best b
+        |    ON b.word = w.word AND b.p = w.pos
+        |  WHERE w.pos <= length(w.word)
+        |), segs AS (
+        |  SELECT word,
+        |    CASE WHEN unk THEN ['[UNK]'] ELSE pieces END AS pieces, unk
+        |  FROM walk WHERE pos > length(word)
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, t[i + 1] AS word
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM documents),
+        |    unnest(range(len(t))) AS u(i)
+        |)
+        |SELECT doc_id,
+        |  string_agg(array_to_string(s.pieces, ' '), ' ' ORDER BY pos)
+        |    AS wp_text,
+        |  sum(len(s.pieces))::BIGINT AS n_pieces,
+        |  sum(CASE WHEN s.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+        |  count(*) AS n_tok,
+        |  ((sum(len(s.pieces)) * 10000) // count(*))::BIGINT AS fertility_bp
+        |FROM tok JOIN segs s USING (word)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Unigram-LM seed statistic: every substring up to 4 chars of
     // every distinct word, weighted by word frequency — plain
     // substring indexing both engines, integer counts, the training
@@ -1293,6 +1428,10 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Prefix-filtered AllPairs join: IDENTICAL answer to an uncapped
+    // exact-Jaccard run (the oracle only sees the answer — the
+    // prefix candidate cut is a plan property, pinned in DedupSpec)
+    "q_dedup_prefix" -> DedupNgramOracle,
     // Cross-source duplication matrix over the planted corpus: exact
     // pairs from per-(md5, source) count arithmetic (c*(c-1)//2
     // within, c_a*c_b across — integer both engines), near pairs from
@@ -1570,6 +1709,69 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // RRF fusion: the q_bm25 leg re-ranked at n=50, the
+    // q_ann_bruteforce leg for query vec 0 at n=50, full-outer merge,
+    // 1/(60+rank) sums — integer ranks, ≤2-term double sum, 6-dp round
+    "q_retrieval_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+        |          AS term FROM documents)
+        |  GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, term, tf,
+        |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+        |), fil AS (
+        |  SELECT *, count(*) OVER (PARTITION BY term) AS df
+        |  FROM dl WHERE term IN ('spark', 'window', 'scan')
+        |), sc AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(text, '\S+'))) AS n_tok_total
+        |  FROM documents
+        |), scored AS (
+        |  SELECT f.doc_id,
+        |    ln(1 + (sc.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |      * (f.tf * 2.2)
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
+        |           / (sc.n_tok_total::DOUBLE / sc.n_docs))) AS contrib
+        |  FROM fil f, sc
+        |), lex AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS lex_rank
+        |  FROM (SELECT doc_id, round(sum(contrib), 4) AS score
+        |        FROM scored GROUP BY doc_id
+        |        ORDER BY score DESC, doc_id ASC LIMIT 50)
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), q AS (SELECT v AS qv FROM e WHERE vec_id = 0
+        |), p AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM q, e WHERE vec_id <> 0
+        |), dense AS (
+        |  SELECT vec_id AS doc_id, rank AS vec_rank FROM (
+        |    SELECT vec_id, row_number() OVER (
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |    FROM p
+        |  ) WHERE rank <= 50
+        |), fused AS (
+        |  SELECT doc_id,
+        |    coalesce(lex_rank, 0) AS lex_rank,
+        |    coalesce(vec_rank, 0) AS vec_rank,
+        |    round(
+        |      CASE WHEN coalesce(lex_rank, 0) > 0
+        |        THEN 1.0 / (60.0 + lex_rank) ELSE 0.0 END +
+        |      CASE WHEN coalesce(vec_rank, 0) > 0
+        |        THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END, 6) AS rrf
+        |  FROM lex FULL JOIN dense USING (doc_id)
+        |)
+        |SELECT doc_id, lex_rank, vec_rank, rrf
+        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

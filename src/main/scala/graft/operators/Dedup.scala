@@ -155,6 +155,79 @@ object Dedup {
       .orderBy("shingle")
   }
 
+  /** Exact n-gram Jaccard pairs >= threshold via PREFIX FILTERING
+    * (AllPairs, Bayardo et al. WWW'07; the PPJoin family) — the
+    * LOSSLESS scale path where [[ngramJaccard]]'s df cap is lossy and
+    * [[minhashLsh]] is probabilistic. Returns the IDENTICAL answer to
+    * an uncapped [[ngramJaccard]] (same oracle — the plan-not-answer
+    * gate), but candidate generation only ever explodes each doc's
+    * PREFIX: its (len − ceil(t·len) + 1) globally-rarest shingles.
+    *
+    * Completeness (why no qualifying pair is missed): fix any global
+    * total order on shingles and write each set in that order. If two
+    * sets share NO token in their prefixes, then every common token
+    * lies in both suffixes, so |A∩B| ≤ min(|A|−p(A), |B|−p(B)) =
+    * min(ceil(t|A|), ceil(t|B|)) − 1 < t·max(|A|,|B|) ≤ t·|A∪B| — i.e.
+    * J(A,B) < t. Contrapositive: J ≥ t ⇒ some prefix token is shared.
+    * The order used is (document frequency ASC, shingle ASC) — rarest
+    * first, the AllPairs heuristic that makes prefixes collide as
+    * little as possible — computed per doc with one window over the
+    * df-joined index rows (no global rank relation: the lexicographic
+    * (df, shingle) key IS a total order, so ranks are never needed).
+    *
+    * Integer prefix arithmetic: ceil(t·len) is computed as
+    * (tN·len + 9999) DIV 10000 with tN = floor(t·10000). tN ≤ t·10000
+    * makes the computed ceiling a LOWER bound on ceil(t·len), so the
+    * prefix can only be longer than required — float rounding can cost
+    * a few extra candidates, never completeness (0.8·5 in IEEE double
+    * is 4.0000000000000002, whose ceil would over-shorten the prefix).
+    *
+    * Scale shape: df is a partial-aggregated count joined back onto
+    * the index (both sides (doc, shingle)-width); the per-doc sort is
+    * a doc_id-partitioned window; candidates = the prefix rows' self
+    * pair-emission per shingle (bounded by prefix length and shingle
+    * rarity, NOT full posting lists); verification joins candidates
+    * back to the full index on (doc, shingle) — |candidates|·|doc|
+    * rows, the honest AllPairs verify cost. No cap, no loss: the
+    * answer is exact at every scale, with skew bounded by the rarity
+    * order (a boilerplate shingle has huge df, so it lands in nobody's
+    * prefix). */
+  def ngramJaccardPrefix(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs 0 < t <= 1, got $threshold")
+    val tN = math.floor(threshold * 10000).toLong
+    val idx = shingleSets(docs, n)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+    val df = idx.groupBy("shingle").agg(count("*").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = idx.join(df, "shingle")
+      .withColumn("__pos", row_number().over(w))
+      // p = len − ceil(t·len) + 1, via the under-approximated tN
+      .filter(col("__pos") <=
+        col("n_sh") - expr(s"($tN * n_sh + 9999) DIV 10000") + lit(1L))
+      .select("doc_id", "n_sh", "shingle")
+    val cand = prefix.toDF("doc_a", "na", "shingle")
+      .join(prefix.toDF("doc_b", "nb", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "na", "nb").distinct()
+    val full = idx.select("doc_id", "shingle")
+    cand
+      .join(full.toDF("doc_a", "shingle"), "doc_a")
+      .join(full.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count("*").as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Weighted near-dup pairs: cosine similarity over n-gram FREQUENCY
     * vectors (vs [[ngramJaccard]]'s set semantics — repetition-heavy
     * docs that share the same grams at different multiplicities score

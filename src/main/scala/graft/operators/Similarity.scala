@@ -84,6 +84,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al.
+    * SIGIR'09) of a lexical BM25 ranking and a dense cosine ranking:
+    * the standard production RAG retrieval stack, where each leg
+    * catches what the other misses (BM25 the exact-term matches dense
+    * embeddings wash out, dense the paraphrases BM25 cannot see).
+    * Each doc's fused score is Σ_legs 1/(rrfK + rank), summed over
+    * the legs that ranked it (a doc absent from a leg contributes
+    * nothing there — standard RRF).
+    *
+    * Scale shape: each leg is its own already-scale-shaped operator
+    * ([[CorpusOps.bm25]]: one tokenize lineage, scalars broadcast;
+    * [[bruteForceTopK]]: corpus streamed past the broadcast query —
+    * at 100 TB the dense leg swaps in [[lshTopK]]/[[ivfTopK]]
+    * candidates with no change here). The fusion itself touches only
+    * the two ≤ n-row top lists — bounded relations, so the
+    * unpartitioned rank windows and the full-outer merge are all
+    * k-row work (the PrefixSum bounded-window convention).
+    *
+    * Dense-side ids are `vec_id` = `doc_id` (the testdata contract:
+    * embeddings cover a prefix of the corpus — docs without a vector
+    * simply never appear in the dense leg, as in any deployment where
+    * the dense index lags the corpus). Absent ranks surface as 0 in
+    * the output (ranks are 1-based) so the row stays scalar-typed for
+    * the harness compare. Cross-engine exactness: ranks are integers;
+    * 1/(rrfK+rank) and the ≤2-term sum are identical IEEE doubles on
+    * both engines, rounded at 6 dp before the final cut. */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+      queryPred: Column, k: Int = 20, n: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    // bounded window: ≤ n rows post-limit (bm25 already cut to n)
+    val lex = CorpusOps.bm25(docs, terms, k = n)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = bruteForceTopK(embs, queryPred, n)
+      .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf", round(
+        when(col("lex_rank") > 0,
+          lit(1.0) / (lit(rrfK.toDouble) + col("lex_rank"))).otherwise(0.0) +
+        when(col("vec_rank") > 0,
+          lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank"))).otherwise(0.0),
+        6)).orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+      .orderBy("doc_id")
+  }
+
   /** Semantic eval-set decontamination: every corpus vector whose
     * embedding cosine against ANY benchmark vector (selected by
     * `benchPred`) reaches `minCos` — the paraphrase-level leakage the

@@ -41,6 +41,35 @@ class DedupSpec extends SparkSpec {
     assert(exact.count() > 0, "corpus should contain planted near-dups")
   }
 
+  test("prefix-filtered AllPairs == uncapped exact Jaccard; boundary pair found") {
+    // planted boundary: B = A minus its first word -> 5 vs 4 trigrams
+    // sharing 4, J = 4/5 = 0.8 EXACTLY. If the prefix arithmetic ever
+    // over-shortened (the IEEE ceil(0.8*5)=5 hazard the integer DIV
+    // avoids), this is the pair that would vanish.
+    val boundary = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7", "en", "s", 20L),
+      (11L, "w2 w3 w4 w5 w6 w7", "en", "s", 17L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fix = docs.unionByName(boundary)
+    val exactF = Dedup.ngramJaccard(fix, n = 3, threshold = 0.8,
+      maxDocFreq = 0L)
+    val prefF = Dedup.ngramJaccardPrefix(fix, n = 3, threshold = 0.8)
+    assert(prefF.exceptAll(exactF).isEmpty && exactF.exceptAll(prefF).isEmpty)
+    assert(prefF.as[(Long, Long, Double)].collect()
+      .contains((10L, 11L, 0.8)), "the J = 0.8 boundary pair must survive")
+    // and on the real corpus, at a lower threshold too (longer prefixes)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (t <- Seq(0.8, 0.5)) {
+      val exact = Dedup.ngramJaccard(corpus, n = 3, threshold = t,
+        maxDocFreq = 0L)
+      val pref = Dedup.ngramJaccardPrefix(corpus, n = 3, threshold = t)
+      assert(exact.exceptAll(pref).isEmpty && pref.exceptAll(exact).isEmpty,
+        s"prefix join must equal uncapped exact at t=$t")
+    }
+    assert(Dedup.ngramJaccardPrefix(corpus, n = 3, threshold = 0.8)
+      .count() > 0, "corpus should contain planted near-dups")
+  }
+
   test("ngram cosine: identical pair at 1.0; equals brute force on sf0.001") {
     val got = Dedup.ngramCosine(docs, n = 3, threshold = 0.3)
       .as[(Long, Long, Double)].collect().toSeq

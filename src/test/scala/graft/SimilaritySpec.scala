@@ -29,6 +29,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r._2 - 1.0) < 1e-9)
   }
 
+  test("hybrid RRF fuses the bm25 and dense legs with exact arithmetic") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val terms = Seq("spark", "window", "scan")
+    val fused = Similarity.hybridRrf(corpus, vecs, terms,
+      col("vec_id") === 0, k = 20, n = 50)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fused.nonEmpty && fused.size <= 20)
+    // recompute both legs independently and verify every fused row
+    val lex = graft.operators.CorpusOps.bm25(corpus, terms, k = 50)
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val dense = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, k = 50)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toMap
+    fused.foreach { case (id, lr, vr, rrf) =>
+      assert(lr == lex.getOrElse(id, 0L), s"lex rank mismatch for $id")
+      assert(vr == dense.getOrElse(id, 0L), s"dense rank mismatch for $id")
+      val want = (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+        (if (vr > 0) 1.0 / (60 + vr) else 0.0)
+      assert(math.abs(rrf - want) < 5e-7, s"rrf mismatch for $id")
+      assert(lr > 0 || vr > 0, "a fused doc must appear in >= 1 leg")
+    }
+    // the output IS the global top-k of the fused score over both legs
+    val allIds = (lex.keySet ++ dense.keySet).toSeq
+    val want = allIds.map { id =>
+      val lr = lex.getOrElse(id, 0L); val vr = dense.getOrElse(id, 0L)
+      val s = (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+        (if (vr > 0) 1.0 / (60 + vr) else 0.0)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1).sorted
+    assert(fused.map(_._1).sorted.toSeq == want.toSeq)
+  }
+
   test("brute-force top-k returns exact ranking for a known geometry") {
     val got = Similarity.bruteForceTopK(embs, col("vec_id") === 0L, k = 3)
       .as[(Long, Long, Double, Long)].collect().toSeq
