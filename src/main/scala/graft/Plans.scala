@@ -40,7 +40,9 @@ object Plans {
       "q_lang_mix", "q_profile_drift", "q_rel_integrity",
       "q_dedup_sample", "q_dedup_sources", "q_mix_unimax",
       "q_unigram_encode", "q_mm_imagedup", "q_mm_imagedup_incr",
-      "q_ann_ivf_injected", "q_dedup_cluster_sizes")
+      "q_ann_ivf_injected", "q_dedup_cluster_sizes",
+      "q_wordpiece_pairs", "q_wordpiece_encode", "q_dedup_prefix",
+      "q_retrieval_rrf")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -325,4 +325,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"segmented vocabulary must broadcast onto the token stream:\n$p")
   }
+
+  test("prefix AllPairs: per-doc rarity window partitions by doc_id; " +
+      "no cartesian anywhere") {
+    val p = plan(Dedup.ngramJaccardPrefix(
+      documents(spark, sfDir), n = 3, threshold = 0.8))
+    // the prefix-selection window is per-doc — a lost partitioning
+    // here is the single-partition catastrophe at corpus scale
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"prefix window must partition by doc_id:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay a shingle equi-join:\n$p")
+  }
+
+  test("wordpiece encode: vocab probe and segmentations broadcast; " +
+      "wordpiece pairs: symbol totals broadcast onto the pair relation") {
+    val enc = plan(graft.operators.WordPiece.encode(
+      documents(spark, sfDir), Seq("ta", "##ble")))
+    // two broadcast joins: candidate substrings x vocab, and the
+    // distinct-word segmentations back onto the exploded token stream
+    assert("BroadcastHashJoin".r.findAllIn(enc).size >= 2,
+      s"vocab + segmentation joins must broadcast:\n$enc")
+    assert(!enc.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the encode path:\n$enc")
+    val pairs = plan(graft.operators.WordPiece.scoredPairsQuery(
+      documents(spark, sfDir)))
+    assert("BroadcastHashJoin".r.findAllIn(pairs).size == 2,
+      s"both symbol-total joins must broadcast:\n$pairs")
+  }
+
+  test("hybrid RRF: each leg stays its own scale shape — one corpus " +
+      "tokenize on the lexical side, broadcast query on the dense side") {
+    val p = plan(Similarity.hybridRrf(
+      documents(spark, sfDir), embeddings(spark, sfDir),
+      terms = Seq("spark", "window", "scan"),
+      queryPred = col("vec_id") === 0))
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      s"bm25 leg must tokenize the corpus exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"dense leg must broadcast the query vector:\n$p")
+    // the fusion merge touches only the two <= n-row top lists: both
+    // legs are cut by a limit BEFORE the full-outer join
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"),
+      s"legs must be limited before fusion:\n$p")
+  }
 }
