@@ -42,7 +42,8 @@ object Plans {
       "q_unigram_encode", "q_mm_imagedup", "q_mm_imagedup_incr",
       "q_ann_ivf_injected", "q_dedup_cluster_sizes",
       "q_wordpiece_pairs", "q_wordpiece_encode", "q_dedup_prefix",
-      "q_retrieval_rrf")
+      "q_retrieval_rrf", "q_ann_hamming", "q_embed_mrl",
+      "q_phrase_search", "q_phrase_prox")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -429,6 +429,22 @@ object SparkEntry {
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // 1-bit sign quantization: the 32x-smaller index relation itself
+    // (packed 32-bit words as CSV — exact integers both engines).
+    "q_embed_binary" -> ((s, dir) =>
+      Similarity.binaryQuantizeQuery(embeddings(s, dir))),
+    // Hamming-candidate ANN + exact rerank: deterministic at every
+    // step, so fully ORACLED (hamming over sign bits == the
+    // sign-disagreement count DuckDB computes straight off the
+    // floats — no packed words cross engines).
+    "q_ann_hamming" -> ((s, dir) =>
+      Similarity.hammingTopK(embeddings(s, dir), col("vec_id") < 5,
+        k = 10, m = 50)),
+    // Matryoshka truncation audit: recall@10 of each prefix-dim
+    // ranking vs full-dim, integer basis points per (dim, query).
+    "q_embed_mrl" -> ((s, dir) =>
+      Similarity.mrlRecall(embeddings(s, dir), dims = Seq(8, 16, 32),
+        col("vec_id") < 20, k = 10)),
     // Hybrid RAG retrieval: Reciprocal Rank Fusion of the BM25 leg
     // (q_bm25's terms) and the dense cosine leg (query = vec 0) —
     // both legs and the 1/(60+rank) fusion are closed-form, so the
@@ -599,6 +615,21 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       CorpusOps.bm25(documents(s, dir),
         terms = Seq("spark", "window", "scan"))),
+    // ---- positional retrieval: postings / phrase / proximity ----
+    // The index artifact: term -> ordered position postings.
+    "q_phrase_postings" -> ((s, dir) =>
+      CorpusOps.positionalPostings(documents(s, dir),
+        terms = Seq("window", "fast", "query"))),
+    // Exact consecutive-phrase match, join-free via lead() offsets
+    // (the oracle is the classic positional self-join — plan-not-
+    // answer: same rows, Spark runs ONE tokenize + ONE window).
+    "q_phrase_search" -> ((s, dir) =>
+      CorpusOps.phraseSearch(documents(s, dir),
+        phrase = Seq("window", "fast", "query"))),
+    // Proximity co-occurrence via one RANGE-frame window.
+    "q_phrase_prox" -> ((s, dir) =>
+      CorpusOps.proximitySearch(documents(s, dir),
+        anchor = "hash", near = "row", window = 3)),
     // C4-style boilerplate line removal. The synthetic corpus is
     // single-line, so the harness derives a lined twin first (newline
     // after every " value " — plain left-to-right substring replace,
@@ -1793,6 +1824,104 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // 1-bit sign quantization: identical 32-bit-word packing replayed
+    // with shift-and-add — bit 31 = 2^31 stays far from the BIGINT
+    // sign bit, so both engines build identical non-negative integers
+    "q_embed_binary" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(range(0, 2), wd ->
+        |    (list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN wd * 32 + i < 64
+        |             AND embedding[wd * 32 + i + 1] >= 0
+        |        THEN (1::BIGINT << i) ELSE 0::BIGINT END)))::BIGINT
+        |      ::VARCHAR), ',') AS bits_csv,
+        |  list_sum(list_transform(embedding, x ->
+        |    CASE WHEN x >= 0 THEN 1 ELSE 0 END))::BIGINT AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Hamming-candidate ANN: hamming over sign bits == the
+    // sign-disagreement count, computed here straight off the floats;
+    // then the exact-cosine rerank in the bruteforce oracle's idiom
+    "q_ann_hamming" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS f,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, f AS qf, v AS qv
+        |  FROM e WHERE vec_id < 5
+        |), h AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN (f[i] >= 0) <> (qf[i] >= 0) THEN 1 ELSE 0
+        |      END))::BIGINT AS hamming
+        |  FROM e, q WHERE vec_id <> query_id
+        |), cand AS (
+        |  SELECT query_id, vec_id, hamming FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS hr FROM h)
+        |  WHERE hr <= 50
+        |), p AS (
+        |  SELECT c.query_id, c.vec_id, c.hamming,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM cand c JOIN e USING (vec_id) JOIN q USING (query_id)
+        |), s AS (
+        |  SELECT query_id, vec_id, hamming,
+        |    dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, hamming, round(cos, 4) + 0.0 AS cos,
+        |  rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // Matryoshka truncation audit: each tier's cosine over the
+    // shared prefix, rank per (query, tier), integer overlap vs the
+    // tier-0 (full-dim) set — recall_bp is exact integer arithmetic
+    "q_embed_mrl" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+        |), tiers(trunc_dim) AS (VALUES (0), (8), (16), (32)
+        |), sc AS (
+        |  SELECT t.trunc_dim, query_id, vec_id,
+        |    list_sum(list_transform(range(1,
+        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
+        |             ELSE t.trunc_dim + 1 END),
+        |      i -> qv[i] * v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1,
+        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
+        |             ELSE t.trunc_dim + 1 END),
+        |      i -> qv[i] * qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1,
+        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
+        |             ELSE t.trunc_dim + 1 END),
+        |      i -> v[i] * v[i])))) AS cos
+        |  FROM e, q, tiers t WHERE vec_id <> query_id
+        |), topk AS (
+        |  SELECT trunc_dim, query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id, trunc_dim
+        |      ORDER BY cos DESC, vec_id) AS r FROM sc)
+        |  WHERE r <= 10
+        |), full_set AS (
+        |  SELECT query_id, vec_id FROM topk WHERE trunc_dim = 0
+        |)
+        |SELECT t.trunc_dim, t.query_id,
+        |  sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    ::BIGINT AS overlap,
+        |  ((sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 10000) // 10)::BIGINT AS recall_bp
+        |FROM topk t LEFT JOIN full_set f
+        |  ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        |WHERE t.trunc_dim <> 0
+        |GROUP BY t.trunc_dim, t.query_id
+        |ORDER BY t.trunc_dim, t.query_id""".stripMargin,
     // Injected-centroid IVF: dot(v, e_k) folds to v[k] (±0.0 terms
     // collapse under comparison), first-argmax = the CASE ladder,
     // probe ranking = (score DESC, cell ASC), then the exact cosine
@@ -2879,6 +3008,54 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score
         |FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, term""".stripMargin,
+    // Positional postings for the phrase terms: ordered CSV positions
+    "q_phrase_postings" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, t[i + 1] AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM documents),
+        |    unnest(range(len(t))) AS u(i)
+        |)
+        |SELECT term, doc_id, count(*)::BIGINT AS n_occ,
+        |  array_to_string(list_transform(list_sort(list(pos)),
+        |    p -> p::VARCHAR), ',') AS positions_csv
+        |FROM tok WHERE term IN ('window', 'fast', 'query')
+        |GROUP BY term, doc_id
+        |ORDER BY term, doc_id""".stripMargin,
+    // Exact phrase match: the classic positional self-join — the
+    // Spark side answers identically from ONE tokenize + ONE window
+    // (lead offsets), the plan-not-answer gate
+    "q_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, t[i + 1] AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM documents),
+        |    unnest(range(len(t))) AS u(i)
+        |)
+        |SELECT a.doc_id, count(*)::BIGINT AS n_hits,
+        |  min(a.pos)::BIGINT AS first_pos
+        |FROM tok a
+        |JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |WHERE a.term = 'window' AND b.term = 'fast'
+        |  AND c.term = 'query'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
+    // the join form; Spark reads the same counts off one RANGE window
+    "q_phrase_prox" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, t[i + 1] AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM documents),
+        |    unnest(range(len(t))) AS u(i)
+        |)
+        |SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS n_anchors,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM tok a
+        |JOIN tok b ON b.doc_id = a.doc_id
+        |  AND abs(b.pos - a.pos) <= 3 AND b.term = 'row'
+        |WHERE a.term = 'hash'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "q_bm25" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf

@@ -154,6 +154,84 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---- positional retrieval: postings, phrase, proximity -------------
+
+  /** Positional posting lists for the given terms: the materialized
+    * inverted-index slice a phrase/proximity engine serves from.
+    * One corpus scan (posexplode), term filter pushed into it, one
+    * grouped aggregation; positions surface as an ordered CSV (the
+    * mm_features scalar-column convention). At 100 TB this relation —
+    * partitioned by term — IS the index artifact: build it once,
+    * write it bucketed by term, and [[phraseSearch]]-style queries
+    * probe it without touching the corpus. */
+  def positionalPostings(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text")))
+        .as(Seq("pos", "term")))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count("*").as("n_occ"),
+        array_join(transform(sort_array(collect_list(col("pos"))),
+          p => p.cast("string")), ",").as("positions_csv"))
+      .orderBy("term", "doc_id")
+  }
+
+  /** Exact phrase search — every document containing the words of
+    * `phrase` CONSECUTIVELY, with occurrence count and first match
+    * position. Formulated JOIN-FREE: one tokenize pass, one per-doc
+    * window, and the phrase test is `lead(term, i)` equality at every
+    * offset — the Spark-first shape for fixed-length phrase matching
+    * (the self-join formulation scans the corpus once per phrase
+    * term and shuffles each posting relation; this shuffles the
+    * token stream exactly once, partitioned by doc_id, and the terms
+    * crossing the shuffle are single words). Positions are 0-based
+    * token offsets, matching [[positionalPostings]]. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs >= 2 terms")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val isMatch = phrase.zipWithIndex.map { case (t, i) =>
+      (if (i == 0) col("term") else lead(col("term"), i).over(w))
+        .eqNullSafe(lit(t))
+    }.reduce(_ && _)
+    docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text")))
+        .as(Seq("pos", "term")))
+      .withColumn("m", isMatch)
+      .filter(col("m"))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_hits"),
+        min("pos").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Proximity search — documents where `anchor` occurs within
+    * `window` token positions of `near` (in either direction), with
+    * the anchor-occurrence count and the total (anchor, near)
+    * within-window pair count. Also join-free: ONE per-doc RANGE
+    * window over the token stream counts the `near` occurrences in
+    * [pos - window, pos + window] at every row, and the result is
+    * read off at the anchor rows — one tokenize pass, one shuffle,
+    * the [[phraseSearch]] physics with a range frame instead of
+    * lead offsets. */
+  def proximitySearch(docs: DataFrame, anchor: String, near: String,
+      window: Int): DataFrame = {
+    require(window >= 1)
+    require(anchor != near,
+      "anchor == near would count each anchor as its own neighbor")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rangeBetween(-window, window)
+    docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text")))
+        .as(Seq("pos", "term")))
+      .withColumn("n_near",
+        count(when(col("term") === near, 1)).over(w))
+      .filter(col("term") === anchor && col("n_near") > 0)
+      .groupBy("doc_id")
+      .agg(count("*").as("n_anchors"), sum("n_near").as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
   // ---- line-level boilerplate dedup ----------------------------------
 
   /** C4/RefinedWeb-style boilerplate LINE removal: lines whose

@@ -134,6 +134,138 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** 1-bit (sign) embedding quantization: bit i = (v[i] >= 0), packed
+    * into ceil(dim/32) words of 32 bits each, stored in BIGINTs. The
+    * 32-bit word convention is deliberate: bit 31 is 2^31, far from
+    * the BIGINT sign bit, so both engines build the identical
+    * non-negative integers with plain shift-and-add — a 64-bit pack
+    * would put bit 63 at 2^63 and overflow every SQL engine's signed
+    * arithmetic (the reason the DuckDB twin can replay this
+    * verbatim). IEEE note: -0.0 >= 0 is true in both engines, so the
+    * sign rule has no negative-zero edge. 32x memory cut per vector
+    * (64 float32 -> 2 longs) — the footprint that lets a 100 TB
+    * corpus's index live in memory where the float vectors cannot. */
+  def binaryQuantize(embs: DataFrame, dim: Int): DataFrame = {
+    val w = (dim + 31) / 32
+    embs.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bits", expr(
+        s"""transform(sequence(0, ${w - 1}), wd ->
+           |  aggregate(sequence(0, 31), 0L, (acc, i) ->
+           |    acc + IF(wd * 32 + i < $dim AND v[wd * 32 + i] >= 0,
+           |      shiftleft(1L, i), 0L)))""".stripMargin))
+      .select(col("vec_id"), col("bits"))
+  }
+
+  /** Harness face of [[binaryQuantize]]: packed words as CSV (the
+    * mm_features convention — the harness compare wants scalar
+    * columns) plus the positive-sign popcount. */
+  def binaryQuantizeQuery(embs: DataFrame, dim: Int = 64): DataFrame =
+    binaryQuantize(embs, dim)
+      .select(col("vec_id"),
+        array_join(transform(col("bits"), b => b.cast("string")), ",")
+          .as("bits_csv"),
+        expr("aggregate(transform(bits, b -> bit_count(b)), 0, " +
+          "(acc, c) -> acc + c)").cast("long").as("n_pos"))
+      .orderBy("vec_id")
+
+  /** Hamming-candidate ANN with exact rerank — the 1-bit retrieval
+    * scale path (Han et al.-style binary codes; the production
+    * "binary quantization + rescoring" stack): the 32x-smaller sign
+    * index ranks ALL corpus vectors by Hamming distance per query,
+    * the top `m` survivors are re-scored with exact float cosine, and
+    * the final answer is the cosine top `k`. Unlike [[lshTopK]] /
+    * [[ivfTopK]] this is fully ORACLED: every step is a deterministic
+    * total order (hamming ASC, vec_id ASC; then the scoredTopK
+    * contract), and Hamming distance over sign bits EQUALS the
+    * sign-disagreement count the DuckDB twin computes directly from
+    * the floats — no packed representation needs to cross engines
+    * (SimilaritySpec pins popcount-of-xor == sign-disagreement).
+    *
+    * Scale shape: the bit index streams past the broadcast query
+    * bits (one scan of 2-long rows, not float vectors); the top-m cut
+    * is a per-query window over already-scored scalar rows; the
+    * rerank joins the |queries|*m candidate list BROADCAST against
+    * the corpus scan, so full float vectors are only ever read for
+    * the m survivors and never cross a shuffle. */
+  def hammingTopK(embs: DataFrame, queryPred: Column, k: Int,
+      m: Int, dim: Int = 64): DataFrame = {
+    val bits = binaryQuantize(embs, dim)
+    val qb = bits.filter(queryPred).toDF("query_id", "qbits")
+    val ham = bits.join(broadcast(qb), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(bits, qbits, (x, y) -> bit_count(x ^ y)), " +
+          "0, (acc, c) -> acc + c)").cast("long"))
+      .select("query_id", "vec_id", "hamming")
+    val wm = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val cand = ham.withColumn("hrank", row_number().over(wm))
+      .filter(col("hrank") <= m)
+      .select("query_id", "vec_id", "hamming")
+    val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(queryPred).toDF("query_id", "qv")
+    val scored = e
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    scoredTopK(scored, k, extra = Seq("hamming"))
+  }
+
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncation audit: for
+    * each prefix dimension d, the per-query cosine top-k under the
+    * TRUNCATED vectors vs the full-dimension top-k — recall@k per
+    * (d, query) in integer basis points. This is the serving-dim
+    * decision input for MRL-trained embeddings: the d where recall
+    * plateaus is the cheapest index that loses nothing.
+    *
+    * One corpus pass scores EVERY dimension tier: the corpus streams
+    * past the broadcast queries once, each tier's cosine is computed
+    * from the row's sliced prefix (prefix dots share no state, so
+    * they are independent expressions in one projection), and a
+    * single explode turns the tier struct into (trunc_dim, cos) rows
+    * — one window shuffle ranks all tiers at once (partitioned by
+    * query AND tier, never one partition). Overlap vs the full-dim
+    * set is read off the SAME lineage with a second window over the
+    * (|queries| * |tiers| * k)-row post-limit relation (bounded;
+    * partitioned by (query, vec)) — a self-join against the tier-0
+    * slice would recompute the whole scored pass, the plan trap
+    * PlanSpec pins against. Fully oracled: ranks are deterministic
+    * (cos DESC, vec_id ASC), recall_bp is exact integer arithmetic,
+    * and both engines fold the dot products left-to-right. */
+  def mrlRecall(embs: DataFrame, dims: Seq[Int], queryPred: Column,
+      k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1))
+    val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(queryPred).toDF("query_id", "qv")
+    def cosAt(d: Int): Column = {
+      val (qd, vd) = (slice(col("qv"), 1, d), slice(col("v"), 1, d))
+      dot(qd, vd) / (sqrt(dot(qd, qd)) * sqrt(dot(vd, vd)))
+    }
+    // tier 0 = the full-dimension reference ranking
+    val tiers = struct(lit(0).as("trunc_dim"),
+      cosine(col("qv"), col("v")).as("cos")) +:
+      dims.map(d => struct(lit(d).as("trunc_dim"), cosAt(d).as("cos")))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        explode(array(tiers: _*)).as("t"))
+      .select(col("query_id"), col("vec_id"),
+        col("t.trunc_dim").as("trunc_dim"), col("t.cos").as("cos"))
+    val w = Window.partitionBy("query_id", "trunc_dim")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "trunc_dim", "vec_id")
+    // bounded window: |queries| * (|dims| + 1) * k rows post-limit
+    val wf = Window.partitionBy("query_id", "vec_id")
+    topk
+      .withColumn("in_full",
+        max(when(col("trunc_dim") === 0, 1L).otherwise(0L)).over(wf))
+      .filter(col("trunc_dim") =!= 0)
+      .groupBy("trunc_dim", "query_id")
+      .agg(sum(col("in_full")).as("overlap"))
+      .withColumn("recall_bp", expr(s"overlap * 10000 DIV $k"))
+      .orderBy("trunc_dim", "query_id")
+  }
+
   /** Semantic eval-set decontamination: every corpus vector whose
     * embedding cosine against ANY benchmark vector (selected by
     * `benchPred`) reaches `minCos` — the paraphrase-level leakage the

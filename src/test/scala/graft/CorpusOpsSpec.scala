@@ -809,4 +809,68 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again == rows)
   }
+
+  test("phraseSearch: overlapping matches, hand positions, and " +
+      "self-join witness parity on the corpus") {
+    // overlapping matches both count: 'a b a b a' has 'a b a' at 0, 2
+    val hand = Seq(
+      (1L, "a b a b a", "en", "s", 9L),
+      (2L, "x a b a y", "en", "s", 9L),
+      (3L, "a b b a x", "en", "s", 9L), // no match
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.phraseSearch(hand, Seq("a", "b", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L), (2L, 1L, 1L)))
+    // corpus: lead-window formulation == plain-Scala sliding witness
+    val phrase = Seq("hash", "row")
+    val want = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val hits = toks.sliding(2).zipWithIndex
+          .collect { case (w, i) if w.toSeq == phrase => i }.toSeq
+        if (hits.isEmpty) None
+        else Some((id, hits.size.toLong, hits.min.toLong))
+      }.sortBy(_._1).toSeq
+    val gotC = CorpusOps.phraseSearch(corpus, phrase)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotC == want)
+    assert(gotC.nonEmpty, "the corpus should contain the test phrase")
+  }
+
+  test("proximitySearch: range window == brute-force pair witness") {
+    val hand = Seq(
+      (1L, "h x x r h", "en", "s", 9L), // h@0-r@3 out(>3)? |3-0|=3 in; h@4-r@3 in
+      (2L, "r x x x h", "en", "s", 9L), // |4-0|=4 out
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gotH = CorpusOps.proximitySearch(hand, "h", "r", window = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotH == Seq((1L, 2L, 2L)))
+    val (anchor, near, ws) = ("hash", "row", 3)
+    val want = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).zipWithIndex
+        val as = toks.collect { case (w, i) if w == anchor => i }
+        val ns = toks.collect { case (w, i) if w == near => i }
+        val perAnchor = as.map(a => ns.count(n => math.abs(n - a) <= ws))
+          .filter(_ > 0)
+        if (perAnchor.isEmpty) None
+        else Some((id, perAnchor.length.toLong, perAnchor.sum.toLong))
+      }.sortBy(_._1).toSeq
+    val got = CorpusOps.proximitySearch(corpus, anchor, near, ws)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the corpus should contain near pairs")
+  }
+
+  test("positionalPostings: ordered positions, occurrence counts") {
+    val hand = Seq(
+      (1L, "b a b b", "en", "s", 7L),
+      (2L, "a a", "en", "s", 3L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.positionalPostings(hand, Seq("a", "b"))
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 1L, "1"), ("a", 2L, 2L, "0,1"),
+      ("b", 1L, 3L, "0,2,3")))
+  }
 }

@@ -354,6 +354,44 @@ class PlanSpec extends SparkSpec {
       s"both symbol-total joins must broadcast:\n$pairs")
   }
 
+  test("phrase + proximity: join-free — one tokenize Generate, one " +
+      "per-doc window, no join operator at all") {
+    for (p <- Seq(
+        plan(graft.operators.CorpusOps.phraseSearch(
+          documents(spark, sfDir), Seq("window", "fast", "query"))),
+        plan(graft.operators.CorpusOps.proximitySearch(
+          documents(spark, sfDir), "hash", "row", window = 3)))) {
+      assert("Generate".r.findAllIn(p).size == 1,
+        s"must tokenize exactly once:\n$p")
+      assert(p.contains("windowspecdefinition(doc_id"),
+        s"window must partition by doc_id:\n$p")
+      assert(!p.contains("Join"), s"the point is NO join:\n$p")
+    }
+  }
+
+  test("hamming ANN: bit index streams past broadcast query bits; " +
+      "float vectors only touched for the broadcast candidate list") {
+    val p = plan(Similarity.hammingTopK(embeddings(spark, sfDir),
+      col("vec_id") < 5, k = 10, m = 50))
+    // broadcasts: query bits onto the index scan, then candidates and
+    // query vectors onto the rerank scan — never a shuffled join
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size >= 3, s"all joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join:\n$p")
+  }
+
+  test("mrl: one corpus pass scores every dimension tier; the " +
+      "ranking window partitions by (query, tier)") {
+    val p = plan(Similarity.mrlRecall(embeddings(spark, sfDir),
+      dims = Seq(8, 16, 32), col("vec_id") < 20, k = 10))
+    // one scored lineage: a single Generate explodes the tier struct
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"tiers must explode from ONE scored pass:\n$p")
+    assert(p.contains("windowspecdefinition(query_id") &&
+      p.contains("trunc_dim"),
+      s"ranking window must partition by query AND tier:\n$p")
+  }
+
   test("hybrid RRF: each leg stays its own scale shape — one corpus " +
       "tokenize on the lexical side, broadcast query on the dense side") {
     val p = plan(Similarity.hybridRrf(

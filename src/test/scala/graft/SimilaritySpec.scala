@@ -411,4 +411,70 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.9,
       s"mean recall ${recalls.sum / recalls.size}")
   }
+
+  test("binary quantization: packed popcount-of-xor == sign " +
+      "disagreement; hamming candidates feed the exact rerank") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val raw = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def signDisagree(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }.toLong
+    // the packed-words XOR path must equal the float-level count for
+    // EVERY emitted row — this is what lets the oracle skip packing
+    val got = Similarity.hammingTopK(corpus, col("vec_id") < 5,
+      k = 10, m = 50)
+      .select("query_id", "vec_id", "hamming", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 50)
+    got.foreach { case (q, v, h, _) =>
+      assert(h == signDisagree(raw(q), raw(v)),
+        s"hamming mismatch for ($q, $v)")
+    }
+    // the k survivors are exactly the cosine top-k of the hamming
+    // top-m candidate set (witnessed in plain Scala)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (q <- 0L until 5L) {
+      val cand = raw.keys.filter(_ != q).toSeq
+        .map(v => (v, signDisagree(raw(q), raw(v))))
+        .sortBy { case (v, h) => (h, v) }.take(50).map(_._1)
+      val want = cand.map(v => (v, cos(raw(q), raw(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1)
+      val gotQ = got.filter(_._1 == q).sortBy(_._4).map(_._2)
+      assert(gotQ == want, s"rerank order diverged for query $q")
+    }
+    // and the packed representation itself: n_pos == positive signs
+    val bq = Similarity.binaryQuantizeQuery(corpus)
+      .as[(Long, String, Long)].collect()
+    bq.foreach { case (v, _, nPos) =>
+      assert(nPos == raw(v).count(_ >= 0), s"n_pos wrong for $v")
+    }
+  }
+
+  test("mrl: a truncation at the full dimension is a perfect recall; " +
+      "shorter prefixes degrade monotonically on average") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // dim 64 vectors: the d=64 tier ranks with the IDENTICAL cosine,
+    // so recall@k must be exactly 10000 bp for every query
+    val at64 = Similarity.mrlRecall(corpus, dims = Seq(64),
+      col("vec_id") < 20, k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(at64.nonEmpty && at64.forall { case (_, _, o, bp) =>
+      o == 10L && bp == 10000L })
+    val multi = Similarity.mrlRecall(corpus, dims = Seq(4, 16, 64),
+      col("vec_id") < 20, k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    def mean(d: Int): Double = {
+      val xs = multi.filter(_._1 == d).map(_._4)
+      xs.sum.toDouble / xs.size
+    }
+    assert(mean(4) <= mean(16) && mean(16) <= mean(64),
+      s"recall should not improve as dims shrink: " +
+        s"${mean(4)} / ${mean(16)} / ${mean(64)}")
+    assert(mean(4) < 10000.0, "a 4-dim prefix should lose something")
+  }
 }
