@@ -497,6 +497,18 @@ object SparkEntry {
         nCells = 3, nProbe = 2,
         centroids = Some(Array.tabulate(3)(k =>
           Array.tabulate(64)(i => if (i == k) 1.0 else 0.0))))),
+    // Fully-ORACLED LSH regime (the ivf_injected convention): one
+    // table of 4 axis-aligned planes folds each SRP bit to a
+    // coordinate sign test (v[j] > 0), so bucket codes, the
+    // hamming<=1 multi-probe set {b, b^1, b^2, b^4, b^8}, and the
+    // exact-cosine rerank of the bucket-union candidates are all
+    // closed-form SQL. The approximation binds: 16 buckets cut
+    // candidates well below the full scan.
+    "q_ann_lsh_injected" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
+        probeHamming = 1,
+        planes = Some(Seq(Seq.tabulate(4)(j =>
+          Seq.tabulate(64)(i => if (i == j) 1.0 else 0.0)))))),
     // Per-label cohesion via the sum identity — the O(n^2) pairwise
     // mean cosine as one O(n*d) aggregation; oracled exactly (both
     // engines compute the identical identity, output rounded).
@@ -1953,6 +1965,47 @@ object SparkEntry {
         |    list_sum(list_transform(v, x -> x * x)) AS nb
         |  FROM probes JOIN cellq USING (cell)
         |  WHERE vec_id <> query_id
+        |), s AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // Injected-plane LSH: bucket bit j = (v[j+1] > 0) exactly (the
+    // axis plane's dot folds to the coordinate), multi-probe =
+    // xor with each popcount<=1 mask, candidates = bucket-union
+    // DISTINCT pairs, then the bruteforce oracle's cosine rerank
+    "q_ann_lsh_injected" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, bucket AS qb
+        |  FROM b WHERE vec_id < 5
+        |), probes AS (
+        |  SELECT query_id, xor(qb::BIGINT, m.m::BIGINT) AS bucket
+        |  FROM q, unnest([0, 1, 2, 4, 8]) AS m(m)
+        |), cand AS (
+        |  SELECT DISTINCT query_id, vec_id
+        |  FROM probes JOIN b ON b.bucket = probes.bucket
+        |  WHERE vec_id <> query_id
+        |), p AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM cand c JOIN e USING (vec_id) JOIN q USING (query_id)
         |), s AS (
         |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
         |    row_number() OVER (PARTITION BY query_id

@@ -670,10 +670,15 @@ object Similarity {
     */
   def lshTopK(embs: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 8, probeHamming: Int = 2, nTables: Int = 4,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    require(nPlanes <= 30)
-    val tables = (0 until nTables)
-      .map(t => hyperplanes(nPlanes, dim, seed + t))
+      dim: Int = 64, seed: Long = 42L,
+      planes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    // `planes` injects trained/known tables (the ivfTopK centroids
+    // convention): axis-aligned unit planes fold dot(v, e_j) to v[j],
+    // making the bucket code a closed-form sign pattern DuckDB can
+    // replay — the fully-oracled serve regime (q_ann_lsh_injected)
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => hyperplanes(nPlanes, dim, seed + t)))
+    require(tables.nonEmpty && tables.head.length <= 30)
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     // corpus index: one (table, bucket) entry per table — all codes
     // from the single srpBucketsAll kernel call (the per-table
@@ -685,7 +690,7 @@ object Similarity {
     // each table's bucket is computed once and the masks applied via a
     // transform over a literal array (one bucket expression per table,
     // not per probe — keeps generated code small).
-    val masks = (0 until (1 << nPlanes))
+    val masks = (0 until (1 << tables.head.length))
       .filter(m => Integer.bitCount(m) <= probeHamming)
     val q = e.filter(queryPred).toDF("query_id", "qv")
       .select(col("query_id"), col("qv"),

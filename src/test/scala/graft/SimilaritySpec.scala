@@ -455,6 +455,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("injected-plane LSH: closed-form sign buckets == Scala " +
+      "witness; the bucket cut actually binds") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val raw = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def bucket(v: Array[Float]): Int =
+      (0 until 4).map(j => if (v(j) > 0) 1 << j else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val got = Similarity.lshTopK(corpus, col("vec_id") < 5, k = 10,
+      probeHamming = 1,
+      planes = Some(Seq(Seq.tabulate(4)(j =>
+        Seq.tabulate(64)(i => if (i == j) 1.0 else 0.0)))))
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    for (q <- 0L until 5L) {
+      val qb = bucket(raw(q))
+      val probes = Set(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)
+      val cand = raw.keys
+        .filter(v => v != q && probes.contains(bucket(raw(v)))).toSeq
+      val want = cand.map(v => (v, cos(raw(q), raw(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1)
+      assert(got.filter(_._1 == q).sortBy(_._3).map(_._2) == want,
+        s"query $q diverged from the sign-bucket witness")
+      assert(cand.size < raw.size - 1,
+        s"the bucket cut must exclude someone for query $q")
+    }
+  }
+
   test("mrl: a truncation at the full dimension is a perfect recall; " +
       "shorter prefixes degrade monotonically on average") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
