@@ -551,6 +551,10 @@ object SparkEntry {
     // Same-type inter-arrival cadence per user, aggregated per type —
     // exact integer µs gaps, one rounded mean.
     "q_events_gaps" -> ((s, dir) => EventOps.interArrival(events(s, dir))),
+    // Half-life-decayed activity per type: integer staircase decay,
+    // scaled-2^50 integer sums — engine-exact, no pow() anywhere.
+    "q_events_decay" -> ((s, dir) =>
+      EventOps.decayedCounts(events(s, dir), halfLifeDays = 7)),
     // Tukey-fence value outliers per type: exact quartiles -> fences
     // broadcast back -> counts; compare on unrounded doubles.
     "q_events_outliers" -> ((s, dir) =>
@@ -642,6 +646,12 @@ object SparkEntry {
     "q_phrase_prox" -> ((s, dir) =>
       CorpusOps.proximitySearch(documents(s, dir),
         anchor = "hash", near = "row", window = 3)),
+    // The stream-safe pure-projection twin (zero shuffle, zero
+    // state) — same answer, same oracle; StreamingSpec runs the
+    // identical code on a file stream.
+    "q_phrase_projected" -> ((s, dir) =>
+      CorpusOps.phraseMatchProjected(documents(s, dir),
+        phrase = Seq("window", "fast", "query"))),
     // C4-style boilerplate line removal. The synthetic corpus is
     // single-line, so the harness derives a lined twin first (newline
     // after every " value " — plain left-to-right substring replace,
@@ -2184,6 +2194,23 @@ object SparkEntry {
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
     // same-type inter-arrival gaps: exact integer µs, one rounded mean
+    // Staircase half-life decay: identical integer arithmetic —
+    // k = age_days DIV 7 clamped at 50, weight 2^(50-k) summed
+    // exactly (DuckDB sum(BIGINT) -> HUGEINT), one integer divide
+    "q_events_decay" ->
+      """WITH s AS (
+        |  SELECT max(epoch_us(ts)) AS t_max FROM events
+        |), k AS (
+        |  SELECT event_type,
+        |    least(((s.t_max - epoch_us(ts)) // 86400000000) // 7,
+        |      50) AS kk
+        |  FROM events, s
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  ((sum(1::BIGINT << CAST(50 - kk AS INT)) * 1000000)
+        |    // (1::BIGINT << 50))::BIGINT AS decay_e6
+        |FROM k GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_events_gaps" ->
       """WITH s AS (
         |  SELECT event_type, epoch_us(ts) AS us,
@@ -3078,21 +3105,9 @@ object SparkEntry {
     // Exact phrase match: the classic positional self-join — the
     // Spark side answers identically from ONE tokenize + ONE window
     // (lead offsets), the plan-not-answer gate
-    "q_phrase_search" ->
-      """WITH tok AS (
-        |  SELECT doc_id, i AS pos, t[i + 1] AS term
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM documents),
-        |    unnest(range(len(t))) AS u(i)
-        |)
-        |SELECT a.doc_id, count(*)::BIGINT AS n_hits,
-        |  min(a.pos)::BIGINT AS first_pos
-        |FROM tok a
-        |JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |WHERE a.term = 'window' AND b.term = 'fast'
-        |  AND c.term = 'query'
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q_phrase_search" -> PhraseSearchOracle,
+    // identical answer contract for the stream-safe projection twin
+    "q_phrase_projected" -> PhraseSearchOracle,
     // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
     // the join form; Spark reads the same counts off one RANGE window
     "q_phrase_prox" ->
@@ -4391,6 +4406,24 @@ object SparkEntry {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared by q_phrase_search (window form) and q_phrase_projected
+    * (stream-safe projection form): one answer, two plans. */
+  private val PhraseSearchOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, i AS pos, t[i + 1] AS term
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+      |        FROM documents),
+      |    unnest(range(len(t))) AS u(i)
+      |)
+      |SELECT a.doc_id, count(*)::BIGINT AS n_hits,
+      |  min(a.pos)::BIGINT AS first_pos
+      |FROM tok a
+      |JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |WHERE a.term = 'window' AND b.term = 'fast'
+      |  AND c.term = 'query'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
   private val DedupNgramOracle: String =
     """WITH toks AS (

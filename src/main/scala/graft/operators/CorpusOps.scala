@@ -205,6 +205,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** [[phraseSearch]]'s PURE-PROJECTION twin: the phrase test
+    * evaluated inside one `filter(sequence(...))` over each doc's own
+    * token array — no window, no shuffle, no state AT ALL, which is
+    * what makes it the STREAMING ingest face (a window/lead
+    * formulation cannot run on an unbounded stream; this one maps
+    * each arriving document independently — EventStreams applies it
+    * verbatim, StreamingSpec pins file-stream == batch). Identical
+    * answer to [[phraseSearch]] (CorpusOpsSpec pins equality; the
+    * harness q_phrase_projected shares q_phrase_search's oracle).
+    * Batch trade-off vs the window twin: zero shuffle but the token
+    * array materializes per row — both are one-scan linear. */
+  def phraseMatchProjected(docs: DataFrame,
+      phrase: Seq[String]): DataFrame =
+    phraseProjection(docs, phrase).orderBy("doc_id")
+
+  /** The unsorted stream-safe core of [[phraseMatchProjected]] — no
+    * sort, no shuffle, legal in a streaming query plan. The phrase
+    * test runs in the codegen'd [[graft.functions.PhraseHits]]
+    * kernel (one JIT loop per row); the equivalent
+    * `filter(sequence(...))` lambda formulation ran interpreted and
+    * was 8x slower at sf0.1 — the [[graft.functions.TextDHash]]
+    * lesson repeating. */
+  def phraseProjection(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs >= 2 terms")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val packed = ColumnBridge.column(graft.functions.PhraseHits(
+      ColumnBridge.expression(col("text")), phrase))
+    docs
+      .withColumn("ph", packed)
+      .filter(col("ph") =!= 0L)
+      .select(col("doc_id"),
+        expr("shiftright(ph, 32)").as("n_hits"),
+        expr("(ph & 4294967295) - 1").as("first_pos"))
+  }
+
   /** Proximity search — documents where `anchor` occurs within
     * `window` token positions of `near` (in either direction), with
     * the anchor-occurrence count and the total (anchor, near)

@@ -142,6 +142,45 @@ object EventOps {
     * sorts only (user, ts, id, type)-width rows, and the pair counts
     * partial-aggregate map-side; the transition matrix itself is
     * |types|² rows. */
+  /** Half-life-decayed event counts per type — the feature-store
+    * "recency-weighted activity" aggregate (recent events count ~1,
+    * events `halfLifeDays` old count 1/2, twice that 1/4, ...),
+    * computed ENGINE-EXACT: the decay staircase k = age_days DIV
+    * halfLife (integer), the weight 2^-k materialized as the scaled
+    * integer 2^(50-k) (k clamped at 50 — older events contribute the
+    * smallest representable step, deterministically, instead of
+    * underflowing engine-dependently), summed in DECIMAL(38,0)
+    * (n · 2^50 stays far below 10^38), and the output normalized to
+    * millionths by one integer division. No float touches the
+    * pipeline, so any engine reproduces every bit — the continuous
+    * 2^(-age/h) form would ride pow(), whose rounding is libm-
+    * specific (the [[graft.operators.TrainingOps]] sqrt-not-pow
+    * lesson). Reference time = the table's own max ts (scalar
+    * broadcast, deterministic — a wall-clock reference would change
+    * between engines and runs).
+    *
+    * Scale shape: one scalar pass for t_max, then ONE map-side-
+    * combined aggregation keyed by type; the weight is a projection.
+    * Streaming note: the same staircase works incrementally — scaled
+    * integer sums are mergeable, and re-referencing to a newer t_max
+    * is a global halving (shift) of the old sum. */
+  def decayedCounts(events: DataFrame, halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1)
+    val tMax = events.agg(max(unix_micros(col("ts"))).as("t_max"))
+    events.select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(tMax))
+      .withColumn("k", expr(
+        s"least(((t_max - us) DIV 86400000000) DIV $halfLifeDays, 50)"))
+      .withColumn("w", expr("shiftleft(1L, CAST(50 - k AS INT))"))
+      .groupBy("event_type")
+      .agg(count("*").as("n_events"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"))
+      .select(col("event_type"), col("n_events"),
+        expr(s"CAST((sw * 1000000) DIV ${1L << 50} AS BIGINT)")
+          .as("decay_e6"))
+      .orderBy("event_type")
+  }
+
   def typeTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)

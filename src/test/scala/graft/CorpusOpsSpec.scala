@@ -835,6 +835,12 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(gotC == want)
     assert(gotC.nonEmpty, "the corpus should contain the test phrase")
+    // the stream-safe pure projection is answer-identical to the
+    // window form — on the corpus AND on the overlap fixture
+    assert(CorpusOps.phraseMatchProjected(corpus, phrase)
+      .as[(Long, Long, Long)].collect().toSeq == gotC)
+    assert(CorpusOps.phraseMatchProjected(hand, Seq("a", "b", "a"))
+      .as[(Long, Long, Long)].collect().toSeq == got)
   }
 
   test("proximitySearch: range window == brute-force pair witness") {

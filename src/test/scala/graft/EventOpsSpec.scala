@@ -37,6 +37,34 @@ class EventOpsSpec extends SparkSpec {
     assert(got.head._1 == ts("2023-12-31 23:15:00"))
   }
 
+  test("decayedCounts: hand-computed staircase weights, clamp at 50, " +
+      "layout-deterministic") {
+    // half-life 1 day; reference = max ts (day 10). ages: 0, 1, 2,
+    // 10 days -> weights 1, 1/2, 1/4, 2^-10; plus one ancient event
+    // (age 80 days) clamped to 2^-50
+    val e = Seq(
+      (0L, ts("2024-03-11 00:00:00"), 1L, "a", 0.0, "{}"),
+      (1L, ts("2024-03-10 00:00:00"), 1L, "a", 0.0, "{}"),
+      (2L, ts("2024-03-09 00:00:00"), 1L, "a", 0.0, "{}"),
+      (3L, ts("2024-03-01 00:00:00"), 1L, "b", 0.0, "{}"),
+      (4L, ts("2023-12-22 00:00:00"), 1L, "b", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.decayedCounts(e, halfLifeDays = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    def e6(ks: Seq[Int]): Long =
+      (ks.map(k => BigInt(1) << (50 - k)).sum * 1000000 /
+        (BigInt(1) << 50)).toLong
+    assert(got == Seq(
+      ("a", 3L, e6(Seq(0, 1, 2))),      // 1 + .5 + .25 = 1750000
+      ("b", 2L, e6(Seq(10, 50)))))      // 2^-10 + clamped 2^-50
+    assert(got.head._3 == 1750000L)
+    // partial weights just below a unit never round up spuriously
+    assert(got(1)._3 == (1L << 40) * 1000000L / (1L << 50))
+    // layout-invariant (integer sums commute)
+    assert(EventOps.decayedCounts(e.repartition(7), halfLifeDays = 1)
+      .as[(String, Long, Long)].collect().toSeq == got)
+  }
+
   test("value outliers: hand-computed Tukey fences flag exactly the spike") {
     // 9 calm values 1..9 plus one 100.0 spike, one type
     val vals = (1 to 9).map(_.toDouble) :+ 100.0

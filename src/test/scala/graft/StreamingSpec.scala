@@ -211,6 +211,26 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("streaming phrase match: the pure projection runs unchanged " +
+      "on a file stream and equals the batch window form") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val phrase = Seq("hash", "row")
+    val dir = Files.createTempDirectory("graft-phrase-stream").toString
+    corpus.select("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(corpus.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // the SAME code as the batch q_phrase_projected — stateless, so
+    // it needs no watermark, no output-mode gymnastics
+    val got = runToCompletion(
+      graft.operators.CorpusOps.phraseProjection(stream, phrase),
+      "append", "phrase_stream")
+    val want = graft.operators.CorpusOps.phraseSearch(corpus, phrase)
+    assert(want.count() > 0, "the corpus should contain the phrase")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("streaming NB scoring matches the batch scorer row for row") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
