@@ -16,6 +16,9 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   - `graft_kll(x, qs, k)`        — mergeable KLL quantile sketch
   *   - `graft_token_stats(text)`    — single-pass quality-gate stats
   *   - `graft_rolling_fp(text, k, w)` — winnowed rolling fingerprints
+  *   - `graft_text_dhash(text)`     — perceptual fake-luma dHash
+  *   - `graft_phrase_hits(text, 'w1 w2 ...')` — packed overlapping
+  *     phrase-occurrence count + first position
   *
   * so the engine's SQL entry point ([[graft.SparkEntry]] `q_rel_sql`
   * style queries) reaches the same kernels the DataFrame API uses. In a
@@ -89,7 +92,24 @@ object GraftFunctions {
       ((es: Seq[Expression]) => { arity("graft_rolling_fp", es, 3)
         RollingFingerprints(es(0), intArg(es(1), "graft_rolling_fp"),
           intArg(es(2), "graft_rolling_fp")) }),
+    "graft_text_dhash" ->
+      ((es: Seq[Expression]) => { arity("graft_text_dhash", es, 1)
+        TextDHash(es(0)) }),
+    "graft_phrase_hits" ->
+      ((es: Seq[Expression]) => { arity("graft_phrase_hits", es, 2)
+        PhraseHits(es(0),
+          stringArg(es(1), "graft_phrase_hits")
+            .split("\\s+").filter(_.nonEmpty).toSeq) }),
   )
+
+  /** Resolve a foldable string argument (the phrase literal). */
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case f if f.foldable &&
+        f.dataType == org.apache.spark.sql.types.StringType =>
+      f.eval().toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a constant string argument, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     bindings.foreach { case (name, builder) =>

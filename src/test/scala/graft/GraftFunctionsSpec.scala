@@ -76,6 +76,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fp >= 1)
   }
 
+  test("graft_text_dhash and graft_phrase_hits from SQL") {
+    // dHash: gated under 72 code points -> 0; a 72+-char ramp hashes
+    val z = spark.sql("SELECT graft_text_dhash('short') AS h")
+      .as[Long].head()
+    assert(z == 0L)
+    val ramp = ('a' to 'z').mkString * 3 // 78 chars
+    val h = spark.sql(s"SELECT graft_text_dhash('$ramp') AS h")
+      .as[Long].head()
+    assert(h == graft.functions.TextDHash.dhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ramp)))
+    // phrase: overlapping count 2, first pos 0 -> (2L << 32) | 1
+    val p = spark.sql(
+      "SELECT graft_phrase_hits('a b a b a', 'a b a') AS p")
+      .as[Long].head()
+    assert(p == ((2L << 32) | 1L))
+    assert(spark.sql("SELECT graft_phrase_hits('x y', 'a b') AS p")
+      .as[Long].head() == 0L)
+  }
+
   test("GraftExtensions wires every kernel into a fresh session") {
     // a fresh session state has no graft temp functions...
     val s2 = spark.newSession()
