@@ -197,12 +197,21 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
     val tN = math.floor(threshold * 10000).toLong
+    // the index relation has four consumers (df counts, the prefix
+    // selection, both verification sides) but is deliberately NOT
+    // checkpointed: re-deriving it is one codegen'd scan+explode per
+    // consumer, and measured at sf0.1 AND the 10x rehearsal the
+    // checkpoint's materialization cost exceeded all the recomputes
+    // it saved (the minhash 3-pass non-fix trade, re-confirmed here)
     val idx = shingleSets(docs, n)
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
     val df = idx.groupBy("shingle").agg(count("*").as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    // also NOT checkpointed: the self-join's two sides are identical
+    // subtrees, so ReuseExchange serves both from ONE shuffle — a
+    // checkpoint here measured strictly slower at sf0.1 and 10x
     val prefix = idx.join(df, "shingle")
       .withColumn("__pos", row_number().over(w))
       // p = len − ceil(t·len) + 1, via the under-approximated tN

@@ -90,7 +90,10 @@ object WordPiece {
     * the training total order — the exactly-SQL-checkable face of the
     * WordPiece argmax (the [[Bpe.pairCountsQuery]] role). */
   def scoredPairsQuery(docs: DataFrame, topN: Int = 50): DataFrame =
-    scoredPairs(wordSymbols(docs))
+    // checkpointed: pair counts and symbol totals both consume the
+    // word-frequency relation — one corpus tokenize, not two (the
+    // ScanAudit discipline; train() already checkpoints it)
+    scoredPairs(wordSymbols(docs).localCheckpoint())
       .orderBy(col("score_e12").desc, col("s1").asc, col("s2").asc)
       .limit(topN)
 
@@ -179,10 +182,15 @@ object WordPiece {
       vocabDocs: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // checkpointed: the distinct-word relation feeds the char vocab,
+    // the candidate probes, and the segmentation — one corpus
+    // tokenize, not three (the ScanAudit discipline)
     val words = docs
       .select(explode(wsTokens(col("text"))).as("word")).distinct()
+      .localCheckpoint()
     val vocabWords = vocabDocs.fold(words)(
-      _.select(explode(wsTokens(col("text"))).as("word")).distinct())
+      _.select(explode(wsTokens(col("text"))).as("word")).distinct()
+        .localCheckpoint())
     val charVocab = vocabWords.select(explode(
       expr("transform(sequence(1, length(word)), i -> " +
         "CASE WHEN i = 1 THEN substring(word, 1, 1) " +
