@@ -334,6 +334,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"),
           md5(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
+    // Quality-aware survivors: keep each family's most COMPLETE
+    // member (token count DESC, doc_id ASC) — the curation-grade
+    // alternative to the min-id representative; integer argmax,
+    // closed-form in the closure oracle.
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Clustering.dedupCorpusBestFrom(cachedClusters(s, dir),
+        documents(s, dir))),
     // Leakage-free train/val split: the split key is the near-dup
     // CLUSTER representative, so duplicate families never straddle
     // the split (a per-doc hash split would leak them at 2p(1-p)).
@@ -2846,6 +2853,21 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, md5(d.text) AS fp_md5
         |FROM cl JOIN documents d USING (doc_id)
         |WHERE cl.doc_id = cl.cluster
+        |ORDER BY doc_id""".stripMargin,
+    // Quality-aware survivors: the same closure, per-cluster argmax
+    // of (token count DESC, doc_id ASC) — integer both engines
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes,
+        |sized AS (
+        |  SELECT cl.doc_id, cl.cluster,
+        |    len(regexp_extract_all(d.text, '\\S+'))::BIGINT AS n_tok
+        |  FROM cl JOIN documents d USING (doc_id)
+        |), best AS (
+        |  SELECT doc_id, cluster, n_tok, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY n_tok DESC, doc_id ASC) AS r
+        |  FROM sized
+        |)
+        |SELECT doc_id, cluster, n_tok FROM best WHERE r = 1
         |ORDER BY doc_id""".stripMargin,
     // Soft dedup weights: same closure, family sizes counted per
     // cluster, weight = 10000 DIV size in integer basis points.

@@ -212,6 +212,37 @@ object Clustering {
       .join(docs, "doc_id")
       .orderBy("doc_id")
 
+  /** QUALITY-AWARE survivor selection — [[dedupCorpusFrom]] keeps the
+    * cluster-minimum doc_id (deterministic but arbitrary); real
+    * curation keeps the BEST member of each duplicate family: here
+    * the most complete copy, argmax (token count DESC, doc_id ASC) —
+    * truncated re-crawls and partial mirrors lose to the fullest
+    * text, and the doc_id tie-break keeps the choice total. The key
+    * is integer (regexp token count), so both engines pick the
+    * identical survivor; swap any integer quality score (gate pass
+    * counts, a model score in fixed-point) into the same argmax
+    * without touching the shape.
+    *
+    * Scale: one token-count projection (no explode — regexp_count),
+    * one window PARTITIONED BY CLUSTER over the narrow (doc_id,
+    * cluster, n_tok) relation (family-bounded partitions, never one
+    * partition), and the text payload joins once for survivors only. */
+  def dedupCorpusBestFrom(clusters: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val sized = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCountWs(col("text"))
+        .cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    clusters
+      .join(sized, "doc_id")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select("doc_id", "cluster", "n_tok")
+      .orderBy("doc_id")
+  }
+
   /** Duplication-aware training weights — the soft alternative to
     * dropping near-duplicates: EVERY document survives, but carries
     * sampling weight 1/|its near-dup family| so each duplicate family

@@ -59,6 +59,38 @@ class ClusteringSpec extends SparkSpec {
     clusters.foreach { case (d, c) => assert(ids.contains(c), s"doc $d") }
   }
 
+  test("dedupCorpusBest keeps the most complete family member, not " +
+      "the min id") {
+    // family {1, 2, 3}: doc 3 is the longest -> the quality argmax
+    // must pick 3 where the min-id rule picks 1; singleton 9 survives
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c"), (3L, "a b c d"), (9L, "x"))
+      .toDF("doc_id", "text")
+    val best = Clustering.dedupCorpusBestFrom(clusters, docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(best == Seq((3L, 1L, 4L), (9L, 9L, 1L)))
+    // ties fall to the smaller doc_id
+    val tied = Clustering.dedupCorpusBestFrom(clusters,
+      docs.withColumn("text",
+        org.apache.spark.sql.functions.lit("same len")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tied.map(_._1) == Seq(1L, 9L))
+    // on the corpus: one survivor per cluster, same cluster set as
+    // the min-id rule, and at least one family where the choices
+    // differ (a planted truncated copy exists)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cl = Clustering.nearDupClusters(corpus)
+    val minIds = Clustering.dedupCorpusFrom(cl, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val bestIds = Clustering.dedupCorpusBestFrom(cl, corpus)
+      .as[(Long, Long, Long)].collect()
+    assert(bestIds.length == minIds.size)
+    assert(bestIds.map(_._2).toSet ==
+      cl.select("cluster").as[Long].collect().toSet)
+  }
+
   test("leakFreeSplit: duplicate families never straddle the split") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val split = Clustering.leakFreeSplit(corpus, trainPct = 90)
