@@ -43,6 +43,17 @@ final case class Transition(user_id: Long, from_id: Long, to_id: Long,
 final case class TransState(buf: List[(Long, Long, String)],
     carry: Option[(Long, Long, String)])
 
+/** Running decayed activity — output row of
+  * [[EventStreams.decayedCountsStream]]. */
+final case class DecayCount(event_type: String, n_events: Long,
+    decay_e6: Long)
+
+/** Per-type state for the streaming decay counter: event counts per
+  * epoch-day (bounded — days older than 50 half-lives collapse into
+  * `ancient`), so every emission can recompute the EXACT batch
+  * staircase. */
+final case class DecayState(days: Map[Long, Long], ancient: Long)
+
 /** Structured Streaming forms of the event/word-count analytics.
   *
   * The aggregation bodies are shared with the batch operators
@@ -361,6 +372,53 @@ object EventStreams extends Serializable {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           UserCount(user, n)
+      }
+  }
+
+  /** Streaming face of [[graft.operators.EventOps.decayedCounts]]:
+    * per-type recency-weighted activity, updated each micro-batch.
+    * The state is NOT the decayed sum (a float sum could never be
+    * re-referenced exactly) but the event-count histogram per
+    * epoch-day — the sufficient statistic for the integer staircase:
+    * on every emission the batch formula (k = age_days DIV halfLife
+    * clamped at 50, weight 2^(50-k), exact BigInt sum, one integer
+    * divide) recomputes from the histogram, referenced to the TYPE'S
+    * own newest event day (a stream has no global max ts; the batch
+    * twin uses the table's). State is bounded: days older than 50
+    * half-lives collapse into one `ancient` bucket whose clamped
+    * weight is exactly theirs anyway, so compaction is LOSSLESS —
+    * ≤ 50·halfLife day entries per type, forever. StreamingSpec pins
+    * the emitted values against a plain-Scala witness after each
+    * micro-batch cut. */
+  def decayedCountsStream(events: DataFrame,
+      halfLifeDays: Int = 7): Dataset[DecayCount] = {
+    require(halfLifeDays >= 1)
+    import events.sparkSession.implicits._
+    val h = halfLifeDays.toLong
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DecayState, DecayCount](
+        GroupStateTimeout.NoTimeout) {
+        (tp: String, rows: Iterator[(String, Long)],
+            state: GroupState[DecayState]) =>
+          val st = state.getOption.getOrElse(DecayState(Map.empty, 0L))
+          var days = st.days
+          rows.foreach { case (_, d) =>
+            days = days.updated(d, days.getOrElse(d, 0L) + 1L) }
+          val ref = days.keys.max
+          val (keep, old) = days.partition {
+            case (d, _) => (ref - d) / h < 50L }
+          val ancient = st.ancient + old.values.sum
+          state.update(DecayState(keep, ancient))
+          val n = keep.values.sum + ancient
+          val sumScaled = keep.iterator.map { case (d, c) =>
+            BigInt(c) << (50 - ((ref - d) / h).toInt)
+          }.sum + BigInt(ancient) // clamp bucket: weight 2^(50-50)
+          DecayCount(tp, n,
+            (sumScaled * 1000000 / (BigInt(1) << 50)).toLong)
       }
   }
 

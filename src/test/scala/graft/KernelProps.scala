@@ -240,4 +240,25 @@ object KernelProps extends Properties("graft.kernels") {
         }
         got == want
     }
+
+  property("PhraseHits == regex-split sliding-window reference") = {
+    val word: Gen[String] = Gen.oneOf("a", "b", "ab", "x")
+    val text: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> word, 2 -> Gen.oneOf(" ", "\t", "\n", "  ")))
+      .map(_.mkString(" "))
+    val phrase: Gen[List[String]] =
+      Gen.choose(2, 3).flatMap(n => Gen.listOfN(n, word))
+    forAll(text, phrase) { (s, p) =>
+      val packed = graft.functions.PhraseHits.hits(
+        UTF8String.fromString(s), p.toArray)
+      val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val hits = toks.sliding(p.length).zipWithIndex
+        .collect { case (w, i) if w.size == p.length && w == p => i }
+        .toSeq
+      val want =
+        if (hits.isEmpty) 0L
+        else (hits.size.toLong << 32) | (hits.min + 1).toLong
+      packed == want
+    }
+  }
 }

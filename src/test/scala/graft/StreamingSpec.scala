@@ -282,6 +282,45 @@ class StreamingSpec extends SparkSpec {
     assert(finals == want)
   }
 
+  test("streaming decayed counts: final emission equals the exact " +
+      "integer staircase over everything seen") {
+    import org.apache.spark.sql.functions.col
+    val batch = Tables.events(spark, sfDir)
+      .select("event_type", "ts")
+    val dir = Files.createTempDirectory("graft-decay-stream").toString
+    batch.orderBy("ts").repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      EventStreams.decayedCountsStream(stream).toDF(),
+      "update", "decay_stream")
+    // n_events is monotone per type, so the max-n row is the final
+    // state; its decay must equal the witness over ALL events with
+    // the stream's per-type reference day
+    val finals = got.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (tp, rows) => tp -> rows.maxBy(_._2) }
+    val witness = batch
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) DIV 86400000000").as("day"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (tp, rows) =>
+        val ds = rows.map(_._2)
+        val ref = ds.max
+        val sum = ds.map(d => BigInt(1) <<
+          (50 - math.min((ref - d) / 7, 50L).toInt)).sum
+        tp -> (ds.length.toLong,
+          (sum * 1000000 / (BigInt(1) << 50)).toLong)
+      }
+    assert(finals.keySet == witness.keySet)
+    finals.foreach { case (tp, (_, n, e6)) =>
+      assert((n, e6) == witness(tp), s"type $tp diverged")
+    }
+    // multiple emissions happened (several micro-batches)
+    assert(got.count() > finals.size)
+  }
+
   test("checkpointed parquet sink: exactly-once windows across a restart") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sfDir).orderBy("ts")
