@@ -217,10 +217,31 @@ object Dedup {
       // p = len − ceil(t·len) + 1, via the under-approximated tN
       .filter(col("__pos") <=
         col("n_sh") - expr(s"($tN * n_sh + 9999) DIV 10000") + lit(1L))
-      .select("doc_id", "n_sh", "shingle")
-    val cand = prefix.toDF("doc_a", "na", "shingle")
-      .join(prefix.toDF("doc_b", "nb", "shingle"), "shingle")
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
+        col("shingle"), col("__pos").cast("long").as("__pos"))
+    // Two further LOSSLESS cuts before verification (both relaxed
+    // through the same under-approximated tN, so they only ever keep
+    // extra candidates, never drop a true pair):
+    //  - size filter: J >= t forces min(na, nb) >= t * max(na, nb)
+    //  - positional filter (PPJoin, Xiao et al. WWW'08): at a match
+    //    on the pair's FIRST common token (positions pa, pb in the
+    //    shared rarity order) the overlap is at most
+    //    1 + min(na - pa, nb - pb), which must reach the equivalent
+    //    overlap threshold t/(1+t) * (na + nb). Applied per matched
+    //    row and pair-kept if ANY row passes: the first-common-token
+    //    row passes for every true pair (no common token precedes
+    //    it), so completeness is preserved; spurious pairs whose
+    //    every match fails the bound never reach the verify join.
+    //    Integer form: bound * (10000 + tN) >= tN * (na + nb) — an
+    //    integer bound reaches the ceiling iff it reaches the
+    //    rational, so no ceil arithmetic is needed at all.
+    val cand = prefix.toDF("doc_a", "na", "shingle", "pa")
+      .join(prefix.toDF("doc_b", "nb", "shingle", "pb"), "shingle")
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("na"), col("nb")) * 10000L >=
+        greatest(col("na"), col("nb")) * tN)
+      .filter((least(col("na") - col("pa"), col("nb") - col("pb")) +
+        lit(1L)) * (10000L + tN) >= (col("na") + col("nb")) * tN)
       .select("doc_a", "doc_b", "na", "nb").distinct()
     val full = idx.select("doc_id", "shingle")
     cand
