@@ -865,6 +865,12 @@ object SparkEntry {
     // so the string renderings are engine-exact.
     "q_profile" -> ((s, dir) =>
       ProfileOps.profileTable(documents(s, dir))),
+    // Pairwise Pearson matrix over the fact table's fixed-point
+    // measures — exact integer moments, ONE scan, float only in the
+    // final divide (never the engine's order-dependent corr()).
+    "q_profile_corr" -> ((s, dir) =>
+      ProfileOps.correlationMatrix(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // Hot-key diagnostic: 10 heaviest users with integer-basis-point
     // shares (the salting decision input).
     "q_key_skew" -> ((s, dir) =>
@@ -4249,6 +4255,69 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
     // Per-column profile: aggregate natively, cast min/max to string
     // AFTER (a pre-cast min would compare lexicographically).
+    // Pearson matrix: identical scaled-integer moments (HUGEINT ==
+    // DECIMAL(38,0) for these magnitudes), identical final floats
+    "q_profile_corr" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS c1,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS c2,
+        |    CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS c3,
+        |    CAST(floor(l_tax * 100 + 0.5) AS HUGEINT) AS c4
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(c1) AS s1, sum(c2) AS s2, sum(c3) AS s3, sum(c4) AS s4,
+        |    sum(c1*c1) AS q1, sum(c2*c2) AS q2,
+        |    sum(c3*c3) AS q3, sum(c4*c4) AS q4,
+        |    sum(c1*c2) AS p12, sum(c1*c3) AS p13, sum(c1*c4) AS p14,
+        |    sum(c2*c3) AS p23, sum(c2*c4) AS p24, sum(c3*c4) AS p34
+        |  FROM s
+        |)
+        |SELECT col_a, col_b, corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(CASE WHEN q1*n - s1*s1 = 0 OR q2*n - s2*s2 = 0
+        |      THEN 0 ELSE (p12*n - s1*s2)::DOUBLE /
+        |        (sqrt((q1*n - s1*s1)::DOUBLE) *
+        |         sqrt((q2*n - s2*s2)::DOUBLE)) END, 4) + 0.0 AS corr
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |    round(CASE WHEN q1*n - s1*s1 = 0 OR q3*n - s3*s3 = 0
+        |      THEN 0 ELSE (p13*n - s1*s3)::DOUBLE /
+        |        (sqrt((q1*n - s1*s1)::DOUBLE) *
+        |         sqrt((q3*n - s3*s3)::DOUBLE)) END, 4) + 0.0
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax',
+        |    round(CASE WHEN q1*n - s1*s1 = 0 OR q4*n - s4*s4 = 0
+        |      THEN 0 ELSE (p14*n - s1*s4)::DOUBLE /
+        |        (sqrt((q1*n - s1*s1)::DOUBLE) *
+        |         sqrt((q4*n - s4*s4)::DOUBLE)) END, 4) + 0.0
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |    round(CASE WHEN q2*n - s2*s2 = 0 OR q3*n - s3*s3 = 0
+        |      THEN 0 ELSE (p23*n - s2*s3)::DOUBLE /
+        |        (sqrt((q2*n - s2*s2)::DOUBLE) *
+        |         sqrt((q3*n - s3*s3)::DOUBLE)) END, 4) + 0.0
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax',
+        |    round(CASE WHEN q2*n - s2*s2 = 0 OR q4*n - s4*s4 = 0
+        |      THEN 0 ELSE (p24*n - s2*s4)::DOUBLE /
+        |        (sqrt((q2*n - s2*s2)::DOUBLE) *
+        |         sqrt((q4*n - s4*s4)::DOUBLE)) END, 4) + 0.0
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax',
+        |    round(CASE WHEN q3*n - s3*s3 = 0 OR q4*n - s4*s4 = 0
+        |      THEN 0 ELSE (p34*n - s3*s4)::DOUBLE /
+        |        (sqrt((q3*n - s3*s3)::DOUBLE) *
+        |         sqrt((q4*n - s4*s4)::DOUBLE)) END, 4) + 0.0
+        |  FROM a
+        |)
+        |ORDER BY col_a, col_b""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,

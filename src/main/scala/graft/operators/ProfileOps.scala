@@ -38,6 +38,63 @@ object ProfileOps {
     * notation thresholds — profile those with `histogramInt` over a
     * scaled integer instead, or accept rows-only checking.
     */
+  /** Pairwise Pearson correlation matrix over fixed-point numeric
+    * columns — the profiling signal behind feature selection and
+    * redundant-column detection. ENGINE-EXACT to the last step: each
+    * value is scaled to an integer at `scale` decimal places with
+    * floor(x·10^s + 0.5) (floor is IEEE-exact where round() half
+    * cases are engine-defined — the int8Quantize rule), every moment
+    * (n, Σx, Σx², Σxy) is an exact DECIMAL(38,0) integer sum (order-
+    * independent, layout-invariant), and the one float each output
+    * row carries is the final
+    *   (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
+    * computed from identical integers on both engines, rounded at
+    * 4 dp (+0.0 normalizes −0.0). A zero-variance column correlates
+    * as 0 by convention (the rateAnomaly σ=0 rule) instead of
+    * dividing by zero.
+    *
+    * Scale shape: ONE scan computes every moment in a single
+    * map-side-combined aggregation (|cols|² aggregates over a 1-row
+    * result); the pair rows are a projection of that single row —
+    * no shuffle beyond the one partial-agg exchange, at any corpus
+    * size. Never use the engine's `corr` aggregate here: its
+    * streaming co-moment accumulation is float and order-dependent,
+    * so two engines (or two layouts) disagree in the last ulps. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2 && scale >= 0 && scale <= 6)
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"correlationMatrix: column name '$c' is not a plain identifier"))
+    val f = math.pow(10, scale).toLong
+    val scaled = df.select(cols.map(c =>
+      expr(s"CAST(floor($c * $f + 0.5) AS DECIMAL(38,0))")
+        .as(s"s_$c")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs: Seq[Column] =
+      (count(lit(1)).cast("decimal(38,0)").as("n") +:
+        cols.map(c => sum(col(s"s_$c")).as(s"sx_$c"))) ++
+        cols.map(c => sum(col(s"s_$c") * col(s"s_$c")).as(s"sxx_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"s_$a") * col(s"s_$b")).as(s"sxy_${a}_$b") }
+    val one = scaled.agg(aggs.head, aggs.tail: _*)
+    def varTerm(c: String): Column =
+      (col(s"sxx_$c") * col("n") - col(s"sx_$c") * col(s"sx_$c"))
+        .cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val num = (col(s"sxy_${a}_$b") * col("n") -
+        col(s"sx_$a") * col(s"sx_$b")).cast("double")
+      val den = sqrt(varTerm(a)) * sqrt(varTerm(b))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(den === 0d, 0d).otherwise(num / den).as("r"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        (round(col("p.r"), 4) + lit(0.0)).as("corr"))
+      .orderBy("col_a", "col_b")
+  }
+
   def profileTable(df: DataFrame, columns: Seq[String] = Nil,
       approxDistinct: Boolean = false): DataFrame = {
     val cs = if (columns.nonEmpty) columns else df.columns.toSeq

@@ -8,6 +8,42 @@ class ProfileOpsSpec extends SparkSpec {
 
   private def corpus = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("correlationMatrix: exact +/-1 on linear columns, BigInt " +
+      "witness on noise, zero-variance to 0, layout-invariant") {
+    val df = Seq(
+      (1.00, 2.00, -1.00, 5.0, 0.37),
+      (2.00, 4.00, -2.00, 5.0, 0.91),
+      (3.00, 6.00, -3.00, 5.0, 0.12),
+      (4.00, 8.00, -4.00, 5.0, 0.55),
+    ).toDF("x", "y2x", "yneg", "const", "z")
+    val got = ProfileOps.correlationMatrix(df,
+      Seq("x", "y2x", "yneg", "const", "z"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    assert(got(("x", "y2x")) == 1.0)     // y = 2x exactly
+    assert(got(("x", "yneg")) == -1.0)   // y = -x exactly
+    assert(got(("x", "const")) == 0.0)   // zero variance -> 0 rule
+    // BigInt witness for the noisy pair — identical integer moments
+    val xs = Seq(100L, 200L, 300L, 400L).map(BigInt(_))
+    val zs = Seq(37L, 91L, 12L, 55L).map(BigInt(_))
+    val n = BigInt(4)
+    val num = (n * xs.zip(zs).map { case (a, b) => a * b }.sum -
+      xs.sum * zs.sum).toDouble
+    val den =
+      math.sqrt((n * xs.map(v => v * v).sum - xs.sum * xs.sum).toDouble) *
+      math.sqrt((n * zs.map(v => v * v).sum - zs.sum * zs.sum).toDouble)
+    val want = BigDecimal(num / den)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("x", "z")) == want)
+    // integer moments commute: any layout gives identical output
+    assert(ProfileOps.correlationMatrix(df.repartition(7),
+      Seq("x", "y2x", "yneg", "const", "z"))
+      .as[(String, String, Double)].collect().toSeq ==
+      ProfileOps.correlationMatrix(df,
+        Seq("x", "y2x", "yneg", "const", "z"))
+        .as[(String, String, Double)].collect().toSeq)
+  }
+
   test("profileTable: exact stats, native-type min/max, null accounting") {
     val df = Seq[(java.lang.Long, String)](
       (99L, "b"), (100L, "a"), (100L, null), (null, "a"))
