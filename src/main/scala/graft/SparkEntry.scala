@@ -452,6 +452,12 @@ object SparkEntry {
     "q_embed_mrl" -> ((s, dir) =>
       Similarity.mrlRecall(embeddings(s, dir), dims = Seq(8, 16, 32),
         col("vec_id") < 20, k = 10)),
+    // The top-WEIGHTED twin: Rank-Biased Overlap vs the full-dim
+    // ranking — E12 integer suffix-sum table shared verbatim with
+    // the oracle, exact integer sums end to end.
+    "q_embed_rbo" -> ((s, dir) =>
+      Similarity.mrlRbo(embeddings(s, dir), dims = Seq(8, 16, 32),
+        col("vec_id") < 20, k = 10)),
     // Hybrid RAG retrieval: Reciprocal Rank Fusion of the BM25 leg
     // (q_bm25's terms) and the dense cosine leg (query = vec 0) —
     // both legs and the 1/(60+rank) fusion are closed-form, so the
@@ -1957,6 +1963,54 @@ object SparkEntry {
         |WHERE t.trunc_dim <> 0
         |GROUP BY t.trunc_dim, t.query_id
         |ORDER BY t.trunc_dim, t.query_id""".stripMargin,
+    // RBO vs full dim: same tier ranking as q_embed_mrl, common
+    // elements pair on (query, vec), contribution = the E12 suffix
+    // sum at max(rank, full_rank) — the literal table below is the
+    // operator's own (repeated-multiplication IEEE arithmetic, so
+    // both generations are bit-identical); (1-p) = 1/10 is the DIV
+    "q_embed_rbo" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+        |), tiers(trunc_dim) AS (VALUES (0), (8), (16), (32)
+        |), sc AS (
+        |  SELECT t.trunc_dim, query_id, vec_id,
+        |    list_sum(list_transform(range(1,
+        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
+        |             ELSE t.trunc_dim + 1 END),
+        |      i -> qv[i] * v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1,
+        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
+        |             ELSE t.trunc_dim + 1 END),
+        |      i -> qv[i] * qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1,
+        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
+        |             ELSE t.trunc_dim + 1 END),
+        |      i -> v[i] * v[i])))) AS cos
+        |  FROM e, q, tiers t WHERE vec_id <> query_id
+        |), topk AS (
+        |  SELECT trunc_dim, query_id, vec_id, r AS rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id, trunc_dim
+        |      ORDER BY cos DESC, vec_id) AS r FROM sc)
+        |  WHERE r <= 10
+        |), paired AS (
+        |  SELECT t.trunc_dim, t.query_id,
+        |    ([2354163994257, 1354163994257, 904163994257,
+        |      634163994257, 451913994257, 320693994257,
+        |      222278994257, 146358851400, 86571738900,
+        |      38742048900])[greatest(t.rank, f.rank)] AS s_e12
+        |  FROM topk t JOIN topk f
+        |    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        |      AND f.trunc_dim = 0
+        |  WHERE t.trunc_dim <> 0
+        |)
+        |SELECT trunc_dim, query_id, count(*)::BIGINT AS n_common,
+        |  (sum(s_e12) // 10)::BIGINT AS rbo_e12
+        |FROM paired GROUP BY trunc_dim, query_id
+        |ORDER BY trunc_dim, query_id""".stripMargin,
     // Injected-centroid IVF: dot(v, e_k) folds to v[k] (±0.0 terms
     // collapse under comparison), first-argmax = the CASE ladder,
     // probe ranking = (score DESC, cell ASC), then the exact cosine

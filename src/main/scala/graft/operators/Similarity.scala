@@ -231,8 +231,12 @@ object Similarity {
     * PlanSpec pins against. Fully oracled: ranks are deterministic
     * (cos DESC, vec_id ASC), recall_bp is exact integer arithmetic,
     * and both engines fold the dot products left-to-right. */
-  def mrlRecall(embs: DataFrame, dims: Seq[Int], queryPred: Column,
-      k: Int): DataFrame = {
+  /** Shared tier ranking for the MRL audits: per (query, tier) cosine
+    * top-k under each prefix dimension, tier 0 = full dimension.
+    * One corpus pass (see [[mrlRecall]]'s scaladoc for the physics);
+    * returns (query_id, trunc_dim, vec_id, rank). */
+  private def mrlTierTopK(embs: DataFrame, dims: Seq[Int],
+      queryPred: Column, k: Int): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ >= 1))
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val q = e.filter(queryPred).toDF("query_id", "qv")
@@ -251,9 +255,14 @@ object Similarity {
         col("t.trunc_dim").as("trunc_dim"), col("t.cos").as("cos"))
     val w = Window.partitionBy("query_id", "trunc_dim")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val topk = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "trunc_dim", "vec_id")
+      .select("query_id", "trunc_dim", "vec_id", "rank")
+  }
+
+  def mrlRecall(embs: DataFrame, dims: Seq[Int], queryPred: Column,
+      k: Int): DataFrame = {
+    val topk = mrlTierTopK(embs, dims, queryPred, k)
     // bounded window: |queries| * (|dims| + 1) * k rows post-limit
     val wf = Window.partitionBy("query_id", "vec_id")
     topk
@@ -263,6 +272,59 @@ object Similarity {
       .groupBy("trunc_dim", "query_id")
       .agg(sum(col("in_full")).as("overlap"))
       .withColumn("recall_bp", expr(s"overlap * 10000 DIV $k"))
+      .orderBy("trunc_dim", "query_id")
+  }
+
+  /** Rank-Biased Overlap (Webber et al. TOIS 2010) between each
+    * truncated-dimension ranking and the full-dimension ranking —
+    * recall@k ([[mrlRecall]]) treats the top-k as a SET; RBO is the
+    * top-WEIGHTED comparison (an agreement at rank 1 counts more
+    * than one at rank k), the standard metric when serving quality
+    * depends on the head of the list.
+    *
+    * RBO_k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d over prefix
+    * depths d. Regrouped per common element v (ranks ra in A, rb in
+    * B): RBO_k = (1−p)·Σ_v S(max(ra, rb)) with the suffix sums
+    * S(m) = Σ_{d=m..k} p^(d−1)/d. ENGINE-EXACT by construction: the
+    * k suffix sums are computed ONCE here in Scala, quantized to E12
+    * integers, and embedded as the SAME literal table in the plan
+    * and the DuckDB oracle — so the per-query aggregation is an
+    * integer SUM (order-independent) and the output rbo_e12 =
+    * Σ S_e12(max) DIV 10 (≈ RBO·10^12) (the (1−p) = 1/10 factor for p = 0.9) is
+    * exact integer arithmetic end to end. No pow(), no float sums.
+    *
+    * Shape: the tier ranking relation self-pairs on (query, vec)
+    * through one bounded window (the [[mrlRecall]] trick — never a
+    * self-join that would recompute the scored pass), then one
+    * integer aggregation. */
+  def mrlRbo(embs: DataFrame, dims: Seq[Int], queryPred: Column,
+      k: Int, p: Double = 0.9): DataFrame = {
+    require(p > 0.0 && p < 1.0)
+    // S_e12(m), 1-based; S(k+1) = 0 for elements absent from a list.
+    // p^(d-1) by repeated multiplication, NOT pow(): every step is a
+    // strict IEEE double op any runtime reproduces bit-for-bit, so
+    // the oracle's literal table regenerates to identical integers
+    // (pow() is libm-specific — the TrainingOps sqrt-not-pow lesson).
+    val sE12: Array[Long] = {
+      val pws = new Array[Double](k + 1)
+      var pw = 1.0
+      for (d <- 1 to k) { pws(d) = pw; pw *= p }
+      val s = new Array[Double](k + 2)
+      for (d <- k to 1 by -1) s(d) = s(d + 1) + pws(d) / d
+      s.map(x => math.floor(x * 1e12 + 0.5).toLong)
+    }
+    val topk = mrlTierTopK(embs, dims, queryPred, k)
+    val wf = Window.partitionBy("query_id", "vec_id")
+    topk
+      .withColumn("full_rank",
+        max(when(col("trunc_dim") === 0, col("rank"))).over(wf))
+      .filter(col("trunc_dim") =!= 0 && col("full_rank").isNotNull)
+      .withColumn("s_e12",
+        element_at(typedlit(sE12.toSeq),
+          greatest(col("rank"), col("full_rank")).cast("int") + 1))
+      .groupBy("trunc_dim", "query_id")
+      .agg(count("*").as("n_common"),
+        expr("sum(s_e12) DIV 10").as("rbo_e12"))
       .orderBy("trunc_dim", "query_id")
   }
 

@@ -455,6 +455,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mrl RBO: identical lists score exactly 1 - p^k in the E12 " +
+      "quantization; every truncation scores at most that") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // regenerate the operator's own suffix-sum table (same repeated-
+    // multiplication arithmetic) for the witness
+    val k = 10
+    val pws = new Array[Double](k + 1)
+    var pw = 1.0
+    for (d <- 1 to k) { pws(d) = pw; pw *= 0.9 }
+    val s = new Array[Double](k + 2)
+    for (d <- k to 1 by -1) s(d) = s(d + 1) + pws(d) / d
+    val sE12 = s.map(x => math.floor(x * 1e12 + 0.5).toLong)
+    val perfect = (1 to k).map(sE12).sum / 10 // identical lists
+    // the d=64 tier ranks with the identical cosine -> identical
+    // lists -> all 20 queries exactly `perfect`, n_common = 10
+    val at64 = Similarity.mrlRbo(corpus, dims = Seq(64),
+      col("vec_id") < 20, k = k)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(at64.size == 20 && at64.forall { case (_, _, n, r) =>
+      n == 10L && r == perfect })
+    // sanity: E12-perfect tracks the closed form 1 - 0.9^10
+    assert(math.abs(perfect / 1e12 - (1 - math.pow(0.9, 10))) < 1e-9)
+    // truncations can only lose top-weighted agreement
+    val multi = Similarity.mrlRbo(corpus, dims = Seq(4, 16),
+      col("vec_id") < 20, k = k)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(multi.nonEmpty &&
+      multi.forall { case (_, _, _, r) => r <= perfect })
+  }
+
   test("injected-plane LSH: closed-form sign buckets == Scala " +
       "witness; the bucket cut actually binds") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
