@@ -304,6 +304,11 @@ object SparkEntry {
     // provably identical to the uncapped run (shares its oracle).
     "q_dedup_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPrefix(documents(s, dir), n = 3, threshold = 0.8)),
+    // Corpus diversity: mean pairwise Jaccard estimated from
+    // portable-md5 minhash component collisions — no pair relation
+    // ever exists; the estimator's randomness itself is oracled.
+    "q_dedup_diversity" -> ((s, dir) =>
+      Dedup.corpusDiversity(documents(s, dir), n = 3, numHashes = 16)),
     // Which sources copy each other: exact pairs by count arithmetic
     // (never materialized), near pairs from the capped Jaccard index.
     // Planted mirror/re-delivery fixtures make BOTH halves bind (the
@@ -1500,6 +1505,37 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Diversity: identical md5-minhash components, identical
+    // collision count arithmetic — the estimator replayed exactly
+    "q_dedup_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), mins AS (
+        |  SELECT doc_id, i.i,
+        |    min(('0x' || substr(md5(s || ':' || i.i::VARCHAR), 1, 15))
+        |      ::BIGINT) AS mh
+        |  FROM sh, unnest(range(16)) AS i(i)
+        |  GROUP BY doc_id, i.i
+        |), cnts AS (
+        |  SELECT i, mh, count(*) AS c FROM mins GROUP BY i, mh
+        |), agg AS (
+        |  SELECT
+        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
+        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
+        |  FROM cnts
+        |)
+        |SELECT n_docs, (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs,
+        |  16::BIGINT AS n_components, collisions,
+        |  (CASE WHEN n_docs >= 2 THEN
+        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
+        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
+        |FROM agg""".stripMargin,
     // Prefix-filtered AllPairs join: IDENTICAL answer to an uncapped
     // exact-Jaccard run (the oracle only sees the answer — the
     // prefix candidate cut is a plan property, pinned in DedupSpec)

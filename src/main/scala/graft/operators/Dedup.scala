@@ -258,6 +258,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus DIVERSITY summary — the mean pairwise n-gram Jaccard of
+    * the whole corpus, estimated WITHOUT materializing a single pair:
+    * for each of `numHashes` hash components, every doc keeps its
+    * min-hashed shingle (the MinHash statistic); two docs collide on
+    * a component with probability J(a, b), so
+    *
+    *   mean pairwise J ≈ Σ_components Σ_values C(cnt, 2)
+    *                       / (numHashes · C(n_docs, 2))
+    *
+    * — collision counting is pure per-(component, value) count
+    * arithmetic, the crossSourceDupMatrix trick. This is the
+    * corpus-health number curation teams watch across snapshots
+    * ("is this crawl more internally duplicated than the last one")
+    * at a cost that never leaves O(corpus · numHashes).
+    *
+    * Unlike [[minhashSignatures]] (xxhash64 — engine-specific), the
+    * component hashes here are the portable 60-bit md5 convention, so
+    * the ENTIRE statistic — including the estimator's randomness — is
+    * replayed exactly by the DuckDB oracle; the estimate's VALUE is
+    * deterministic given the hash family, only its closeness to true
+    * mean-J is probabilistic (spec-pinned against the closed form on
+    * a planted corpus). All integer until the final e6 ratio
+    * (integer DIV). Counts ride BIGINT: fine up to ~10^9 docs per
+    * run; beyond that the same aggregation runs per shard and the
+    * collision sums (mergeable integers) add up. */
+  def corpusDiversity(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 64)
+    import graft.functions.TextAnalysis.md5Hash60
+    val mins = shingleIndex(docs, n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
+        col("shingle"))
+      .withColumn("h", md5Hash60(
+        concat(col("shingle"), lit(":"), col("i").cast("string"))))
+      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+    mins
+      .groupBy("i", "mh").agg(count("*").as("c"))
+      .agg(
+        sum(when(col("i") === 0, col("c")).otherwise(0L)).as("n_docs"),
+        sum(expr("c * (c - 1) DIV 2")).as("collisions"))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("n_pairs"),
+        lit(numHashes.toLong).as("n_components"),
+        col("collisions"),
+        expr(s"""CASE WHEN n_docs >= 2 THEN
+          collisions * 1000000 DIV
+            ($numHashes * (n_docs * (n_docs - 1) DIV 2))
+          ELSE 0 END""").as("mean_jaccard_e6"))
+  }
+
   /** Weighted near-dup pairs: cosine similarity over n-gram FREQUENCY
     * vectors (vs [[ngramJaccard]]'s set semantics — repetition-heavy
     * docs that share the same grams at different multiplicities score

@@ -70,6 +70,42 @@ class DedupSpec extends SparkSpec {
       .count() > 0, "corpus should contain planted near-dups")
   }
 
+  test("corpusDiversity: exact on a planted 0/1-Jaccard corpus; " +
+      "tracks brute-force mean J on sf0.001") {
+    // 3 identical docs + 2 unrelated: mean pairwise J = 3/10 exactly,
+    // and the minhash estimator is EXACT when every J is 0 or 1
+    val planted = Seq(
+      (1L, "a b c d e f", "en", "s", 11L),
+      (2L, "a b c d e f", "en", "s", 11L),
+      (3L, "a b c d e f", "en", "s", 11L),
+      (4L, "p q r s t u", "en", "s", 11L),
+      (5L, "v w x y z zz", "en", "s", 12L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.corpusDiversity(planted)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((5L, 10L, 16L, 48L, 300000L)),
+      s"planted diversity mismatch: $got")
+    // estimator vs brute-force truth on the corpus
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val est = Dedup.corpusDiversity(corpus)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val sets = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val js = for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+    } yield {
+      val (a, b) = (sets(i)._2, sets(j)._2)
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val truth = js.sum / js.size
+    assert(est._1 == sets.length && est._2 == js.size.toLong)
+    assert(math.abs(est._5 / 1e6 - truth) < 0.02,
+      s"estimate ${est._5 / 1e6} vs truth $truth")
+  }
+
   test("ngram cosine: identical pair at 1.0; equals brute force on sf0.001") {
     val got = Dedup.ngramCosine(docs, n = 3, threshold = 0.3)
       .as[(Long, Long, Double)].collect().toSeq
