@@ -44,7 +44,8 @@ object Plans {
       "q_wordpiece_pairs", "q_wordpiece_encode", "q_dedup_prefix",
       "q_retrieval_rrf", "q_ann_hamming", "q_embed_mrl",
       "q_phrase_search", "q_phrase_prox", "q_phrase_projected",
-      "q_events_decay", "q_ann_lsh_injected")
+      "q_events_decay", "q_ann_lsh_injected", "q_embed_rbo",
+      "q_profile_corr", "q_dedup_keep_best", "q_dedup_diversity")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")
