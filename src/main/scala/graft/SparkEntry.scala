@@ -309,6 +309,10 @@ object SparkEntry {
     // ever exists; the estimator's randomness itself is oracled.
     "q_dedup_diversity" -> ((s, dir) =>
       Dedup.corpusDiversity(documents(s, dir), n = 3, numHashes = 16)),
+    // The operational per-source form: which source is internally
+    // duplicated, before it pollutes sampling weights.
+    "q_dedup_diversity_src" -> ((s, dir) =>
+      Dedup.sourceDiversity(documents(s, dir), n = 3, numHashes = 16)),
     // Which sources copy each other: exact pairs by count arithmetic
     // (never materialized), near pairs from the capped Jaccard index.
     // Planted mirror/re-delivery fixtures make BOTH halves bind (the
@@ -1505,6 +1509,37 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Per-source diversity: same minhash statistic grouped by source
+    "q_dedup_diversity_src" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), mins AS (
+        |  SELECT source, doc_id, i.i,
+        |    min(('0x' || substr(md5(s || ':' || i.i::VARCHAR), 1, 15))
+        |      ::BIGINT) AS mh
+        |  FROM sh, unnest(range(16)) AS i(i)
+        |  GROUP BY source, doc_id, i.i
+        |), cnts AS (
+        |  SELECT source, i, mh, count(*) AS c
+        |  FROM mins GROUP BY source, i, mh
+        |), agg AS (
+        |  SELECT source,
+        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
+        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
+        |  FROM cnts GROUP BY source
+        |)
+        |SELECT source, n_docs,
+        |  (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs, collisions,
+        |  (CASE WHEN n_docs >= 2 THEN
+        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
+        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
+        |FROM agg ORDER BY source""".stripMargin,
     // Diversity: identical md5-minhash components, identical
     // collision count arithmetic — the estimator replayed exactly
     "q_dedup_diversity" ->

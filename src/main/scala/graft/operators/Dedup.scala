@@ -309,6 +309,41 @@ object Dedup {
           ELSE 0 END""").as("mean_jaccard_e6"))
   }
 
+  /** [[corpusDiversity]] per SOURCE — the operational form: which
+    * ingest source is internally duplicated (a mirror crawl, a feed
+    * re-delivering) BEFORE its duplication pollutes sampling weights.
+    * Same per-component minhash statistic, collisions counted within
+    * each source's own doc population; identical integer arithmetic,
+    * identical oracle replay. A single-doc source reports 0 pairs and
+    * a 0 estimate (nothing to compare). */
+  def sourceDiversity(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 64)
+    import graft.functions.TextAnalysis.md5Hash60
+    val mins = shingleIndex(docs, n)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
+        col("shingle"))
+      .withColumn("h", md5Hash60(
+        concat(col("shingle"), lit(":"), col("i").cast("string"))))
+      .groupBy("source", "doc_id", "i").agg(min("h").as("mh"))
+    mins
+      .groupBy("source", "i", "mh").agg(count("*").as("c"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("i") === 0, col("c")).otherwise(0L)).as("n_docs"),
+        sum(expr("c * (c - 1) DIV 2")).as("collisions"))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("n_pairs"),
+        col("collisions"),
+        expr(s"""CASE WHEN n_docs >= 2 THEN
+          collisions * 1000000 DIV
+            ($numHashes * (n_docs * (n_docs - 1) DIV 2))
+          ELSE 0 END""").as("mean_jaccard_e6"))
+      .orderBy("source")
+  }
+
   /** Weighted near-dup pairs: cosine similarity over n-gram FREQUENCY
     * vectors (vs [[ngramJaccard]]'s set semantics — repetition-heavy
     * docs that share the same grams at different multiplicities score

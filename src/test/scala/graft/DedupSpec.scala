@@ -85,6 +85,18 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(got == ((5L, 10L, 16L, 48L, 300000L)),
       s"planted diversity mismatch: $got")
+    // per-source form: the duplicated source reports 3/10 exactly,
+    // clean sources 0; a single-doc source reports 0 pairs
+    val bySrc = Dedup.sourceDiversity(planted
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(
+          col("doc_id") <= 3, "dup").otherwise(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("s"), col("doc_id")))))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(bySrc == Seq(
+      ("dup", 3L, 3L, 48L, 1000000L),
+      ("s4", 1L, 0L, 0L, 0L), ("s5", 1L, 0L, 0L, 0L)))
     // estimator vs brute-force truth on the corpus
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val est = Dedup.corpusDiversity(corpus)
