@@ -392,6 +392,39 @@ class PlanSpec extends SparkSpec {
       s"ranking window must partition by query AND tier:\n$p")
   }
 
+  test("phrase projection: the codegen'd kernel sits in the scan " +
+      "projection; no shuffle at all before the final sort") {
+    val p = plan(graft.operators.CorpusOps.phraseProjection(
+      documents(spark, sfDir), Seq("window", "fast", "query")))
+    assert(p.contains("graft_phrase_hits"),
+      s"phrase test must run as the codegen kernel:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the stream-safe projection must not shuffle:\n$p")
+  }
+
+  test("decayed counts: the reference scalar broadcasts; the type " +
+      "aggregation partial-aggregates map-side") {
+    val p = plan(graft.operators.EventOps.decayedCounts(
+      graft.sources.Tables.events(spark, sfDir)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row t_max scalar must broadcast:\n$p")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 &&
+      p.indexOf("HashAggregate", firstAgg + 1) >= 0,
+      s"partial+final aggregate pair expected:\n$p")
+  }
+
+  test("corpus diversity: collision counting is pure aggregation — " +
+      "no join beyond the component fan-out, partial aggs map-side") {
+    val p = plan(graft.operators.Dedup.corpusDiversity(
+      documents(spark, sfDir)))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no pair relation may exist in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"min-per-(doc, i) and count-per-(i, value) must both " +
+        s"partial-aggregate:\n$p")
+  }
+
   test("hybrid RRF: each leg stays its own scale shape — one corpus " +
       "tokenize on the lexical side, broadcast query on the dense side") {
     val p = plan(Similarity.hybridRrf(
