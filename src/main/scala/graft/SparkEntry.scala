@@ -304,6 +304,12 @@ object SparkEntry {
     // provably identical to the uncapped run (shares its oracle).
     "q_dedup_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPrefix(documents(s, dir), n = 3, threshold = 0.8)),
+    // Asymmetric containment pairs: doc quoted/embedded inside a
+    // larger one — the case symmetric Jaccard structurally misses.
+    // Integer cross-multiplied threshold; df cap binds identically.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(documents(s, dir), n = 3,
+        threshold = 0.9, maxDocFreq = 1000L)),
     // Corpus diversity: mean pairwise Jaccard estimated from
     // portable-md5 minhash component collisions — no pair relation
     // ever exists; the estimator's randomness itself is oracled.
@@ -1509,6 +1515,41 @@ object SparkEntry {
         |GROUP BY s HAVING count(*) > 5
         |ORDER BY shingle""".stripMargin,
     "q_dedup_minhash" -> DedupNgramOracle,
+    // Containment: the capped shingle index both engines, directed
+    // ratio common/|sub|, integer cross-multiplied threshold
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), kept AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)
+        |    k USING (s)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS common
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), directed AS (
+        |  SELECT doc_a AS doc_sub, doc_b AS doc_sup, common,
+        |    sa.n AS n_sub
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, common, sb.n
+        |  FROM pairs JOIN sizes sb ON sb.doc_id = doc_b
+        |)
+        |SELECT doc_sub, doc_sup,
+        |  round(common::DOUBLE / n_sub, 4) AS containment
+        |FROM directed
+        |WHERE common * 10000 >= n_sub * 9000
+        |ORDER BY doc_sub, doc_sup""".stripMargin,
     // Per-source diversity: same minhash statistic grouped by source
     "q_dedup_diversity_src" ->
       """WITH toks AS (

@@ -258,6 +258,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric similarity
+    * c(sub → sup) = |sub ∩ sup| / |sub| ≥ threshold: a small document
+    * quoted, excerpted, or embedded inside a larger one, which
+    * symmetric Jaccard structurally misses (|A∩B|/|A∪B| → 0 as the
+    * host grows, however completely A is contained). The curation
+    * case is boilerplate prospectuses, quoted articles, and doc-in-
+    * doc re-publication.
+    *
+    * Same inverted-index physics and df skew guard as
+    * [[ngramJaccard]] (the cap only prunes posting lists; a dropped
+    * shingle lowers `common`, never inflates containment). Each
+    * unordered candidate pair emits up to TWO directed rows — either
+    * side may be the contained one. Cross-engine exactness: the
+    * integer cross-multiplication common·10000 >= tN·n_sub decides
+    * the threshold (no float compare at the boundary); the reported
+    * ratio is rounded 4 dp for display only. */
+  def ngramContainment(docs: DataFrame, n: Int, threshold: Double,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val tN = math.floor(threshold * 10000).toLong
+    val sets = shingleSets(docs, n)
+    val exploded = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val bounded =
+      if (maxDocFreq <= 0) exploded
+      else {
+        val keep = exploded.groupBy("shingle").agg(count("*").as("df"))
+          .filter(col("df") <= maxDocFreq).select("shingle")
+        exploded.join(keep, Seq("shingle"), "left_semi")
+      }
+    val pairs = bounded
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
+      .agg(count("*").as("common"))
+    val ab = pairs.select(col("doc_a").as("doc_sub"),
+      col("doc_b").as("doc_sup"), col("na").as("n_sub"), col("common"))
+    val ba = pairs.select(col("doc_b").as("doc_sub"),
+      col("doc_a").as("doc_sup"), col("nb").as("n_sub"), col("common"))
+    ab.unionByName(ba)
+      .filter(col("common") * 10000L >= col("n_sub") * tN)
+      .select(col("doc_sub"), col("doc_sup"),
+        round(col("common").cast("double") / col("n_sub"), 4)
+          .as("containment"))
+      .orderBy("doc_sub", "doc_sup")
+  }
+
   /** Corpus DIVERSITY summary — the mean pairwise n-gram Jaccard of
     * the whole corpus, estimated WITHOUT materializing a single pair:
     * for each of `numHashes` hash components, every doc keeps its

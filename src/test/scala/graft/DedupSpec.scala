@@ -70,6 +70,42 @@ class DedupSpec extends SparkSpec {
       .count() > 0, "corpus should contain planted near-dups")
   }
 
+  test("containment: catches the quoted-doc case Jaccard misses; " +
+      "directions independent; brute-force parity on sf0.001") {
+    // doc 2 = doc 1 verbatim inside 14 extra words: c(1->2) = 1.0
+    // while J = 4/18 = 0.22 — invisible to any Jaccard threshold
+    val host = "h1 h2 h3 h4 h5 h6 h7 a b c d e f h8 h9 h10 h11 h12 h13 h14"
+    val fix = Seq(
+      (1L, "a b c d e f", "en", "s", 11L),
+      (2L, host, "en", "s", host.length.toLong),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.ngramContainment(fix, n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)), s"got $got")
+    // and Jaccard at the same threshold indeed misses it
+    assert(Dedup.ngramJaccard(fix, n = 3, threshold = 0.9,
+      maxDocFreq = 0L).count() == 0)
+    // corpus: every emitted direction equals the brute-force ratio
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sets = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    // df <= 1000 never binds at sf0.001, so brute force is exact here
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      common = sa.intersect(sb).size
+      if common.toLong * 10000 >= sa.size.toLong * 9000
+    } yield (a, b, BigDecimal(common.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(r => (r._1, r._2))
+    val gotC = Dedup.ngramContainment(corpus, n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotC == want)
+    assert(gotC.nonEmpty, "corpus should contain containment cases")
+  }
+
   test("corpusDiversity: exact on a planted 0/1-Jaccard corpus; " +
       "tracks brute-force mean J on sf0.001") {
     // 3 identical docs + 2 unrelated: mean pairwise J = 3/10 exactly,
