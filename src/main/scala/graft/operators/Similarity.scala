@@ -186,7 +186,10 @@ object Similarity {
     * is a per-query window over already-scored scalar rows; the
     * rerank joins the |queries|*m candidate list BROADCAST against
     * the corpus scan, so full float vectors are only ever read for
-    * the m survivors and never cross a shuffle. */
+    * the m survivors and never cross a shuffle. `queryPred` is
+    * evaluated on the (vec_id, bits) index relation, so it may only
+    * reference `vec_id` — an embedding-typed predicate belongs on a
+    * pre-filtered `embs` instead. */
   def hammingTopK(embs: DataFrame, queryPred: Column, k: Int,
       m: Int, dim: Int = 64): DataFrame = {
     val bits = binaryQuantize(embs, dim)
@@ -284,7 +287,10 @@ object Similarity {
     *
     * RBO_k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d over prefix
     * depths d. Regrouped per common element v (ranks ra in A, rb in
-    * B): RBO_k = (1−p)·Σ_v S(max(ra, rb)) with the suffix sums
+    * B): RBO_k = (1−p)·Σ_v S(max(ra, rb)) — a (tier, query) whose
+    * lists share NOTHING has an empty sum and emits NO row (its RBO
+    * is 0; the oracle drops the same groups, so absence IS the
+    * encoding) — with the suffix sums
     * S(m) = Σ_{d=m..k} p^(d−1)/d. ENGINE-EXACT by construction: the
     * k suffix sums are computed ONCE here in Scala, quantized to E12
     * integers, and embedded as the SAME literal table in the plan
