@@ -52,7 +52,24 @@ object Bench {
       // runs are caught independently: one transient failure must not
       // discard the other runs' successful measurements
       once() // per-query warm-up (codegen compilation) — untimed
-      val runs = Seq.fill(timedRuns)(once()).flatten.sorted
+      // Drain collectable garbage from the PREVIOUS queries before the
+      // timer starts: at this scale a query is ~0.5 s of fixed cost, so
+      // a single major GC landing inside a timed run doubles or triples
+      // the reading. Round-7 lesson: q_vocab_unk read 2.12 s in the
+      // full 175-query bench but 0.75-1.0 s in isolation with an
+      // UNCHANGED plan (2 scans / 2 tokenizes / 4 exchanges, verified
+      // by ScanAudit + a stage-by-stage profile of four alternative
+      // formulations, all within noise) — the delta was accumulated-
+      // heap collection debt from neighbors, not the query.
+      System.gc()
+      val first = Seq.fill(timedRuns)(once()).flatten
+      // Adaptive re-measurement (round-7 verdict item 6): when the
+      // spread exceeds 2x the minimum, the median of 3 is still noise-
+      // dominated — take two more samples so one outlier run cannot
+      // masquerade as a regression in the cross-round diff.
+      val runs = (if (first.nonEmpty && first.max > 2 * first.min)
+        first ++ Seq.fill(2)(once()).flatten
+      else first).sorted
       name -> runs
     }
     def j(v: Double): String = f"$v%.6f"

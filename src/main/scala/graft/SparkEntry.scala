@@ -387,11 +387,19 @@ object SparkEntry {
         k = 50, weightCol = col("w"), maxWeight = 100L)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embeddings(s, dir), threshold = 0.4)),
-    // LSH-bucketed variant: exact-verified candidates, approximate
-    // recall by construction — rows-only check; recall pinned vs the
-    // exact path in DedupSpec.
+    // LSH-bucketed variant, fully ORACLED via injected axis-aligned
+    // planes (the q_ann_lsh_injected convention): 4 tables of 4 unit
+    // planes over coordinates 0..15 fold every SRP bit to a sign test
+    // v[j] > 0, so the co-bucket candidate relation AND the exact-
+    // cosine verification are both closed-form SQL — while the
+    // operator runs its production path (srpBucketsAll kernel, bucket
+    // grouping, skew cap, pair fan-out, verify joins) unchanged. The
+    // random-plane regime's recall stays pinned vs the exact path in
+    // DedupSpec.
     "q_dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupLsh(embeddings(s, dir), threshold = 0.4)),
+      Dedup.embeddingNearDupLsh(embeddings(s, dir), threshold = 0.4,
+        planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+          Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))))),
     // The PRODUCTION regime (cos >= 0.9, 16 planes x 32 tables) over a
     // corpus with planted near-dups (the raw table tops out at cos
     // 0.6). Fully oracled: candidates are verified with the exact
@@ -555,6 +563,21 @@ object SparkEntry {
       Similarity.pqTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
         codebooks = Some(cbs))
     }),
+    // Fully-ORACLED PQ regime (the ivf/lsh_injected convention):
+    // injected 2-centroid codebooks c = ±e1 per 8-dim subspace fold
+    // the argmax encoder to a sign test (code = v[8m] > 0) and each
+    // ADC table lookup to ±q[8m], so the compressed-domain scan, the
+    // refine-cut ranking, and the exact rerank are all closed-form
+    // SQL. The approximation binds hard (8 sign bits approximate a
+    // 64-dim dot), which is the point: the oracle checks the refine
+    // machinery on the approximate candidates, not a degenerate
+    // perfect-recall case — that equality lives in SimilaritySpec.
+    "q_ann_pq_injected" -> ((s, dir) =>
+      Similarity.pqTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
+        m = 8, refine = 4, dim = 64,
+        codebooks = Some(Array.tabulate(8)(_ => Array(
+          Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+          Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))))),
     // Int8 quantization: symmetric max-abs scale + floor-based
     // rounding — every code bit oracled (floor is IEEE-exact where
     // round()'s half-cases are engine-defined). Codes ride as a CSV
@@ -1781,6 +1804,38 @@ object SparkEntry {
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Injected-plane LSH near-dup (the q_ann_lsh_injected convention):
+    // table t's bucket bit j = (v[4t+j+1] > 0) exactly (each axis
+    // plane's dot folds to the coordinate), candidates = DISTINCT
+    // co-bucket pairs across the 4 tables, then the exact-cosine
+    // verification of q_dedup_embedding's oracle.
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), bk AS (
+        |  SELECT vec_id, t.t AS t,
+        |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM e, unnest([0, 1, 2, 3]) AS t(t)
+        |), cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM bk x JOIN bk y
+        |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |), p AS (
+        |  SELECT vec_a, vec_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
+        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
+        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
+        |  FROM cand JOIN e a ON a.vec_id = cand.vec_a
+        |    JOIN e b ON b.vec_id = cand.vec_b
+        |)
+        |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM p
+        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
     // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
     // the same IEEE double ops Spark's plantNearDups runs, so the
@@ -2204,6 +2259,51 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Injected-codebook PQ: code bit m = (v[8m+1] > 0) exactly (the
+    // ±e1 centroids' argmax folds to the coordinate sign), ADC approx
+    // dot = sum of ±q[8m+1] in subspace order, refine keeps the top
+    // 40 by approx (vec_id tie-break), then the bruteforce oracle's
+    // exact-cosine rerank emits the top 10
+    "q_ann_pq_injected" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnorm
+        |  FROM n WHERE vec_id < 5
+        |), adc AS (
+        |  SELECT query_id, vec_id, qv, v,
+        |    list_sum(list_transform([0, 1, 2, 3, 4, 5, 6, 7],
+        |      m -> CASE WHEN v[8 * m + 1] > 0
+        |           THEN qv[8 * m + 1] ELSE -qv[8 * m + 1] END))
+        |      / (qnorm * nrm) AS approx
+        |  FROM n CROSS JOIN q
+        |  WHERE vec_id <> query_id
+        |), cut AS (
+        |  SELECT query_id, vec_id, qv, v,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx DESC, vec_id) AS ar
+        |  FROM adc
+        |), p AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM cut WHERE ar <= 40
+        |), s AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // semantic decontamination: rounded-cosine threshold join of the
     // corpus against the broadcast benchmark slice
     "q_sem_decontaminate" ->
@@ -2351,25 +2451,49 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // Tukey fences from exact interpolated quartiles — identical IEEE
     // fence arithmetic, comparison on unrounded values, rounded output
+    // Integer-exact Tukey fences: E4-quantized values, closed integer
+    // interpolation at (n-1)/4 and 3(n-1)/4 (4*quartile = 4*x[i] +
+    // rem*(x[i+1]-x[i])), fences scaled by 400 — the outlier compare
+    // is long-vs-long on both engines; floats appear only in the
+    // rounded output fences (identical integer inputs, identical ops)
     "q_events_outliers" ->
-      """WITH f AS (
+      """WITH ev AS (
         |  SELECT event_type,
-        |    quantile_cont(value, 0.25) AS p25,
-        |    quantile_cont(value, 0.75) AS p75
-        |  FROM events GROUP BY event_type
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v_e4,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v_e4)
+        |      AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev
+        |), st AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN r - 1 = (n - 1) // 4 THEN v_e4 END) AS x25,
+        |    max(CASE WHEN r - 1 = (n - 1) // 4 + 1 THEN v_e4 END) AS x25b,
+        |    max(CASE WHEN r - 1 = (3 * (n - 1)) // 4 THEN v_e4 END) AS x75,
+        |    max(CASE WHEN r - 1 = (3 * (n - 1)) // 4 + 1 THEN v_e4 END) AS x75b,
+        |    max((n - 1) % 4) AS m25, max((3 * (n - 1)) % 4) AS m75
+        |  FROM r GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type,
+        |    4 * x25 + m25 * (coalesce(x25b, x25) - x25) AS p25q4,
+        |    4 * x75 + m75 * (coalesce(x75b, x75) - x75) AS p75q4
+        |  FROM st
         |), b AS (
         |  SELECT event_type,
-        |    p25 - (p75 - p25) * 1.5 AS lo,
-        |    p75 + (p75 - p25) * 1.5 AS hi
+        |    100 * p25q4 - 150 * (p75q4 - p25q4) AS lo400,
+        |    100 * p75q4 + 150 * (p75q4 - p25q4) AS hi400
         |  FROM f
         |)
         |SELECT e.event_type, count(*) AS n_events,
-        |  sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |  sum(CASE WHEN e.v_e4 * 400 < b.lo400 OR e.v_e4 * 400 > b.hi400
         |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-        |  sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+        |  sum(CASE WHEN e.v_e4 * 400 < b.lo400 OR e.v_e4 * 400 > b.hi400
         |      THEN 1 ELSE 0 END)::BIGINT * 10000 // count(*) AS outlier_bp,
-        |  round(min(b.lo), 4) AS lo, round(min(b.hi), 4) AS hi
-        |FROM events e JOIN b USING (event_type)
+        |  floor(min(b.lo400) / 400.0 + 0.5) / 10000.0 + 0.0 AS lo,
+        |  floor(min(b.hi400) / 400.0 + 0.5) / 10000.0 + 0.0 AS hi
+        |FROM ev e JOIN b USING (event_type)
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
     // same-type inter-arrival gaps: exact integer µs, one rounded mean

@@ -697,9 +697,18 @@ object Dedup {
     * materialize once and fan multiple verifications off; the spec
     * counts it to pin the pruning ratio (candidates ≪ n²/2). */
   def embeddingLshCandidates(e: DataFrame, nPlanes: Int, nTables: Int,
-      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => Similarity.hyperplanes(nPlanes, dim, seed + t))
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 10000,
+      planes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    // `planes` injects known tables (the lshTopK/ivfTopK convention):
+    // axis-aligned unit planes fold each SRP bit to a coordinate sign
+    // test DuckDB can replay, making the whole candidate relation —
+    // and therefore the verified pair set — closed-form SQL while the
+    // operator still runs its production path (q_dedup_embedding_lsh).
+    planes.foreach(ts => require(
+      ts.nonEmpty && ts.forall(_.length == ts.head.length),
+      "injected tables must share one plane count"))
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => Similarity.hyperplanes(nPlanes, dim, seed + t)))
     // bucket IDs only — posting lists and pair fan-out carry an 8-byte
     // id, not the 512-byte vector; vectors are joined back just for the
     // deduped candidate set (two hash joins of a much smaller relation).
@@ -743,7 +752,8 @@ object Dedup {
     * `maxBucket` caps degenerate buckets either way. */
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      planes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     // three consumers read the vector relation (banding + both verify
     // joins); checkpoint it so the source scans once — materialization
     // equals the input's own size, strictly cheaper than re-scanning
@@ -752,7 +762,7 @@ object Dedup {
       Vectors.toDoubleVec(col("embedding")).as("v"))
       .localCheckpoint()
     val cand = embeddingLshCandidates(e, nPlanes, nTables, dim, seed,
-      maxBucket)
+      maxBucket, planes)
     val cos = Vectors.dot(col("va"), col("vb")) /
       (sqrt(Vectors.normSq(col("va"))) * sqrt(Vectors.normSq(col("vb"))))
     cand

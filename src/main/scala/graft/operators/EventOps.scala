@@ -95,38 +95,78 @@ object EventOps {
     * stream producing garbage values" gate next to [[rateAnomaly]]'s
     * volume gate. Two passes by construction (fences need the full
     * distribution before anything can be flagged): the |types|-row
-    * fence relation broadcasts back onto the second scan. Fence
-    * arithmetic downstream of the quartiles is the same IEEE double
-    * ops in both engines (the comparison runs on UNROUNDED fences;
-    * rounding happens only at output — the
-    * [[graft.operators.CorpusOps]] threshold rule). HAZARD: the
-    * quartiles themselves are NOT engine-portable — Spark
-    * `percentile` and DuckDB `quantile_cont` both linearly
-    * interpolate, but the lerp expression tree differs, so a value
-    * sitting within 1 ulp of a fence can flip `n_outliers` across
-    * engines. The harness corpus has no such borderline value
-    * (oracle hash-green since r6); if one ever appears, move the
-    * fences to integer/fixed-point like this module's other
-    * thresholds. At
-    * 100 TB swap `percentile` for the mergeable KLL sketch
-    * ([[RelationalOps.orderValueQuantilesKll]]) and the first pass
-    * loses its sort buffer. */
-  def valueOutliers(events: DataFrame, k: Double = 1.5): DataFrame = {
-    val fences = events.groupBy("event_type").agg(
-      expr("percentile(value, 0.25)").as("p25"),
-      expr("percentile(value, 0.75)").as("p75"))
-      .withColumn("lo", col("p25") - (col("p75") - col("p25")) * k)
-      .withColumn("hi", col("p75") + (col("p75") - col("p25")) * k)
-      .select("event_type", "lo", "hi")
-    events.join(broadcast(fences), "event_type")
+    * fence relation broadcasts back onto the second scan.
+    *
+    * INTEGER-EXACT fences (this module's threshold convention): values
+    * quantize once to E4 fixed point (floor(v·1e4 + 0.5) — floor is
+    * IEEE-exact on every engine, and v·1e4 is one identical double op),
+    * and the linear interpolation at position q·(n−1) is then CLOSED
+    * integer arithmetic — frac ∈ {0, ¼, ½, ¾}, so 4·quartile =
+    * 4·x[i] + rem·(x[i+1]−x[i]) exactly, and with k = kE2/100 the
+    * fence scaled by 400 is `100·p_q4 ∓ kE2·(p75_q4 − p25_q4)`, a
+    * long. The outlier test compares 400·v_e4 against that long: NO
+    * float ever meets a comparison, so the former Spark-`percentile`-
+    * vs-DuckDB-`quantile_cont` 1-ulp fence hazard cannot exist. The
+    * order statistics come from a per-type ranked window probed by a
+    * broadcast (type, wanted-rank) relation — only the ≤4 quartile-
+    * adjacent rows per type survive the join.
+    *
+    * Scale shape: one hash exchange + per-type sort for the ranks
+    * (partitioned window — |types| concurrent sorts; at 100 TB swap
+    * the rank pass for the mergeable KLL sketch
+    * ([[RelationalOps.orderValueQuantilesKll]]) and the sort
+    * disappears), then one broadcast of the |types|-row fence relation
+    * onto the second, map-side-combined counting scan. */
+  def valueOutliers(events: DataFrame, kE2: Long = 150L): DataFrame = {
+    val ev = events.select(col("event_type"),
+      floor(col("value") * lit(10000d) + lit(0.5)).cast("long").as("v_e4"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // wanted 1-based ranks: both neighbors of each quartile position
+    val wanted = counts.select(col("event_type"), col("n"),
+      explode(array_distinct(array(
+        expr("(n - 1) DIV 4 + 1"), expr("(n - 1) DIV 4 + 2"),
+        expr("(3 * (n - 1)) DIV 4 + 1"),
+        expr("(3 * (n - 1)) DIV 4 + 2")))).as("r"))
+    val ranked = ev.withColumn("r",
+      row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("v_e4").asc)).cast("long"))
+    val fences = ranked.join(broadcast(wanted), Seq("event_type", "r"))
+      .groupBy("event_type")
+      .agg(
+        max(when(expr("r - 1 = (n - 1) DIV 4"), col("v_e4"))).as("x25"),
+        max(when(expr("r - 1 = (n - 1) DIV 4 + 1"), col("v_e4"))).as("x25b"),
+        max(when(expr("r - 1 = (3 * (n - 1)) DIV 4"), col("v_e4"))).as("x75"),
+        max(when(expr("r - 1 = (3 * (n - 1)) DIV 4 + 1"), col("v_e4"))).as("x75b"),
+        max(expr("(n - 1) % 4")).as("m25"),
+        max(expr("(3 * (n - 1)) % 4")).as("m75"))
+      .select(col("event_type"),
+        (lit(4L) * col("x25") + col("m25") *
+          (coalesce(col("x25b"), col("x25")) - col("x25"))).as("p25q4"),
+        (lit(4L) * col("x75") + col("m75") *
+          (coalesce(col("x75b"), col("x75")) - col("x75"))).as("p75q4"))
+      .select(col("event_type"),
+        (lit(100L) * col("p25q4") -
+          lit(kE2) * (col("p75q4") - col("p25q4"))).as("lo400"),
+        (lit(100L) * col("p75q4") +
+          lit(kE2) * (col("p75q4") - col("p25q4"))).as("hi400"))
+    ev.join(broadcast(fences), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
-        sum(when(col("value") < col("lo") || col("value") > col("hi"),
-          1L).otherwise(0L)).as("n_outliers"),
-        min("lo").as("__lo"), min("hi").as("__hi"))
+        sum(when(col("v_e4") * lit(400L) < col("lo400") ||
+          col("v_e4") * lit(400L) > col("hi400"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min("lo400").as("__lo"), min("hi400").as("__hi"))
       .select(col("event_type"), col("n_events"), col("n_outliers"),
         expr("n_outliers * 10000 DIV n_events").as("outlier_bp"),
-        round(col("__lo"), 4).as("lo"), round(col("__hi"), 4).as("hi"))
+        // output-only float, rounded to E4 via floor(x + 0.5) — NOT
+        // round(): a fence like -66.60125 is an exact representable
+        // half at the 4th decimal (lo400 % 400 == 200), and round()'s
+        // half-handling is engine-specific (caught live by the r8
+        // oracle run); floor is IEEE-exact everywhere
+        (floor(col("__lo") / lit(400.0) + lit(0.5)) / lit(10000.0) +
+          lit(0.0)).as("lo"),
+        (floor(col("__hi") / lit(400.0) + lit(0.5)) / lit(10000.0) +
+          lit(0.0)).as("hi"))
       .orderBy("event_type")
   }
 
