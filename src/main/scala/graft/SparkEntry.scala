@@ -60,7 +60,7 @@ object SparkEntry {
     * economics as [[ivfCentroidCache]], but the relation stays
     * DISTRIBUTED: it is corpus-scale, so no driver collect). Keyed by
     * applicationId too so a cached plan never outlives its session. */
-  private val clusterCache =
+  private[graft] val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
 
@@ -110,7 +110,7 @@ object SparkEntry {
   /** Bigram-LM document scores per (application, dataset) — the
     * expensive shared upstream of q_lm_bigram and q_ppl_buckets;
     * distributed checkpoint, same shape as [[clusterCache]]. */
-  private val bigramBitsCache =
+  private[graft] val bigramBitsCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
 
@@ -122,7 +122,7 @@ object SparkEntry {
   /** Trained NB probe per (application, dataset) — train once, score
     * everywhere (q_probe_train serves the relation, q_probe_eval
     * scores with it); dim+1-row distributed checkpoint. */
-  private val nbModelCache =
+  private[graft] val nbModelCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
 
@@ -2498,14 +2498,15 @@ object SparkEntry {
         |ORDER BY e.event_type""".stripMargin,
     // same-type inter-arrival gaps: exact integer µs, one rounded mean
     // Staircase half-life decay: identical integer arithmetic —
-    // k = age_days DIV 7 clamped at 50, weight 2^(50-k) summed
-    // exactly (DuckDB sum(BIGINT) -> HUGEINT), one integer divide
+    // age = epoch-day bucket difference (aligned with the streaming
+    // histogram state), k = age DIV 7 clamped at 50, weight 2^(50-k)
+    // summed exactly (DuckDB sum(BIGINT) -> HUGEINT), integer divide
     "q_events_decay" ->
       """WITH s AS (
-        |  SELECT max(epoch_us(ts)) AS t_max FROM events
+        |  SELECT max(epoch_us(ts) // 86400000000) AS d_max FROM events
         |), k AS (
         |  SELECT event_type,
-        |    least(((s.t_max - epoch_us(ts)) // 86400000000) // 7,
+        |    least((s.d_max - epoch_us(ts) // 86400000000) // 7,
         |      50) AS kk
         |  FROM events, s
         |)

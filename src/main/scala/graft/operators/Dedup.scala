@@ -214,9 +214,16 @@ object Dedup {
     // checkpoint here measured strictly slower at sf0.1 and 10x
     val prefix = idx.join(df, "shingle")
       .withColumn("__pos", row_number().over(w))
-      // p = len − ceil(t·len) + 1, via the under-approximated tN
+      // p = len − ceil(t·len) + 1, via the under-approximated tN.
+      // The ceiling multiplies in LONG: n_sh arrives as an int, and an
+      // int-literal tN times int n_sh would wrap past ~2^31/tN distinct
+      // shingles (~214k at t=0.8) — the wrap only ever LOWERS the
+      // ceiling (completeness survives) but degenerates the prefix
+      // toward the whole document, forfeiting the candidate cut at
+      // exactly the large-doc scale this operator exists for.
       .filter(col("__pos") <=
-        col("n_sh") - expr(s"($tN * n_sh + 9999) DIV 10000") + lit(1L))
+        col("n_sh") - expr(
+          s"(${tN}L * CAST(n_sh AS BIGINT) + 9999) DIV 10000") + lit(1L))
       .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
         col("shingle"), col("__pos").cast("long").as("__pos"))
     // Two further LOSSLESS cuts before verification (both relaxed
@@ -329,10 +336,15 @@ object Dedup {
     * replayed exactly by the DuckDB oracle; the estimate's VALUE is
     * deterministic given the hash family, only its closeness to true
     * mean-J is probabilistic (spec-pinned against the closed form on
-    * a planted corpus). All integer until the final e6 ratio
-    * (integer DIV). Counts ride BIGINT: fine up to ~10^9 docs per
-    * run; beyond that the same aggregation runs per shard and the
-    * collision sums (mergeable integers) add up. */
+    * a planted corpus). All integer until the final e6 ratio, which
+    * runs in DECIMAL(38,0) (the [[EventOps.decayedCounts]] rule):
+    * collisions can approach numHashes·C(n,2), so the former
+    * `collisions * 1000000` long product wrapped around 10^6–10^7
+    * duplicate-heavy docs, and n_docs·(n_docs−1)·numHashes·10^6 wraps
+    * even earlier — DECIMAL keeps the ratio exact wherever the BIGINT
+    * count columns themselves are representable (~10^9 fully-
+    * duplicated docs; beyond that the same aggregation runs per shard
+    * and the mergeable integer collision sums add up). */
   def corpusDiversity(docs: DataFrame, n: Int = 3,
       numHashes: Int = 16): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64)
@@ -354,9 +366,10 @@ object Dedup {
         lit(numHashes.toLong).as("n_components"),
         col("collisions"),
         expr(s"""CASE WHEN n_docs >= 2 THEN
-          collisions * 1000000 DIV
-            ($numHashes * (n_docs * (n_docs - 1) DIV 2))
-          ELSE 0 END""").as("mean_jaccard_e6"))
+          CAST(CAST(collisions AS DECIMAL(38,0)) * 1000000 DIV
+            ($numHashes * (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)
+              DIV 2)) AS BIGINT)
+          ELSE 0L END""").as("mean_jaccard_e6"))
   }
 
   /** [[corpusDiversity]] per SOURCE — the operational form: which
@@ -387,10 +400,12 @@ object Dedup {
       .select(col("source"), col("n_docs"),
         expr("n_docs * (n_docs - 1) DIV 2").as("n_pairs"),
         col("collisions"),
+        // DECIMAL(38,0) ratio — the corpusDiversity overflow fence
         expr(s"""CASE WHEN n_docs >= 2 THEN
-          collisions * 1000000 DIV
-            ($numHashes * (n_docs * (n_docs - 1) DIV 2))
-          ELSE 0 END""").as("mean_jaccard_e6"))
+          CAST(CAST(collisions AS DECIMAL(38,0)) * 1000000 DIV
+            ($numHashes * (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)
+              DIV 2)) AS BIGINT)
+          ELSE 0L END""").as("mean_jaccard_e6"))
       .orderBy("source")
   }
 

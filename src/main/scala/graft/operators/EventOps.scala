@@ -195,9 +195,9 @@ object EventOps {
     * pipeline, so any engine reproduces every bit — the continuous
     * 2^(-age/h) form would ride pow(), whose rounding is libm-
     * specific (the [[graft.operators.TrainingOps]] sqrt-not-pow
-    * lesson). Reference time = the table's own max ts (scalar
-    * broadcast, deterministic — a wall-clock reference would change
-    * between engines and runs).
+    * lesson). Reference time = the table's own newest epoch day
+    * (scalar broadcast, deterministic — a wall-clock reference would
+    * change between engines and runs).
     *
     * Scale shape: one scalar pass for t_max, then ONE map-side-
     * combined aggregation keyed by type; the weight is a projection.
@@ -206,11 +206,22 @@ object EventOps {
     * is a global halving (shift) of the old sum. */
   def decayedCounts(events: DataFrame, halfLifeDays: Int = 7): DataFrame = {
     require(halfLifeDays >= 1)
-    val tMax = events.agg(max(unix_micros(col("ts"))).as("t_max"))
-    events.select(col("event_type"), unix_micros(col("ts")).as("us"))
+    // age in EPOCH-DAY buckets (floor(us/day) difference), not
+    // floor of the raw µs difference: epoch-day ages are what the
+    // bounded per-day histogram state of
+    // [[graft.streaming.EventStreams.decayedCountsStream]] can carry,
+    // so with this alignment the streaming histogram is a TRUE
+    // sufficient statistic for the batch formula (the two previously
+    // diverged by one staircase step near day boundaries; the
+    // remaining documented difference is the per-type vs global
+    // reference). Same integer-exactness argument either way.
+    val tMax = events.agg(
+      max(expr("unix_micros(ts) DIV 86400000000")).as("d_max"))
+    events.select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"))
       .crossJoin(broadcast(tMax))
       .withColumn("k", expr(
-        s"least(((t_max - us) DIV 86400000000) DIV $halfLifeDays, 50)"))
+        s"least((d_max - d) DIV $halfLifeDays, 50)"))
       .withColumn("w", expr("shiftleft(1L, CAST(50 - k AS INT))"))
       .groupBy("event_type")
       .agg(count("*").as("n_events"),

@@ -746,7 +746,11 @@ object Similarity {
     // replay — the fully-oracled serve regime (q_ann_lsh_injected)
     val tables = planes.getOrElse((0 until nTables)
       .map(t => hyperplanes(nPlanes, dim, seed + t)))
-    require(tables.nonEmpty && tables.head.length <= 30)
+    // ragged injected tables would silently generate head-sized probe
+    // masks for every other table (wrong buckets, no error) — reject
+    require(tables.nonEmpty && tables.head.length <= 30 &&
+      tables.forall(_.length == tables.head.length),
+      "all LSH tables must share one plane count")
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     // corpus index: one (table, bucket) entry per table — all codes
     // from the single srpBucketsAll kernel call (the per-table

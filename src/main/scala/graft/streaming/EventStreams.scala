@@ -380,11 +380,14 @@ object EventStreams extends Serializable {
     * The state is NOT the decayed sum (a float sum could never be
     * re-referenced exactly) but the event-count histogram per
     * epoch-day — the sufficient statistic for the integer staircase:
-    * on every emission the batch formula (k = age_days DIV halfLife
-    * clamped at 50, weight 2^(50-k), exact BigInt sum, one integer
-    * divide) recomputes from the histogram, referenced to the TYPE'S
-    * own newest event day (a stream has no global max ts; the batch
-    * twin uses the table's). State is bounded: days older than 50
+    * on every emission the batch formula (k = epoch-day age DIV
+    * halfLife clamped at 50, weight 2^(50-k), exact BigInt sum, one
+    * integer divide) recomputes from the histogram, referenced to the
+    * TYPE'S own newest event day (a stream has no global max ts; the
+    * batch twin uses the table's — the ONLY remaining batch/stream
+    * difference: ages are epoch-day-bucket differences on BOTH sides,
+    * so the histogram is a true sufficient statistic for the batch
+    * formula). State is bounded: days older than 50
     * half-lives collapse into one `ancient` bucket whose clamped
     * weight is exactly theirs anyway, so compaction is LOSSLESS —
     * ≤ 50·halfLife day entries per type, forever. StreamingSpec pins
