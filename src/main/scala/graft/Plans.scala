@@ -45,7 +45,8 @@ object Plans {
       "q_retrieval_rrf", "q_ann_hamming", "q_embed_mrl",
       "q_phrase_search", "q_phrase_prox", "q_phrase_projected",
       "q_events_decay", "q_ann_lsh_injected", "q_embed_rbo",
-      "q_profile_corr", "q_dedup_keep_best", "q_dedup_diversity")
+      "q_profile_corr", "q_dedup_keep_best", "q_dedup_diversity",
+      "q_ann_pq_injected", "q_dedup_embedding_lsh")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -145,6 +145,59 @@ object SparkEntry {
     "ta", "##ble", "sc", "##an", "wind", "##ow", "val", "##ue",
     "the", "##ast", "me")
 
+  /** Injected merge rules for q_bpe_encode_injected — embedded
+    * verbatim in the DuckDB oracle (the [[WordPieceEncodePieces]]
+    * convention). Chosen over common English digraphs so merges BIND
+    * on any English-ish corpus, with the chain t+h → th+e → the+</w>
+    * exercising multi-level fusion; rule order is part of the
+    * contract (each rule is applied fully before the next). */
+  private val BpeEncodeRules: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "i" -> "n",
+    "o" -> "n", "r" -> "e", "e" -> "</w>", "s" -> "</w>",
+    "the" -> "</w>")
+
+  /** DuckDB replay of [[graft.operators.Bpe.encode]] under the
+    * injected rules: each word's symbol list is encoded as a
+    * chr(1)sym chr(2) wrapped string, and ONE rule application —
+    * Spark's greedy left-to-right fold — is exactly one non-
+    * overlapping left-to-right `replace` of the wrapped pair (the
+    * fused symbol re-participates only in LATER rules on both sides;
+    * within a pass a fused a||b can never re-match the left operand
+    * unless b were empty). The wrappers make symbol boundaries
+    * unambiguous, so no merge can match across symbols. */
+  private val BpeEncodeInjectedOracle: String = {
+    def w(sym: String) = s"chr(1) || '$sym' || chr(2)"
+    val s0 = "chr(1) || array_to_string(list_append(list_transform(" +
+      "range(1, length(word) + 1), i -> substr(word, i, 1)), '</w>')," +
+      " chr(2) || chr(1)) || chr(2)"
+    val chain = BpeEncodeRules.foldLeft(s0) { case (acc, (a, b)) =>
+      s"replace($acc, ${w(a)} || ${w(b)}, ${w(a + b)})"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(tk) AS word,
+       |    generate_subscripts(tk, 1) AS pos
+       |  FROM t
+       |), seg AS (
+       |  SELECT word,
+       |    string_split(substr(s, 2, length(s) - 2),
+       |      chr(2) || chr(1)) AS pieces
+       |  FROM (SELECT word, $chain AS s
+       |        FROM (SELECT DISTINCT word FROM tok))
+       |)
+       |SELECT doc_id,
+       |  string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos)
+       |    AS bpe_text,
+       |  sum(len(pieces))::BIGINT AS n_pieces,
+       |  count(*) AS n_tok,
+       |  sum(len(pieces))::BIGINT * 10000 // count(*) AS fertility_bp
+       |FROM tok JOIN seg USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+T2+A3/X4+O6+tie-break: the reference's frequency output.
@@ -218,6 +271,15 @@ object SparkEntry {
           .as[(String, String)].collect().toSeq)
       Bpe.encode(documents(s, dir), rules)
     }),
+    // Fully-ORACLED encode regime (the injected-geometry convention,
+    // applied to the tokenizer family): a fixed 10-rule merge table
+    // embedded verbatim in the oracle, which replays each greedy
+    // left-to-right rule application as ONE non-overlapping replace
+    // over wrapper-delimited symbol strings — the serve path
+    // (one-projection fold, distinct-word relation, broadcast
+    // join-back, fertility audit) is answer-checked end to end.
+    "q_bpe_encode_injected" -> ((s, dir) =>
+      Bpe.encode(documents(s, dir), BpeEncodeRules)),
     // ---- WordPiece (BERT) tokenizer family ----
     // The exact-SQL face of the likelihood argmax: initial-
     // symbolization pair counts joined to symbol totals, E12-quantized
@@ -1355,6 +1417,11 @@ object SparkEntry {
         |FROM p GROUP BY s1, s2
         |ORDER BY cnt DESC, s1, s2
         |LIMIT 50""".stripMargin,
+    // Injected-rules BPE encode: each greedy fold pass == one
+    // left-to-right non-overlapping replace over chr(1)/chr(2)-
+    // wrapped symbol strings (see BpeEncodeInjectedOracle's scaladoc
+    // for the equivalence argument)
+    "q_bpe_encode_injected" -> BpeEncodeInjectedOracle,
     // WordPiece scoring kernel: BERT symbolization (first char bare,
     // ## continuations), adjacent-pair counts joined to symbol
     // totals, E12-quantized likelihood in HUGEINT — exact integers

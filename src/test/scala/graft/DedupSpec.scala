@@ -317,6 +317,47 @@ class DedupSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("injected axis-plane LSH == the plain-Scala sign-bucket witness") {
+    // the harness regime (q_dedup_embedding_lsh): table t's bucket bit
+    // j is sign(v[4t+j]); a pair is a candidate iff it shares a bucket
+    // in ANY of the 4 tables, and survives iff its exact cosine >= t
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+      Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+    val got = Dedup.embeddingNearDupLsh(embs, threshold = 0.4,
+        planes = Some(planes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def bucket(v: Array[Double], t: Int): Int =
+      (0 until 4).map(j => if (v(4 * t + j) > 0) 1 << j else 0).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      if (0 until 4).exists(t => bucket(vecs(a), t) == bucket(vecs(b), t))
+      if cos(vecs(a), vecs(b)) >= 0.4
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // ragged injected tables are rejected, not silently mis-bucketed
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupLsh(embs, threshold = 0.4,
+        planes = Some(Seq(planes.head, planes(1).take(2))))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.lshTopK(embs, col("vec_id") < 2, k = 3,
+        planes = Some(Seq(planes.head, planes(1).take(2))))
+    }
+  }
+
   test("production-threshold LSH (cos>=0.9): full recall, real pruning") {
     import graft.functions.Vectors
     val planted = Dedup.plantNearDups(
