@@ -46,7 +46,8 @@ object Plans {
       "q_phrase_search", "q_phrase_prox", "q_phrase_projected",
       "q_events_decay", "q_ann_lsh_injected", "q_embed_rbo",
       "q_profile_corr", "q_dedup_keep_best", "q_dedup_diversity",
-      "q_ann_pq_injected", "q_dedup_embedding_lsh")
+      "q_ann_pq_injected", "q_dedup_embedding_lsh",
+      "q_bpe_encode_injected", "q_unigram_encode_injected")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -198,6 +198,93 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Injected multi-char unigram pieces (piece, integer weight) for
+    * q_unigram_encode_injected — embedded verbatim in the oracle. All
+    * within the operator's maxPieceLen = 4; weights chosen so
+    * multi-piece segmentations genuinely beat per-char sums (char
+    * weight 10) and multi-level competition binds ("the" 900 vs
+    * "th"+"e" 510 vs chars 30). */
+  private val UnigramEncodePieces: Seq[(String, Long)] = Seq(
+    "th" -> 500L, "the" -> 900L, "an" -> 400L, "ing" -> 800L,
+    "er" -> 350L)
+
+  /** DuckDB replay of [[graft.operators.Unigram.encode]] under the
+    * injected table: per distinct word, a recursive CTE runs the SAME
+    * integer DP — dp[i] = lexicographic max over candidate pieces
+    * ending at i of (dp[j] + w, pieceLen), sentinel (-10^8, 0) when no
+    * candidate — carrying the (score, backlen) lists as recursive
+    * state, then a second recursive CTE walks the backpointers. The
+    * candidate max is order-independent (a candidate is unique per
+    * (end, len)), so struct 'max' here equals Spark's fold with
+    * strict struct >. */
+  private val UnigramEncodeInjectedOracle: String = {
+    val multi = UnigramEncodePieces
+      .map { case (p, w) => s"('$p', $w::BIGINT)" }.mkString(", ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(tk) AS word,
+       |    generate_subscripts(tk, 1) AS pos
+       |  FROM t
+       |), words AS (
+       |  SELECT DISTINCT word FROM tok
+       |), vocab AS (
+       |  SELECT DISTINCT substr(word, i, 1) AS piece, 10::BIGINT AS w
+       |  FROM words,
+       |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) s
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $multi) v(piece, w)
+       |), cands AS (
+       |  SELECT word, i, list(struct_pack(bl := len, w := w)
+       |    ORDER BY len) AS cs
+       |  FROM (
+       |    SELECT wd.word, p.i, p.len, v.w
+       |    FROM words wd,
+       |      LATERAL (SELECT i, len
+       |               FROM unnest(range(1, length(wd.word) + 1)) u(i),
+       |                    unnest(range(1, 5)) l(len)
+       |               WHERE len <= i) p
+       |    JOIN vocab v
+       |      ON v.piece = substr(wd.word, p.i - p.len + 1, p.len)
+       |  ) GROUP BY word, i
+       |), dp AS (
+       |  SELECT word, 0 AS i, [0::BIGINT] AS scs, [0] AS bls FROM words
+       |  UNION ALL
+       |  SELECT d.word, d.i + 1,
+       |    list_append(d.scs, coalesce(b.m.sc, -100000000::BIGINT)),
+       |    list_append(d.bls, coalesce(b.m.bl, 0))
+       |  FROM dp d
+       |  LEFT JOIN cands c ON c.word = d.word AND c.i = d.i + 1,
+       |  LATERAL (
+       |    SELECT list_aggregate(list_transform(coalesce(c.cs, []),
+       |      x -> struct_pack(sc := d.scs[d.i + 2 - x.bl] + x.w,
+       |                       bl := x.bl)), 'max') AS m
+       |  ) b
+       |  WHERE d.i < length(d.word)
+       |), walk AS (
+       |  SELECT word, length(word) AS wpos, []::VARCHAR[] AS ps, bls
+       |  FROM dp WHERE i = length(word)
+       |  UNION ALL
+       |  SELECT word, wpos - bls[wpos + 1],
+       |    list_append(ps,
+       |      substr(word, wpos - bls[wpos + 1] + 1, bls[wpos + 1])),
+       |    bls
+       |  FROM walk WHERE wpos > 0
+       |), seg AS (
+       |  SELECT word, list_reverse(ps) AS pieces FROM walk WHERE wpos = 0
+       |)
+       |SELECT doc_id,
+       |  string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos)
+       |    AS uni_text,
+       |  sum(len(pieces))::BIGINT AS n_pieces,
+       |  count(*) AS n_tok,
+       |  sum(len(pieces))::BIGINT * 10000 // count(*) AS fertility_bp
+       |FROM tok JOIN seg USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+T2+A3/X4+O6+tie-break: the reference's frequency output.
@@ -314,6 +401,26 @@ object SparkEntry {
     // (UnigramSpec pins segmentation parity + reconstruction).
     "q_unigram_encode" -> ((s, dir) =>
       Unigram.encode(documents(s, dir), cachedUnigram(s, dir))),
+    // Fully-ORACLED encode regime (closes the tokenizer-family serve
+    // trio next to q_bpe_encode_injected / q_wordpiece_encode): the
+    // injected piece table = every corpus character at weight 10
+    // (DP coverage, SQL-derivable) + fixed multi-char pieces embedded
+    // verbatim in the oracle, whose recursive CTE replays the exact
+    // integer Viterbi — (score, backlen)-lexicographic candidate max,
+    // sentinel and all — then the backpointer walk.
+    "q_unigram_encode_injected" -> ((s, dir) => {
+      import s.implicits._
+      val d = documents(s, dir)
+      val chars = d
+        .select(explode(graft.functions.TextAnalysis.wsTokens(
+          col("text"))).as("word"))
+        .select(explode(expr("transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1))")).as("piece"))
+        .distinct()
+        .select(col("piece"), lit(10L).as("w"))
+      Unigram.encode(d,
+        chars.unionByName(UnigramEncodePieces.toDF("piece", "w")))
+    }),
     // Gopher-style repetition filters: single-pass kernel, exact
     // integer outputs, integer cross-multiplied gate — fully oracled.
     "q_text_repetition" -> ((s, dir) =>
@@ -1538,6 +1645,10 @@ object SparkEntry {
         |FROM sub GROUP BY piece
         |ORDER BY cnt DESC, piece
         |LIMIT 50""".stripMargin,
+    // Injected-table unigram encode: recursive-CTE Viterbi (exact
+    // integer DP + backpointer walk — see
+    // UnigramEncodeInjectedOracle's scaladoc)
+    "q_unigram_encode_injected" -> UnigramEncodeInjectedOracle,
     "q_span_corruption" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk

@@ -130,6 +130,37 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("injected-table encode (the q_unigram_encode_injected regime) " +
+      "matches the Scala Viterbi witness") {
+    // chars at weight 10 (coverage) + the harness's fixed multi-char
+    // pieces; multi-level competition must actually bind somewhere
+    val multi = Seq("th" -> 500L, "the" -> 900L, "an" -> 400L,
+      "ing" -> 800L, "er" -> 350L)
+    val chars = corpus
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(split(col("w"), "")).as("piece"))
+      .distinct().select(col("piece"), lit(10L).as("w"))
+    val table = chars.unionByName(multi.toDF("piece", "w"))
+    val got = Unigram.encode(corpus, table)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val wit = new Witness(4)
+    val pieceW = table.as[(String, Long)].collect().toMap
+    val docs = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    var multiBound = false
+    for ((id, uni, nP, nT, _) <- got) {
+      val toks = docs(id).split("\\s+").filter(_.nonEmpty).toSeq
+      val segs = toks.map(t => wit.viterbi(t, pieceW))
+      assert(uni == segs.flatten.mkString(" "),
+        s"doc $id diverged from the witness under the injected table")
+      assert(nP == segs.map(_.size).sum && nT == toks.size)
+      if (segs.exists(_.exists(_.length > 1))) multiBound = true
+    }
+    assert(multiBound, "no multi-char piece ever won — the injected " +
+      "regime would be a trivial char splitter")
+  }
+
   test("hand corpus: seeding, coverage, and the (sc, len) tie-break") {
     // 'abab' dominates: 'ab' should win a slot and beat char splits
     val d = Seq((1L, "abab abab abab b"), (2L, "abab ab"))
