@@ -285,6 +285,49 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the Rabin–Karp winnowing fingerprints
+    * (q_fingerprint_rolling): Scala long multiplication/addition wraps
+    * mod 2^64, so the kernel's rolling hash EQUALS the direct
+    * polynomial Σ byte_j · Base^(k−1−j) mod 2^64, which HUGEINT
+    * computes exactly (largest intermediate: 255·(2^64−1) + carry,
+    * far inside 127 bits). The Base powers are computed HERE with the
+    * same wrapping long arithmetic the kernel uses and embedded as
+    * unsigned literals, so the oracle's constants can never drift
+    * from the kernel's. */
+  private val RollingFpOracle: String = {
+    val B = graft.functions.RollingFingerprints.Base
+    val pows = Iterator.iterate(1L)(_ * B).take(8).toSeq // B^p mod 2^64
+    val plist = (0 until 8).map(j =>
+      java.lang.Long.toUnsignedString(pows(7 - j)) + "::HUGEINT")
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) - 7 AS ng
+       |  FROM documents WHERE length(text) >= 8
+       |), g AS (
+       |  SELECT doc_id, ng, i AS p,
+       |    list_sum(list_transform(range(8),
+       |      j -> unicode(substr(text, i + j + 1, 1))::HUGEINT *
+       |        ([$plist])[j + 1]))
+       |      % 18446744073709551616::HUGEINT AS hu
+       |  FROM d, unnest(range(ng)) t(i)
+       |), h AS (
+       |  SELECT doc_id, ng, p,
+       |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+       |      AS BIGINT) AS fp
+       |  FROM g
+       |), sel AS (
+       |  SELECT doc_id, ng, p,
+       |    min(struct_pack(h := fp, np := -p)) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+       |  FROM h
+       |)
+       |SELECT DISTINCT doc_id, -s.np AS pos, s.h AS fp
+       |FROM sel WHERE p >= 3 OR p = ng - 1
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+T2+A3/X4+O6+tie-break: the reference's frequency output.
@@ -425,9 +468,14 @@ object SparkEntry {
     // integer outputs, integer cross-multiplied gate — fully oracled.
     "q_text_repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(documents(s, dir))),
-    // Winnowed rolling-hash fingerprints: custom 64-bit polynomial
-    // hash, no DuckDB equivalent — rows-only; invariants (coverage
-    // guarantee, subset, monotone positions) pinned in KernelProps.
+    // Winnowed rolling-hash fingerprints, fully ORACLED as of r8: the
+    // kernel's 64-bit natural-overflow polynomial is exact arithmetic
+    // mod 2^64, which DuckDB replays in HUGEINT (per-gram direct
+    // polynomial — provably equal to the rolling update mod 2^64 —
+    // then the signed-long fold-back); winnowing selection reuses the
+    // q_fingerprint_winnow window form. Invariants (coverage
+    // guarantee, subset, monotone positions) stay pinned in
+    // KernelProps.
     "q_fingerprint_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(documents(s, dir))),
     // Same winnowing selection rule over engine-neutral md5 gram
@@ -1445,6 +1493,16 @@ object SparkEntry {
         |LEFT JOIN a2 USING (doc_id)
         |LEFT JOIN a3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Rabin-Karp winnowing (k=8, w=4, base 1000003, natural 64-bit
+    // overflow): each gram's hash is the DIRECT polynomial
+    // sum(byte_j * B^(7-j)) mod 2^64 in HUGEINT — identical to the
+    // kernel's rolling update because wrap-around arithmetic is exact
+    // mod 2^64 — folded back to the signed long Java produces; the
+    // window min then compares the SAME signed values the kernel's
+    // deque compares. Byte positions/values use 1-byte-per-char
+    // string ops, valid on this corpus's ASCII text (FIXTURES.md §2);
+    // a non-ASCII regression would mismatch loudly, not silently.
+    "q_fingerprint_rolling" -> RollingFpOracle,
     // Winnowing (k=8, w=4): rightmost-min of each 4-gram-hash window;
     // min by (hash, -pos) picks the rightmost tie exactly like the
     // Spark window (and the kernel's deque rule).

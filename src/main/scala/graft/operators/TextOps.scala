@@ -152,7 +152,8 @@ object TextOps {
       .select(col("doc_id"),
         explode(ColumnBridge.column(graft.functions.RollingFingerprints(
           ColumnBridge.expression(col("text")), k, w))).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
+      .select(col("doc_id"), col("e.pos").cast("long").as("pos"),
+        col("e.fp").as("fp"))
       .orderBy("doc_id", "pos")
 
   /** Portable winnowing — the cross-engine witness for
