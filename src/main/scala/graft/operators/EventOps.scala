@@ -118,38 +118,8 @@ object EventOps {
     * disappears), then one broadcast of the |types|-row fence relation
     * onto the second, map-side-combined counting scan. */
   def valueOutliers(events: DataFrame, kE2: Long = 150L): DataFrame = {
-    val ev = events.select(col("event_type"),
-      floor(col("value") * lit(10000d) + lit(0.5)).cast("long").as("v_e4"))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    // wanted 1-based ranks: both neighbors of each quartile position
-    val wanted = counts.select(col("event_type"), col("n"),
-      explode(array_distinct(array(
-        expr("(n - 1) DIV 4 + 1"), expr("(n - 1) DIV 4 + 2"),
-        expr("(3 * (n - 1)) DIV 4 + 1"),
-        expr("(3 * (n - 1)) DIV 4 + 2")))).as("r"))
-    val ranked = ev.withColumn("r",
-      row_number().over(Window.partitionBy("event_type")
-        .orderBy(col("v_e4").asc)).cast("long"))
-    val fences = ranked.join(broadcast(wanted), Seq("event_type", "r"))
-      .groupBy("event_type")
-      .agg(
-        max(when(expr("r - 1 = (n - 1) DIV 4"), col("v_e4"))).as("x25"),
-        max(when(expr("r - 1 = (n - 1) DIV 4 + 1"), col("v_e4"))).as("x25b"),
-        max(when(expr("r - 1 = (3 * (n - 1)) DIV 4"), col("v_e4"))).as("x75"),
-        max(when(expr("r - 1 = (3 * (n - 1)) DIV 4 + 1"), col("v_e4"))).as("x75b"),
-        max(expr("(n - 1) % 4")).as("m25"),
-        max(expr("(3 * (n - 1)) % 4")).as("m75"))
-      .select(col("event_type"),
-        (lit(4L) * col("x25") + col("m25") *
-          (coalesce(col("x25b"), col("x25")) - col("x25"))).as("p25q4"),
-        (lit(4L) * col("x75") + col("m75") *
-          (coalesce(col("x75b"), col("x75")) - col("x75"))).as("p75q4"))
-      .select(col("event_type"),
-        (lit(100L) * col("p25q4") -
-          lit(kE2) * (col("p75q4") - col("p25q4"))).as("lo400"),
-        (lit(100L) * col("p75q4") +
-          lit(kE2) * (col("p75q4") - col("p25q4"))).as("hi400"))
-    ev.join(broadcast(fences), "event_type")
+    val ev = quantizedValues(events)
+    ev.join(broadcast(valueFences(events, kE2)), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("v_e4") * lit(400L) < col("lo400") ||
@@ -168,6 +138,54 @@ object EventOps {
         (floor(col("__hi") / lit(400.0) + lit(0.5)) / lit(10000.0) +
           lit(0.0)).as("hi"))
       .orderBy("event_type")
+  }
+
+  /** The E4 fixed-point quantization both fence training and serving
+    * share: floor(v·1e4 + 0.5) — one identical IEEE double op + an
+    * exact floor on every engine. */
+  private[graft] def quantizedValues(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      floor(col("value") * lit(10000d) + lit(0.5)).cast("long").as("v_e4"))
+
+  /** The trained |types|-row INTEGER fence relation behind
+    * [[valueOutliers]], exposed on its own — the train-batch/
+    * serve-stream model ([[rateStats]]' role for the anomaly scorer):
+    * collect these rows once from history and serve them broadcast
+    * over live events via
+    * [[graft.streaming.EventStreams.valueOutlierFlags]]. Fences are
+    * scaled ×400 longs (quarter-E4 quartiles × kE2 hundredths), so
+    * serving is one long-vs-long compare per row. */
+  def valueFences(events: DataFrame, kE2: Long = 150L): DataFrame = {
+    val ev = quantizedValues(events)
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // wanted 1-based ranks: both neighbors of each quartile position
+    val wanted = counts.select(col("event_type"), col("n"),
+      explode(array_distinct(array(
+        expr("(n - 1) DIV 4 + 1"), expr("(n - 1) DIV 4 + 2"),
+        expr("(3 * (n - 1)) DIV 4 + 1"),
+        expr("(3 * (n - 1)) DIV 4 + 2")))).as("r"))
+    val ranked = ev.withColumn("r",
+      row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("v_e4").asc)).cast("long"))
+    ranked.join(broadcast(wanted), Seq("event_type", "r"))
+      .groupBy("event_type")
+      .agg(
+        max(when(expr("r - 1 = (n - 1) DIV 4"), col("v_e4"))).as("x25"),
+        max(when(expr("r - 1 = (n - 1) DIV 4 + 1"), col("v_e4"))).as("x25b"),
+        max(when(expr("r - 1 = (3 * (n - 1)) DIV 4"), col("v_e4"))).as("x75"),
+        max(when(expr("r - 1 = (3 * (n - 1)) DIV 4 + 1"), col("v_e4"))).as("x75b"),
+        max(expr("(n - 1) % 4")).as("m25"),
+        max(expr("(3 * (n - 1)) % 4")).as("m75"))
+      .select(col("event_type"),
+        (lit(4L) * col("x25") + col("m25") *
+          (coalesce(col("x25b"), col("x25")) - col("x25"))).as("p25q4"),
+        (lit(4L) * col("x75") + col("m75") *
+          (coalesce(col("x75b"), col("x75")) - col("x75"))).as("p75q4"))
+      .select(col("event_type"),
+        (lit(100L) * col("p25q4") -
+          lit(kE2) * (col("p75q4") - col("p25q4"))).as("lo400"),
+        (lit(100L) * col("p75q4") +
+          lit(kE2) * (col("p75q4") - col("p25q4"))).as("hi400"))
   }
 
   /** User-journey transition counts — the Markov-chain view of event

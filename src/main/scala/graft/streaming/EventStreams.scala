@@ -341,6 +341,31 @@ object EventStreams extends Serializable {
         mean.as("mean_events"), z.as("z"))
   }
 
+  /** Streaming face of [[graft.operators.EventOps.valueOutliers]] —
+    * the serve step of the train-batch/serve-stream loop
+    * ([[rateAnomalyStream]]'s model): the integer Tukey fences are
+    * TRAINED offline ([[graft.operators.EventOps.valueFences]],
+    * collected to |types| rows) and served broadcast over live
+    * events; each arriving value is flagged by the SAME long-vs-long
+    * compare (400·v_e4 vs fence) the batch gate runs, so batch and
+    * stream agree bit-for-bit on every flag. Stateless map — append
+    * mode, no watermark, no state store; at any rate the per-event
+    * cost is one quantize + one broadcast-hash probe. */
+  def valueOutlierFlags(events: DataFrame,
+      fences: Seq[(String, Long, Long)]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val f = fences.toDF("event_type", "lo400", "hi400")
+    events
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * lit(10000d) + lit(0.5)).cast("long")
+          .as("v_e4"))
+      .join(broadcast(f), "event_type")
+      .filter(col("v_e4") * lit(400L) < col("lo400") ||
+        col("v_e4") * lit(400L) > col("hi400"))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
   /** Stream-stream interval join: purchases attributed to same-user
     * clicks in the preceding `window`, incrementally. Watermarks bound
     * BOTH sides' join state — clicks older than watermark - window can

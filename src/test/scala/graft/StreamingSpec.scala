@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("value-outlier flags served over the stream equal the batch gate") {
+    // train the integer fences on batch history, serve the same
+    // events as a stream: the flagged event set must equal what the
+    // batch fence compare flags (identical 400*v_e4-vs-long compare),
+    // and the flag COUNT per type must reconcile with valueOutliers'
+    // n_outliers
+    val batch = Tables.events(spark, sfDir)
+    val fences = EventOps.valueFences(batch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = EventStreams.readEvents(spark, rawEventsDir)
+    val got = runToCompletion(
+      EventStreams.valueOutlierFlags(stream, fences), "append", "ev_flags")
+    val want = EventStreams.valueOutlierFlags(batch, fences)
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(want))
+    val perType = got.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    EventOps.valueOutliers(batch)
+      .select("event_type", "n_outliers").as[(String, Long)].collect()
+      .foreach { case (tp, n) =>
+        assert(perType.getOrElse(tp, 0L) == n,
+          s"type $tp: stream flags diverge from batch n_outliers")
+      }
+  }
+
   test("incremental accumulation across micro-batches matches batch") {
     // re-write events as many µs-timestamp files → many micro-batches
     val batch = Tables.events(spark, sfDir)
