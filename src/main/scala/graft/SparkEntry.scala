@@ -454,9 +454,12 @@ object SparkEntry {
     "q_unigram_encode_injected" -> ((s, dir) => {
       import s.implicits._
       val d = documents(s, dir)
+      // distinct WORDS first (vocabulary-scale), then their chars —
+      // the char explode never touches corpus-scale rows
       val chars = d
         .select(explode(graft.functions.TextAnalysis.wsTokens(
           col("text"))).as("word"))
+        .distinct()
         .select(explode(expr("transform(sequence(1, length(word)), " +
           "i -> substring(word, i, 1))")).as("piece"))
         .distinct()

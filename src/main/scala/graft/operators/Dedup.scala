@@ -706,6 +706,12 @@ object Dedup {
       .select("vec_id").orderBy("vec_id")
   }
 
+  /** Name of the observed metric [[embeddingLshCandidates]] publishes
+    * per run: `bucket_pairs` (pre-dedup pair fan-out the bucket sizes
+    * imply), `skipped_buckets` (buckets over `maxBucket`, i.e. recall
+    * silently traded for boundedness), `max_bucket`. */
+  val LSH_CANDIDATE_METRIC = "embedding_lsh_candidates"
+
   /** The candidate-generation stage of [[embeddingNearDupLsh]],
     * exposed on its own: distinct (vec_a < vec_b) pairs co-occurring
     * in any table's SRP bucket. At 100 TB this is the relation you
@@ -735,6 +741,19 @@ object Dedup {
       .toDF("vec_id", "t", "bucket")
     banded.groupBy("t", "bucket")
       .agg(collect_list(col("vec_id")).as("ds"))
+      // publish this run's candidate volume and cap activity (the
+      // ngram_jaccard_skew_guard convention): low-threshold regimes
+      // are near-quadratic BY DESIGN (scaladoc below), so the pair
+      // count a parameter choice implies must be visible in telemetry
+      // before the fan-out runs, not discovered as a hung stage — the
+      // CollectMetrics node rides the bucket aggregation that runs
+      // anyway, costing no extra job
+      .observe(LSH_CANDIDATE_METRIC,
+        sum(expr("CAST(size(ds) AS BIGINT) * (size(ds) - 1) DIV 2"))
+          .as("bucket_pairs"),
+        sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))
+          .as("skipped_buckets"),
+        max(size(col("ds"))).as("max_bucket"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       // Task count must follow FAN-OUT, not input bytes: the bucket
       // relation is id-lists (KBs), so AQE's size-based coalescing

@@ -324,9 +324,16 @@ class DedupSpec extends SparkSpec {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
       Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
-    val got = Dedup.embeddingNearDupLsh(embs, threshold = 0.4,
-        planes = Some(planes))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(embs, threshold = 0.4,
+      planes = Some(planes))
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the candidate-volume telemetry rides the run: implied pair
+    // fan-out bounds the verified output, and no bucket hit the cap
+    val metric = lsh.queryExecution
+      .observedMetrics(Dedup.LSH_CANDIDATE_METRIC)
+    assert(metric.getAs[Long]("bucket_pairs") >= got.size)
+    assert(metric.getAs[Long]("skipped_buckets") == 0L)
+    assert(metric.getAs[Int]("max_bucket") > 1)
     val vecs = embs.collect().map(r => r.getLong(0) ->
       r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     def bucket(v: Array[Double], t: Int): Int =
