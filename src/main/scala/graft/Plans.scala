@@ -47,7 +47,8 @@ object Plans {
       "q_events_decay", "q_ann_lsh_injected", "q_embed_rbo",
       "q_profile_corr", "q_dedup_keep_best", "q_dedup_diversity",
       "q_ann_pq_injected", "q_dedup_embedding_lsh",
-      "q_bpe_encode_injected", "q_unigram_encode_injected")
+      "q_bpe_encode_injected", "q_unigram_encode_injected",
+      "q_dedup_incr_embedding")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -676,6 +676,21 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(4)) === 0))
     }),
+    // Incremental EMBEDDING near-dup: the batch's vectors probe the
+    // base corpus's materialized SRP bucket index — semantic dedup's
+    // per-ingest mode. Fully ORACLED via the q_dedup_embedding_lsh
+    // injected axis-plane convention (co-bucket cross-set candidates
+    // + exact-cosine verify are closed-form SQL); plain % 4 split, no
+    // plants, same as q_dedup_incr_minhash.
+    "q_dedup_incr_embedding" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Dedup.incrementalEmbeddingNearDup(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(4)) === 0),
+        threshold = 0.4,
+        planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+          Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))))
+    }),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -2075,6 +2090,37 @@ object SparkEntry {
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Incremental embedding near-dup: the injected-plane bucket CTE
+    // split cross-set (batch vec_id % 4 = 0 probes the base index),
+    // then the same exact-cosine verification
+    "q_dedup_incr_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), bk AS (
+        |  SELECT vec_id, t.t AS t,
+        |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM e, unnest([0, 1, 2, 3]) AS t(t)
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS vec_batch, b.vec_id AS vec_base
+        |  FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
+        |  WHERE q.vec_id % 4 = 0 AND b.vec_id % 4 != 0
+        |), p AS (
+        |  SELECT vec_batch, vec_base,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
+        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
+        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
+        |  FROM cand JOIN e a ON a.vec_id = cand.vec_batch
+        |    JOIN e b ON b.vec_id = cand.vec_base
+        |)
+        |SELECT vec_batch, vec_base,
+        |  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM p
+        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY vec_batch, vec_base""".stripMargin,
     // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
     // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
     // the same IEEE double ops Spark's plantNearDups runs, so the

@@ -980,6 +980,64 @@ object Dedup {
       .orderBy("doc_batch", "doc_base")
   }
 
+  /** Incremental EMBEDDING near-dup — [[incrementalNearDupPairs]]'
+    * role for vectors, the 100 TB operating mode for semantic dedup:
+    * a new batch's vectors probe the BASE corpus's materialized SRP
+    * band-bucket index, and co-bucket (batch, base) candidates from
+    * ANY table are verified with the exact codegen'd cosine. The base
+    * is never re-paired with itself; its raw vectors participate only
+    * in the verify join of the (much smaller) candidate set — so the
+    * per-ingest cost is ~O(|batch| + candidates), and the
+    * (vec_id, t, bucket) relation is exactly what a deployment
+    * materializes once and bucket-writes for shuffle-free probes.
+    *
+    * `planes` injects known tables (the [[embeddingLshCandidates]]
+    * convention): axis-aligned planes fold every bucket bit to a
+    * coordinate sign test, making the whole cross-set relation
+    * closed-form SQL (q_dedup_incr_embedding). Recall caveats are
+    * [[embeddingNearDupLsh]]'s — at real near-dup thresholds
+    * (cos ≥ 0.9) use 16-plane × 32-table defaults. */
+  def incrementalEmbeddingNearDup(base: DataFrame, batch: DataFrame,
+      threshold: Double, nPlanes: Int = 16, nTables: Int = 32,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 10000,
+      planes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    planes.foreach(ts => require(
+      ts.nonEmpty && ts.forall(_.length == ts.head.length),
+      "injected tables must share one plane count"))
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => Similarity.hyperplanes(nPlanes, dim, seed + t)))
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    def banded(e: DataFrame) = e.select(col("vec_id"),
+        posexplode(Vectors.srpBucketsAll(col("v"), tables)))
+      .toDF("vec_id", "t", "bucket")
+    val baseV = vecs(base)
+    val batchV = vecs(batch)
+    // in production this relation is READ, not built: store it once
+    // per corpus version (sources/Bucketing), probe it per ingest
+    val baseIdx = banded(baseV)
+      .groupBy("t", "bucket").agg(collect_list("vec_id").as("base_ds"))
+      .filter(size(col("base_ds")) <= maxBucket)
+    val cand = banded(batchV)
+      .join(baseIdx, Seq("t", "bucket"))
+      // fan-out, not input bytes, sizes these tasks — the same AQE
+      // coalescing hazard embeddingLshCandidates documents
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_batch"),
+        explode(col("base_ds")).as("vec_base"))
+      .distinct()
+    val cos = Vectors.dot(col("vq"), col("vb")) /
+      (sqrt(Vectors.normSq(col("vq"))) * sqrt(Vectors.normSq(col("vb"))))
+    cand
+      .join(batchV.toDF("vec_batch", "vq"), "vec_batch")
+      .join(baseV.toDF("vec_base", "vb"), "vec_base")
+      .withColumn("cos", cos)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_batch"), col("vec_base"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("vec_batch", "vec_base")
+  }
+
   /** Harness/spec fixture for the incremental operators: splits `docs`
     * into (base, batch) the way an ingest sees them. base = the
     * doc_id % 4 != 0 slice (the already-deduplicated corpus); batch =

@@ -354,9 +354,30 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got == want)
     assert(want.nonEmpty)
+    // incremental mode under the same planes: the batch (vec_id % 4
+    // == 0) probing the base's bucket index must emit exactly the
+    // witness's CROSS-SET co-bucket pairs above threshold — and
+    // nothing base-base or batch-batch
+    val incr = Dedup.incrementalEmbeddingNearDup(
+      embs.filter(col("vec_id") % 4 =!= 0),
+      embs.filter(col("vec_id") % 4 === 0),
+      threshold = 0.4, planes = Some(planes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantIncr = (for {
+      q <- ids if q % 4 == 0; b <- ids if b % 4 != 0
+      if (0 until 4).exists(t => bucket(vecs(q), t) == bucket(vecs(b), t))
+      if cos(vecs(q), vecs(b)) >= 0.4
+    } yield (q, b)).toSet
+    assert(incr == wantIncr)
+    assert(incr.nonEmpty)
+    assert(incr.forall { case (q, b) => q % 4 == 0 && b % 4 != 0 })
     // ragged injected tables are rejected, not silently mis-bucketed
     intercept[IllegalArgumentException] {
       Dedup.embeddingNearDupLsh(embs, threshold = 0.4,
+        planes = Some(Seq(planes.head, planes(1).take(2))))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDup(embs, embs, threshold = 0.4,
         planes = Some(Seq(planes.head, planes(1).take(2))))
     }
     intercept[IllegalArgumentException] {
