@@ -341,6 +341,58 @@ object EventStreams extends Serializable {
         mean.as("mean_events"), z.as("z"))
   }
 
+  /** Streaming face of
+    * [[graft.operators.Dedup.incrementalEmbeddingNearDup]] — semantic
+    * dedup's per-INGEST mode with the ingest as a live stream: the
+    * base corpus's vectors and its SRP (t, bucket → id-list) index
+    * are static eager checkpoints (a deployment READS the
+    * materialized index), and each arriving vector's bucket codes are
+    * a pure codegen'd projection (srpBucketsAll — no aggregation, so
+    * append mode needs no watermark), probed via stream-static joins
+    * and verified with the exact cosine. The only streaming state is
+    * the across-tables candidate dedup, bounded by output volume
+    * (the [[incrementalNearDupStream]] argument). */
+  def incrementalEmbeddingStream(vectors: DataFrame, base: DataFrame,
+      threshold: Double, nPlanes: Int = 16, nTables: Int = 32,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 10000,
+      planes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    import graft.functions.Vectors
+    planes.foreach(ts => require(
+      ts.nonEmpty && ts.forall(_.length == ts.head.length),
+      "injected tables must share one plane count"))
+    val tables = planes.getOrElse((0 until nTables)
+      .map(t => graft.operators.Similarity.hyperplanes(nPlanes, dim,
+        seed + t)))
+    val baseV = base.select(col("vec_id").as("vec_base"),
+        Vectors.toDoubleVec(col("embedding")).as("vb"))
+      .localCheckpoint(true)
+    val baseIdx = baseV
+      .select(col("vec_base"),
+        posexplode(Vectors.srpBucketsAll(col("vb"), tables)))
+      .toDF("vec_base", "t", "bucket")
+      .groupBy("t", "bucket")
+      .agg(collect_list("vec_base").as("base_ds"))
+      .filter(size(col("base_ds")) <= maxBucket)
+      .localCheckpoint(true)
+    val cos = Vectors.dot(col("vq"), col("vb")) /
+      (sqrt(Vectors.normSq(col("vq"))) * sqrt(Vectors.normSq(col("vb"))))
+    vectors
+      .select(col("vec_id").as("vec_batch"),
+        Vectors.toDoubleVec(col("embedding")).as("vq"))
+      .select(col("vec_batch"), col("vq"),
+        posexplode(Vectors.srpBucketsAll(col("vq"), tables)))
+      .toDF("vec_batch", "vq", "t", "bucket")
+      .join(baseIdx, Seq("t", "bucket"))
+      .select(col("vec_batch"), col("vq"),
+        explode(col("base_ds")).as("vec_base"))
+      .join(baseV, "vec_base")
+      .withColumn("cos", cos)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_batch"), col("vec_base"),
+        round(col("cos"), 4).as("cos"))
+      .dropDuplicates("vec_batch", "vec_base")
+  }
+
   /** Streaming face of [[graft.operators.EventOps.valueOutliers]] —
     * the serve step of the train-batch/serve-stream loop
     * ([[rateAnomalyStream]]'s model): the integer Tukey fences are

@@ -86,6 +86,27 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("streaming embedding ingest probe equals the batch incremental " +
+      "operator row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = embs.filter(col("vec_id") % 4 =!= 0)
+    val batch = embs.filter(col("vec_id") % 4 === 0)
+    val planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+      Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0))))
+    val dir = Files.createTempDirectory("graft-emb-stream").toString
+    batch.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      EventStreams.incrementalEmbeddingStream(stream, base,
+        threshold = 0.4, planes = planes), "append", "emb_incr")
+    val want = graft.operators.Dedup.incrementalEmbeddingNearDup(
+      base, batch, threshold = 0.4, planes = planes)
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("value-outlier flags served over the stream equal the batch gate") {
     // train the integer fences on batch history, serve the same
     // events as a stream: the flagged event set must equal what the
