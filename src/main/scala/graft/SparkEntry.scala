@@ -64,9 +64,20 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
 
-  /** All three distributed-checkpoint caches, for cross-cache
+  /** Near-dup candidate-PAIR relation per (application, dataset dir) —
+    * the upstream the cluster map itself is built from, shared so the
+    * label-propagation, alternating-star, and incremental CC queries
+    * all read ONE materialized pair relation instead of re-running
+    * the n-gram Jaccard pipeline each. Narrow (doc_a, doc_b) rows —
+    * output-scale, orders of magnitude smaller than the corpus. */
+  private[graft] val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+
+  /** All distributed-checkpoint caches, for cross-cache
     * eviction in [[checkpointCached]]. */
-  private lazy val dfCaches = Seq(clusterCache, bigramBitsCache, nbModelCache)
+  private[graft] lazy val dfCaches =
+    Seq(pairsCache, clusterCache, bigramBitsCache, nbModelCache)
 
   /** Build-once checkpoint admission with a rolling window of ONE
     * dataset per application: localCheckpoint blocks are pinned for
@@ -101,11 +112,17 @@ object SparkEntry {
     }
   }
 
+  private def cachedPairs(s: SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame =
+    checkpointCached(pairsCache, s, dir)(
+      Dedup.ngramJaccard(documents(s, dir), n = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")))
+
   private def cachedClusters(s: SparkSession, dir: String):
       org.apache.spark.sql.DataFrame =
     checkpointCached(clusterCache, s, dir)(
-      Clustering.nearDupClusters(documents(s, dir), n = 3,
-        threshold = 0.8))
+      Clustering.clustersFromPairs(cachedPairs(s, dir),
+        documents(s, dir).select(col("doc_id"))))
 
   /** Bigram-LM document scores per (application, dataset) — the
     * expensive shared upstream of q_lm_bigram and q_ppl_buckets;
@@ -562,6 +579,33 @@ object SparkEntry {
     // (min-label propagation; oracle = DuckDB recursive CTE, shared
     // closure in NearDupClosureCtes).
     "q_dedup_cc" -> ((s, dir) => cachedClusters(s, dir).orderBy("doc_id")),
+    // Same cluster map through the O(log n)-round alternating-star
+    // plan (the diameter-robust path for adversarial chain graphs) —
+    // the plan-not-answer gate: identical oracle, different physics.
+    "q_dedup_cc_star" -> ((s, dir) =>
+      Clustering.clustersFromPairsStar(cachedPairs(s, dir),
+        documents(s, dir).select(col("doc_id"))).orderBy("doc_id")),
+    // Incremental CC — the 100 TB operating mode for the CLUSTER map:
+    // the base (doc_id % 4 != 0) is clustered from base-only pairs (in
+    // production that map is materialized), then the delta's edges
+    // (any pair touching a % 4 == 0 doc) fold in WITHOUT re-reading
+    // base edges. Answer provably equals full CC over all pairs, so
+    // the oracle is q_dedup_cc's own closure.
+    "q_dedup_cc_incr" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = cachedPairs(s, dir)
+      val baseA = pmod(col("doc_a"), lit(4)) =!= 0
+      val baseB = pmod(col("doc_b"), lit(4)) =!= 0
+      val baseAssign = Clustering.clustersFromPairs(
+        pairs.filter(baseA && baseB),
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0).select(col("doc_id")))
+      Clustering.incrementalCC(
+        baseAssign,
+        pairs.filter(!baseA || !baseB),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0).select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
     // End-to-end: the deduplicated corpus itself (cluster-min
     // survivors with payload; text fingerprinted for the harness).
     "q_dedup_corpus" -> ((s, dir) =>
@@ -910,6 +954,12 @@ object SparkEntry {
       CorpusOps.weightedSample(documents(s, dir), k = 50,
         weightCol = least(lit(10L),
           lit(1L) + (col("n_chars") / lit(300)).cast("long")))),
+    // Per-source CALIBRATED quality keep: top 25% of each source by
+    // the E4-integer quality score, selected through the score
+    // HISTOGRAM (threshold + tie stratum), never a group-wide sort —
+    // identical rows to the naive per-source window, spec-pinned.
+    "q_quality_calibrated" -> ((s, dir) =>
+      CorpusOps.qualityCalibrated(documents(s, dir), keepBp = 2500)),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     // Okapi BM25 top-10 for a fixed query-term bag: one tokenize
     // lineage (dl window before the term filter, df window after),
@@ -3416,6 +3466,17 @@ object SparkEntry {
       s"""WITH RECURSIVE $NearDupClosureCtes
         |SELECT doc_id, cluster FROM cl
         |ORDER BY doc_id""".stripMargin,
+    // Alternating-star and incremental CC answer the SAME closure —
+    // different plans (O(log n) star rounds; base-map + quotient
+    // fold) against one truth, the q_events_interval_binned gate.
+    "q_dedup_cc_star" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes
+        |SELECT doc_id, cluster FROM cl
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_cc_incr" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes
+        |SELECT doc_id, cluster FROM cl
+        |ORDER BY doc_id""".stripMargin,
     // Family-size histogram: same closure, sizes per cluster, grouped
     // by size; n_docs = size * families (derived, integer).
     "q_dedup_cluster_sizes" ->
@@ -3774,6 +3835,35 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN n_occ < 3 THEN line END,
         |    chr(10) ORDER BY pos), '') AS clean_text
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The naive window form IS the oracle — the Spark side must reach
+    // the same k rows per source through the histogram threshold.
+    // Score = the q_text_quality product in E4 via floor(x·1e4 + 0.5)
+    // (engine-neutral half-up; round()'s half-cases are not).
+    "q_quality_calibrated" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, len(toks) AS n,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, source,
+        |    floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
+        |          * ar * 10000 + 0.5)::BIGINT AS score
+        |  FROM c
+        |), k AS (
+        |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
+        |  FROM s GROUP BY source
+        |), r AS (
+        |  SELECT s.*, row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, source, score FROM r JOIN k USING (source)
+        |WHERE rn <= k.k
+        |ORDER BY doc_id""".stripMargin,
     // Integer metrics + integer cross-multiplied thresholds: no float
     // ratio ever crosses the engines (power-of-two denominators land
     // on exact half-values where rounding modes differ).

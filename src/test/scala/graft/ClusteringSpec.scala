@@ -46,6 +46,64 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCC: delta edges fold into a base map == full CC from scratch") {
+    // base: {1,2} merged, {3} and {4,5} separate; delta node 6 bridges
+    // cluster {1,2} and cluster {4,5} (a transitive merge the base
+    // never saw), 7 arrives isolated, and a delta edge also links two
+    // base nodes directly (8~3, the re-crawl-links-old-content case)
+    val baseEdges = Seq((1L, 2L), (4L, 5L)).toDF("a", "b")
+    val baseNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val base = Clustering.connectedComponents(baseEdges, baseNodes)
+    val deltaEdges = Seq((6L, 2L), (6L, 4L), (8L, 3L)).toDF("a", "b")
+    val deltaNodes = Seq(6L, 7L, 8L).toDF("id")
+    val got = Clustering.incrementalCC(base, deltaEdges, deltaNodes)
+      .as[(Long, Long)].collect().toMap
+    val full = Clustering.connectedComponents(
+      baseEdges.union(deltaEdges),
+      baseNodes.union(deltaNodes).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got(6L) == 1L && got(5L) == 1L) // the transitive merge landed
+    assert(got(7L) == 7L)                  // isolated delta = singleton
+    assert(got(8L) == 3L)                  // base-base delta edge merged
+  }
+
+  test("incrementalCC equals from-scratch CC on random base/delta splits") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 60
+      val all = Seq.fill(50)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // nodes 0..39 are base, 40..59 the delta batch; an edge is a
+      // base edge iff both endpoints are base — the q_dedup_cc_incr
+      // split rule, applied to an arbitrary graph
+      val isBase = (x: Long) => x < 40L
+      val baseE = all.filter(e => isBase(e._1) && isBase(e._2)).toDF("a", "b")
+      val deltaE = all.filterNot(e => isBase(e._1) && isBase(e._2))
+        .toDF("a", "b")
+      val base = Clustering.connectedComponents(
+        baseE, (0L until 40L).toDF("id"))
+      val got = Clustering.incrementalCC(base, deltaE,
+        (40L until 60L).toDF("id")).as[(Long, Long)].collect().toMap
+      val full = Clustering.connectedComponents(
+        all.toDF("a", "b"), (0L until 60L).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == full, s"seed $seed")
+    }
+  }
+
+  test("incrementalCC: a re-delivered base id stays one row with its base label") {
+    val base = Clustering.connectedComponents(
+      Seq((1L, 2L)).toDF("a", "b"), Seq(1L, 2L, 3L).toDF("id"))
+    // delta claims node 2 again (re-delivery) plus a genuinely new 9
+    val got = Clustering.incrementalCC(base,
+      Seq((9L, 3L)).toDF("a", "b"), Seq(2L, 9L).toDF("id"))
+      .as[(Long, Long)].collect()
+    assert(got.length == 4) // 1,2,3,9 — no duplicate row for 2
+    val m = got.toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 3L))
+  }
+
   test("dedupCorpus keeps exactly the cluster minima, full payload") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val clusters = Clustering.nearDupClusters(corpus)

@@ -42,8 +42,7 @@ class EvictionSpec extends SparkSpec {
     assert(rddA.getStorageLevel == StorageLevel.NONE,
       "evicted checkpoint must release its pinned storage")
     // bounded storage: per cache, at most ONE dataset per application
-    Seq(SparkEntry.clusterCache, SparkEntry.nbModelCache,
-        SparkEntry.bigramBitsCache).foreach { c =>
+    SparkEntry.dfCaches.foreach { c =>
       var n = 0
       c.forEach((k, _) => if (k.startsWith(appId + "|")) n += 1)
       assert(n <= 1, s"cache holds $n datasets for this application")
