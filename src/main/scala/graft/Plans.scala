@@ -48,7 +48,8 @@ object Plans {
       "q_profile_corr", "q_dedup_keep_best", "q_dedup_diversity",
       "q_ann_pq_injected", "q_dedup_embedding_lsh",
       "q_bpe_encode_injected", "q_unigram_encode_injected",
-      "q_dedup_incr_embedding")
+      "q_dedup_incr_embedding", "q_dedup_cc_incr",
+      "q_quality_calibrated")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

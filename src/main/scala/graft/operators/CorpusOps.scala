@@ -345,6 +345,96 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** PER-GROUP top-fraction selection WITHOUT a group-wide sort —
+    * keep the best `keepBp`/10000 of each group's rows by an INTEGER
+    * score, ties broken by smallest id. This is per-source quality
+    * CALIBRATION: a single global threshold keeps whatever the
+    * easiest domains emit and starves the hard ones, so curation
+    * keeps a fixed fraction per source instead — and the naive
+    * `row_number() OVER (PARTITION BY source ORDER BY score)` does it
+    * by SORTING EVERY ROW of every group, a skewed-domain disaster at
+    * corpus scale (one hot domain = one giant sorted partition).
+    *
+    * Here the sort moves to the score HISTOGRAM: (1) one map-side
+    * combined count per (group, score) — the integer score bounds the
+    * histogram at |groups|·|score range| rows regardless of corpus
+    * size; (2) a cumulative scan per group over THAT relation finds
+    * the threshold score and how many threshold-score ties to keep;
+    * (3) rows above the threshold pass with a broadcast-joined
+    * filter (no shuffle of the corpus), and ONLY the threshold-score
+    * stratum ranks its ties by id. Exactness is preserved — same k
+    * rows as the naive window, spec-pinned — at a sort cost bounded
+    * by the score cardinality plus one stratum, not the corpus.
+    *
+    * `scored`: (id, grp, score[integer]). `keepBp` in basis points;
+    * k = ceil(n·keepBp/10000) per group, long arithmetic so n up to
+    * ~9e14 cannot wrap (the ngramJaccardPrefix lesson). Returns the
+    * kept (id, grp, score) rows. */
+  def topFractionByGroup(scored: DataFrame, keepBp: Int): DataFrame = {
+    require(keepBp > 0 && keepBp <= 10000,
+      s"keepBp=$keepBp must be in (0, 10000]")
+    val s = scored.toDF("id", "grp", "score")
+    // (grp, score) histogram + per-group descending cumulative count:
+    // cum(s) = rows with score >= s. Window partitions are histogram
+    // rows — bounded by the score range (WindowExec's one-partition
+    // warning cannot bite: this relation is |grps|x|scores|, not the
+    // corpus).
+    val hist = s.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("grp")
+        .orderBy(col("score").desc)))
+    // group sizes come from the histogram, not a second corpus pass
+    val quota = hist.groupBy("grp").agg(sum("cnt").as("n"))
+      .select(col("grp"),
+        expr(s"(n * CAST($keepBp AS BIGINT) + 9999) DIV 10000").as("k"))
+    // threshold = smallest score whose strictly-above count is < k;
+    // ties_kept = how many id-ordered rows AT the threshold still fit
+    val thr = cum.join(quota, "grp")
+      .filter(col("cum") - col("cnt") < col("k"))
+      .groupBy("grp").agg(
+        min(col("score")).as("thr"),
+        min_by(col("cum") - col("cnt"), col("score")).as("above"),
+        max(col("k")).as("k"))
+      .select(col("grp"), col("thr"),
+        (col("k") - col("above")).as("ties_kept"))
+    val joined = s.join(broadcast(thr), "grp")
+    val keepHigh = joined.filter(col("score") > col("thr"))
+    // only the threshold-score stratum is ranked — the one window
+    // that touches corpus rows sees a single score's ties per group
+    val keptTies = joined.filter(col("score") === col("thr"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("id").asc)))
+      .filter(col("__rn") <= col("ties_kept"))
+      .drop("__rn")
+    keepHigh.unionByName(keptTies)
+      .select(col("id"), col("grp"), col("score"))
+      .orderBy("id")
+  }
+
+  /** [[topFractionByGroup]] on the documents table: per-SOURCE
+    * calibrated quality keep. The score is [[TextOps.textQuality]]'s
+    * length x non-stopword x alphabetic product in E4 fixed point —
+    * floor(q·10⁴ + 0.5), the engine-neutral half-up convention
+    * (round() half-cases are engine-defined; floor(x+0.5) is not) —
+    * so the histogram is exact integers and the DuckDB oracle replays
+    * both the score and the per-source selection bit-for-bit. */
+  def qualityCalibrated(docs: DataFrame, keepBp: Int = 2500): DataFrame = {
+    val stopWords = graft.functions.TextAnalysis.LangStopwords.head._2
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        wsTokens(col("text")).as("toks"), col("text"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n"),
+        stopwordCount(col("toks"), stopWords).as("sc"),
+        alphaRatio(col("text")).as("ar"))
+      .select(col("doc_id"), col("source"),
+        floor(least(lit(1.0), col("n").cast("double") / lit(50.0))
+          * (lit(1.0) - col("sc").cast("double") / col("n"))
+          * col("ar") * lit(10000.0) + lit(0.5)).cast("long").as("score"))
+    topFractionByGroup(scored, keepBp)
+      .select(col("id").as("doc_id"), col("grp").as("source"), col("score"))
+  }
+
   /** Per-source corpus health report — the monitoring query a
     * curation pipeline runs on every ingest batch: document count,
     * exact-duplicate rate (md5 fingerprints, integer basis points),

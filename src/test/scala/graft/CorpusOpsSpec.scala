@@ -28,6 +28,52 @@ class CorpusOpsSpec extends SparkSpec {
       corpus.count())
   }
 
+  test("topFractionByGroup == the naive per-group window, threshold ties by id") {
+    // the operator's whole claim: histogram-threshold selection keeps
+    // EXACTLY the rows a row_number window over (score DESC, id ASC)
+    // keeps, at a sort bounded by score cardinality instead of rows
+    val scored = CorpusOps.qualityCalibrated(corpus, keepBp = 2500)
+    val base = corpus
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.wsTokens(col("text")).as("toks"),
+        col("text"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n"),
+        graft.functions.TextAnalysis.stopwordCount(col("toks"),
+          graft.functions.TextAnalysis.LangStopwords.head._2).as("sc"),
+        graft.functions.TextAnalysis.alphaRatio(col("text")).as("ar"))
+      .select(col("doc_id"), col("source"),
+        floor(least(lit(1.0), col("n").cast("double") / lit(50.0))
+          * (lit(1.0) - col("sc").cast("double") / col("n"))
+          * col("ar") * lit(10000.0) + lit(0.5)).cast("long").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    val k = base.groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), expr("(n * 2500 + 9999) DIV 10000").as("k"))
+    val naive = base.withColumn("rn", row_number().over(w))
+      .join(k, "source").filter(col("rn") <= col("k"))
+      .select(col("doc_id"), col("source"), col("score"))
+    assert(scored.exceptAll(naive).isEmpty && naive.exceptAll(scored).isEmpty)
+    assert(scored.count() > 0)
+  }
+
+  test("topFractionByGroup: exact ceil quotas, ties kept by smallest id") {
+    // group g: 5 rows all score 7 (pure tie stratum), keep 40% -> 2
+    // rows, the two smallest ids; group h: distinct scores, ceil(0.4*3)
+    // = 2 -> top-2 scores; group i: one row, ceil(0.4) = 1 -> kept
+    val rows = Seq(
+      (1L, "g", 7L), (2L, "g", 7L), (3L, "g", 7L), (4L, "g", 7L),
+      (5L, "g", 7L),
+      (10L, "h", 1L), (11L, "h", 9L), (12L, "h", 5L),
+      (20L, "i", 0L)).toDF("id", "grp", "score")
+    val got = CorpusOps.topFractionByGroup(rows, keepBp = 4000)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "g", 7L), (2L, "g", 7L),
+      (11L, "h", 9L), (12L, "h", 5L), (20L, "i", 0L)))
+    // keepBp = 10000 keeps every row, including whole tie strata
+    assert(CorpusOps.topFractionByGroup(rows, 10000).count() == 9)
+  }
+
   test("quota sample: exact quota per stratum, deterministic under layout") {
     val q1 = CorpusOps.quotaSample(corpus, quota = 20)
     val q2 = CorpusOps.quotaSample(corpus.repartition(9), quota = 20)
