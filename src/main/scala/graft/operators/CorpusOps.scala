@@ -388,7 +388,10 @@ object CorpusOps {
       .select(col("grp"),
         expr(s"(n * CAST($keepBp AS BIGINT) + 9999) DIV 10000").as("k"))
     // threshold = smallest score whose strictly-above count is < k;
-    // ties_kept = how many id-ordered rows AT the threshold still fit
+    // ties_kept = how many id-ordered rows AT the threshold still fit.
+    // |grps|-row relation; localCheckpoint truncates the histogram
+    // lineage so the corpus is not re-derived once per consumer (the
+    // ScanAudit class of bug: this operator read the corpus 6x before)
     val thr = cum.join(quota, "grp")
       .filter(col("cum") - col("cnt") < col("k"))
       .groupBy("grp").agg(
@@ -397,16 +400,17 @@ object CorpusOps {
         max(col("k")).as("k"))
       .select(col("grp"), col("thr"),
         (col("k") - col("above")).as("ties_kept"))
-    val joined = s.join(broadcast(thr), "grp")
-    val keepHigh = joined.filter(col("score") > col("thr"))
-    // only the threshold-score stratum is ranked — the one window
-    // that touches corpus rows sees a single score's ties per group
-    val keptTies = joined.filter(col("score") === col("thr"))
+      .localCheckpoint()
+    // ONE pass over the scored rows: the threshold filter drops the
+    // non-kept mass inside the scan stage, and the ranking window
+    // partitions by (grp, score) — every partition is one score's tie
+    // stratum (WindowExec's one-partition warning cannot bite), with
+    // only the threshold stratum's rank actually consulted
+    s.join(broadcast(thr), "grp")
+      .filter(col("score") >= col("thr"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("grp").orderBy(col("id").asc)))
-      .filter(col("__rn") <= col("ties_kept"))
-      .drop("__rn")
-    keepHigh.unionByName(keptTies)
+        Window.partitionBy("grp", "score").orderBy(col("id").asc)))
+      .filter(col("score") > col("thr") || col("__rn") <= col("ties_kept"))
       .select(col("id"), col("grp"), col("score"))
       .orderBy("id")
   }
