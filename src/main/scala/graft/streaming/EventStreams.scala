@@ -731,4 +731,55 @@ object EventStreams extends Serializable {
           out.iterator
       }
   }
+
+  /** Evolving near-dup CLUSTER MAP under an edge stream — the
+    * maintenance loop a deployment runs against its stored cluster
+    * table: each arriving micro-batch of near-dup edges (from the
+    * incremental probe operators upstream) folds into the map via
+    * [[graft.operators.Clustering.incrementalCC]], never re-reading
+    * historical edges. The map is the ONLY state, held as a rolling
+    * localCheckpoint whose predecessor is unpersisted on every fold
+    * (bounded executor storage — the [[graft.SparkEntry]] cache
+    * eviction discipline); in production the same fold writes a
+    * MERGE into the stored table instead.
+    *
+    * Folding is IDEMPOTENT: re-applying an already-folded edge batch
+    * cannot change the partition (its endpoints' representatives are
+    * already connected, so every quotient edge collapses to a self
+    * loop) — which is exactly the property that makes the default
+    * at-least-once `foreachBatch` delivery safe with no
+    * transactional sink. StreamingSpec pins both faces: final map ==
+    * from-scratch CC over all edges, and a double fold is a no-op. */
+  final class ClusterMapState(initial: DataFrame) {
+    @volatile private var map: DataFrame =
+      initial.toDF("id", "cluster").localCheckpoint(true)
+
+    /** The current assignment (id, cluster) — read between folds. */
+    def current: DataFrame = map
+
+    /** Fold one micro-batch of (a, b) edges into the map. */
+    def fold(batchEdges: DataFrame): Unit = synchronized {
+      val prev = map
+      val noNodes = batchEdges.sparkSession.range(0).toDF("id")
+      map = graft.operators.Clustering
+        .incrementalCC(prev, batchEdges.toDF("a", "b"), noNodes)
+        .localCheckpoint(true)
+      // rolling state: release the superseded checkpoint's blocks
+      prev.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+      }
+      ()
+    }
+  }
+
+  /** Wire an edge stream into a [[ClusterMapState]] — one
+    * `foreachBatch` fold per micro-batch; start()/processAllAvailable
+    * on the returned writer, then read `state.current`. */
+  def clusterMapStream(edges: DataFrame, state: ClusterMapState):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    edges.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch((batch: DataFrame, _: Long) => state.fold(batch))
 }

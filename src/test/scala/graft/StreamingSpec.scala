@@ -235,6 +235,44 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("cluster-map maintenance stream: folded map == from-scratch CC; " +
+      "refolding a batch is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Clustering, Dedup}
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val isBase = (c: org.apache.spark.sql.Column) => pmod(c, lit(4)) =!= 0
+    val basePairs = pairs.filter(isBase($"doc_a") && isBase($"doc_b"))
+    val deltaPairs = pairs.exceptAll(basePairs).localCheckpoint()
+    assert(deltaPairs.count() > 0, "fixture needs delta edges")
+    val baseNodes = corpus.filter(isBase($"doc_id")).select($"doc_id")
+    val state = new EventStreams.ClusterMapState(
+      Clustering.connectedComponents(basePairs, baseNodes))
+    // several files -> several micro-batches folding one at a time
+    val dir = Files.createTempDirectory("graft-ccmap-stream").toString
+    deltaPairs.orderBy("doc_a").repartitionByRange(4, $"doc_a")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(deltaPairs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.clusterMapStream(stream, state)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the map saw base edges once (in the initial CC) and each delta
+    // edge once (in its micro-batch) — yet must equal the from-scratch
+    // closure over everything the edges and base ever mentioned
+    val universe = baseNodes
+      .union(deltaPairs.select($"doc_a".as("doc_id")))
+      .union(deltaPairs.select($"doc_b".as("doc_id"))).distinct()
+    val want = Clustering.connectedComponents(pairs, universe)
+      .as[(Long, Long)].collect().toMap
+    val got = state.current.as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // idempotence — the at-least-once safety claim: refold everything
+    state.fold(deltaPairs)
+    assert(state.current.as[(Long, Long)].collect().toMap == want)
+  }
+
   test("stream-static dHash probe matches the batch probe") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
