@@ -1161,6 +1161,10 @@ object SparkEntry {
     // formulations chained into one WITH-cascade.
     "q_pipeline" -> ((s, dir) =>
       TrainingOps.curationPipeline(documents(s, dir))),
+    // The pipeline's observability face: per-stage survivors, token
+    // mass, and drop counts — which gate ate the corpus.
+    "q_pipeline_funnel" -> ((s, dir) =>
+      TrainingOps.curationFunnel(documents(s, dir))),
     // Deterministic hash-permutation shard assignment (training
     // export layout).
     "q_shards" -> ((s, dir) =>
@@ -1169,6 +1173,15 @@ object SparkEntry {
     // witnesses membership AND intra-shard order cross-engine.
     "q_shard_summary" -> ((s, dir) =>
       TrainingOps.shardSummary(documents(s, dir), shardSize = 100)),
+    // Right-to-be-forgotten cascade: which shards must rewrite for a
+    // delete batch (planted: every doc_id % 41 == 0), which stay
+    // byte-untouched — plus the token mass leaving each.
+    "q_delete_repack" -> ((s, dir) =>
+      TrainingOps.deleteRepackPlan(documents(s, dir),
+        documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(41)) === 0)
+          .select(col("doc_id")),
+        shardSize = 100)),
     // Temperature mixing: per-source budgets ∝ sqrt(source token
     // total), derived in-plan — no config map; selection shares
     // q_mix_budget's keep-while-under-budget window.
@@ -4600,75 +4613,7 @@ object SparkEntry {
     // (q_decontaminate's) -> token-budget mix (q_mix_budget's) ->
     // sequence packing (q_pack_seqs'), over the %97 corpus/bench split.
     "q_pipeline" ->
-      """WITH corpus AS (
-        |  SELECT * FROM documents WHERE doc_id % 97 != 0
-        |), bench AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
-        |), tf AS (
-        |  SELECT doc_id, w, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |        FROM corpus)
-        |  GROUP BY doc_id, w
-        |), tok AS (
-        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens, max(tf)::BIGINT AS max_tf
-        |  FROM tf GROUP BY doc_id
-        |), ctoks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM corpus
-        |), g AS (
-        |  SELECT doc_id,
-        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
-        |    CASE WHEN len(t) >= 2 THEN
-        |      len(list_distinct(list_transform(range(len(t) - 1),
-        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
-        |    ELSE 0 END AS n_distinct_2grams
-        |  FROM ctoks
-        |), gated AS (
-        |  SELECT c.doc_id, c.text, c.source FROM corpus c
-        |  JOIN tok USING (doc_id) JOIN g USING (doc_id)
-        |  WHERE tok.n_tokens >= 50
-        |    AND (g.n_2grams - g.n_distinct_2grams) * 100 <= 20 * g.n_2grams
-        |    AND tok.max_tf * 100 <= 10 * tok.n_tokens
-        |), deduped AS (
-        |  SELECT doc_id, text, source FROM gated
-        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
-        |    ORDER BY doc_id) = 1
-        |), dsh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM deduped)
-        |  WHERE len(t) >= 3
-        |), bsh AS (
-        |  SELECT DISTINCT doc_id AS bench_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM bench)
-        |  WHERE len(t) >= 3
-        |), contaminated AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT d.doc_id, b.bench_id
-        |    FROM dsh d JOIN bsh b USING (s)
-        |    GROUP BY d.doc_id, b.bench_id
-        |    HAVING count(*) >= 2)
-        |), clean AS (
-        |  SELECT * FROM deduped
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |), mixn AS (
-        |  SELECT doc_id, source,
-        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
-        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
-        |    CASE source WHEN 'src0' THEN 1200 WHEN 'src1' THEN 900
-        |      WHEN 'src2' THEN 600 WHEN 'src3' THEN 300 ELSE 0 END AS b
-        |  FROM clean
-        |), mixc AS (
-        |  SELECT doc_id, n_tok, h, b,
-        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum_before
-        |  FROM mixn
-        |), sel AS (
-        |  SELECT doc_id FROM mixc WHERE cum_before < b
+      ("WITH " + CurationCascadeCtes + """
         |), pd AS (
         |  SELECT c.doc_id, regexp_extract_all(c.text, '\S+') AS t,
         |    len(regexp_extract_all(c.text, '\S+'))::BIGINT AS n_tok,
@@ -4692,7 +4637,30 @@ object SparkEntry {
         |SELECT seq_id, seq_off, doc_id, tok_start, piece_len AS n_tok,
         |  array_to_string(list_slice(t, tok_start + 1, tok_start + piece_len),
         |    ' ') AS piece_text
-        |FROM pp ORDER BY seq_id, seq_off""".stripMargin,
+        |FROM pp ORDER BY seq_id, seq_off""").stripMargin,
+    // Per-stage attrition over the SAME cascade: survivors, token
+    // mass, and drops per stage — shared CTEs, so the funnel cannot
+    // drift from the pipeline it audits.
+    "q_pipeline_funnel" ->
+      ("WITH " + CurationCascadeCtes + """
+        |), stages AS (
+        |  SELECT 0 AS stage_ord, 'ingest' AS stage, count(*)::BIGINT AS n_docs,
+        |    coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0)::BIGINT AS n_tokens
+        |  FROM corpus
+        |  UNION ALL SELECT 1, 'quality_gate', count(*)::BIGINT,
+        |    coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0)::BIGINT FROM gated
+        |  UNION ALL SELECT 2, 'exact_dedup', count(*)::BIGINT,
+        |    coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0)::BIGINT FROM deduped
+        |  UNION ALL SELECT 3, 'decontaminate', count(*)::BIGINT,
+        |    coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0)::BIGINT FROM clean
+        |  UNION ALL SELECT 4, 'mix_budget', count(*)::BIGINT,
+        |    coalesce(sum(len(regexp_extract_all(c.text, '\S+'))), 0)::BIGINT
+        |  FROM clean c JOIN sel USING (doc_id)
+        |)
+        |SELECT stage_ord, stage, n_docs, n_tokens,
+        |  coalesce(lag(n_docs) OVER (ORDER BY stage_ord) - n_docs, 0)::BIGINT
+        |    AS n_dropped
+        |FROM stages ORDER BY stage_ord""").stripMargin,
     // Sequence packing: same hash order as q_shards, exclusive token
     // prefix sums, interval intersection with 64-token windows.
     "q_pack_seqs" ->
@@ -4733,6 +4701,31 @@ object SparkEntry {
         |)
         |SELECT doc_id, rn // 100 AS shard_id, rn % 100 AS pos, n_tok
         |FROM r ORDER BY shard_id, pos""".stripMargin,
+    // Same rank -> shard arithmetic as q_shards; the delete set is
+    // the planted % 41 rule, replayed exactly.
+    "q_delete_repack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY h, doc_id) - 1 AS rn
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id, n_tok, rn // 100 AS shard_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END AS del
+        |  FROM r
+        |)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  sum(del)::BIGINT AS n_deleted,
+        |  sum(n_tok)::BIGINT AS n_tok,
+        |  coalesce(sum(CASE WHEN del = 1 THEN n_tok END), 0)::BIGINT
+        |    AS n_tok_deleted,
+        |  CASE WHEN sum(del) > 0 THEN 'repack' ELSE 'keep' END AS action
+        |FROM s GROUP BY shard_id
+        |ORDER BY shard_id""".stripMargin,
     "q_shard_summary" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -5090,6 +5083,83 @@ object SparkEntry {
          |    CAST(max($c) AS VARCHAR) AS mx
          |  FROM $rel""".stripMargin)
       .mkString("", "\n  UNION ALL ", "")
+
+  /** Shared CTE chain (pre-stripped) for the curation pipeline —
+    * corpus/bench split -> quality gates -> exact dedup ->
+    * decontamination -> token-budget mix selection (`sel`).
+    * Interpolated by BOTH q_pipeline and q_pipeline_funnel so the
+    * funnel audits exactly the cascade the pipeline runs. */
+  private val CurationCascadeCtes: String =
+    """corpus AS (
+        |  SELECT * FROM documents WHERE doc_id % 97 != 0
+        |), bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |        FROM corpus)
+        |  GROUP BY doc_id, w
+        |), tok AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens, max(tf)::BIGINT AS max_tf
+        |  FROM tf GROUP BY doc_id
+        |), ctoks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM corpus
+        |), g AS (
+        |  SELECT doc_id,
+        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      len(list_distinct(list_transform(range(len(t) - 1),
+        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
+        |    ELSE 0 END AS n_distinct_2grams
+        |  FROM ctoks
+        |), gated AS (
+        |  SELECT c.doc_id, c.text, c.source FROM corpus c
+        |  JOIN tok USING (doc_id) JOIN g USING (doc_id)
+        |  WHERE tok.n_tokens >= 50
+        |    AND (g.n_2grams - g.n_distinct_2grams) * 100 <= 20 * g.n_2grams
+        |    AND tok.max_tf * 100 <= 10 * tok.n_tokens
+        |), deduped AS (
+        |  SELECT doc_id, text, source FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) = 1
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM deduped)
+        |  WHERE len(t) >= 3
+        |), bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |        FROM bench)
+        |  WHERE len(t) >= 3
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT d.doc_id, b.bench_id
+        |    FROM dsh d JOIN bsh b USING (s)
+        |    GROUP BY d.doc_id, b.bench_id
+        |    HAVING count(*) >= 2)
+        |), clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), mixn AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+        |    CASE source WHEN 'src0' THEN 1200 WHEN 'src1' THEN 900
+        |      WHEN 'src2' THEN 600 WHEN 'src3' THEN 300 ELSE 0 END AS b
+        |  FROM clean
+        |), mixc AS (
+        |  SELECT doc_id, n_tok, h, b,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM mixn
+        |), sel AS (
+        |  SELECT doc_id FROM mixc WHERE cum_before < b
+""".stripMargin
 
   private val NearDupClosureCtes: String =
     """toks AS (

@@ -568,6 +568,38 @@ object TrainingOps {
       .orderBy("shard_id", "pos")
   }
 
+  /** Deletion REPACK plan — the right-to-be-forgotten cascade over the
+    * shard layout: given delete requests (a relation of doc_ids), find
+    * which [[trainingShards]] shards contain affected rows and emit
+    * the minimal rewrite set: one row per shard with member/deleted
+    * doc and token counts and `action` = 'repack' (shard holds at
+    * least one deleted doc — must be rewritten without it) or 'keep'
+    * (untouched — its bytes are never read, the whole point of
+    * planning before rewriting). A takedown that re-exported the full
+    * corpus would cost the corpus; this costs the affected shards.
+    *
+    * Scale shape: the shard relation is (doc_id, shard, n_tok)-width
+    * (trainingShards never ships text); delete requests are tiny and
+    * broadcast into a left join; one aggregation by shard_id. The
+    * deleted token mass per repacked shard is the number a compliance
+    * report wants next to the action. */
+  def deleteRepackPlan(docs: DataFrame, deletes: DataFrame,
+      shardSize: Int = 100): DataFrame = {
+    val del = deletes.toDF("doc_id").distinct()
+      .withColumn("__del", lit(1L))
+    trainingShards(docs, shardSize)
+      .join(broadcast(del), Seq("doc_id"), "left")
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__del"), lit(0L)).as("n_deleted"),
+        sum("n_tok").as("n_tok"),
+        coalesce(sum(when(col("__del").isNotNull, col("n_tok"))),
+          lit(0L)).as("n_tok_deleted"))
+      .withColumn("action",
+        when(col("n_deleted") > 0, "repack").otherwise("keep"))
+      .orderBy("shard_id")
+  }
+
   /** Fixed-length sequence packing (the GPT-style "packed pretraining
     * batches" step): the corpus token stream, concatenated in the
     * deterministic hash-permutation order ([[trainingShards]]' order),
@@ -674,6 +706,60 @@ object TrainingOps {
       .localCheckpoint()
     val mixed = tokenBudgetSample(clean, budget, weights).select("doc_id")
     packSequences(clean.join(mixed, Seq("doc_id"), "left_semi"), seqLen)
+  }
+
+  /** Curation FUNNEL — the attrition report over
+    * [[curationPipeline]]'s stages: one row per stage with surviving
+    * doc and token counts plus the docs dropped by that stage. This is
+    * the observability face of the pipeline (which gate is eating the
+    * corpus? did dedup or decontamination cost the tokens?) — the
+    * first artifact anyone asks for when a training set shrinks
+    * between two ingests, and the number that decides whether a gate
+    * is retuned or a source is dropped.
+    *
+    * Scale shape: per-doc token counts are computed ONCE into a
+    * checkpointed (doc_id, n_tok) relation; each stage contributes a
+    * narrow semi-join + one map-side-combined aggregation against it,
+    * so the wide text column is only touched by the stage lineages
+    * themselves (shared exactly as [[curationPipeline]] shares them —
+    * the curated relation is checkpointed once and feeds both its
+    * stat and the mix stage). The final lag() window orders FIVE rows
+    * (WindowExec's one-partition warning cannot bite). */
+  def curationFunnel(docs: DataFrame, budget: Long = 3000L,
+      weights: Map[String, Long] = Map("src0" -> 4L, "src1" -> 3L,
+        "src2" -> 2L, "src3" -> 1L),
+      benchMod: Int = 97): DataFrame = {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+    val ntok = corpus
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val gated = corpus.join(
+      CorpusOps.qualityRules(corpus).filter(col("pass")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dropDuplicatesKeepFirst(gated)
+    val contaminated = CorpusOps.decontaminate(deduped, bench)
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val mixed = tokenBudgetSample(clean, budget, weights).select("doc_id")
+    def stat(ids: DataFrame, ord: Int, name: String): DataFrame =
+      ntok.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stat(corpus, 0, "ingest")
+      .unionByName(stat(gated, 1, "quality_gate"))
+      .unionByName(stat(deduped, 2, "exact_dedup"))
+      .unionByName(stat(clean, 3, "decontaminate"))
+      .unionByName(stat(mixed, 4, "mix_budget"))
+      // |stages|-row relation: the unpartitioned lag window sees 5 rows
+      .withColumn("n_dropped", coalesce(
+        lag("n_docs", 1).over(Window.orderBy("stage_ord")) - col("n_docs"),
+        lit(0L)))
+      .orderBy("stage_ord")
   }
 
   /** Difficulty-interleaved training order — the "balanced batches"

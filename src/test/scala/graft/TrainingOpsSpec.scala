@@ -306,6 +306,66 @@ class TrainingOpsSpec extends SparkSpec {
       assert(ps.map(_._2).sum == 64L) }
   }
 
+  test("curationFunnel rows equal the stage relations computed directly") {
+    import graft.operators.{CorpusOps, Dedup}
+    val f = TrainingOps.curationFunnel(corpus)
+      .as[(Int, String, Long, Long, Long)].collect()
+    assert(f.map(_._2).toSeq == Seq("ingest", "quality_gate",
+      "exact_dedup", "decontaminate", "mix_budget"))
+    // attrition is monotone and the drop column is exactly the deltas
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._5 == a._3 - b._3)
+      assert(b._4 <= a._4)
+    }
+    assert(f.head._5 == 0L)
+    // recompute each stage with the public operators and compare
+    val base = corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    def nAndTok(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(size(graft.functions.TextAnalysis
+          .wsTokens(col("text"))).cast("long")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert((f(0)._3, f(0)._4) == nAndTok(base))
+    val gated = base.join(CorpusOps.qualityRules(base)
+      .filter(col("pass")).select("doc_id"), Seq("doc_id"), "left_semi")
+    assert((f(1)._3, f(1)._4) == nAndTok(gated))
+    val deduped = Dedup.dropDuplicatesKeepFirst(gated)
+    assert((f(2)._3, f(2)._4) == nAndTok(deduped))
+    // mix stage: never exceeds the clean stage, and something survives
+    assert(f(4)._3 > 0 && f(4)._3 <= f(3)._3)
+  }
+
+  test("deleteRepackPlan: only shards holding deleted docs repack") {
+    // 12 docs, shardSize 4 -> shards 0..2 in md5-permuted order; the
+    // delete set is chosen AFTER looking at the layout so one shard
+    // stays clean deterministically
+    val docs = (1L to 12L).map(i => (i, s"tok$i two three")).toSeq
+      .toDF("doc_id", "text")
+    val layout = TrainingOps.trainingShards(docs, shardSize = 4)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    val inShard0 = layout.filter(_._2 == 0L).keys.toSeq.sorted.take(2)
+    val deletes = inShard0.toDF("doc_id")
+    val plan = TrainingOps.deleteRepackPlan(docs, deletes, shardSize = 4)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(plan.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(plan.map(_._2).sum == 12L)
+    assert(plan.map(_._3).sum == 2L)
+    val byShard = plan.map(p => p._1 -> p).toMap
+    assert(byShard(0L)._3 == 2L && byShard(0L)._6 == "repack")
+    assert(byShard(0L)._5 == 6L) // 2 deleted docs x 3 tokens
+    Seq(1L, 2L).foreach { sh =>
+      assert(byShard(sh)._3 == 0L && byShard(sh)._5 == 0L &&
+        byShard(sh)._6 == "keep")
+    }
+    // empty delete set: every shard keeps; unknown ids are ignored
+    val none = TrainingOps.deleteRepackPlan(docs,
+      Seq(999L).toDF("doc_id"), shardSize = 4)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(none.forall(p => p._3 == 0L && p._6 == "keep"))
+    assert(none.map(_._2).sum == 12L)
+  }
+
   test("shardSummary: full shards except the tail, order chain present") {
     val n = corpus.count()
     val s = TrainingOps.shardSummary(corpus, shardSize = 100)
