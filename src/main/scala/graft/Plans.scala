@@ -49,7 +49,8 @@ object Plans {
       "q_ann_pq_injected", "q_dedup_embedding_lsh",
       "q_bpe_encode_injected", "q_unigram_encode_injected",
       "q_dedup_incr_embedding", "q_dedup_cc_incr",
-      "q_quality_calibrated", "q_pipeline_funnel", "q_delete_repack")
+      "q_quality_calibrated", "q_pipeline_funnel", "q_delete_repack",
+      "q_pack_padding")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

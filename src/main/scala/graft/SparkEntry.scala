@@ -1173,6 +1173,10 @@ object SparkEntry {
     // witnesses membership AND intra-shard order cross-engine.
     "q_shard_summary" -> ((s, dir) =>
       TrainingOps.shardSummary(documents(s, dir), shardSize = 100)),
+    // The packing-vs-bucketing trade study: padding waste per
+    // power-of-two length bucket, integer basis points.
+    "q_pack_padding" -> ((s, dir) =>
+      TrainingOps.paddingAudit(documents(s, dir))),
     // Right-to-be-forgotten cascade: which shards must rewrite for a
     // delete batch (planted: every doc_id % 41 == 0), which stay
     // byte-untouched — plus the token mass leaving each.
@@ -4701,6 +4705,25 @@ object SparkEntry {
         |)
         |SELECT doc_id, rn // 100 AS shard_id, rn % 100 AS pos, n_tok
         |FROM r ORDER BY shard_id, pos""".stripMargin,
+    "q_pack_padding" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048])::BIGINT
+        |    AS bucket
+        |), a AS (
+        |  SELECT doc_id, n_tok, min(bucket) AS bucket
+        |  FROM n JOIN b ON bucket >= n_tok
+        |  GROUP BY doc_id, n_tok
+        |)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  sum(bucket - n_tok)::BIGINT AS n_padding,
+        |  ((sum(bucket - n_tok) * 10000) // (bucket * count(*)))::BIGINT
+        |    AS waste_bp
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Same rank -> shard arithmetic as q_shards; the delete set is
     // the planted % 41 rule, replayed exactly.
     "q_delete_repack" ->

@@ -568,6 +568,47 @@ object TrainingOps {
       .orderBy("shard_id", "pos")
   }
 
+  /** Length-bucket PADDING audit — the trade study behind
+    * [[packSequences]]: the alternative to packing is bucketed
+    * batching (HuggingFace `group_by_length`), where each document
+    * pads up to the smallest bucket length that fits it. This
+    * operator quantifies what that costs: per bucket, the document
+    * count, real token mass, padding mass, and integer-bp waste
+    * ratio — the number that decides packing vs bucketing for an
+    * export (padding is wasted forward-pass FLOPs).
+    *
+    * Buckets are an explicit ladder (default powers of two 16..2048)
+    * joined as a broadcast |buckets|-row relation — no log2/pow in
+    * the assignment (libm-free, the module's exactness rule); a doc
+    * longer than the ladder's top rung errors loudly rather than
+    * silently truncating. One narrow aggregation; text never rides
+    * the shuffle. */
+  def paddingAudit(docs: DataFrame,
+      buckets: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L,
+        2048L)): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted,
+      "buckets must be a sorted non-empty ladder")
+    val b = docs.sparkSession.createDataFrame(
+      buckets.map(Tuple1(_))).toDF("bucket")
+    val top = buckets.last
+    docs
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("n_tok", when(col("n_tok") <= top, col("n_tok"))
+        .otherwise(raise_error(concat(
+          lit(s"paddingAudit: document longer than the top bucket " +
+            s"($top tokens): doc_id="), col("doc_id").cast("string")))))
+      .join(broadcast(b), col("bucket") >= col("n_tok"))
+      .groupBy("doc_id", "n_tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        (sum(col("bucket") - col("n_tok"))).as("n_padding"))
+      .withColumn("waste_bp",
+        expr("(n_padding * 10000) DIV (bucket * n_docs)"))
+      .orderBy("bucket")
+  }
+
   /** Deletion REPACK plan — the right-to-be-forgotten cascade over the
     * shard layout: given delete requests (a relation of doc_ids), find
     * which [[trainingShards]] shards contain affected rows and emit

@@ -336,6 +336,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(f(4)._3 > 0 && f(4)._3 <= f(3)._3)
   }
 
+  test("paddingAudit: hand buckets, exact waste, loud overflow") {
+    val docs = Seq(
+      (1L, (1 to 3).map(i => s"a$i").mkString(" ")),    // 3 -> 16
+      (2L, (1 to 16).map(i => s"b$i").mkString(" ")),   // 16 -> 16 exact
+      (3L, (1 to 17).map(i => s"c$i").mkString(" ")),   // 17 -> 32
+      (4L, (1 to 100).map(i => s"d$i").mkString(" ")))  // 100 -> 128
+      .toDF("doc_id", "text")
+    val r = TrainingOps.paddingAudit(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // bucket 16: 2 docs, 19 tokens, 13 padding, waste 13*1e4/32 = 4062
+    assert(r(16L) == ((16L, 2L, 19L, 13L, 4062L)))
+    assert(r(32L) == ((32L, 1L, 17L, 15L, 4687L)))
+    assert(r(128L) == ((128L, 1L, 100L, 28L, 2187L)))
+    assert(r.size == 3)
+    // a doc over the top rung fails loudly, never silently truncates
+    val over = Seq((9L, (1 to 40).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TrainingOps.paddingAudit(over, buckets = Seq(16L, 32L)).collect()
+    }
+    assert(e.getMessage.contains("paddingAudit") ||
+      e.getCause.getMessage.contains("paddingAudit"))
+  }
+
   test("deleteRepackPlan: only shards holding deleted docs repack") {
     // 12 docs, shardSize 4 -> shards 0..2 in md5-permuted order; the
     // delete set is chosen AFTER looking at the layout so one shard
