@@ -441,4 +441,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"),
       s"legs must be limited before fusion:\n$p")
   }
+
+  test("incremental CC: the fold's plan reads NO raw table — only " +
+      "checkpointed index relations and the quotient labels") {
+    // the 100 TB claim is that a delta fold never re-reads base
+    // edges or corpus text; in-plan that means the final assignment
+    // is joins over Scan ExistingRDD (checkpoints), zero FileScans
+    val p = plan(SparkEntry.queries("q_dedup_cc_incr")(spark, sfDir))
+    assert(!p.contains("FileScan"),
+      s"incremental fold re-reads a raw table:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected checkpointed index relations in:\n$p")
+  }
+
+  test("calibrated quality keep: one corpus scan; the corpus-row " +
+      "window partitions by (group, score) tie strata") {
+    val df = graft.operators.CorpusOps.qualityCalibrated(
+      documents(spark, sfDir), keepBp = 2500)
+    val p = plan(df)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"threshold lineage must be checkpointed — got extra scans:\n$p")
+    // the one Window over corpus rows keys on grp AND score: its
+    // partitions are single-score tie strata, never a whole group
+    assert(p.contains("windowspecdefinition(grp") &&
+      p.contains("score"), s"stratum window lost its keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold relation must broadcast:\n$p")
+  }
+
+  test("padding audit: bucket ladder broadcasts; one tokenize pass") {
+    val p = plan(graft.operators.TrainingOps.paddingAudit(
+      documents(spark, sfDir)))
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"audit must read the corpus once:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the |buckets|-row ladder must broadcast:\n$p")
+  }
+
+  test("delete repack: the delete set broadcasts into the narrow " +
+      "shard relation; text never rides the plan") {
+    val p = plan(SparkEntry.queries("q_delete_repack")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"delete set must broadcast:\n$p")
+    // only doc_id/text-derived n_tok ride; the text column itself is
+    // consumed inside the scan projection, never exchanged
+    assert(!"Exchange [a-z]*partitioning\\([^)]*text".r
+      .findFirstIn(p).isDefined, s"text crosses an exchange in:\n$p")
+  }
 }
