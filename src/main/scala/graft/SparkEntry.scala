@@ -1063,6 +1063,12 @@ object SparkEntry {
     // not the answer.
     "q_decontaminate_bloom" -> ((s, dir) =>
       CorpusOps.decontaminateBloomQuery(documents(s, dir))),
+    // Span forensics for the flagged pairs: positional hit counts and
+    // first/last/span token positions — quoted item vs spread idiom.
+    "q_decontaminate_spans" -> ((s, dir) =>
+      CorpusOps.decontaminationSpans(
+        documents(s, dir).filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        documents(s, dir).filter(pmod(col("doc_id"), lit(97)) === 0))),
     "q_chunk" -> ((s, dir) =>
       CorpusOps.chunkTokens(documents(s, dir), chunkTokens = 64, overlap = 8)),
     // Content-defined chunking: md5-boundary runs + forced cuts at 24
@@ -4198,6 +4204,33 @@ object SparkEntry {
         |FROM corp c JOIN bench b USING (s)
         |GROUP BY 1, 2
         |HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    // The positional face: 0-based shingle start positions on the
+    // corpus side, distinct shingles on the bench side — n_shared
+    // must equal q_decontaminate's count for every flagged pair.
+    "q_decontaminate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), ps AS (
+        |  SELECT doc_id, i AS pos,
+        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3 AND doc_id % 97 != 0
+        |), bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3 AND doc_id % 97 = 0
+        |)
+        |SELECT doc_id, bench_id,
+        |  count(DISTINCT s)::BIGINT AS n_shared,
+        |  count(*)::BIGINT AS n_hits,
+        |  min(pos)::BIGINT AS first_pos,
+        |  max(pos)::BIGINT AS last_pos,
+        |  (max(pos) - min(pos) + 3)::BIGINT AS span_tokens
+        |FROM ps JOIN bsh USING (s)
+        |GROUP BY doc_id, bench_id
+        |HAVING count(DISTINCT s) >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
     // same SQL as q_decontaminate (see the query comment)
     "q_decontaminate_bloom" ->

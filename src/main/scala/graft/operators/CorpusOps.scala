@@ -741,6 +741,43 @@ object CorpusOps {
       docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(97)) === 0))
 
+  /** Contamination SPAN forensics — the audit artifact behind
+    * [[decontaminate]]'s boolean verdict: per flagged (corpus doc,
+    * benchmark doc) pair, the distinct shared shingles, the total
+    * POSITIONAL hits, and where in the document they sit (first/last
+    * token position + covered span). A reviewer adjudicating "real
+    * leak or common phrase?" needs exactly this: many hits packed
+    * into a short span = a quoted benchmark item; a few hits spread
+    * across the document = idiom. The span is also what a surgical
+    * redaction (cut the span, keep the doc) consumes — the
+    * alternative to dropping whole documents that [[decontaminate]]
+    * implies.
+    *
+    * Scale shape: positional shingles ride a map-side posexplode
+    * against the BROADCAST benchmark shingle set — only hits (a
+    * vanishing fraction of the corpus stream) reach the aggregation,
+    * which groups by the flagged pair. Same one-corpus-pass physics
+    * as [[decontaminate]]; at deployment scale the Bloom pre-filter
+    * of [[decontaminateBloom]] drops in ahead of the join unchanged. */
+  def decontaminationSpans(docs: DataFrame, bench: DataFrame,
+      n: Int = 3, minShared: Long = 2L): DataFrame = {
+    val benchSh = Dedup.shingleIndex(bench, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    docs
+      .select(col("doc_id"),
+        posexplode(shingles(col("text"), n)).as(Seq("pos", "shingle")))
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct("shingle").as("n_shared"),
+        count(lit(1)).as("n_hits"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("span_tokens",
+        col("last_pos") - col("first_pos") + lit(n.toLong))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** [[decontaminate]] at the 100 TB shape: the bench-side shingle set
     * is compressed into a Bloom filter and the corpus-side shingle
     * stream is pre-filtered by a codegen'd might-contain probe BEFORE

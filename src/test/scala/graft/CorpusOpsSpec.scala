@@ -28,6 +28,41 @@ class CorpusOpsSpec extends SparkSpec {
       corpus.count())
   }
 
+  test("decontaminationSpans: same flagged pairs as decontaminate, " +
+      "positions locate the quoted passage") {
+    // doc 1 quotes bench 100's middle verbatim (a real leak: hits
+    // packed in a short span); doc 2 shares scattered common phrases
+    val benchTxt = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, "intro words here " + "beta gamma delta epsilon" + " outro tail"),
+      (2L, "alpha beta stuff unrelated x y z gamma delta more things"),
+      (3L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchTxt)).toDF("doc_id", "text")
+    val spans = CorpusOps.decontaminationSpans(docs, bench)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val flags = CorpusOps.decontaminate(docs, bench)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // identical flagged pairs and n_shared
+    assert(spans.keySet == flags.keySet)
+    spans.foreach { case (k, v) => assert(v._3 == flags(k)) }
+    // doc 1: "beta gamma delta epsilon" = 2 shared 3-grams starting
+    // at token 3 and 4 -> packed span
+    val d1 = spans((1L, 100L))
+    assert(d1._3 == 2L && d1._4 == 2L)
+    assert(d1._5 == 3L && d1._6 == 4L && d1._7 == 4L) // 4-3+n
+    // doc 3 shares nothing: never flagged
+    assert(!spans.keySet.exists(_._1 == 3L))
+    // corpus slice: flagged pairs agree with the boolean operator
+    val base = corpus.filter(col("doc_id") % 97 =!= 0)
+    val bslice = corpus.filter(col("doc_id") % 97 === 0)
+    val got = CorpusOps.decontaminationSpans(base, bslice)
+      .select("doc_id", "bench_id", "n_shared")
+    val want = CorpusOps.decontaminate(base, bslice)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("topFractionByGroup == the naive per-group window, threshold ties by id") {
     // the operator's whole claim: histogram-threshold selection keeps
     // EXACTLY the rows a row_number window over (score DESC, id ASC)
