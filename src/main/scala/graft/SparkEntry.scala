@@ -1217,6 +1217,10 @@ object SparkEntry {
     // so the string renderings are engine-exact.
     "q_profile" -> ((s, dir) =>
       ProfileOps.profileTable(documents(s, dir))),
+    // Embedding-table health: per-dimension exact E6 moments, dead
+    // dims, range/mean drift signals.
+    "q_embed_profile" -> ((s, dir) =>
+      ProfileOps.embeddingProfile(embeddings(s, dir))),
     // Pairwise Pearson matrix over the fact table's fixed-point
     // measures — exact integer moments, ONE scan, float only in the
     // final divide (never the engine's order-dependent corr()).
@@ -5033,6 +5037,24 @@ object SparkEntry {
         |  FROM a
         |)
         |ORDER BY col_a, col_b""".stripMargin,
+    // E6 quantization AFTER the exact float32->float64 cast; the mean
+    // uses the explicit truncate-toward-zero form because DuckDB //
+    // floors while Spark DIV truncates (they differ on negative sums).
+    "q_embed_profile" ->
+      """WITH e AS (
+        |  SELECT i AS dim,
+        |    floor(embedding[i + 1]::DOUBLE * 1000000)::BIGINT AS q
+        |  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+        |), a AS (
+        |  SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sum_e6,
+        |    min(q)::BIGINT AS min_e6, max(q)::BIGINT AS max_e6,
+        |    sum(q * q)::BIGINT AS sumsq_e12
+        |  FROM e GROUP BY dim
+        |)
+        |SELECT dim, n, sum_e6, min_e6, max_e6, sumsq_e12,
+        |  ((sum_e6 - (sum_e6 % n)) // n)::BIGINT AS mean_e6,
+        |  (max_e6 - min_e6 < 1000) AS is_dead
+        |FROM a ORDER BY dim""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,

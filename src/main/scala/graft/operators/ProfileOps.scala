@@ -140,6 +140,44 @@ object ProfileOps {
     * sort), and the rank window runs over the k surviving rows only.
     * This is the operator you run BEFORE choosing a partition key —
     * its output is exactly the salting decision input ([[Salting]]). */
+  /** Per-DIMENSION profile of an embedding column — the health check
+    * an embedding table needs that row-level profiling cannot see:
+    * dead dimensions (a truncated or masked model head), mean drift
+    * (a normalization bug between model versions), and range
+    * explosions (a missing L2 normalize). One row per dimension with
+    * exact integer moments in E6 fixed point: count, sum, min, max,
+    * sum of squares (E12), truncated mean, and a dead flag
+    * (range < `deadRangeE6`).
+    *
+    * Exactness: each value is quantized floor(v·10⁶) AFTER the exact
+    * float32→float64 cast — both engine-identical IEEE ops — so every
+    * aggregate is an integer sum in any order. Headroom: q² ≤ 10¹²
+    * for unit-scale embeddings, so sumsq is exact up to ~9·10⁶ rows
+    * per dimension in a long; beyond that (a 100 TB embedding table),
+    * quantize E3 (headroom ~9·10¹² rows) or route the one sumsq
+    * through DECIMAL(38,0) — the decayedCounts precedent.
+    *
+    * Scale shape: one scan, posexplode fans out (dim, q)-width rows
+    * map-side, one map-side-combined aggregation by dimension — the
+    * vector column itself never crosses an exchange. */
+  def embeddingProfile(embs: DataFrame,
+      deadRangeE6: Long = 1000L): DataFrame =
+    embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+          .as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("q").as("sum_e6"),
+        min("q").as("min_e6"),
+        max("q").as("max_e6"),
+        sum(col("q") * col("q")).as("sumsq_e12"))
+      .withColumn("mean_e6", expr("sum_e6 DIV n"))
+      .withColumn("is_dead",
+        col("max_e6") - col("min_e6") < deadRangeE6)
+      .orderBy("dim")
+
   def keySkew(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     require(k > 0)
     // the |keys|-row count relation feeds BOTH the share total and the

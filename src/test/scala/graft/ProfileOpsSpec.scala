@@ -8,6 +8,39 @@ class ProfileOpsSpec extends SparkSpec {
 
   private def corpus = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("embeddingProfile: exact E6 moments, dead-dim flag, " +
+      "truncated mean on negative sums") {
+    val embs = Seq(
+      (1L, Array(0.5f, -0.3f, 0.0001f)),
+      (2L, Array(0.25f, -0.4f, 0.0002f)),
+      (3L, Array(-0.1f, -0.5f, 0.0001f)))
+      .toDF("vec_id", "embedding")
+    val r = ProfileOps.embeddingProfile(embs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    // plain-Scala witness over the identical quantization
+    def q(f: Float): Long = math.floor(f.toDouble * 1e6).toLong
+    val cols = Seq(
+      Seq(0.5f, 0.25f, -0.1f), Seq(-0.3f, -0.4f, -0.5f),
+      Seq(0.0001f, 0.0002f, 0.0001f)).map(_.map(q))
+    cols.zipWithIndex.foreach { case (vs, d) =>
+      val row = r(d.toLong)
+      assert(row._2 == 3L && row._3 == vs.sum)
+      assert(row._4 == vs.min && row._5 == vs.max)
+      assert(row._6 == vs.map(v => v * v).sum)
+      assert(row._7 == vs.sum / 3L) // Scala / truncates like Spark DIV
+    }
+    // dim 1 has a NEGATIVE sum: the truncated mean must not floor
+    assert(r(1L)._3 < 0L && r(1L)._7 == r(1L)._3 / 3L)
+    // dim 2 varies by < 1000 E6 units -> dead; the live dims are not
+    assert(r(2L)._8 && !r(0L)._8 && !r(1L)._8)
+    // corpus slice: every dimension sees every row
+    val embsReal = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val prof = ProfileOps.embeddingProfile(embsReal)
+    assert(prof.count() == 64)
+    assert(prof.select(min("n")).head.getLong(0) == embsReal.count())
+  }
+
   test("correlationMatrix: exact +/-1 on linear columns, BigInt " +
       "witness on noise, zero-variance to 0, layout-invariant") {
     val df = Seq(
