@@ -422,22 +422,38 @@ object CorpusOps {
     * (round() half-cases are engine-defined; floor(x+0.5) is not) —
     * so the histogram is exact integers and the DuckDB oracle replays
     * both the score and the per-source selection bit-for-bit. */
-  def qualityCalibrated(docs: DataFrame, keepBp: Int = 2500): DataFrame = {
-    val stopWords = graft.functions.TextAnalysis.LangStopwords.head._2
-    val scored = docs
-      .select(col("doc_id"), col("source"),
-        wsTokens(col("text")).as("toks"), col("text"))
-      .select(col("doc_id"), col("source"),
-        size(col("toks")).as("n"),
-        stopwordCount(col("toks"), stopWords).as("sc"),
-        alphaRatio(col("text")).as("ar"))
-      .select(col("doc_id"), col("source"),
-        floor(least(lit(1.0), col("n").cast("double") / lit(50.0))
-          * (lit(1.0) - col("sc").cast("double") / col("n"))
-          * col("ar") * lit(10000.0) + lit(0.5)).cast("long").as("score"))
-    topFractionByGroup(scored, keepBp)
+  def qualityCalibrated(docs: DataFrame, keepBp: Int = 2500): DataFrame =
+    topFractionByGroup(
+      docs.select(col("doc_id"), col("source"),
+        qualityScoreE4(col("text")).as("score")),
+      keepBp)
       .select(col("id").as("doc_id"), col("grp").as("source"), col("score"))
+
+  /** The E4-integer quality score behind [[qualityCalibrated]] — ONE
+    * shared Column so the batch selector, its oracle, the per-source
+    * threshold trainer, and the streaming gate
+    * ([[graft.streaming.EventStreams.qualityGateStream]]) all compute
+    * the identical bits (the `EventOps.anomalyScore` convention). */
+  def qualityScoreE4(text: Column): Column = {
+    val stopWords = graft.functions.TextAnalysis.LangStopwords.head._2
+    val toks = wsTokens(text)
+    val n = size(toks)
+    floor(least(lit(1.0), n.cast("double") / lit(50.0))
+      * (lit(1.0) - stopwordCount(toks, stopWords).cast("double") / n)
+      * alphaRatio(text) * lit(10000.0) + lit(0.5)).cast("long")
   }
+
+  /** The per-source threshold relation a deployment MATERIALIZES from
+    * [[topFractionByGroup]]'s internals to serve new data: (source,
+    * thr) — the minimum score the batch keep admitted per group. New
+    * documents gate on `score >= thr` with no corpus in sight (the
+    * batch's tie-quota is a selection concern, not a serving one —
+    * at the threshold score a serving gate admits; see
+    * [[graft.streaming.EventStreams.qualityGateStream]]). */
+  def qualityThresholds(docs: DataFrame, keepBp: Int = 2500): DataFrame =
+    qualityCalibrated(docs, keepBp)
+      .groupBy(col("source")).agg(min("score").as("thr"))
+      .orderBy("source")
 
   /** Per-source corpus health report — the monitoring query a
     * curation pipeline runs on every ingest batch: document count,

@@ -732,6 +732,35 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** Calibrated quality gate served over a document STREAM — the
+    * train-batch/serve-stream loop for per-source curation (the
+    * [[valueOutlierFlags]] / [[nbScoreStream]] pattern): the batch
+    * pass trains per-source thresholds
+    * ([[graft.operators.CorpusOps.qualityThresholds]] — materialized
+    * like any model relation), and arriving documents score with the
+    * IDENTICAL shared arithmetic
+    * ([[graft.operators.CorpusOps.qualityScoreE4]]) and gate on
+    * `score >= thr` through a stream-static broadcast join. Stateless
+    * append — no state store, no watermark.
+    *
+    * Serving semantics vs the batch selector: the batch keep is
+    * top-fraction EXACT, so at the threshold score it admits only a
+    * tie quota; a serving gate has no "fraction of the batch" to hold
+    * new data against, so it admits the whole threshold score —
+    * StreamingSpec pins that the flagged set contains every
+    * batch-kept doc and differs only inside the threshold stratum.
+    * Documents from sources absent at training carry a null `pass`
+    * (no calibration exists — routing them is the caller's policy,
+    * not a silent drop). */
+  def qualityGateStream(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.operators.CorpusOps.qualityScoreE4(col("text")).as("score"))
+      .join(broadcast(thresholds.select(col("source"), col("thr"))),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("score"),
+        (col("score") >= col("thr")).as("pass"))
+
   /** Evolving near-dup CLUSTER MAP under an edge stream — the
     * maintenance loop a deployment runs against its stored cluster
     * table: each arriving micro-batch of near-dup edges (from the

@@ -235,6 +235,47 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("streaming quality gate: batch-trained thresholds flag exactly " +
+      "score >= thr; every batch-kept doc passes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusOps
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thr = CorpusOps.qualityThresholds(corpus, keepBp = 2500)
+      .localCheckpoint()
+    val dir = Files.createTempDirectory("graft-qgate-stream").toString
+    corpus.orderBy("doc_id").repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      EventStreams.qualityGateStream(stream, thr), "append", "qgate_stream")
+    assert(got.count() == corpus.count()) // stateless: every doc scored
+    val flagged = got.filter($"pass").select("doc_id").as[Long]
+      .collect().toSet
+    // the stream gate IS score >= thr — recompute batch-side
+    val want = corpus
+      .select($"doc_id", $"source",
+        CorpusOps.qualityScoreE4($"text").as("score"))
+      .join(thr, "source").filter($"score" >= $"thr")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == want)
+    // serving admits a superset of the batch keep, differing only in
+    // the threshold stratum (the tie quota has no meaning for new data)
+    val kept = CorpusOps.qualityCalibrated(corpus, keepBp = 2500)
+      .localCheckpoint()
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(flagged))
+    val extras = flagged -- keptIds
+    val thrOf = thr.as[(String, Long)].collect().toMap
+    val scoreOf = got.as[(Long, String, Long, Option[Boolean])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    extras.foreach { id =>
+      val (src, score) = scoreOf(id)
+      assert(score == thrOf(src), s"doc $id passed above threshold " +
+        "yet was not batch-kept")
+    }
+  }
+
   test("cluster-map maintenance stream: folded map == from-scratch CC; " +
       "refolding a batch is a no-op") {
     import org.apache.spark.sql.functions._
