@@ -960,6 +960,10 @@ object SparkEntry {
     // identical rows to the naive per-source window, spec-pinned.
     "q_quality_calibrated" -> ((s, dir) =>
       CorpusOps.qualityCalibrated(documents(s, dir), keepBp = 2500)),
+    // The served MODEL relation: per-source minimum admitted score —
+    // what qualityGateStream broadcasts over new documents.
+    "q_quality_thresholds" -> ((s, dir) =>
+      CorpusOps.qualityThresholds(documents(s, dir), keepBp = 2500)),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     // Okapi BM25 top-10 for a fixed query-term bag: one tokenize
     // lineage (dl window before the term filter, df window after),
@@ -3891,6 +3895,35 @@ object SparkEntry {
         |SELECT doc_id, source, score FROM r JOIN k USING (source)
         |WHERE rn <= k.k
         |ORDER BY doc_id""".stripMargin,
+    // Group-min over the SAME selection as q_quality_calibrated —
+    // the model relation the streaming gate broadcasts.
+    "q_quality_thresholds" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(text, '\S+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, len(toks) AS n,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, source,
+        |    floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
+        |          * ar * 10000 + 0.5)::BIGINT AS score
+        |  FROM c
+        |), k AS (
+        |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
+        |  FROM s GROUP BY source
+        |), r AS (
+        |  SELECT s.*, row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT source, min(score)::BIGINT AS thr
+        |FROM r JOIN k USING (source)
+        |WHERE rn <= k.k
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // Integer metrics + integer cross-multiplied thresholds: no float
     // ratio ever crosses the engines (power-of-two denominators land
     // on exact half-values where rounding modes differ).
