@@ -206,12 +206,34 @@ object Clustering {
     val rep = assign.select(col("id"), col("cluster"))
     // contract delta edges to base representatives (non-base
     // endpoints represent themselves); drop now-internal edges
+    // publish the fold's blast radius: how many contracted edges
+    // survive (quotient size) and how many base clusters the delta
+    // touches. A healthy ingest folds a small quotient; a quotient
+    // approaching the base's cluster count means the delta is
+    // re-clustering the world and the batch should be investigated —
+    // telemetry instead of a surprise slow fold (the ngramJaccard
+    // skew-guard convention; read via queryExecution.observedMetrics
+    // or any QueryExecutionListener).
     val projected = deltaEdges.toDF("a", "b")
       .join(rep.toDF("a", "ra"), Seq("a"), "left")
       .join(rep.toDF("b", "rb"), Seq("b"), "left")
       .select(coalesce(col("ra"), col("a")).as("a"),
-        coalesce(col("rb"), col("b")).as("b"))
+        coalesce(col("rb"), col("b")).as("b"),
+        col("ra").isNotNull.as("a_base"),
+        col("rb").isNotNull.as("b_base"))
       .filter(col("a") =!= col("b"))
+      .observe(INCR_CC_METRIC,
+        count(lit(1)).as("quotient_edges"),
+        sum(when(col("a_base"), 1L).otherwise(0L))
+          .as("base_endpoints_a"),
+        sum(when(col("b_base"), 1L).otherwise(0L))
+          .as("base_endpoints_b"))
+      .select(col("a"), col("b"))
+      // materialize once: the CC symmetrize consumes this relation on
+      // both union legs — unmaterialized, the CollectMetrics node
+      // would sit twice in one plan (an analysis error) and the edge
+      // contraction would re-run per consumer anyway
+      .localCheckpoint()
     // delta nodes already present in the base keep their base row (a
     // re-delivered id is not a new node); edges it brought were
     // contracted to its representative above
@@ -232,6 +254,13 @@ object Clustering {
       .select(col("id"), col("lbl").as("cluster"))
     updatedBase.unionByName(deltaOut)
   }
+
+  /** Name of the observed metric [[incrementalCC]] publishes per fold:
+    * `quotient_edges` (contracted delta edges that survive — the
+    * fold's real work), `base_endpoints_a`/`base_endpoints_b` (how
+    * many delta-edge endpoints resolved to an existing base cluster —
+    * the touched-base signal). */
+  val INCR_CC_METRIC = "incremental_cc_fold"
 
   /** Leakage-free train/validation split — split assignment at the
     * NEAR-DUP CLUSTER level, not the document level. A per-document

@@ -92,6 +92,43 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCC publishes the fold's blast radius as an observed metric") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get(Clustering.INCR_CC_METRIC)
+          .foreach(seen.add)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val base = Clustering.connectedComponents(
+        Seq((1L, 2L)).toDF("a", "b"), Seq(1L, 2L, 3L).toDF("id"))
+      // edges: 6-2 (base endpoint), 6-7 (both new), 1-2 (collapses —
+      // same base cluster: it contracts to a self-loop and must NOT
+      // count as quotient work in the metric)
+      Clustering.incrementalCC(base,
+        Seq((6L, 2L), (6L, 7L), (1L, 2L)).toDF("a", "b"),
+        Seq(6L, 7L).toDF("id")).count()
+      // listener delivery is async; poll briefly instead of reaching
+      // into the private listener bus
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val m = seen.toArray(Array.empty[org.apache.spark.sql.Row])
+      assert(m.nonEmpty, "fold metric never fired")
+      val r = m.head
+      assert(r.getLong(r.fieldIndex("quotient_edges")) == 2L)
+      assert(r.getLong(r.fieldIndex("base_endpoints_a")) == 0L)
+      assert(r.getLong(r.fieldIndex("base_endpoints_b")) == 1L) // 6~2
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incrementalCC: a re-delivered base id stays one row with its base label") {
     val base = Clustering.connectedComponents(
       Seq((1L, 2L)).toDF("a", "b"), Seq(1L, 2L, 3L).toDF("id"))
