@@ -3872,17 +3872,19 @@ object SparkEntry {
     // (engine-neutral half-up; round()'s half-cases are not).
     "q_quality_calibrated" ->
       """WITH t AS (
-        |  SELECT doc_id, source, text,
-        |    regexp_extract_all(text, '\S+') AS toks FROM documents
+        |  SELECT doc_id, source, coalesce(text, '') AS text,
+        |    regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents
         |), c AS (
-        |  SELECT doc_id, source, len(toks) AS n,
+        |  SELECT doc_id, source, len(toks) AS n, length(text) AS ln,
         |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
         |  FROM t
         |), s AS (
         |  SELECT doc_id, source,
-        |    floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
-        |          * ar * 10000 + 0.5)::BIGINT AS score
+        |    CASE WHEN n = 0 OR ln = 0 THEN 0
+        |         ELSE floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
+        |              * ar * 10000 + 0.5)::BIGINT END AS score
         |  FROM c
         |), k AS (
         |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
@@ -3899,17 +3901,19 @@ object SparkEntry {
     // the model relation the streaming gate broadcasts.
     "q_quality_thresholds" ->
       """WITH t AS (
-        |  SELECT doc_id, source, text,
-        |    regexp_extract_all(text, '\S+') AS toks FROM documents
+        |  SELECT doc_id, source, coalesce(text, '') AS text,
+        |    regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents
         |), c AS (
-        |  SELECT doc_id, source, len(toks) AS n,
+        |  SELECT doc_id, source, len(toks) AS n, length(text) AS ln,
         |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
         |  FROM t
         |), s AS (
         |  SELECT doc_id, source,
-        |    floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
-        |          * ar * 10000 + 0.5)::BIGINT AS score
+        |    CASE WHEN n = 0 OR ln = 0 THEN 0
+        |         ELSE floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
+        |              * ar * 10000 + 0.5)::BIGINT END AS score
         |  FROM c
         |), k AS (
         |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
@@ -4778,7 +4782,8 @@ object SparkEntry {
     "q_pack_padding" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+        |    len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT
+        |      AS n_tok
         |  FROM documents
         |), b AS (
         |  SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048])::BIGINT

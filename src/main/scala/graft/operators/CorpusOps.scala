@@ -345,6 +345,40 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** The per-group (thr, ties_kept) relation behind
+    * [[topFractionByGroup]]: threshold = smallest score whose
+    * strictly-above count is < k (k = ceil(n·keepBp/10⁴), long
+    * arithmetic so n up to ~9e14 cannot wrap — the ngramJaccardPrefix
+    * lesson); ties_kept = how many id-ordered rows AT the threshold
+    * still fit. Built entirely from the (grp, score) HISTOGRAM — one
+    * map-side-combined count, a cumulative window whose partitions
+    * are histogram rows (bounded by the score range, so WindowExec's
+    * one-partition warning cannot bite), group sizes derived from the
+    * histogram rather than a second corpus pass. The |grps|-row
+    * result is localCheckpointed so consumers don't re-derive the
+    * corpus lineage per reference (the ScanAudit class of bug:
+    * topFractionByGroup read the corpus 6x before). */
+  private def groupThresholds(s: DataFrame, keepBp: Int): DataFrame = {
+    require(keepBp > 0 && keepBp <= 10000,
+      s"keepBp=$keepBp must be in (0, 10000]")
+    val hist = s.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("grp")
+        .orderBy(col("score").desc)))
+    val quota = hist.groupBy("grp").agg(sum("cnt").as("n"))
+      .select(col("grp"),
+        expr(s"(n * CAST($keepBp AS BIGINT) + 9999) DIV 10000").as("k"))
+    cum.join(quota, "grp")
+      .filter(col("cum") - col("cnt") < col("k"))
+      .groupBy("grp").agg(
+        min(col("score")).as("thr"),
+        min_by(col("cum") - col("cnt"), col("score")).as("above"),
+        max(col("k")).as("k"))
+      .select(col("grp"), col("thr"),
+        (col("k") - col("above")).as("ties_kept"))
+      .localCheckpoint()
+  }
+
   /** PER-GROUP top-fraction selection WITHOUT a group-wide sort —
     * keep the best `keepBp`/10000 of each group's rows by an INTEGER
     * score, ties broken by smallest id. This is per-source quality
@@ -371,36 +405,8 @@ object CorpusOps {
     * ~9e14 cannot wrap (the ngramJaccardPrefix lesson). Returns the
     * kept (id, grp, score) rows. */
   def topFractionByGroup(scored: DataFrame, keepBp: Int): DataFrame = {
-    require(keepBp > 0 && keepBp <= 10000,
-      s"keepBp=$keepBp must be in (0, 10000]")
     val s = scored.toDF("id", "grp", "score")
-    // (grp, score) histogram + per-group descending cumulative count:
-    // cum(s) = rows with score >= s. Window partitions are histogram
-    // rows — bounded by the score range (WindowExec's one-partition
-    // warning cannot bite: this relation is |grps|x|scores|, not the
-    // corpus).
-    val hist = s.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("cum",
-      sum("cnt").over(Window.partitionBy("grp")
-        .orderBy(col("score").desc)))
-    // group sizes come from the histogram, not a second corpus pass
-    val quota = hist.groupBy("grp").agg(sum("cnt").as("n"))
-      .select(col("grp"),
-        expr(s"(n * CAST($keepBp AS BIGINT) + 9999) DIV 10000").as("k"))
-    // threshold = smallest score whose strictly-above count is < k;
-    // ties_kept = how many id-ordered rows AT the threshold still fit.
-    // |grps|-row relation; localCheckpoint truncates the histogram
-    // lineage so the corpus is not re-derived once per consumer (the
-    // ScanAudit class of bug: this operator read the corpus 6x before)
-    val thr = cum.join(quota, "grp")
-      .filter(col("cum") - col("cnt") < col("k"))
-      .groupBy("grp").agg(
-        min(col("score")).as("thr"),
-        min_by(col("cum") - col("cnt"), col("score")).as("above"),
-        max(col("k")).as("k"))
-      .select(col("grp"), col("thr"),
-        (col("k") - col("above")).as("ties_kept"))
-      .localCheckpoint()
+    val thr = groupThresholds(s, keepBp)
     // ONE pass over the scored rows: the threshold filter drops the
     // non-kept mass inside the scan stage, and the ranking window
     // partitions by (grp, score) — every partition is one score's tie
@@ -430,29 +436,40 @@ object CorpusOps {
       .select(col("id").as("doc_id"), col("grp").as("source"), col("score"))
 
   /** The E4-integer quality score behind [[qualityCalibrated]] — ONE
-    * shared Column so the batch selector, its oracle, the per-source
-    * threshold trainer, and the streaming gate
+    * shared Column (it wraps [[graft.functions.TextAnalysis
+    * .qualityScore]], the same product q_text_quality emits) so the
+    * batch selector, its oracle, the per-source threshold trainer,
+    * and the streaming gate
     * ([[graft.streaming.EventStreams.qualityGateStream]]) all compute
-    * the identical bits (the `EventOps.anomalyScore` convention). */
+    * the identical bits (the `EventOps.anomalyScore` convention).
+    * Degenerate documents — null text, empty text, whitespace-only —
+    * score 0 rather than NULL: a NULL score would silently fall out
+    * of the keep while still counting toward the group's quota, and
+    * the engines disagree on NULL/NaN arithmetic (the
+    * [[qualityRules]] coalesce rule). */
   def qualityScoreE4(text: Column): Column = {
-    val stopWords = graft.functions.TextAnalysis.LangStopwords.head._2
-    val toks = wsTokens(text)
-    val n = size(toks)
-    floor(least(lit(1.0), n.cast("double") / lit(50.0))
-      * (lit(1.0) - stopwordCount(toks, stopWords).cast("double") / n)
-      * alphaRatio(text) * lit(10000.0) + lit(0.5)).cast("long")
+    val t = coalesce(text, lit(""))
+    when(size(wsTokens(t)) === 0 || length(t) === 0, lit(0L))
+      .otherwise(floor(graft.functions.TextAnalysis.qualityScore(t)
+        * lit(10000.0) + lit(0.5)).cast("long"))
   }
 
-  /** The per-source threshold relation a deployment MATERIALIZES from
-    * [[topFractionByGroup]]'s internals to serve new data: (source,
-    * thr) — the minimum score the batch keep admitted per group. New
-    * documents gate on `score >= thr` with no corpus in sight (the
-    * batch's tie-quota is a selection concern, not a serving one —
-    * at the threshold score a serving gate admits; see
+  /** The per-source threshold relation a deployment MATERIALIZES to
+    * serve new data: (source, thr) — the minimum score the batch keep
+    * admits per group, straight from [[topFractionByGroup]]'s own
+    * threshold computation (ties_kept >= 1 always, so the threshold
+    * score IS the minimum admitted score — no second corpus pass to
+    * re-derive it from the kept rows). New documents gate on
+    * `score >= thr` with no corpus in sight (the batch's tie-quota is
+    * a selection concern, not a serving one — at the threshold score
+    * a serving gate admits; see
     * [[graft.streaming.EventStreams.qualityGateStream]]). */
   def qualityThresholds(docs: DataFrame, keepBp: Int = 2500): DataFrame =
-    qualityCalibrated(docs, keepBp)
-      .groupBy(col("source")).agg(min("score").as("thr"))
+    groupThresholds(
+      docs.select(col("doc_id"), col("source"),
+        qualityScoreE4(col("text")).as("score")).toDF("id", "grp", "score"),
+      keepBp)
+      .select(col("grp").as("source"), col("thr"))
       .orderBy("source")
 
   /** Per-source corpus health report — the monitoring query a

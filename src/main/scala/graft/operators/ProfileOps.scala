@@ -38,6 +38,37 @@ object ProfileOps {
     * notation thresholds — profile those with `histogramInt` over a
     * scaled integer instead, or accept rows-only checking.
     */
+  def profileTable(df: DataFrame, columns: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
+    val cs = if (columns.nonEmpty) columns else df.columns.toSeq
+    cs.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"profileTable: column name '$c' is not a plain identifier"))
+    val aggs = cs.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    // unpivot the single wide row to one row per column
+    val stackArgs = cs
+      .map(c => s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c")
+      .mkString(", ")
+    one
+      .selectExpr("__n_rows", s"stack(${cs.length}, $stackArgs) AS " +
+        "(col_name, __nn, n_distinct, min_val, max_val)")
+      .select(
+        col("col_name"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col("__nn")).as("n_nulls"),
+        col("n_distinct"),
+        col("min_val"),
+        col("max_val"))
+      .orderBy("col_name")
+  }
+
   /** Pairwise Pearson correlation matrix over fixed-point numeric
     * columns — the profiling signal behind feature selection and
     * redundant-column detection. ENGINE-EXACT to the last step: each
@@ -95,51 +126,6 @@ object ProfileOps {
       .orderBy("col_a", "col_b")
   }
 
-  def profileTable(df: DataFrame, columns: Seq[String] = Nil,
-      approxDistinct: Boolean = false): DataFrame = {
-    val cs = if (columns.nonEmpty) columns else df.columns.toSeq
-    cs.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"profileTable: column name '$c' is not a plain identifier"))
-    val aggs = cs.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
-    // unpivot the single wide row to one row per column
-    val stackArgs = cs
-      .map(c => s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c")
-      .mkString(", ")
-    one
-      .selectExpr("__n_rows", s"stack(${cs.length}, $stackArgs) AS " +
-        "(col_name, __nn, n_distinct, min_val, max_val)")
-      .select(
-        col("col_name"),
-        col("__n_rows").as("n_rows"),
-        (col("__n_rows") - col("__nn")).as("n_nulls"),
-        col("n_distinct"),
-        col("min_val"),
-        col("max_val"))
-      .orderBy("col_name")
-  }
-
-  /** Hot-key skew diagnostic: the `k` heaviest values of `key` with
-    * their row counts, share in integer basis points (cnt·10000 DIV
-    * total — exact cross-engine, no float ratio), and rank. A null key
-    * is a value here — the null bucket is routinely the worst skew
-    * offender, so hiding it would defeat the diagnostic; the rank
-    * tie-break is (cnt DESC, key ASC NULLS FIRST), explicit because
-    * the engines' default null ordering differs.
-    *
-    * Shape at scale: the raw stream partial-aggregates to |keys| rows
-    * map-side; the top-k is a distributed `orderBy().limit(k)`
-    * (TakeOrderedAndProject — per-partition heaps, never a global
-    * sort), and the rank window runs over the k surviving rows only.
-    * This is the operator you run BEFORE choosing a partition key —
-    * its output is exactly the salting decision input ([[Salting]]). */
   /** Per-DIMENSION profile of an embedding column — the health check
     * an embedding table needs that row-level profiling cannot see:
     * dead dimensions (a truncated or masked model head), mean drift
@@ -178,6 +164,20 @@ object ProfileOps {
         col("max_e6") - col("min_e6") < deadRangeE6)
       .orderBy("dim")
 
+  /** Hot-key skew diagnostic: the `k` heaviest values of `key` with
+    * their row counts, share in integer basis points (cnt·10000 DIV
+    * total — exact cross-engine, no float ratio), and rank. A null key
+    * is a value here — the null bucket is routinely the worst skew
+    * offender, so hiding it would defeat the diagnostic; the rank
+    * tie-break is (cnt DESC, key ASC NULLS FIRST), explicit because
+    * the engines' default null ordering differs.
+    *
+    * Shape at scale: the raw stream partial-aggregates to |keys| rows
+    * map-side; the top-k is a distributed `orderBy().limit(k)`
+    * (TakeOrderedAndProject — per-partition heaps, never a global
+    * sort), and the rank window runs over the k surviving rows only.
+    * This is the operator you run BEFORE choosing a partition key —
+    * its output is exactly the salting decision input ([[Salting]]). */
   def keySkew(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     require(k > 0)
     // the |keys|-row count relation feeds BOTH the share total and the

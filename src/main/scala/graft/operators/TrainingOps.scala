@@ -592,8 +592,12 @@ object TrainingOps {
       buckets.map(Tuple1(_))).toDF("bucket")
     val top = buckets.last
     docs
+      // null text audits as an empty doc (the qualityRules coalesce
+      // rule) — a null n_tok would otherwise fall through the guard
+      // below and raise the MISLEADING over-the-top-bucket error
       .select(col("doc_id"),
-        size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        size(wsTokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_tok"))
       .withColumn("n_tok", when(col("n_tok") <= top, col("n_tok"))
         .otherwise(raise_error(concat(
           lit(s"paddingAudit: document longer than the top bucket " +
@@ -723,10 +727,22 @@ object TrainingOps {
     * The held-out "benchmark" is the deterministic doc_id % benchMod
     * == 0 slice ([[CorpusOps.decontaminateQuery]]'s convention); the
     * pipeline curates the remainder against it. */
-  def curationPipeline(docs: DataFrame, budget: Long = 3000L,
-      weights: Map[String, Long] = Map("src0" -> 4L, "src1" -> 3L,
-        "src2" -> 2L, "src3" -> 1L),
-      seqLen: Int = 64, benchMod: Int = 97): DataFrame = {
+  /** The curation stage chain — ONE Scala definition shared by
+    * [[curationPipeline]] (which packs the survivors) and
+    * [[curationFunnel]] (which reports the attrition), mirroring the
+    * shared `CurationCascadeCtes` on the oracle side: retuning a gate
+    * or reordering a stage changes BOTH consumers or neither, so the
+    * funnel can never report attrition for a pipeline that no longer
+    * runs. Returns (corpus, gated, deduped, clean, mixed) where
+    * `clean` is localCheckpointed — the curated corpus is the stage
+    * boundary and feeds multiple consumers (the mix window, the pack
+    * join's both sides, the funnel's stats); without materialization
+    * Spark replays the whole gate → dedup → decontaminate lineage per
+    * consumer. A deployment writes this relation out (it IS the
+    * curated corpus product). */
+  private[graft] def curationStages(docs: DataFrame, budget: Long,
+      weights: Map[String, Long], benchMod: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
     val gated = corpus.join(
@@ -735,17 +751,18 @@ object TrainingOps {
     val deduped = Dedup.dropDuplicatesKeepFirst(gated)
     val contaminated = CorpusOps.decontaminate(deduped, bench)
       .select("doc_id").distinct()
-    // The curated corpus is the pipeline's stage boundary and feeds
-    // THREE consumers (the mix window, the pack join's both sides) —
-    // without materialization Spark replays the whole gate → dedup →
-    // decontaminate lineage per consumer, re-scanning the corpus
-    // each time. A deployment writes this relation out (it IS the
-    // curated corpus product); the in-plan form materializes it once
-    // the same way (localCheckpoint, as sourceOverlapSketch's sketch
-    // relation).
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val mixed = tokenBudgetSample(clean, budget, weights).select("doc_id")
+    (corpus, gated, deduped, clean, mixed)
+  }
+
+  def curationPipeline(docs: DataFrame, budget: Long = 3000L,
+      weights: Map[String, Long] = Map("src0" -> 4L, "src1" -> 3L,
+        "src2" -> 2L, "src3" -> 1L),
+      seqLen: Int = 64, benchMod: Int = 97): DataFrame = {
+    val (_, _, _, clean, mixed) =
+      curationStages(docs, budget, weights, benchMod)
     packSequences(clean.join(mixed, Seq("doc_id"), "left_semi"), seqLen)
   }
 
@@ -770,21 +787,12 @@ object TrainingOps {
       weights: Map[String, Long] = Map("src0" -> 4L, "src1" -> 3L,
         "src2" -> 2L, "src3" -> 1L),
       benchMod: Int = 97): DataFrame = {
-    val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
-    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+    val (corpus, gated, deduped, clean, mixed) =
+      curationStages(docs, budget, weights, benchMod)
     val ntok = corpus
       .select(col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_tok"))
       .localCheckpoint()
-    val gated = corpus.join(
-      CorpusOps.qualityRules(corpus).filter(col("pass")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val deduped = Dedup.dropDuplicatesKeepFirst(gated)
-    val contaminated = CorpusOps.decontaminate(deduped, bench)
-      .select("doc_id").distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val mixed = tokenBudgetSample(clean, budget, weights).select("doc_id")
     def stat(ids: DataFrame, ord: Int, name: String): DataFrame =
       ntok.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("n_docs"),

@@ -786,19 +786,40 @@ object EventStreams extends Serializable {
     /** The current assignment (id, cluster) — read between folds. */
     def current: DataFrame = map
 
-    /** Fold one micro-batch of (a, b) edges into the map. */
+    /** Fold one micro-batch of (a, b) edges into the map.
+      *
+      * Bounded state across an unbounded stream: beyond the new map
+      * itself, a fold transiently localCheckpoints several
+      * intermediates (the contracted edges, the quotient labels, the
+      * CC rounds) — pinned for the JVM lifetime unless released, so N
+      * micro-batches would otherwise accumulate O(N) dead blocks.
+      * After materializing the new map, every persisted RDD the fold
+      * created except the map is swept. The sweep diffs the context's
+      * persistent-RDD registry around the fold, which assumes the
+      * fold is the session's only checkpoint-creating activity at
+      * that moment — exactly what Structured Streaming's one-batch-
+      * at-a-time execution gives the owning query; do not share the
+      * session with concurrent checkpointing work during folds. */
     def fold(batchEdges: DataFrame): Unit = synchronized {
+      val sc = batchEdges.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
       val prev = map
       val noNodes = batchEdges.sparkSession.range(0).toDF("id")
-      map = graft.operators.Clustering
+      val next = graft.operators.Clustering
         .incrementalCC(prev, batchEdges.toDF("a", "b"), noNodes)
         .localCheckpoint(true)
-      // rolling state: release the superseded checkpoint's blocks
-      prev.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
+      val keep = next.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
       }
-      ()
+      map = next
+      // sweep the fold's transient checkpoints + the superseded map
+      val prevId = prev.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+      val created = sc.getPersistentRDDs.keySet.toSet -- before
+      (created ++ prevId -- keep).foreach { id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      }
     }
   }
 

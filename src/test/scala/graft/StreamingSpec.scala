@@ -312,6 +312,13 @@ class StreamingSpec extends SparkSpec {
     // idempotence — the at-least-once safety claim: refold everything
     state.fold(deltaPairs)
     assert(state.current.as[(Long, Long)].collect().toMap == want)
+    // bounded state — the unbounded-stream claim: repeated folds must
+    // not accumulate pinned checkpoint blocks (each fold sweeps its
+    // transient checkpoints and the superseded map)
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    state.fold(deltaPairs); state.fold(deltaPairs); state.fold(deltaPairs)
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    assert(n1 <= n0, s"folds leak pinned checkpoints: $n0 -> $n1")
   }
 
   test("stream-static dHash probe matches the batch probe") {
