@@ -1235,6 +1235,10 @@ object SparkEntry {
     // shares (the salting decision input).
     "q_key_skew" -> ((s, dir) =>
       ProfileOps.keySkew(events(s, dir), "user_id", 10)),
+    // The skew DECISION: per over-target key, the salt factor that
+    // spreads it back under target — keySkew's actionable sibling.
+    "q_salt_plan" -> ((s, dir) =>
+      Salting.saltPlan(events(s, dir), "user_id", targetShareBp = 70L)),
     // Equi-width doc-length histogram (all-integer bin arithmetic,
     // clamped edge bins).
     "q_histogram" -> ((s, dir) =>
@@ -5126,6 +5130,21 @@ object SparkEntry {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |  FROM documents
         |) ORDER BY col_name""".stripMargin,
+    // The skew decision: ceil(share/target) in integer basis points,
+    // clamped at the replication budget; under-target keys absent.
+    "q_salt_plan" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT sum(cnt)::BIGINT AS total FROM c
+        |), p AS (
+        |  SELECT user_id, cnt, cnt * 10000 // total AS share_bp
+        |  FROM c, t
+        |)
+        |SELECT user_id, cnt, share_bp,
+        |  least(64, (share_bp + 69) // 70)::BIGINT AS salt_factor
+        |FROM p WHERE share_bp > 70
+        |ORDER BY cnt DESC, user_id ASC NULLS FIRST""".stripMargin,
     // Hot-key diagnostic: explicit NULLS FIRST tie-break (engine
     // defaults differ), integer basis-point shares.
     "q_key_skew" ->

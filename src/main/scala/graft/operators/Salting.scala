@@ -36,6 +36,39 @@ object Salting {
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Salt PLAN — the decision output between
+    * [[graft.operators.ProfileOps.keySkew]] (the diagnostic) and
+    * [[saltedJoin]] (the mechanism): every key whose row share
+    * exceeds `targetShareBp` basis points, with the salt factor that
+    * spreads it back under target — ceil(share/target), clamped at
+    * `maxSalt` (each unit of salt replicates the small side once, so
+    * the clamp is the replication budget). Keys at or under target
+    * are absent: they need no salting, and at corpus scale the plan
+    * relation stays hot-key-sized, the right input for a per-key
+    * salt map (uniform salting pays replication for every key;
+    * AQE splits only at runtime — this is the PLANNED middle).
+    *
+    * Integer end-to-end (shares and ceilings in basis points), one
+    * map-side-combined count over the key column only. */
+  def saltPlan(df: DataFrame, key: String, targetShareBp: Long = 70L,
+      maxSalt: Int = 64): DataFrame = {
+    require(targetShareBp > 0 && targetShareBp < 10000,
+      s"targetShareBp=$targetShareBp must be in (0, 10000)")
+    require(maxSalt > 0)
+    // the |keys|-row relation feeds the total and the plan (the
+    // keySkew checkpoint rule: one raw-table scan)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum("cnt").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("cnt * 10000 DIV __total"))
+      .filter(col("share_bp") > targetShareBp)
+      .withColumn("salt_factor", least(lit(maxSalt.toLong),
+        expr(s"(share_bp + $targetShareBp - 1) DIV $targetShareBp")))
+      .select(col(key), col("cnt"), col("share_bp"), col("salt_factor"))
+      .orderBy(col("cnt").desc, col(key).asc_nulls_first)
+  }
+
   /** Salted supplier revenue: lineitem (big, skewable on l_suppkey)
     * ⋈ supplier (small, replicated) → per-supplier revenue. Same result
     * as the plain join — the oracle proves it. */

@@ -170,6 +170,34 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("saltPlan: ceil factors for over-target keys only, clamped at budget") {
+    import graft.operators.Salting
+    // key "hot" owns 10/20 rows (5000 bp), "warm" 6/20 (3000 bp),
+    // four cold keys 1/20 (500 bp) each; target 1000 bp
+    val rows = (1 to 10).map(_ => "hot") ++ (1 to 6).map(_ => "warm") ++
+      Seq("c1", "c2", "c3", "c4")
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val plan = Salting.saltPlan(df, "k", targetShareBp = 1000L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(plan.keySet == Set("hot", "warm")) // cold keys need nothing
+    assert(plan("hot") == (("hot", 10L, 5000L, 5L)))  // ceil(5000/1000)
+    assert(plan("warm") == (("warm", 6L, 3000L, 3L)))
+    // the replication budget clamps the factor
+    val clamped = Salting.saltPlan(df, "k", targetShareBp = 1000L,
+      maxSalt = 3).as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(clamped("hot") == 3L && clamped("warm") == 3L)
+    // composition: the planned factor through saltedJoin keeps the
+    // join result identical to unsalted (the Salting invariant)
+    val small = Seq(("hot", 1L), ("warm", 2L), ("c1", 3L)).toDF("k", "v")
+    val salted = Salting.saltedJoin(df, small, "k", plan("hot")._4.toInt)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = df.join(small, "k")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("salted join result equals the unsalted join, and salt spreads keys") {
     import graft.operators.Salting
     val li = table(spark, sfDir, "lineitem")
