@@ -1087,6 +1087,21 @@ object SparkEntry {
     // spec-pinned.
     "q_corpus_overlap" -> ((s, dir) =>
       CorpusOps.sourceOverlapSketch(documents(s, dir))),
+    // INCREMENTAL sketch-index maintenance: base and delta slices each
+    // build their own per-source sketches; theta_union_agg folds them
+    // and overlap answers off the merged index — same exact answer as
+    // the from-scratch build (the plan-not-answer gate), base corpus
+    // never re-read.
+    "q_corpus_overlap_incr" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      CorpusOps.overlapFromSketches(
+        CorpusOps.mergeSourceSketches(Seq(
+          CorpusOps.sourceSketches(
+            docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+          CorpusOps.sourceSketches(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0))))
+          .localCheckpoint())
+    }),
     // Hashed-feature linear quality model: integer weight sums (order-
     // independent) + engine-neutral md5 feature hash = bit-exact oracle.
     "q_quality_model" -> ((s, dir) =>
@@ -4352,6 +4367,31 @@ object SparkEntry {
     // (sketch estimates are exact in the under-nominal regime, see
     // CorpusOps.sourceOverlapSketch); n_union via inclusion-exclusion.
     "q_corpus_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source, unnest(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM sh GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |  FROM sizes a JOIN sizes b ON a.source < b.source
+        |), common AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |  coalesce(c.n_common, 0) AS n_common,
+        |  p.n_a + p.n_b - coalesce(c.n_common, 0) AS n_union
+        |FROM pairs p
+        |LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+        |ORDER BY 1, 2""".stripMargin,
+    // Identical answer through the merged-sketch plan (theta unions
+    // associative; exact sub-nominal regime) — shares the exact SQL.
+    "q_corpus_overlap_incr" ->
       """WITH toks AS (
         |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
         |), sh AS (

@@ -941,6 +941,26 @@ object CorpusOps {
       .groupBy("source")
       .agg(theta_sketch_agg(col("sh"), lgK).as("sk"))
 
+  /** Merge per-slice (source, sk) sketch relations into one — the
+    * INCREMENTAL maintenance of the sketch index: each ingest batch
+    * builds its own [[sourceSketches]] relation (one corpus pass over
+    * the batch only), and this fold unions them per source with
+    * `theta_union_agg` — so the stored index absorbs a delta without
+    * the base corpus ever being re-read, and [[overlapFromSketches]]
+    * answers off the merged relation exactly as off a from-scratch
+    * build (theta unions are associative; estimates identical in the
+    * exact sub-nominal regime, spec-pinned). `lgNomEntries` must be
+    * the lgK the sketches were built with — the aggregate's default
+    * (12 = 4096 nominal) silently re-samples larger exact sketches,
+    * the same trap the pairwise union hit at the round-5 rehearsal. */
+  def mergeSourceSketches(slices: Seq[DataFrame],
+      lgK: Int = 18): DataFrame = {
+    require(slices.nonEmpty, "mergeSourceSketches needs >= 1 slice")
+    slices.reduce(_.unionByName(_))
+      .groupBy("source")
+      .agg(theta_union_agg(col("sk"), lgK).as("sk"))
+  }
+
   /** Pairwise overlap measures off a (source, sk) sketch relation —
     * no corpus access; stored sketches from ANY slice union work
     * (theta sketches merge associatively). `lgK` must be the value

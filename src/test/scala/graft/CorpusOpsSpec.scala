@@ -622,6 +622,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == (("sa", "sb", 3000L, 3000L, 0L, 6000L)))
   }
 
+  test("mergeSourceSketches: incremental fold == from-scratch build, " +
+      "and the aggregate union inherits lgK past the default nominal") {
+    // the delta-ingest shape: base and delta slices each sketch
+    // themselves; the per-source union must answer overlap exactly as
+    // one build over everything (shared shingles dedup across slices)
+    val base = corpus.filter(col("doc_id") % 4 =!= 0)
+    val delta = corpus.filter(col("doc_id") % 4 === 0)
+    val merged = CorpusOps.overlapFromSketches(
+      CorpusOps.mergeSourceSketches(Seq(
+        CorpusOps.sourceSketches(base),
+        CorpusOps.sourceSketches(delta))).localCheckpoint())
+    val scratch = CorpusOps.sourceOverlapSketch(corpus)
+    assert(merged.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(merged).isEmpty)
+    // the r5 union-nominal trap, aggregate form: 5000 distinct
+    // shingles PER SOURCE split across slices exceed theta_union_agg's
+    // default nominal (4096) — the fold must stay exact because it
+    // inherits the build lgK
+    val docs = spark.range(10000).selectExpr(
+      "id AS doc_id",
+      "concat('tok', id, ' mid', id, ' end', id) AS text",
+      "IF(id % 2 = 0, 'sa', 'sb') AS source")
+    val folded = CorpusOps.mergeSourceSketches(Seq(
+      CorpusOps.sourceSketches(docs.filter(col("doc_id") < 5000)),
+      CorpusOps.sourceSketches(docs.filter(col("doc_id") >= 5000))))
+      .select(col("source"),
+        theta_sketch_estimate(col("sk")).cast("long").as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(folded == Map("sa" -> 5000L, "sb" -> 5000L))
+  }
+
   test("model quality score: hand-recomputed on a tiny fixture") {
     val df = Seq((1L, "aa bb aa"), (2L, "cc"), (3L, "")).toDF("doc_id", "text")
     val got = CorpusOps.modelQualityScore(df, dim = 64, biasE4 = -500L)
