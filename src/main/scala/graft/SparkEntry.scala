@@ -720,6 +720,17 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(4)) === 0))
     }),
+    // Incremental SIMHASH near-dup: batch fingerprints probe the
+    // base's band index, exact-Hamming verified on the portable
+    // 60-bit hash — plain % 4 split, the q_dedup_incr_minhash shape;
+    // banding is exhaustive for hamming <= 3, so the oracle is the
+    // exact cross-set Hamming join.
+    "q_dedup_incr_simhash" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.incrementalSimhashPairs(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+    }),
     // Incremental EMBEDDING near-dup: the batch's vectors probe the
     // base corpus's materialized SRP bucket index — semantic dedup's
     // per-ingest mode. Fully ORACLED via the q_dedup_embedding_lsh
@@ -2311,6 +2322,31 @@ object SparkEntry {
     // identically by both engines; the oracle is the brute-force
     // self-join, which equals the banded query exactly for
     // maxHamming <= 3 (pigeonhole over 4 disjoint 15-bit bands).
+    // Cross-set face of the simhash oracle: same fingerprint CTEs,
+    // base x batch join on the % 4 split.
+    "q_dedup_incr_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |), bitsum AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, unnest(range(60)) AS b(i)
+        |  GROUP BY doc_id, i
+        |), fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |  FROM bitsum GROUP BY doc_id
+        |)
+        |SELECT q.doc_id AS doc_batch, b.doc_id AS doc_base,
+        |  bit_count(xor(q.simhash, b.simhash)) AS hamming
+        |FROM fp q JOIN fp b
+        |  ON q.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+        |WHERE bit_count(xor(q.simhash, b.simhash)) <= 3
+        |ORDER BY doc_batch, doc_base""".stripMargin,
     "q_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w

@@ -588,6 +588,52 @@ object Dedup {
     simhashPairs(docs, maxHamming, maxBucket, bits = 60, bands = 4,
       hasher = md5Hash60)
 
+  /** Incremental SimHash near-dup — the simhash face of the delta
+    * family ([[incrementalExact]] / [[incrementalNearDupPairs]] /
+    * [[incrementalEmbeddingNearDup]]): the batch's fingerprints probe
+    * the BASE's materialized (band, key → members) index, and
+    * candidates verify by exact Hamming distance on the full 60-bit
+    * portable hash. Same recall guarantee as [[simhashPairsPortable]]
+    * across the sets (4 disjoint 15-bit bands — a cross-set pair
+    * within `maxHamming` <= 3 shares at least one intact band by
+    * pigeonhole), so with no bucket cap binding the output is exactly
+    * the cross-set Hamming join and the SQL oracle replays it.
+    *
+    * Scale shape: the base participates ONLY as its band index (the
+    * materialize-once relation, ~4 rows of (band, 15-bit key, member
+    * list) per base doc — bucket-write it on (band, key) and the
+    * probe is shuffle-free); per ingest the batch computes its own
+    * fingerprints in one pass and only co-banded candidates carry
+    * into the verify. Returns (doc_batch, doc_base, hamming). */
+  def incrementalSimhashPairs(base: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
+    val bits = 60
+    val bands = 4
+    val bandBits = bits / bands
+    val bandMask = (1L << bandBits) - 1L
+    def banded(docs: DataFrame, idName: String, shName: String) =
+      simhash(docs, bits, md5Hash60)
+        .select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until bands).map(j =>
+            shiftright(col("simhash"), j * bandBits)
+              .bitwiseAND(lit(bandMask))): _*)))
+        .toDF(idName, shName, "band", "key")
+    val baseIdx = banded(base, "doc_base", "sh_base")
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_base"), col("sh_base"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
+    banded(batch, "doc_batch", "sh_batch")
+      .join(baseIdx, Seq("band", "key"))
+      .select(col("doc_batch"), col("sh_batch"),
+        explode(col("ds")).as("e"))
+      .select(col("doc_batch"), col("e.doc_base").as("doc_base"),
+        bit_count(col("sh_batch").bitwiseXOR(col("e.sh_base")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_batch", "doc_base")
+  }
+
   /** Embedding-cosine near-dup pairs >= threshold. Exact all-pairs —
     * correct at verification scale; the LSH-bucketed path in
     * [[Similarity]] is the 100 TB candidate generator. Norms are

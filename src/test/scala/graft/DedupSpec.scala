@@ -222,6 +222,28 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "split should leave cross-set near-dup pairs")
   }
 
+  test("incremental simhash probe equals the exact cross-set Hamming join") {
+    import graft.functions.TextAnalysis.md5Hash60
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseCorpus = corpus.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val got = Dedup.incrementalSimhashPairs(baseCorpus, batch)
+      .as[(Long, Long, Long)].collect().toSet
+    // exact witness: full portable-fingerprint cross join (banding is
+    // exhaustive for hamming <= 3, so the probe must find everything)
+    val fp = Dedup.simhash(corpus, bits = 60, hasher = md5Hash60)
+      .as[(Long, Long)].collect().toMap
+    val exact = (for {
+      (q, qh) <- fp if q % 4 == 0
+      (b, bh) <- fp if b % 4 != 0
+      d = java.lang.Long.bitCount(qh ^ bh) if d <= 3
+    } yield (q, b, d.toLong)).toSet
+    assert(got == exact)
+    // sides are clean: every left id is batch, every right id is base
+    got.foreach { case (q, b, _) =>
+      assert(q % 4 == 0 && b % 4 != 0, s"pair ($q, $b) leaks a side") }
+  }
+
   test("splitIncremental plants bind: survivors are exactly the fresh docs") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val (baseCorpus, batch) = Dedup.splitIncremental(corpus)
