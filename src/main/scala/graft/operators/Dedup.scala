@@ -588,6 +588,38 @@ object Dedup {
     simhashPairs(docs, maxHamming, maxBucket, bits = 60, bands = 4,
       hasher = md5Hash60)
 
+  /** The portable 60-bit simhash as a PURE PROJECTION over the text
+    * column — value-identical to [[simhash]] with [[md5Hash60]]
+    * (the ±1 bit votes are exact long sums, so explode+groupBy order
+    * and a single array fold agree bit-for-bit; spec-pinned), but
+    * with no per-document aggregation: the one shape a streaming
+    * ingest can compute in the arriving micro-batch with zero state
+    * (the [[graft.streaming.EventStreams.incrementalNearDupStream]]
+    * array_min convention, for simhash). One token pass via a single
+    * array fold; the bit tests are mask ANDs against a constant
+    * powers array — no variable shifts, stays inside codegen.
+    *
+    * Semantics note: a token-less document folds to fingerprint 0
+    * here, where the aggregate form emits NO row for it — identical
+    * on any corpus without empty documents, and the probe path
+    * filters empty docs either way.
+    *
+    * Interpreted higher-order-function cost (~60 ANDs per token) is
+    * the price of the stateless form — the batch operators keep the
+    * explode+groupBy plan; promote to a codegen kernel (the TextDHash
+    * route) if this face ever carries batch-scale volume. */
+  def simhashProjection(text: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val powers = array((0 until 60).map(i => lit(1L << i)): _*)
+    val hs = transform(wsTokens(text), w => md5Hash60(w))
+    val bitvecs = transform(hs, h => transform(powers, p =>
+      when(h.bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    val sums = aggregate(bitvecs, array_repeat(lit(0L), 60),
+      (acc, v) => zip_with(acc, v, _ + _))
+    aggregate(zip_with(sums, powers,
+      (s, p) => when(s > 0L, p).otherwise(lit(0L))), lit(0L), _ + _)
+  }
+
   /** Incremental SimHash near-dup — the simhash face of the delta
     * family ([[incrementalExact]] / [[incrementalNearDupPairs]] /
     * [[incrementalEmbeddingNearDup]]): the batch's fingerprints probe

@@ -298,6 +298,55 @@ object EventStreams extends Serializable {
       .dropDuplicates("doc_batch", "doc_base")
   }
 
+  /** Stream-static incremental SIMHASH near-dup — the simhash face of
+    * the streaming ingest family next to [[incrementalDedupStream]]
+    * (exact), [[incrementalNearDupStream]] (minhash), and
+    * [[incrementalEmbeddingStream]] (SRP): arriving documents
+    * fingerprint via the stateless
+    * [[graft.operators.Dedup.simhashProjection]] (value-identical to
+    * the batch aggregate — no state, no watermark), band keys fan out
+    * as literal-shift projections, and the static base band index —
+    * the same materialize-once relation the batch probe reads — joins
+    * stream-static with an exact-Hamming verify. The only state is
+    * the terminal multi-band dedup, bounded by true output volume.
+    * StreamingSpec pins the drained stream equal to
+    * [[graft.operators.Dedup.incrementalSimhashPairs]] row-for-row. */
+  def incrementalSimhashStream(docs: DataFrame, base: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
+    import graft.operators.Dedup
+    val bands = 4
+    val bandBits = 15
+    val bandMask = (1L << bandBits) - 1L
+    val baseIdx = Dedup.simhash(base, bits = 60,
+        hasher = graft.functions.TextAnalysis.md5Hash60)
+      .select(col("doc_id").as("doc_base"), col("simhash").as("sh_base"),
+        posexplode(array((0 until bands).map(j =>
+          shiftright(col("simhash"), j * bandBits)
+            .bitwiseAND(lit(bandMask))): _*)))
+      .toDF("doc_base", "sh_base", "band", "key")
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_base"), col("sh_base"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
+      .localCheckpoint(true)
+    docs
+      .filter(size(graft.functions.TextAnalysis.wsTokens(col("text"))) > 0)
+      .select(col("doc_id").as("doc_batch"),
+        Dedup.simhashProjection(col("text")).as("sh_batch"))
+      .select(col("doc_batch"), col("sh_batch"),
+        posexplode(array((0 until bands).map(j =>
+          shiftright(col("sh_batch"), j * bandBits)
+            .bitwiseAND(lit(bandMask))): _*)))
+      .toDF("doc_batch", "sh_batch", "band", "key")
+      .join(baseIdx, Seq("band", "key"))
+      .select(col("doc_batch"), col("sh_batch"),
+        explode(col("ds")).as("e"))
+      .select(col("doc_batch"), col("e.doc_base").as("doc_base"),
+        bit_count(col("sh_batch").bitwiseXOR(col("e.sh_base")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_batch", "doc_base")
+  }
+
   /** Serve a batch-trained Naive Bayes quality model over a document
     * STREAM (the train-batch/serve-stream loop: the model relation
     * from [[graft.operators.CorpusOps.trainNaiveBayes]] collapses to

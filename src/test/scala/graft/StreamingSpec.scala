@@ -321,6 +321,34 @@ class StreamingSpec extends SparkSpec {
     assert(n1 <= n0, s"folds leak pinned checkpoints: $n0 -> $n1")
   }
 
+  test("stream-static simhash probe matches the batch probe; the " +
+      "projection fingerprint equals the aggregate form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseCorpus = corpus.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+    // the stateless projection is bit-identical to the batch aggregate
+    val viaProj = corpus.select($"doc_id",
+      Dedup.simhashProjection($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhash(corpus, bits = 60,
+      hasher = graft.functions.TextAnalysis.md5Hash60)
+      .as[(Long, Long)].collect().toMap
+    viaAgg.foreach { case (id, sh) => assert(viaProj(id) == sh, s"doc $id") }
+    // drained stream == batch probe row-for-row
+    val dir = Files.createTempDirectory("graft-incr-sim-stream").toString
+    batch.orderBy("doc_id").repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToCompletion(
+      EventStreams.incrementalSimhashStream(stream, baseCorpus),
+      "append", "incr_sim_stream")
+    val want = Dedup.incrementalSimhashPairs(baseCorpus, batch)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("stream-static dHash probe matches the batch probe") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
