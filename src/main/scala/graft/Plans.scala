@@ -50,7 +50,8 @@ object Plans {
       "q_bpe_encode_injected", "q_unigram_encode_injected",
       "q_dedup_incr_embedding", "q_dedup_cc_incr",
       "q_quality_calibrated", "q_pipeline_funnel", "q_delete_repack",
-      "q_pack_padding", "q_decontaminate_spans", "q_embed_profile")
+      "q_pack_padding", "q_decontaminate_spans", "q_embed_profile",
+      "q_salt_plan", "q_corpus_overlap_incr", "q_dedup_incr_simhash")
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -949,8 +949,8 @@ object CorpusOps {
     * the base corpus ever being re-read, and [[overlapFromSketches]]
     * answers off the merged relation exactly as off a from-scratch
     * build (theta unions are associative; estimates identical in the
-    * exact sub-nominal regime, spec-pinned). `lgNomEntries` must be
-    * the lgK the sketches were built with — the aggregate's default
+    * exact sub-nominal regime, spec-pinned). `lgK` must be the value
+    * the sketches were built with — the aggregate's default
     * (12 = 4096 nominal) silently re-samples larger exact sketches,
     * the same trap the pairwise union hit at the round-5 rehearsal. */
   def mergeSourceSketches(slices: Seq[DataFrame],

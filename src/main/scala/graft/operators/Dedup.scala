@@ -637,24 +637,35 @@ object Dedup {
     * probe is shuffle-free); per ingest the batch computes its own
     * fingerprints in one pass and only co-banded candidates carry
     * into the verify. Returns (doc_batch, doc_base, hamming). */
-  def incrementalSimhashPairs(base: DataFrame, batch: DataFrame,
-      maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
-    val bits = 60
-    val bands = 4
-    val bandBits = bits / bands
-    val bandMask = (1L << bandBits) - 1L
-    def banded(docs: DataFrame, idName: String, shName: String) =
-      simhash(docs, bits, md5Hash60)
-        .select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until bands).map(j =>
-            shiftright(col("simhash"), j * bandBits)
-              .bitwiseAND(lit(bandMask))): _*)))
-        .toDF(idName, shName, "band", "key")
-    val baseIdx = banded(base, "doc_base", "sh_base")
+  /** Band fan-out of a portable 60-bit fingerprint: the 4 disjoint
+    * 15-bit band keys as an array (posexplode it next to the id). ONE
+    * definition of the band geometry, shared by the batch index, the
+    * batch probe, and the streaming probe — the minhash
+    * [[bandBuckets]] discipline, for simhash. */
+  private[graft] def simhashBandCols(
+      sh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until 4).map(j =>
+      shiftright(sh, j * 15).bitwiseAND(lit((1L << 15) - 1L))): _*)
+
+  /** The base corpus's (band, key → members) simhash index — the
+    * materialize-once relation both incremental faces probe. */
+  def simhashBandIndex(base: DataFrame,
+      maxBucket: Int = 65535): DataFrame =
+    simhash(base, bits = 60, hasher = md5Hash60)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(simhashBandCols(col("simhash"))))
+      .toDF("doc_base", "sh_base", "band", "key")
       .groupBy("band", "key")
       .agg(collect_list(struct(col("doc_base"), col("sh_base"))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
-    banded(batch, "doc_batch", "sh_batch")
+
+  /** Probe (doc_batch, sh_batch, band, key) rows against a
+    * [[simhashBandIndex]] with the exact-Hamming verify; multi-band
+    * duplicate hits are NOT collapsed here (the batch face distincts,
+    * the stream face dropDuplicates — each owns its terminal state). */
+  private[graft] def simhashProbe(batchBanded: DataFrame,
+      baseIdx: DataFrame, maxHamming: Int): DataFrame =
+    batchBanded
       .join(baseIdx, Seq("band", "key"))
       .select(col("doc_batch"), col("sh_batch"),
         explode(col("ds")).as("e"))
@@ -662,6 +673,14 @@ object Dedup {
         bit_count(col("sh_batch").bitwiseXOR(col("e.sh_base")))
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  def incrementalSimhashPairs(base: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
+    val batchBanded = simhash(batch, bits = 60, hasher = md5Hash60)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(simhashBandCols(col("simhash"))))
+      .toDF("doc_batch", "sh_batch", "band", "key")
+    simhashProbe(batchBanded, simhashBandIndex(base, maxBucket), maxHamming)
       .distinct()
       .orderBy("doc_batch", "doc_base")
   }

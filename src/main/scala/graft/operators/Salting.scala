@@ -36,6 +36,31 @@ object Salting {
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** [[saltedJoin]] driven by a [[saltPlan]] relation — PER-KEY salt:
+    * each hot key spreads by exactly its planned factor, cold keys
+    * (absent from the plan) pay NO replication at all, which is the
+    * whole point of planning over uniform salting (uniform replicates
+    * the small side for EVERY key). The join result is identical to
+    * the unsalted join for any plan — the plan only moves load
+    * (spec-pinned, the [[saltedJoin]] invariant). The plan relation
+    * is hot-key-sized and broadcasts to both sides. */
+  def saltedJoinPlanned(big: DataFrame, small: DataFrame, key: String,
+      plan: DataFrame): DataFrame = {
+    val factors =
+      broadcast(plan.select(col(key), col("salt_factor")))
+    val saltedBig = big.join(factors, Seq(key), "left")
+      .withColumn("__sf", coalesce(col("salt_factor"), lit(1L)))
+      .withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col): _*), col("__sf")).cast("int"))
+      .drop("salt_factor", "__sf")
+    val saltedSmall = small.join(factors, Seq(key), "left")
+      .withColumn("__sf", coalesce(col("salt_factor"), lit(1L)))
+      .withColumn("__salt",
+        explode(sequence(lit(0), (col("__sf") - 1).cast("int"))))
+      .drop("salt_factor", "__sf")
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salt PLAN — the decision output between
     * [[graft.operators.ProfileOps.keySkew]] (the diagnostic) and
     * [[saltedJoin]] (the mechanism): every key whose row share

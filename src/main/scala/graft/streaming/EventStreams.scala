@@ -314,36 +314,18 @@ object EventStreams extends Serializable {
   def incrementalSimhashStream(docs: DataFrame, base: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
     import graft.operators.Dedup
-    val bands = 4
-    val bandBits = 15
-    val bandMask = (1L << bandBits) - 1L
-    val baseIdx = Dedup.simhash(base, bits = 60,
-        hasher = graft.functions.TextAnalysis.md5Hash60)
-      .select(col("doc_id").as("doc_base"), col("simhash").as("sh_base"),
-        posexplode(array((0 until bands).map(j =>
-          shiftright(col("simhash"), j * bandBits)
-            .bitwiseAND(lit(bandMask))): _*)))
-      .toDF("doc_base", "sh_base", "band", "key")
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_base"), col("sh_base"))).as("ds"))
-      .filter(size(col("ds")) <= maxBucket)
+    // static side: the SAME materialize-once index the batch face
+    // probes, eager-checkpointed so micro-batches re-read the blocks
+    val baseIdx = Dedup.simhashBandIndex(base, maxBucket)
       .localCheckpoint(true)
-    docs
-      .filter(size(graft.functions.TextAnalysis.wsTokens(col("text"))) > 0)
+    val batchBanded = docs
+      .filter(graft.functions.TextAnalysis.tokenCountWs(col("text")) > 0)
       .select(col("doc_id").as("doc_batch"),
         Dedup.simhashProjection(col("text")).as("sh_batch"))
       .select(col("doc_batch"), col("sh_batch"),
-        posexplode(array((0 until bands).map(j =>
-          shiftright(col("sh_batch"), j * bandBits)
-            .bitwiseAND(lit(bandMask))): _*)))
+        posexplode(Dedup.simhashBandCols(col("sh_batch"))))
       .toDF("doc_batch", "sh_batch", "band", "key")
-      .join(baseIdx, Seq("band", "key"))
-      .select(col("doc_batch"), col("sh_batch"),
-        explode(col("ds")).as("e"))
-      .select(col("doc_batch"), col("e.doc_base").as("doc_base"),
-        bit_count(col("sh_batch").bitwiseXOR(col("e.sh_base")))
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    Dedup.simhashProbe(batchBanded, baseIdx, maxHamming)
       .dropDuplicates("doc_batch", "doc_base")
   }
 

@@ -479,6 +479,34 @@ class PlanSpec extends SparkSpec {
       s"the |buckets|-row ladder must broadcast:\n$p")
   }
 
+  test("salt plan: one key-column pass; the total broadcasts onto the " +
+      "checkpointed count relation") {
+    val p = plan(SparkEntry.queries("q_salt_plan")(spark, sfDir))
+    // counts are checkpointed at build: the final plan reads the
+    // relation, never the raw table twice
+    assert("FileScan".r.findAllIn(p).size <= 1,
+      s"salt plan re-scans the raw table:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
+  test("incremental overlap: the fold's plan reads NO corpus — only " +
+      "the merged |sources|-row sketch relation") {
+    val p = plan(SparkEntry.queries("q_corpus_overlap_incr")(spark, sfDir))
+    assert(!p.contains("FileScan"),
+      s"incremental overlap re-reads the corpus:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed sketch relation in:\n$p")
+  }
+
+  test("incremental simhash: exactly two corpus passes — the base " +
+      "index build and the batch fingerprints") {
+    val p = plan(SparkEntry.queries("q_dedup_incr_simhash")(spark, sfDir))
+    assert("FileScan".r.findAllIn(p).size == 2,
+      s"expected base + batch scans only:\n$p")
+  }
+
   test("delete repack: the delete set broadcasts into the narrow " +
       "shard relation; text never rides the plan") {
     val p = plan(SparkEntry.queries("q_delete_repack")(spark, sfDir))

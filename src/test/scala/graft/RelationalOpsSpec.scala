@@ -196,6 +196,18 @@ class RelationalOpsSpec extends SparkSpec {
     val plain = df.join(small, "k")
       .collect().map(_.toString).sorted.toSeq
     assert(salted == plain)
+    // and the PER-KEY form consumes the plan relation directly: hot
+    // keys spread by their own factor, cold keys unreplicated, result
+    // still identical to the unsalted join
+    val planned = Salting.saltedJoinPlanned(df, small, "k",
+      Salting.saltPlan(df, "k", targetShareBp = 1000L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(planned == plain)
+    // an EMPTY plan (nothing hot) degrades to the plain join exactly
+    val noHot = Salting.saltedJoinPlanned(df, small, "k",
+      Salting.saltPlan(df, "k", targetShareBp = 9999L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(noHot == plain)
   }
 
   test("salted join result equals the unsalted join, and salt spreads keys") {
