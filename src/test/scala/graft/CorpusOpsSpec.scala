@@ -109,6 +109,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.topFractionByGroup(rows, 10000).count() == 9)
   }
 
+  test("topFractionByGroup == naive window on seeded random tie-heavy data") {
+    // scores drawn from a tiny range so tie strata dominate — the
+    // regime where the threshold/tie-quota arithmetic can break
+    for (seed <- 1 to 3; keepBp <- Seq(1, 2500, 9999)) {
+      val rnd = new scala.util.Random(1000 * seed + keepBp)
+      val rows = Seq.tabulate(200)(i =>
+        (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(5).toLong))
+      val df = rows.toDF("id", "grp", "score")
+      val got = CorpusOps.topFractionByGroup(df, keepBp)
+        .as[(Long, String, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+      val k = df.groupBy("grp").agg(count(lit(1)).as("n"))
+        .select(col("grp"),
+          expr(s"(n * $keepBp + 9999) DIV 10000").as("k"))
+      val want = df.withColumn("rn", row_number().over(w))
+        .join(k, "grp").filter(col("rn") <= col("k"))
+        .select("id", "grp", "score")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"seed=$seed keepBp=$keepBp")
+    }
+  }
+
   test("quota sample: exact quota per stratum, deterministic under layout") {
     val q1 = CorpusOps.quotaSample(corpus, quota = 20)
     val q2 = CorpusOps.quotaSample(corpus.repartition(9), quota = 20)

@@ -244,6 +244,26 @@ class DedupSpec extends SparkSpec {
       assert(q % 4 == 0 && b % 4 != 0, s"pair ($q, $b) leaks a side") }
   }
 
+  test("simhashProjection == aggregate simhash on repetition-heavy and " +
+      "non-ASCII texts") {
+    import graft.functions.TextAnalysis.md5Hash60
+    // duplicate tokens must vote once PER OCCURRENCE (multiset ±1
+    // sums), and non-ASCII tokens must hash identically on both paths
+    val docs = Seq(
+      (1L, ("spam " * 50).trim),
+      (2L, "unique words only here"),
+      (3L, "héllo wörld héllo wörld héllo ßeta"),
+      (4L, "a b a b a b a b a c"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val viaAgg = Dedup.simhash(docs, bits = 60, hasher = md5Hash60)
+      .as[(Long, Long)].collect().toMap
+    val viaProj = docs.select($"doc_id",
+      Dedup.simhashProjection($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    viaAgg.foreach { case (id, sh) =>
+      assert(viaProj(id) == sh, s"doc $id diverges") }
+  }
+
   test("splitIncremental plants bind: survivors are exactly the fresh docs") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val (baseCorpus, batch) = Dedup.splitIncremental(corpus)
