@@ -1427,7 +1427,8 @@ object SparkEntry {
   /** DuckDB oracle per query (same table names, same column aliases,
     * same total order). Test corpus is ASCII so `[^a-zA-Z]+` in DuckDB
     * and `[^\p{L}]+` in Spark tokenize identically. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val entries: Seq[(String, String)] = Seq(
     "q_wordcount_freq" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
@@ -4403,3021 +4404,6 @@ object SparkEntry {
     // (sketch estimates are exact in the under-nominal regime, see
     // CorpusOps.sourceOverlapSketch); n_union via inclusion-exclusion.
     "q_corpus_overlap" -> CorpusOverlapOracle,    "q_corpus_overlap_incr" -> CorpusOverlapOracle,
-    "q_wordcount_alpha" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
-        |      FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY word
-        |ORDER BY word""".stripMargin,
-    "q_wordcount_heavy" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
-        |      FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY word
-        |ORDER BY cnt DESC, word""".stripMargin,
-    "q_wordcount_topk" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
-        |      FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY word
-        |ORDER BY cnt DESC, word
-        |LIMIT 20""".stripMargin,
-    "q_wordcount_fmt" ->
-      """SELECT word || ' -> ' || CAST(cnt AS VARCHAR) AS line
-        |FROM (SELECT word, count(*) AS cnt
-        |      FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
-        |            FROM documents) t
-        |      WHERE word <> ''
-        |      GROUP BY word)
-        |ORDER BY cnt DESC, word""".stripMargin,
-    "q_text_stats" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
-        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS n_tokens_bpe,
-        |  length(text) AS n_chars_obs,
-        |  round(list_sum(list_transform(regexp_extract_all(text, '\S+'), x -> length(x)))::DOUBLE
-        |        / len(regexp_extract_all(text, '\S+')), 4) AS avg_token_len
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-    "q_text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents
-        |), c AS (
-        |  SELECT doc_id, text, len(toks) AS n,
-        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc
-        |  FROM t
-        |)
-        |SELECT doc_id, n AS n_tokens, sc AS stop_cnt,
-        |  round(sc::DOUBLE / n, 4) AS stop_ratio,
-        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
-        |  round(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
-        |        * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)), 4) AS quality
-        |FROM c
-        |ORDER BY doc_id""".stripMargin,
-    "q_lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks FROM documents
-        |), c AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS c_en,
-        |    len(list_filter(toks, x -> x IN ('el','los','las','que','y','en','por'))) AS c_es,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS c_de,
-        |    len(list_filter(toks, x -> x IN ('le','les','et','des','une','est','dans'))) AS c_fr
-        |  FROM t
-        |)
-        |SELECT doc_id, lang,
-        |  CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
-        |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
-        |       WHEN c_de >= c_fr THEN 'de'
-        |       ELSE 'fr' END AS lang_pred
-        |FROM c
-        |ORDER BY doc_id""".stripMargin,
-    "q_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-    // per-column statistics drift: the q_profile shape per snapshot,
-    // full-outer joined per column, null-safe range-changed flag
-    "q_profile_drift" ->
-      s"""WITH bs AS (
-        |  SELECT * FROM documents WHERE doc_id % 7 != 0
-        |), asn AS (
-        |  SELECT * FROM documents WHERE doc_id % 5 != 0
-        |), pa AS (
-        |  ${profileSql("bs", Seq("doc_id", "lang", "source", "n_chars"))}
-        |), pb AS (
-        |  ${profileSql("asn", Seq("doc_id", "lang", "source", "n_chars"))}
-        |)
-        |SELECT col_name,
-        |  pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
-        |  pa.n_nulls AS n_nulls_a, pb.n_nulls AS n_nulls_b,
-        |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
-        |  (pa.mn IS DISTINCT FROM pb.mn OR pa.mx IS DISTINCT FROM pb.mx)
-        |    AS range_changed
-        |FROM pa FULL OUTER JOIN pb USING (col_name)
-        |ORDER BY col_name""".stripMargin,
-    // per-line language mix on the lined twin: the q_lang_id stopword
-    // argmax per LINE, then a per-doc argmax by (cnt DESC, lang
-    // earlier-in-list) — both total orders, replicated exactly.
-    "q_lang_mix" ->
-      """WITH lined AS (
-        |  SELECT doc_id, string_split(
-        |    replace(text, ' value ', ' value' || chr(10)), chr(10)) AS ls
-        |  FROM documents
-        |), lines AS (
-        |  SELECT doc_id, ls[i+1] AS line
-        |  FROM lined, unnest(range(len(ls))) AS t(i)
-        |  WHERE length(trim(ls[i+1])) > 0
-        |), c AS (
-        |  SELECT doc_id,
-        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('the','a','and','of','to','in','is','it'))) AS c_en,
-        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('el','los','las','que','y','en','por'))) AS c_es,
-        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS c_de,
-        |    len(list_filter(regexp_extract_all(line, '\S+'), x -> x IN ('le','les','et','des','une','est','dans'))) AS c_fr
-        |  FROM lines
-        |), lid AS (
-        |  SELECT doc_id,
-        |    CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
-        |         WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-        |         WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
-        |         WHEN c_de >= c_fr THEN 'de'
-        |         ELSE 'fr' END AS line_lang
-        |  FROM c
-        |), lc AS (
-        |  SELECT doc_id, line_lang, count(*) AS cnt FROM lid GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT doc_id, line_lang, cnt,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC,
-        |      CASE line_lang WHEN 'en' THEN 0 WHEN 'es' THEN 1
-        |        WHEN 'de' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) AS rk,
-        |    (sum(cnt) OVER (PARTITION BY doc_id))::BIGINT AS n_lines
-        |  FROM lc
-        |)
-        |SELECT doc_id, n_lines, line_lang AS lang_major, cnt AS n_major,
-        |  (n_lines - cnt) * 10000 // n_lines AS minor_bp
-        |FROM ranked WHERE rk = 1
-        |ORDER BY doc_id""".stripMargin,
-    // Repetition signals: per-doc n-gram frequency tables via unnest +
-    // group-by, max/dup-mass aggregated back — integer-exact, so the
-    // kernel's single-pass hash-map outputs must hash-match bit for bit.
-    "q_text_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
-        |), g AS (
-        |  SELECT doc_id, toks,
-        |    list_transform(range(len(toks) - 1),
-        |      i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
-        |    list_transform(range(len(toks) - 2),
-        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g3
-        |  FROM t
-        |), u1 AS (
-        |  SELECT doc_id, tok, count(*) AS c
-        |  FROM t, unnest(toks) AS s(tok) GROUP BY doc_id, tok
-        |), u2 AS (
-        |  SELECT doc_id, gm, count(*) AS c
-        |  FROM g, unnest(g2) AS s(gm) GROUP BY doc_id, gm
-        |), u3 AS (
-        |  SELECT doc_id, gm, count(*) AS c
-        |  FROM g, unnest(g3) AS s(gm) GROUP BY doc_id, gm
-        |), a1 AS (
-        |  SELECT doc_id, max(c) AS top1,
-        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
-        |  FROM u1 GROUP BY doc_id
-        |), a2 AS (
-        |  SELECT doc_id, max(c) AS top2,
-        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
-        |  FROM u2 GROUP BY doc_id
-        |), a3 AS (
-        |  SELECT doc_id, max(c) AS top3 FROM u3 GROUP BY doc_id
-        |)
-        |SELECT t.doc_id,
-        |  len(t.toks)::BIGINT AS n_tokens,
-        |  coalesce(a1.top1, 0)::BIGINT AS top1_cnt,
-        |  coalesce(a2.top2, 0)::BIGINT AS top2_cnt,
-        |  coalesce(a3.top3, 0)::BIGINT AS top3_cnt,
-        |  coalesce(a1.dupw, 0)::BIGINT AS dup_word_tokens,
-        |  coalesce(a2.dup2, 0)::BIGINT AS dup_2gram_tokens,
-        |  CASE WHEN (coalesce(a2.top2, 0) * 5 > len(t.toks) - 1
-        |             AND len(t.toks) > 1)
-        |         OR coalesce(a1.dupw, 0) * 2 > len(t.toks)
-        |       THEN 1 ELSE 0 END::BIGINT AS repetitive
-        |FROM t
-        |LEFT JOIN a1 USING (doc_id)
-        |LEFT JOIN a2 USING (doc_id)
-        |LEFT JOIN a3 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    // Rabin-Karp winnowing (k=8, w=4, base 1000003, natural 64-bit
-    // overflow): each gram's hash is the DIRECT polynomial
-    // sum(byte_j * B^(7-j)) mod 2^64 in HUGEINT — identical to the
-    // kernel's rolling update because wrap-around arithmetic is exact
-    // mod 2^64 — folded back to the signed long Java produces; the
-    // window min then compares the SAME signed values the kernel's
-    // deque compares. Byte positions/values use 1-byte-per-char
-    // string ops, valid on this corpus's ASCII text (FIXTURES.md §2);
-    // a non-ASCII regression would mismatch loudly, not silently.
-    "q_fingerprint_rolling" -> RollingFpOracle,
-    // Winnowing (k=8, w=4): rightmost-min of each 4-gram-hash window;
-    // min by (hash, -pos) picks the rightmost tie exactly like the
-    // Spark window (and the kernel's deque rule).
-    "q_fingerprint_winnow" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) - 7 AS ng
-        |  FROM documents WHERE length(text) >= 8
-        |), g AS (
-        |  SELECT doc_id, ng, i AS p,
-        |    ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT AS h
-        |  FROM d, unnest(range(ng)) AS t(i)
-        |), sel AS (
-        |  SELECT doc_id, ng, p,
-        |    min(struct_pack(h := h, np := -p)) OVER (
-        |      PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
-        |  FROM g
-        |)
-        |SELECT DISTINCT doc_id, -s.np AS pos, s.h AS fp
-        |FROM sel WHERE p >= 3 OR p = ng - 1
-        |ORDER BY doc_id, pos""".stripMargin,
-    "q_lang_stats" ->
-      """SELECT lang, source, count(*) AS n_docs,
-        |  sum(n_chars)::BIGINT AS total_chars,
-        |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
-        |FROM documents
-        |GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin,
-    "q_text_ngrams" ->
-      """WITH toks AS (
-        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT unnest(list_transform(range(len(t) - 1),
-        |    i -> t[i+1] || ' ' || t[i+2])) AS ngram
-        |  FROM toks WHERE len(t) >= 2
-        |)
-        |SELECT ngram, count(*) AS cnt
-        |FROM sh
-        |GROUP BY ngram
-        |ORDER BY cnt DESC, ngram
-        |LIMIT 50""".stripMargin,
-    "q_oov_rate" ->
-      """WITH tok AS (
-        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS term
-        |  FROM documents
-        |), f AS (
-        |  SELECT source, count(*) AS n_tokens,
-        |    sum(CASE WHEN term NOT IN ('table', 'scan', 'filter',
-        |      'join', 'hash', 'row', 'batch', 'column', 'value', 'key',
-        |      'the', 'a', 'spark', 'window', 'query', 'data')
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_oov
-        |  FROM tok GROUP BY source
-        |)
-        |SELECT source, n_tokens, n_oov,
-        |  (n_oov * 10000) // n_tokens AS oov_bp
-        |FROM f ORDER BY source""".stripMargin,
-    // BPE pair kernel: char+</w> symbolization of the word-frequency
-    // relation, weighted adjacent pairs, training total order
-    "q_bpe_pairs" ->
-      """WITH w AS (
-        |  SELECT word, count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
-        |        FROM documents)
-        |  GROUP BY word
-        |), s AS (
-        |  SELECT cnt, list_append(list_transform(
-        |    range(1, length(word) + 1), i -> substr(word, i, 1)),
-        |    '</w>') AS syms
-        |  FROM w
-        |), p AS (
-        |  SELECT syms[i] AS s1, syms[i + 1] AS s2, cnt
-        |  FROM (SELECT syms, cnt,
-        |          unnest(generate_series(1, len(syms) - 1)) AS i
-        |        FROM s)
-        |)
-        |SELECT s1, s2, sum(cnt)::BIGINT AS cnt
-        |FROM p GROUP BY s1, s2
-        |ORDER BY cnt DESC, s1, s2
-        |LIMIT 50""".stripMargin,
-    // Injected-rules BPE encode: each greedy fold pass == one
-    // left-to-right non-overlapping replace over chr(1)/chr(2)-
-    // wrapped symbol strings (see BpeEncodeInjectedOracle's scaladoc
-    // for the equivalence argument)
-    "q_bpe_encode_injected" -> BpeEncodeInjectedOracle,
-    // WordPiece scoring kernel: BERT symbolization (first char bare,
-    // ## continuations), adjacent-pair counts joined to symbol
-    // totals, E12-quantized likelihood in HUGEINT — exact integers
-    "q_wordpiece_pairs" ->
-      """WITH w AS (
-        |  SELECT word, count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
-        |        FROM documents)
-        |  GROUP BY word
-        |), s AS (
-        |  SELECT cnt, list_transform(range(1, length(word) + 1),
-        |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
-        |         ELSE '##' || substr(word, i, 1) END) AS syms
-        |  FROM w
-        |), p AS (
-        |  SELECT syms[i] AS s1, syms[i + 1] AS s2, cnt
-        |  FROM (SELECT syms, cnt,
-        |          unnest(generate_series(1, len(syms) - 1)) AS i
-        |        FROM s)
-        |), pc AS (
-        |  SELECT s1, s2, sum(cnt)::BIGINT AS cnt FROM p GROUP BY s1, s2
-        |), sym AS (
-        |  SELECT sym, sum(c)::BIGINT AS c
-        |  FROM (SELECT unnest(syms) AS sym, cnt AS c FROM s)
-        |  GROUP BY sym
-        |)
-        |SELECT s1, s2, pc.cnt, a.c AS c1, b.c AS c2,
-        |  ((pc.cnt::HUGEINT * 1000000000000) //
-        |   (a.c::HUGEINT * b.c::HUGEINT))::BIGINT AS score_e12
-        |FROM pc JOIN sym a ON a.sym = pc.s1
-        |        JOIN sym b ON b.sym = pc.s2
-        |ORDER BY score_e12 DESC, s1, s2
-        |LIMIT 50""".stripMargin,
-    // WordPiece greedy longest-match encode: vocab = corpus chars +
-    // the injected literal pieces (kept in sync with
-    // WordPieceEncodePieces above); the greedy walk is the recursive
-    // CTE — LEFT JOIN miss = no vocab match at that position = the
-    // whole word [UNK], the standard WordPiece rule
-    "q_wordpiece_encode" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT DISTINCT unnest(regexp_extract_all(text, '\S+')) AS word
-        |  FROM documents
-        |), vocab AS (
-        |  SELECT DISTINCT unnest(list_transform(
-        |    range(1, length(word) + 1),
-        |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
-        |         ELSE '##' || substr(word, i, 1) END)) AS piece
-        |  FROM words
-        |  UNION
-        |  SELECT unnest(['ta', '##ble', 'sc', '##an', 'wind', '##ow',
-        |    'val', '##ue', 'the', '##ast', 'me']) AS piece
-        |), cand AS (
-        |  SELECT word, p, l,
-        |    CASE WHEN p = 1 THEN substr(word, p, l)
-        |         ELSE '##' || substr(word, p, l) END AS piece
-        |  FROM words,
-        |    unnest(generate_series(1, length(word))) AS t(p),
-        |    unnest(generate_series(1,
-        |      least(4, length(word) - p + 1))) AS u(l)
-        |), best AS (
-        |  SELECT word, p, arg_max(piece, l) AS piece, max(l) AS l
-        |  FROM cand JOIN vocab USING (piece)
-        |  GROUP BY word, p
-        |), walk AS (
-        |  SELECT word, 1::BIGINT AS pos,
-        |    CAST([] AS VARCHAR[]) AS pieces, false AS unk
-        |  FROM words
-        |  UNION ALL
-        |  SELECT w.word, w.pos + coalesce(b.l, 1),
-        |    CASE WHEN b.piece IS NULL THEN w.pieces
-        |         ELSE list_append(w.pieces, b.piece) END,
-        |    w.unk OR b.piece IS NULL
-        |  FROM walk w LEFT JOIN best b
-        |    ON b.word = w.word AND b.p = w.pos
-        |  WHERE w.pos <= length(w.word)
-        |), segs AS (
-        |  SELECT word,
-        |    CASE WHEN unk THEN ['[UNK]'] ELSE pieces END AS pieces, unk
-        |  FROM walk WHERE pos > length(word)
-        |), tok AS (
-        |  SELECT doc_id, i AS pos, t[i + 1] AS word
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM documents),
-        |    unnest(range(len(t))) AS u(i)
-        |)
-        |SELECT doc_id,
-        |  string_agg(array_to_string(s.pieces, ' '), ' ' ORDER BY pos)
-        |    AS wp_text,
-        |  sum(len(s.pieces))::BIGINT AS n_pieces,
-        |  sum(CASE WHEN s.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk,
-        |  count(*) AS n_tok,
-        |  ((sum(len(s.pieces)) * 10000) // count(*))::BIGINT AS fertility_bp
-        |FROM tok JOIN segs s USING (word)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-    // Unigram-LM seed statistic: every substring up to 4 chars of
-    // every distinct word, weighted by word frequency — plain
-    // substring indexing both engines, integer counts, the training
-    // total order (cnt DESC, piece).
-    "q_unigram_seed" ->
-      """WITH w AS (
-        |  SELECT word, count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
-        |        FROM documents)
-        |  GROUP BY word
-        |), sub AS (
-        |  SELECT unnest(flatten(list_transform(
-        |      range(1, length(word) + 1), i ->
-        |    list_transform(range(i, least(length(word), i + 3) + 1),
-        |      k -> substr(word, i, k - i + 1))))) AS piece, cnt
-        |  FROM w
-        |)
-        |SELECT piece, sum(cnt)::BIGINT AS cnt
-        |FROM sub GROUP BY piece
-        |ORDER BY cnt DESC, piece
-        |LIMIT 50""".stripMargin,
-    // Injected-table unigram encode: recursive-CTE Viterbi (exact
-    // integer DP + backpointer walk — see
-    // UnigramEncodeInjectedOracle's scaladoc)
-    "q_unigram_encode_injected" -> UnigramEncodeInjectedOracle,
-    "q_span_corruption" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id, tk, len(tk) AS n, (len(tk) + 9) // 10 AS nb
-        |  FROM t
-        |), blk AS (
-        |  SELECT doc_id, tk, i AS b, least(10, n - i*10) AS blen
-        |  FROM d, unnest(range(nb)) AS u(i)
-        |), jj AS (
-        |  SELECT *, CASE WHEN blen >= 3 THEN
-        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
-        |         b::VARCHAR),1,15))::BIGINT % (blen - 3 + 1) END AS j
-        |  FROM blk
-        |), piece AS (
-        |  SELECT doc_id, b, j,
-        |    CASE WHEN j IS NULL
-        |    THEN array_to_string(tk[b*10+1 : b*10+blen], ' ')
-        |    ELSE array_to_string(list_concat(list_concat(
-        |           tk[b*10+1 : b*10+j],
-        |           ['<extra_id_' || b || '>']),
-        |           tk[b*10+j+4 : b*10+blen]), ' ')
-        |    END AS mp,
-        |    CASE WHEN j IS NOT NULL THEN '<extra_id_' || b || '> ' ||
-        |      array_to_string(tk[b*10+j+1 : b*10+j+3], ' ') END AS tp
-        |  FROM jj
-        |)
-        |SELECT doc_id, count(j) AS n_spans,
-        |  string_agg(mp, ' ' ORDER BY b) AS masked_text,
-        |  coalesce(string_agg(tp, ' ' ORDER BY b), '') AS target_text
-        |FROM piece GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS fp_md5, min(doc_id) AS keep_doc_id,
-        |  count(*) AS n_copies
-        |FROM documents
-        |GROUP BY md5(text)
-        |ORDER BY fp_md5""".stripMargin,
-    "q_dedup_keep" ->
-      """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY md5(text)
-        |  ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
-    // Exact 3-gram Jaccard >= 0.8 via inverted-index join, with the
-    // default df <= 1000 posting-list cap (never binding on this
-    // corpus — max df 7 — but encoded in the oracle so the semantics
-    // stay exact at any scale). q_dedup_minhash keeps the UNCAPPED
-    // oracle: minhashLsh has no df cap, and at r=4,b=16 the LSH miss
-    // probability for s>=0.8 pairs is negligible on this corpus.
-    "q_dedup_ngram" -> dedupNgramOracleCapped(1000L),
-    "q_dedup_ngram_df" -> dedupNgramOracleCapped(5L),
-    // the rows q_dedup_ngram_df's cap drops: distinct-shingle df > 5
-    "q_dedup_stop_shingles" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |)
-        |SELECT s AS shingle, count(*) AS df
-        |FROM sh
-        |GROUP BY s HAVING count(*) > 5
-        |ORDER BY shingle""".stripMargin,
-    "q_dedup_minhash" -> DedupNgramOracle,
-    // Containment: the capped shingle index both engines, directed
-    // ratio common/|sub|, integer cross-multiplied threshold
-    "q_dedup_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), kept AS (
-        |  SELECT sh.* FROM sh
-        |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)
-        |    k USING (s)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    count(*) AS common
-        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), directed AS (
-        |  SELECT doc_a AS doc_sub, doc_b AS doc_sup, common,
-        |    sa.n AS n_sub
-        |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
-        |  UNION ALL
-        |  SELECT doc_b, doc_a, common, sb.n
-        |  FROM pairs JOIN sizes sb ON sb.doc_id = doc_b
-        |)
-        |SELECT doc_sub, doc_sup,
-        |  round(common::DOUBLE / n_sub, 4) AS containment
-        |FROM directed
-        |WHERE common * 10000 >= n_sub * 9000
-        |ORDER BY doc_sub, doc_sup""".stripMargin,
-    // Per-source diversity: same minhash statistic grouped by source
-    "q_dedup_diversity_src" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, source,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), mins AS (
-        |  SELECT source, doc_id, i.i,
-        |    min(('0x' || substr(md5(s || ':' || i.i::VARCHAR), 1, 15))
-        |      ::BIGINT) AS mh
-        |  FROM sh, unnest(range(16)) AS i(i)
-        |  GROUP BY source, doc_id, i.i
-        |), cnts AS (
-        |  SELECT source, i, mh, count(*) AS c
-        |  FROM mins GROUP BY source, i, mh
-        |), agg AS (
-        |  SELECT source,
-        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
-        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
-        |  FROM cnts GROUP BY source
-        |)
-        |SELECT source, n_docs,
-        |  (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs, collisions,
-        |  (CASE WHEN n_docs >= 2 THEN
-        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
-        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
-        |FROM agg ORDER BY source""".stripMargin,
-    // Diversity: identical md5-minhash components, identical
-    // collision count arithmetic — the estimator replayed exactly
-    "q_dedup_diversity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), mins AS (
-        |  SELECT doc_id, i.i,
-        |    min(('0x' || substr(md5(s || ':' || i.i::VARCHAR), 1, 15))
-        |      ::BIGINT) AS mh
-        |  FROM sh, unnest(range(16)) AS i(i)
-        |  GROUP BY doc_id, i.i
-        |), cnts AS (
-        |  SELECT i, mh, count(*) AS c FROM mins GROUP BY i, mh
-        |), agg AS (
-        |  SELECT
-        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
-        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
-        |  FROM cnts
-        |)
-        |SELECT n_docs, (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs,
-        |  16::BIGINT AS n_components, collisions,
-        |  (CASE WHEN n_docs >= 2 THEN
-        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
-        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
-        |FROM agg""".stripMargin,
-    // Prefix-filtered AllPairs join: IDENTICAL answer to an uncapped
-    // exact-Jaccard run (the oracle only sees the answer — the
-    // prefix candidate cut is a plan property, pinned in DedupSpec)
-    "q_dedup_prefix" -> DedupNgramOracle,
-    // Cross-source duplication matrix over the planted corpus: exact
-    // pairs from per-(md5, source) count arithmetic (c*(c-1)//2
-    // within, c_a*c_b across — integer both engines), near pairs from
-    // the capped-Jaccard pair relation attributed via least/greatest
-    // source normalization. The `aug` CTE replays the Spark-side
-    // plant: mirror copies of doc_id % 7 == 0 docs, same-source
-    // re-deliveries of doc_id % 13 == 0.
-    "q_dedup_sources" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
-        |  WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text, source FROM documents
-        |  WHERE doc_id % 13 = 0
-        |), fpc AS (
-        |  SELECT md5(text) AS fp, source, count(*)::BIGINT AS c
-        |  FROM aug GROUP BY 1, 2
-        |), ex AS (
-        |  SELECT src_a, src_b, sum(np)::BIGINT AS n_exact_pairs FROM (
-        |    SELECT source AS src_a, source AS src_b,
-        |      c * (c - 1) // 2 AS np FROM fpc
-        |    UNION ALL
-        |    SELECT a.source, b.source, a.c * b.c
-        |    FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.source < b.source
-        |  ) GROUP BY 1, 2 HAVING sum(np) > 0
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM aug
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), keep AS (
-        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
-        |), shb AS (
-        |  SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), jp AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
-        |), nr AS (
-        |  SELECT least(da.source, db.source) AS src_a,
-        |    greatest(da.source, db.source) AS src_b,
-        |    count(*)::BIGINT AS n_near_pairs
-        |  FROM jp JOIN aug da ON da.doc_id = jp.doc_a
-        |    JOIN aug db ON db.doc_id = jp.doc_b
-        |  GROUP BY 1, 2
-        |)
-        |SELECT coalesce(ex.src_a, nr.src_a) AS src_a,
-        |  coalesce(ex.src_b, nr.src_b) AS src_b,
-        |  coalesce(n_exact_pairs, 0)::BIGINT AS n_exact_pairs,
-        |  coalesce(n_near_pairs, 0)::BIGINT AS n_near_pairs
-        |FROM ex FULL JOIN nr
-        |  ON ex.src_a = nr.src_a AND ex.src_b = nr.src_b
-        |ORDER BY src_a, src_b""".stripMargin,
-    // Frequency-vector cosine: integer tf products/norms (order-
-    // independent sums), float only in the final sqrt/divide; the
-    // df <= 1000 cap prunes the vector space identically in both
-    // engines before norms are computed.
-    "q_dedup_ngram_cosine" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), tf AS (
-        |  SELECT doc_id, s, count(*) AS tf FROM g GROUP BY 1, 2
-        |), keep AS (
-        |  SELECT s FROM tf GROUP BY s HAVING count(*) <= 1000
-        |), k AS (
-        |  SELECT tf.* FROM tf JOIN keep USING (s)
-        |), n2 AS (
-        |  SELECT doc_id, sum(tf * tf) AS n2 FROM k GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    sum(a.tf * b.tf) AS dot
-        |  FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  round(dot::DOUBLE / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
-        |FROM pairs
-        |JOIN n2 na ON na.doc_id = doc_a
-        |JOIN n2 nb ON nb.doc_id = doc_b
-        |WHERE dot::DOUBLE / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // Incremental exact dedup: the oracle rebuilds the same integer
-    // split/plant arithmetic as Dedup.splitIncremental (base = doc_id
-    // % 4 != 0; batch = new docs + re-keyed copies + re-deliveries),
-    // then drops batch rows whose md5 exists in base and keeps the
-    // first batch row per remaining fingerprint.
-    "q_dedup_incr_exact" ->
-      """WITH base AS (
-        |  SELECT * FROM documents WHERE doc_id % 4 != 0
-        |), batch AS (
-        |  SELECT doc_id, text, lang, source
-        |  FROM documents WHERE doc_id % 4 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, source
-        |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text, lang, source
-        |  FROM base WHERE doc_id % 7 = 1
-        |)
-        |SELECT doc_id, lang, source, md5(text) AS fp_md5
-        |FROM batch
-        |WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
-        |QUALIFY row_number() OVER (PARTITION BY md5(text)
-        |  ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
-    // Incremental near-dup probe: exact cross-set 3-gram Jaccard
-    // between the batch (doc_id % 4 = 0) and base slices — the
-    // minhash banding finds these pairs with ~1e-22 miss probability,
-    // and every candidate is exact-verified, so the SQL join is the
-    // oracle (same argument as q_dedup_minhash).
-    "q_dedup_incr_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
-        |    count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_batch, doc_base,
-        |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = doc_base
-        |JOIN sizes sb ON sb.doc_id = doc_batch
-        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
-        |ORDER BY doc_batch, doc_base""".stripMargin,
-    "q_dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
-        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
-        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |)
-        |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
-        |FROM p
-        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
-    // Injected-plane LSH near-dup (the q_ann_lsh_injected convention):
-    // table t's bucket bit j = (v[4t+j+1] > 0) exactly (each axis
-    // plane's dot folds to the coordinate), candidates = DISTINCT
-    // co-bucket pairs across the 4 tables, then the exact-cosine
-    // verification of q_dedup_embedding's oracle.
-    "q_dedup_embedding_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), bk AS (
-        |  SELECT vec_id, t.t AS t,
-        |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 2] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 3] > 0 THEN 4 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM e, unnest([0, 1, 2, 3]) AS t(t)
-        |), cand AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM bk x JOIN bk y
-        |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-        |), p AS (
-        |  SELECT vec_a, vec_b,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
-        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
-        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
-        |  FROM cand JOIN e a ON a.vec_id = cand.vec_a
-        |    JOIN e b ON b.vec_id = cand.vec_b
-        |)
-        |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
-        |FROM p
-        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
-    // Incremental embedding near-dup: the injected-plane bucket CTE
-    // split cross-set (batch vec_id % 4 = 0 probes the base index),
-    // then the same exact-cosine verification
-    "q_dedup_incr_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), bk AS (
-        |  SELECT vec_id, t.t AS t,
-        |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 2] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 3] > 0 THEN 4 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM e, unnest([0, 1, 2, 3]) AS t(t)
-        |), cand AS (
-        |  SELECT DISTINCT q.vec_id AS vec_batch, b.vec_id AS vec_base
-        |  FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
-        |  WHERE q.vec_id % 4 = 0 AND b.vec_id % 4 != 0
-        |), p AS (
-        |  SELECT vec_batch, vec_base,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
-        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
-        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
-        |  FROM cand JOIN e a ON a.vec_id = cand.vec_batch
-        |    JOIN e b ON b.vec_id = cand.vec_base
-        |)
-        |SELECT vec_batch, vec_base,
-        |  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
-        |FROM p
-        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
-        |ORDER BY vec_batch, vec_base""".stripMargin,
-    // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
-    // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
-    // the same IEEE double ops Spark's plantNearDups runs, so the
-    // planted vectors (and their cosines) match bit-for-bit.
-    "q_dedup_embedding_lsh09" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), pl AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(range(len(v)),
-        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
-        |  FROM base WHERE vec_id % 5 = 0
-        |), e AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM pl
-        |), p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
-        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
-        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |)
-        |SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
-        |FROM p
-        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
-        |ORDER BY vec_a, vec_b""".stripMargin,
-    // SemDeDup at nCells = 1 == the global keep-smallest-id rule:
-    // survivors are vectors with NO smaller-id neighbor at cos >= 0.9
-    // over the planted corpus (same planted CTE as lsh09; the spec
-    // pins the cell path's equality to this rule). Output is id-only,
-    // so the only engine-agreement surface is the >= comparison on
-    // bit-identical doubles.
-    "q_dedup_semantic" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), pl AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(range(len(v)),
-        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
-        |  FROM base WHERE vec_id % 5 = 0
-        |), e AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM pl
-        |), dropped AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k]))
-        |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-        |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
-        |)
-        |SELECT e.vec_id FROM e
-        |LEFT JOIN dropped d ON d.vec_id = e.vec_id
-        |WHERE d.vec_id IS NULL
-        |ORDER BY e.vec_id""".stripMargin,
-    // Injected axis-aligned centroids make the cell argmax exact SQL:
-    // dot(v, e_k) folds to v[k] bit-for-bit (the zero terms add ±0.0),
-    // and Spark's array_position-of-array_max picks the FIRST maximal
-    // cell — the CASE ladder below is that same first-max tie-break.
-    // Cosine/planting arithmetic identical to q_dedup_semantic's.
-    "q_dedup_semantic_cells" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), pl AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(range(len(v)),
-        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
-        |  FROM base WHERE vec_id % 5 = 0
-        |), e0 AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM pl
-        |), e AS (
-        |  SELECT vec_id, v,
-        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
-        |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell
-        |  FROM e0
-        |), dropped AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.cell = b.cell
-        |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k]))
-        |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-        |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.9
-        |)
-        |SELECT e.vec_id FROM e
-        |LEFT JOIN dropped d ON d.vec_id = e.vec_id
-        |WHERE d.vec_id IS NULL
-        |ORDER BY e.vec_id""".stripMargin,
-    // Cross-set face of the q_dedup_simhash oracle below: same
-    // fingerprint CTEs, base x batch join on the % 4 split.
-    "q_dedup_incr_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |  FROM documents
-        |), th AS (
-        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
-        |  FROM toks
-        |), bitsum AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th, unnest(range(60)) AS b(i)
-        |  GROUP BY doc_id, i
-        |), fp AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
-        |  FROM bitsum GROUP BY doc_id
-        |)
-        |SELECT q.doc_id AS doc_batch, b.doc_id AS doc_base,
-        |  bit_count(xor(q.simhash, b.simhash)) AS hamming
-        |FROM fp q JOIN fp b
-        |  ON q.doc_id % 4 = 0 AND b.doc_id % 4 != 0
-        |WHERE bit_count(xor(q.simhash, b.simhash)) <= 3
-        |ORDER BY doc_batch, doc_base""".stripMargin,
-    // q_dedup_simhash: the 60-bit md5-derived token hash is computed
-    // identically by both engines; the oracle is the brute-force
-    // self-join, which equals the banded query exactly for
-    // maxHamming <= 3 (pigeonhole over 4 disjoint 15-bit bands).
-    "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |  FROM documents
-        |), th AS (
-        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
-        |  FROM toks
-        |), bitsum AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th, unnest(range(60)) AS b(i)
-        |  GROUP BY doc_id, i
-        |), fp AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
-        |  FROM bitsum GROUP BY doc_id
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // RRF fusion: the q_bm25 leg re-ranked at n=50, the
-    // q_ann_bruteforce leg for query vec 0 at n=50, full-outer merge,
-    // 1/(60+rank) sums — integer ranks, ≤2-term double sum, 6-dp round
-    "q_retrieval_rrf" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
-        |          AS term FROM documents)
-        |  GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, term, tf,
-        |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
-        |), fil AS (
-        |  SELECT *, count(*) OVER (PARTITION BY term) AS df
-        |  FROM dl WHERE term IN ('spark', 'window', 'scan')
-        |), sc AS (
-        |  SELECT count(*) AS n_docs,
-        |    sum(len(regexp_extract_all(text, '\S+'))) AS n_tok_total
-        |  FROM documents
-        |), scored AS (
-        |  SELECT f.doc_id,
-        |    ln(1 + (sc.n_docs - f.df + 0.5) / (f.df + 0.5))
-        |      * (f.tf * 2.2)
-        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
-        |           / (sc.n_tok_total::DOUBLE / sc.n_docs))) AS contrib
-        |  FROM fil f, sc
-        |), lex AS (
-        |  SELECT doc_id, row_number() OVER (
-        |    ORDER BY score DESC, doc_id ASC) AS lex_rank
-        |  FROM (SELECT doc_id, round(sum(contrib), 4) AS score
-        |        FROM scored GROUP BY doc_id
-        |        ORDER BY score DESC, doc_id ASC LIMIT 50)
-        |), e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), q AS (SELECT v AS qv FROM e WHERE vec_id = 0
-        |), p AS (
-        |  SELECT vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM q, e WHERE vec_id <> 0
-        |), dense AS (
-        |  SELECT vec_id AS doc_id, rank AS vec_rank FROM (
-        |    SELECT vec_id, row_number() OVER (
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |    FROM p
-        |  ) WHERE rank <= 50
-        |), fused AS (
-        |  SELECT doc_id,
-        |    coalesce(lex_rank, 0) AS lex_rank,
-        |    coalesce(vec_rank, 0) AS vec_rank,
-        |    round(
-        |      CASE WHEN coalesce(lex_rank, 0) > 0
-        |        THEN 1.0 / (60.0 + lex_rank) ELSE 0.0 END +
-        |      CASE WHEN coalesce(vec_rank, 0) > 0
-        |        THEN 1.0 / (60.0 + vec_rank) ELSE 0.0 END, 6) AS rrf
-        |  FROM lex FULL JOIN dense USING (doc_id)
-        |)
-        |SELECT doc_id, lex_rank, vec_rank, rrf
-        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
-        |ORDER BY doc_id""".stripMargin,
-    "q_ann_bruteforce" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
-        |), p AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM q JOIN e ON vec_id <> query_id
-        |), s AS (
-        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-    // 1-bit sign quantization: identical 32-bit-word packing replayed
-    // with shift-and-add — bit 31 = 2^31 stays far from the BIGINT
-    // sign bit, so both engines build identical non-negative integers
-    "q_embed_binary" ->
-      """SELECT vec_id,
-        |  array_to_string(list_transform(range(0, 2), wd ->
-        |    (list_sum(list_transform(range(0, 32), i ->
-        |      CASE WHEN wd * 32 + i < 64
-        |             AND embedding[wd * 32 + i + 1] >= 0
-        |        THEN (1::BIGINT << i) ELSE 0::BIGINT END)))::BIGINT
-        |      ::VARCHAR), ',') AS bits_csv,
-        |  list_sum(list_transform(embedding, x ->
-        |    CASE WHEN x >= 0 THEN 1 ELSE 0 END))::BIGINT AS n_pos
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    // Hamming-candidate ANN: hamming over sign bits == the
-    // sign-disagreement count, computed here straight off the floats;
-    // then the exact-cosine rerank in the bruteforce oracle's idiom
-    "q_ann_hamming" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding AS f,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, f AS qf, v AS qv
-        |  FROM e WHERE vec_id < 5
-        |), h AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, 65), i ->
-        |      CASE WHEN (f[i] >= 0) <> (qf[i] >= 0) THEN 1 ELSE 0
-        |      END))::BIGINT AS hamming
-        |  FROM e, q WHERE vec_id <> query_id
-        |), cand AS (
-        |  SELECT query_id, vec_id, hamming FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY hamming, vec_id) AS hr FROM h)
-        |  WHERE hr <= 50
-        |), p AS (
-        |  SELECT c.query_id, c.vec_id, c.hamming,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM cand c JOIN e USING (vec_id) JOIN q USING (query_id)
-        |), s AS (
-        |  SELECT query_id, vec_id, hamming,
-        |    dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, hamming, round(cos, 4) + 0.0 AS cos,
-        |  rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-    // Matryoshka truncation audit: each tier's cosine over the
-    // shared prefix, rank per (query, tier), integer overlap vs the
-    // tier-0 (full-dim) set — recall_bp is exact integer arithmetic
-    "q_embed_mrl" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
-        |), tiers(trunc_dim) AS (VALUES (0), (8), (16), (32)
-        |), sc AS (
-        |  SELECT t.trunc_dim, query_id, vec_id,
-        |    list_sum(list_transform(range(1,
-        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
-        |             ELSE t.trunc_dim + 1 END),
-        |      i -> qv[i] * v[i])) /
-        |    (sqrt(list_sum(list_transform(range(1,
-        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
-        |             ELSE t.trunc_dim + 1 END),
-        |      i -> qv[i] * qv[i]))) *
-        |     sqrt(list_sum(list_transform(range(1,
-        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
-        |             ELSE t.trunc_dim + 1 END),
-        |      i -> v[i] * v[i])))) AS cos
-        |  FROM e, q, tiers t WHERE vec_id <> query_id
-        |), topk AS (
-        |  SELECT trunc_dim, query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id, trunc_dim
-        |      ORDER BY cos DESC, vec_id) AS r FROM sc)
-        |  WHERE r <= 10
-        |), full_set AS (
-        |  SELECT query_id, vec_id FROM topk WHERE trunc_dim = 0
-        |)
-        |SELECT t.trunc_dim, t.query_id,
-        |  sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    ::BIGINT AS overlap,
-        |  ((sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    * 10000) // 10)::BIGINT AS recall_bp
-        |FROM topk t LEFT JOIN full_set f
-        |  ON f.query_id = t.query_id AND f.vec_id = t.vec_id
-        |WHERE t.trunc_dim <> 0
-        |GROUP BY t.trunc_dim, t.query_id
-        |ORDER BY t.trunc_dim, t.query_id""".stripMargin,
-    // RBO vs full dim: same tier ranking as q_embed_mrl, common
-    // elements pair on (query, vec), contribution = the E12 suffix
-    // sum at max(rank, full_rank) — the literal table below is the
-    // operator's own (repeated-multiplication IEEE arithmetic, so
-    // both generations are bit-identical); (1-p) = 1/10 is the DIV
-    "q_embed_rbo" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
-        |), tiers(trunc_dim) AS (VALUES (0), (8), (16), (32)
-        |), sc AS (
-        |  SELECT t.trunc_dim, query_id, vec_id,
-        |    list_sum(list_transform(range(1,
-        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
-        |             ELSE t.trunc_dim + 1 END),
-        |      i -> qv[i] * v[i])) /
-        |    (sqrt(list_sum(list_transform(range(1,
-        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
-        |             ELSE t.trunc_dim + 1 END),
-        |      i -> qv[i] * qv[i]))) *
-        |     sqrt(list_sum(list_transform(range(1,
-        |        CASE WHEN t.trunc_dim = 0 THEN len(qv) + 1
-        |             ELSE t.trunc_dim + 1 END),
-        |      i -> v[i] * v[i])))) AS cos
-        |  FROM e, q, tiers t WHERE vec_id <> query_id
-        |), topk AS (
-        |  SELECT trunc_dim, query_id, vec_id, r AS rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id, trunc_dim
-        |      ORDER BY cos DESC, vec_id) AS r FROM sc)
-        |  WHERE r <= 10
-        |), paired AS (
-        |  SELECT t.trunc_dim, t.query_id,
-        |    ([2354163994257, 1354163994257, 904163994257,
-        |      634163994257, 451913994257, 320693994257,
-        |      222278994257, 146358851400, 86571738900,
-        |      38742048900])[greatest(t.rank, f.rank)] AS s_e12
-        |  FROM topk t JOIN topk f
-        |    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
-        |      AND f.trunc_dim = 0
-        |  WHERE t.trunc_dim <> 0
-        |)
-        |SELECT trunc_dim, query_id, count(*)::BIGINT AS n_common,
-        |  (sum(s_e12) // 10)::BIGINT AS rbo_e12
-        |FROM paired GROUP BY trunc_dim, query_id
-        |ORDER BY trunc_dim, query_id""".stripMargin,
-    // Injected-centroid IVF: dot(v, e_k) folds to v[k] (±0.0 terms
-    // collapse under comparison), first-argmax = the CASE ladder,
-    // probe ranking = (score DESC, cell ASC), then the exact cosine
-    // rerank over ONLY the probed cells' members — the oracle models
-    // the same candidate cuts the operator makes.
-    "q_ann_ivf_injected" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), cellq AS (
-        |  SELECT vec_id, v,
-        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
-        |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell
-        |  FROM e
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
-        |), probes AS (
-        |  SELECT query_id, qv, cell FROM (
-        |    SELECT query_id, qv, u.c AS cell,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY qv[u.c + 1] DESC, u.c) AS r
-        |    FROM q, unnest([0, 1, 2]) AS u(c)
-        |  ) WHERE r <= 2
-        |), p AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM probes JOIN cellq USING (cell)
-        |  WHERE vec_id <> query_id
-        |), s AS (
-        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-    // Injected-plane LSH: bucket bit j = (v[j+1] > 0) exactly (the
-    // axis plane's dot folds to the coordinate), multi-probe =
-    // xor with each popcount<=1 mask, candidates = bucket-union
-    // DISTINCT pairs, then the bruteforce oracle's cosine rerank
-    "q_ann_lsh_injected" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), b AS (
-        |  SELECT vec_id, v,
-        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
-        |     CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
-        |     CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM e
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv, bucket AS qb
-        |  FROM b WHERE vec_id < 5
-        |), probes AS (
-        |  SELECT query_id, xor(qb::BIGINT, m.m::BIGINT) AS bucket
-        |  FROM q, unnest([0, 1, 2, 4, 8]) AS m(m)
-        |), cand AS (
-        |  SELECT DISTINCT query_id, vec_id
-        |  FROM probes JOIN b ON b.bucket = probes.bucket
-        |  WHERE vec_id <> query_id
-        |), p AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM cand c JOIN e USING (vec_id) JOIN q USING (query_id)
-        |), s AS (
-        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-    // Injected-codebook PQ: code bit m = (v[8m+1] > 0) exactly (the
-    // ±e1 centroids' argmax folds to the coordinate sign), ADC approx
-    // dot = sum of ±q[8m+1] in subspace order, refine keeps the top
-    // 40 by approx (vec_id tie-break), then the bruteforce oracle's
-    // exact-cosine rerank emits the top 10
-    "q_ann_pq_injected" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM e
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnorm
-        |  FROM n WHERE vec_id < 5
-        |), adc AS (
-        |  SELECT query_id, vec_id, qv, v,
-        |    list_sum(list_transform([0, 1, 2, 3, 4, 5, 6, 7],
-        |      m -> CASE WHEN v[8 * m + 1] > 0
-        |           THEN qv[8 * m + 1] ELSE -qv[8 * m + 1] END))
-        |      / (qnorm * nrm) AS approx
-        |  FROM n CROSS JOIN q
-        |  WHERE vec_id <> query_id
-        |), cut AS (
-        |  SELECT query_id, vec_id, qv, v,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY approx DESC, vec_id) AS ar
-        |  FROM adc
-        |), p AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM cut WHERE ar <= 40
-        |), s AS (
-        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-    // semantic decontamination: rounded-cosine threshold join of the
-    // corpus against the broadcast benchmark slice
-    "q_sem_decontaminate" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), pl AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(range(len(v)),
-        |      i -> v[i + 1] * 0.97 + v[len(v) - i] * 0.03) AS v
-        |  FROM base WHERE vec_id % 5 = 0
-        |), e AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM pl
-        |), b AS (
-        |  SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 97 = 0
-        |), c AS (
-        |  SELECT vec_id, v FROM e WHERE vec_id % 97 != 0
-        |), p AS (
-        |  SELECT vec_id, round(
-        |    list_sum(list_transform(range(1, len(v) + 1),
-        |      i -> v[i] * bv[i])) /
-        |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |     sqrt(list_sum(list_transform(bv, x -> x * x)))), 4) AS cos
-        |  FROM c CROSS JOIN b
-        |)
-        |SELECT vec_id, count(*) AS n_bench_hits, max(cos) AS max_cos
-        |FROM p WHERE cos >= 0.9
-        |GROUP BY vec_id
-        |ORDER BY vec_id""".stripMargin,
-    // hard negatives: q_ann_bruteforce's oracle with the self-match
-    // predicate replaced by label inequality, labels carried through
-    "q_hard_negatives" ->
-      """WITH e AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, label AS q_label, v AS qv
-        |  FROM e WHERE vec_id < 5
-        |), p AS (
-        |  SELECT query_id, q_label, vec_id, label,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM q JOIN e ON label <> q_label
-        |), s AS (
-        |  SELECT query_id, q_label, vec_id, label,
-        |    dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, q_label, vec_id, label,
-        |  round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-    // Cohesion via the sum identity: both engines compute
-    // (||sum u||^2 - n) / (n(n-1)) over identical unit vectors; only
-    // the row-order of the dim sums differs (ulps under the rounding).
-    "q_embed_cohesion" ->
-      """WITH v AS (
-        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), nrm AS (
-        |  SELECT label, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
-        |  FROM v
-        |), u AS (
-        |  SELECT label, list_transform(v, x -> x / nr) AS u
-        |  FROM nrm WHERE nr > 0
-        |), e AS (
-        |  SELECT label, unnest(u) AS x, generate_subscripts(u, 1) AS i
-        |  FROM u
-        |), s AS (
-        |  SELECT label, i, sum(x) AS s FROM e GROUP BY 1, 2
-        |), agg AS (
-        |  SELECT label, sum(s * s) AS sumsq FROM s GROUP BY 1
-        |), cnt AS (
-        |  SELECT label, count(*) AS n FROM u GROUP BY 1
-        |)
-        |SELECT label, n, round((sumsq - n) / (n * (n - 1.0)), 4) + 0.0
-        |  AS mean_cos
-        |FROM agg JOIN cnt USING (label)
-        |WHERE n >= 2
-        |ORDER BY label""".stripMargin,
-    // every arithmetic step forced to double so floor lands on the
-    // identical IEEE value in both engines
-    "q_embed_int8" ->
-      """WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
-        |      AS scale
-        |  FROM embeddings
-        |)
-        |SELECT vec_id, scale,
-        |  array_to_string(CASE WHEN scale = 0
-        |    THEN list_transform(embedding, x -> 0)
-        |    ELSE list_transform(embedding,
-        |      x -> CAST(floor(x::DOUBLE * 127 / scale + 0.5) AS INT))
-        |  END, ',') AS codes_csv
-        |FROM s
-        |ORDER BY vec_id""".stripMargin,
-    // q_ann_lsh: intentionally no oracle — approximate recall by design
-    // (rows-only check); its precision is asserted against the exact
-    // brute-force path in SimilaritySpec.
-    "q_events_tumbling" ->
-      """SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    // rate anomalies: variance from exact integer sums (n, Σx, Σx²)
-    // with the identical explicit formula — never the engine's stddev
-    // aggregate; + 0.0 normalizes IEEE -0.0 from rounded tiny z's
-    "q_events_anomaly" ->
-      """WITH h AS (
-        |  SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2
-        |), st AS (
-        |  SELECT event_type, count(*) AS nw,
-        |    sum(n_events) AS s1, sum(n_events * n_events) AS s2
-        |  FROM h GROUP BY event_type
-        |)
-        |SELECT h.event_type, h.w_start, h.n_events,
-        |  round(s1::DOUBLE / nw, 4) AS mean_events,
-        |  round(CASE WHEN (s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw > 0
-        |    THEN (h.n_events - s1::DOUBLE / nw)
-        |      / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw)
-        |    ELSE 0.0 END, 4) + 0.0 AS z
-        |FROM h JOIN st USING (event_type)
-        |ORDER BY h.event_type, h.w_start""".stripMargin,
-    // user-journey transitions: lead() in the identical total order
-    "q_events_transitions" ->
-      """WITH s AS (
-        |  SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS next_type
-        |  FROM events
-        |)
-        |SELECT event_type AS from_type, next_type AS to_type,
-        |  count(*) AS n
-        |FROM s WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    // Tukey fences from exact interpolated quartiles — identical IEEE
-    // fence arithmetic, comparison on unrounded values, rounded output
-    // Integer-exact Tukey fences: E4-quantized values, closed integer
-    // interpolation at (n-1)/4 and 3(n-1)/4 (4*quartile = 4*x[i] +
-    // rem*(x[i+1]-x[i])), fences scaled by 400 — the outlier compare
-    // is long-vs-long on both engines; floats appear only in the
-    // rounded output fences (identical integer inputs, identical ops)
-    "q_events_outliers" ->
-      """WITH ev AS (
-        |  SELECT event_type,
-        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
-        |  FROM events
-        |), r AS (
-        |  SELECT event_type, v_e4,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY v_e4)
-        |      AS r,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM ev
-        |), st AS (
-        |  SELECT event_type,
-        |    max(CASE WHEN r - 1 = (n - 1) // 4 THEN v_e4 END) AS x25,
-        |    max(CASE WHEN r - 1 = (n - 1) // 4 + 1 THEN v_e4 END) AS x25b,
-        |    max(CASE WHEN r - 1 = (3 * (n - 1)) // 4 THEN v_e4 END) AS x75,
-        |    max(CASE WHEN r - 1 = (3 * (n - 1)) // 4 + 1 THEN v_e4 END) AS x75b,
-        |    max((n - 1) % 4) AS m25, max((3 * (n - 1)) % 4) AS m75
-        |  FROM r GROUP BY event_type
-        |), f AS (
-        |  SELECT event_type,
-        |    4 * x25 + m25 * (coalesce(x25b, x25) - x25) AS p25q4,
-        |    4 * x75 + m75 * (coalesce(x75b, x75) - x75) AS p75q4
-        |  FROM st
-        |), b AS (
-        |  SELECT event_type,
-        |    100 * p25q4 - 150 * (p75q4 - p25q4) AS lo400,
-        |    100 * p75q4 + 150 * (p75q4 - p25q4) AS hi400
-        |  FROM f
-        |)
-        |SELECT e.event_type, count(*) AS n_events,
-        |  sum(CASE WHEN e.v_e4 * 400 < b.lo400 OR e.v_e4 * 400 > b.hi400
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-        |  sum(CASE WHEN e.v_e4 * 400 < b.lo400 OR e.v_e4 * 400 > b.hi400
-        |      THEN 1 ELSE 0 END)::BIGINT * 10000 // count(*) AS outlier_bp,
-        |  floor(min(b.lo400) / 400.0 + 0.5) / 10000.0 + 0.0 AS lo,
-        |  floor(min(b.hi400) / 400.0 + 0.5) / 10000.0 + 0.0 AS hi
-        |FROM ev e JOIN b USING (event_type)
-        |GROUP BY e.event_type
-        |ORDER BY e.event_type""".stripMargin,
-    // same-type inter-arrival gaps: exact integer µs, one rounded mean
-    // Staircase half-life decay: identical integer arithmetic —
-    // age = epoch-day bucket difference (aligned with the streaming
-    // histogram state), k = age DIV 7 clamped at 50, weight 2^(50-k)
-    // summed exactly (DuckDB sum(BIGINT) -> HUGEINT), integer divide
-    "q_events_decay" ->
-      """WITH s AS (
-        |  SELECT max(epoch_us(ts) // 86400000000) AS d_max FROM events
-        |), k AS (
-        |  SELECT event_type,
-        |    least((s.d_max - epoch_us(ts) // 86400000000) // 7,
-        |      50) AS kk
-        |  FROM events, s
-        |)
-        |SELECT event_type, count(*)::BIGINT AS n_events,
-        |  ((sum(1::BIGINT << CAST(50 - kk AS INT)) * 1000000)
-        |    // (1::BIGINT << 50))::BIGINT AS decay_e6
-        |FROM k GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    "q_events_gaps" ->
-      """WITH s AS (
-        |  SELECT event_type, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts, event_id) AS prev_us
-        |  FROM events
-        |), g AS (
-        |  SELECT event_type, us - prev_us AS gap_us
-        |  FROM s WHERE prev_us IS NOT NULL
-        |)
-        |SELECT event_type, count(*) AS n_gaps,
-        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
-        |  round(sum(gap_us)::DOUBLE / count(*), 4) AS mean_gap_us
-        |FROM g GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    // Spark's sliding window(ts, 1h, 15m): event belongs to the 4
-    // windows starting at trunc15(ts) - k*15min, k = 0..3, whose span
-    // still covers ts.
-    "q_events_sliding" ->
-      """SELECT w_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM (
-        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
-        |           - to_minutes(CAST(k.k * 15 AS BIGINT)) AS w_start,
-        |         event_type, value, ts
-        |  FROM events, (SELECT unnest(range(4)) AS k) k
-        |) t
-        |WHERE ts < w_start + INTERVAL '60 minutes'
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    // Gaps-and-islands reconstruction of session_window(ts, 30 min):
-    // session end = last event + gap.
-    "q_events_session" ->
-      """WITH o AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |), s AS (
-        |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o
-        |)
-        |SELECT user_id, min(ts) AS s_start,
-        |  max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n_events
-        |FROM s
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin,
-    "q_events_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        |  count(*) AS n_events,
-        |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
-        |        / count(*), 4) AS avg_value
-        |FROM events
-        |GROUP BY 1
-        |ORDER BY k""".stripMargin,
-    "q_events_top_users" ->
-      """WITH c AS (
-        |  SELECT event_type, user_id, count(*) AS n_events
-        |  FROM events GROUP BY 1, 2
-        |)
-        |SELECT event_type, user_id, n_events,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY n_events DESC, user_id) AS rank
-        |FROM c
-        |QUALIFY rank <= 5
-        |ORDER BY event_type, rank""".stripMargin,
-    // Same oracle as q_events_top_users: the bounded-heap aggregate
-    // must reproduce the window formulation bit-for-bit.
-    "q_events_topk_agg" ->
-      """WITH c AS (
-        |  SELECT event_type, user_id, count(*) AS n_events
-        |  FROM events GROUP BY 1, 2
-        |)
-        |SELECT event_type, user_id, n_events,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY n_events DESC, user_id) AS rank
-        |FROM c
-        |QUALIFY rank <= 5
-        |ORDER BY event_type, rank""".stripMargin,
-    "q_events_attrib" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
-        |  c.event_id AS click_id, c.ts AS c_ts
-        |FROM events p
-        |JOIN events c ON p.user_id = c.user_id
-        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
-        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |ORDER BY purchase_id, click_id""".stripMargin,
-    "q_events_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    // CMS point-frequency estimates == exact counts in the pinned
-    // no-collision regime (see the query comment).
-    "q_events_cms" ->
-      """SELECT event_type, count(*) AS cnt
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-    // Funnel: all comparisons on the µs-cast timestamp so both engines
-    // order events identically (source files store ns).
-    "q_events_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
-        |  WHERE user_id IS NOT NULL
-        |), v AS (
-        |  SELECT user_id, min(ts) AS t_view FROM e
-        |  WHERE event_type = 'view' GROUP BY 1
-        |), c AS (
-        |  SELECT e.user_id, min(e.ts) AS t_click
-        |  FROM e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
-        |), p AS (
-        |  SELECT e.user_id, min(e.ts) AS t_purchase
-        |  FROM e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
-        |)
-        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
-    // Interval join on the µs-cast timestamps (both engines compare
-    // the same integers). The naive form runs on the deterministic
-    // tenth of incidents (see the query comment); the binned twin
-    // covers the full set.
-    "q_events_interval" ->
-      """WITH i AS (
-        |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts
-        |  FROM events WHERE event_type = 'error' AND event_id % 100 = 0
-        |)
-        |SELECT e.event_id, i.inc_id
-        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-        |JOIN i ON e.ts >= i.inc_ts - INTERVAL 5 MINUTE
-        |      AND e.ts <= i.inc_ts + INTERVAL 5 MINUTE
-        |ORDER BY event_id, inc_id""".stripMargin,
-    "q_events_interval_binned" ->
-      """WITH i AS (
-        |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts
-        |  FROM events WHERE event_type = 'error'
-        |)
-        |SELECT e.event_id, i.inc_id
-        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-        |JOIN i ON e.ts >= i.inc_ts - INTERVAL 5 MINUTE
-        |      AND e.ts <= i.inc_ts + INTERVAL 5 MINUTE
-        |ORDER BY event_id, inc_id""".stripMargin,
-    // Retention matrix: date truncation is ns-safe (day boundaries are
-    // unaffected by the ns->us narrowing), DATE - DATE = integer days.
-    "q_events_retention" ->
-      """WITH days AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-        |  WHERE user_id IS NOT NULL
-        |), cohorts AS (
-        |  SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1
-        |)
-        |SELECT cohort_day, (d - cohort_day) AS day_offset,
-        |  count(DISTINCT user_id) AS n_users
-        |FROM days JOIN cohorts USING (user_id)
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    "q_rel_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    "q_rel_topn" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin,
-    "q_rel_nation_rev" ->
-      """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    "q_rel_pivot" ->
-      """SELECT o_orderpriority,
-        |  count(*) FILTER (o_orderstatus = 'F') AS F_n,
-        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4) AS F_price,
-        |  count(*) FILTER (o_orderstatus = 'O') AS O_n,
-        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4) AS O_price,
-        |  count(*) FILTER (o_orderstatus = 'P') AS P_n,
-        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4) AS P_price
-        |FROM orders
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-    "q_rel_rollup" ->
-      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
-        |  o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS sum_price
-        |FROM orders
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
-    "q_rel_cube" ->
-      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
-        |  o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS sum_price
-        |FROM orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
-    "q_rel_groupsets" ->
-      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
-        |  o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS sum_price
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-        |  (o_orderpriority), ())
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
-    "q_rel_semi" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin,
-    "q_rel_anti" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin,
-    "q_rel_setops" ->
-      """WITH by_seg AS (
-        |  SELECT c_custkey AS k FROM customer
-        |  WHERE c_mktsegment = 'BUILDING'
-        |), by_ord AS (
-        |  SELECT DISTINCT o_custkey AS k FROM orders
-        |  WHERE o_orderpriority = '1-URGENT'
-        |)
-        |SELECT 'union' AS op, k
-        |FROM (SELECT k FROM by_seg UNION SELECT k FROM by_ord)
-        |UNION ALL
-        |SELECT 'intersect', k
-        |FROM (SELECT k FROM by_seg INTERSECT SELECT k FROM by_ord)
-        |UNION ALL
-        |SELECT 'except', k
-        |FROM (SELECT k FROM by_seg EXCEPT SELECT k FROM by_ord)
-        |ORDER BY op, k""".stripMargin,
-    "q_rel_window" ->
-      """SELECT n_name, rank, c_custkey, acctbal FROM (
-        |  SELECT n_name,
-        |    row_number() OVER (PARTITION BY n_name
-        |      ORDER BY c_acctbal DESC, c_custkey) AS rank,
-        |    c_custkey, round(c_acctbal, 4) AS acctbal
-        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
-        |WHERE rank <= 3
-        |ORDER BY n_name, rank""".stripMargin,
-    "q_rel_runsum" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
-        |FROM orders
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
-    "q_rel_nav" ->
-      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
-        |  epoch_us(o_orderdate) - epoch_us(lag(o_orderdate, 1) OVER w)
-        |    AS gap_us,
-        |  lead(o_orderkey, 1) OVER w AS next_key,
-        |  ntile(4) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_totalprice, o_orderkey) AS price_quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |  ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
-    "q_rel_trailing" ->
-      """SELECT o_orderkey, o_custkey, o_orderdate,
-        |  count(*) OVER w AS n_7d,
-        |  round(sum(o_totalprice) OVER w, 4) AS spend_7d
-        |FROM (SELECT *, epoch_us(o_orderdate) AS t_us FROM orders)
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us
-        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin,
-    // FK integrity: per-edge child/null/orphan counts; the thinned
-    // edge makes orphans non-zero, the rest pin the clean case
-    "q_rel_integrity" ->
-      """WITH e1 AS (
-        |  SELECT count(*) AS n_child,
-        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
-        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
-        |      AND l_orderkey NOT IN (
-        |        SELECT o_orderkey FROM orders WHERE o_orderkey % 97 != 0))
-        |      AS n_orphans
-        |  FROM lineitem
-        |), e2 AS (
-        |  SELECT count(*) AS n_child,
-        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
-        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
-        |  FROM orders
-        |), e3 AS (
-        |  SELECT count(*) AS n_child,
-        |    sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
-        |      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
-        |  FROM customer
-        |), e4 AS (
-        |  SELECT count(*) AS n_child,
-        |    sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |    (SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL
-        |      AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
-        |  FROM supplier
-        |), e5 AS (
-        |  SELECT count(*) AS n_child,
-        |    sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-        |    (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
-        |      AND n_regionkey NOT IN (SELECT r_regionkey FROM region))
-        |  FROM nation
-        |)
-        |SELECT * FROM (
-        |  SELECT 'customer_nation' AS edge, * FROM e3
-        |  UNION ALL SELECT 'lineitem_orders_thinned', * FROM e1
-        |  UNION ALL SELECT 'nation_region', * FROM e5
-        |  UNION ALL SELECT 'orders_customer', * FROM e2
-        |  UNION ALL SELECT 'supplier_nation', * FROM e4
-        |) t(edge, n_child, n_null_keys, n_orphans)
-        |ORDER BY edge""".stripMargin,
-    "q_rel_quantiles" ->
-      """SELECT o_orderstatus,
-        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
-        |  count(*) AS n_orders
-        |FROM orders
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
-    "q_rel_salted" ->
-      """SELECT s_suppkey, s_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_suppkey, s_name
-        |ORDER BY s_suppkey""".stripMargin,
-    "q_rel_sql" ->
-      """SELECT p_partkey, p_brand, round(p_retailprice, 4) AS price
-        |FROM part p
-        |WHERE p_retailprice > 1.2 * (SELECT avg(p2.p_retailprice)
-        |                             FROM part p2
-        |                             WHERE p2.p_brand = p.p_brand)
-        |ORDER BY p_partkey""".stripMargin,
-    // The Morton interleave written out as integer bit arithmetic —
-    // bit i of l_partkey lands at position 2i, of l_suppkey at 2i+1 —
-    // generated for the same 21-bit domain the Spark column uses.
-    "q_layout_zorder" ->
-      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  ($zorderOracleExpr)::BIGINT AS zval
-        |FROM lineitem
-        |ORDER BY zval, l_orderkey, l_linenumber
-        |LIMIT 100""".stripMargin,
-    // identical result to q_events_asof — deliberately the same SQL
-    // (see the query comment: the gate proves plan-not-answer).
-    "q_events_asof_bucketed" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'
-        |), c AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'
-        |)
-        |SELECT p.event_id AS ev_id, p.user_id, p.ts AS ev_ts,
-        |  c.event_id AS asof_id, c.ts AS asof_ts,
-        |  epoch_us(CAST(p.ts AS TIMESTAMP))
-        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY ev_id""".stripMargin,
-    "q_events_asof" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'
-        |), c AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'
-        |)
-        |SELECT p.event_id AS ev_id, p.user_id, p.ts AS ev_ts,
-        |  c.event_id AS asof_id, c.ts AS asof_ts,
-        |  epoch_us(CAST(p.ts AS TIMESTAMP))
-        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY ev_id""".stripMargin,
-    "q_events_asof_fwd" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'
-        |)
-        |SELECT c.event_id AS ev_id, c.user_id, c.ts AS ev_ts,
-        |  p.event_id AS asof_id, p.ts AS asof_ts,
-        |  epoch_us(CAST(p.ts AS TIMESTAMP))
-        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts <= p.ts
-        |ORDER BY ev_id""".stripMargin,
-    // Nearest: both directional ASOF joins, closest wins, ties to the
-    // past match (the same rule the operator applies).
-    "q_events_asof_near" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'purchase'
-        |), b AS (
-        |  SELECT c.event_id AS ev_id, c.user_id, c.ts AS ev_ts,
-        |    p.event_id AS b_id, p.ts AS b_ts
-        |  FROM c ASOF LEFT JOIN p
-        |    ON c.user_id = p.user_id AND c.ts >= p.ts
-        |), f AS (
-        |  SELECT c.event_id AS ev_id, p.event_id AS f_id, p.ts AS f_ts
-        |  FROM c ASOF LEFT JOIN p
-        |    ON c.user_id = p.user_id AND c.ts <= p.ts
-        |), j AS (
-        |  SELECT b.ev_id, b.user_id, b.ev_ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
-        |    (b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
-        |      epoch_us(CAST(b.ev_ts AS TIMESTAMP))
-        |        - epoch_us(CAST(b.b_ts AS TIMESTAMP))
-        |      <= epoch_us(CAST(f.f_ts AS TIMESTAMP))
-        |        - epoch_us(CAST(b.ev_ts AS TIMESTAMP)))) AS pick_back
-        |  FROM b JOIN f USING (ev_id)
-        |)
-        |SELECT ev_id, user_id, ev_ts,
-        |  CASE WHEN pick_back THEN b_id ELSE f_id END AS asof_id,
-        |  CASE WHEN pick_back THEN b_ts ELSE f_ts END AS asof_ts,
-        |  abs(epoch_us(CAST(ev_ts AS TIMESTAMP)) -
-        |    epoch_us(CAST(CASE WHEN pick_back THEN b_ts ELSE f_ts END
-        |      AS TIMESTAMP))) AS gap_us
-        |FROM j
-        |ORDER BY ev_id""".stripMargin,
-    // Multimodal: payload = UTF-8 bytes of text (ASCII corpus, so
-    // DuckDB's encode() produces the same bytes Spark's cast-to-binary
-    // does); hex slices compare the binary frames engine-neutrally.
-    "q_mm_meta" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |       ELSE 'video/mp4' END AS mime,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  md5(text) AS fp_md5,
-        |  substring(hex(encode(text)), 1, 8) AS magic
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-    "q_mm_frames" ->
-      """WITH m AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
-        |), f AS (
-        |  SELECT doc_id, hx,
-        |    unnest(range(0, ((length(hx) // 2 - 1) // 64) + 1)) AS frame_idx
-        |  FROM m WHERE length(hx) > 0
-        |)
-        |SELECT doc_id, frame_idx,
-        |  substring(hx, frame_idx * 128 + 1, 128) AS frame_hex
-        |FROM f WHERE frame_idx % 2 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin,
-    // q_mm_features: the batched mapPartitions decode path, oracled —
-    // the FakeCodec is pure byte arithmetic (16-bin byte histogram,
-    // dims from the first two bytes) and the corpus is ASCII, so
-    // DuckDB reproduces the decode from the text column exactly. The
-    // CSV carries exact integer counts (see MultiModal.featureQuery),
-    // so no float-formatting divergence can creep in.
-    "q_mm_features" ->
-      """WITH b AS (
-        |  SELECT d.doc_id, ascii(substring(d.text, i, 1)) // 16 AS bin
-        |  FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(i)
-        |), c AS (
-        |  SELECT doc_id, bin, count(*) AS n FROM b GROUP BY doc_id, bin
-        |), g AS (
-        |  SELECT d.doc_id, r.range AS bin, coalesce(c.n, 0) AS n
-        |  FROM documents d CROSS JOIN range(0, 16) r
-        |  LEFT JOIN c ON c.doc_id = d.doc_id AND c.bin = r.range
-        |), f AS (
-        |  SELECT doc_id, string_agg(n::VARCHAR, ',' ORDER BY bin) AS features_csv
-        |  FROM g GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image/png'
-        |       WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
-        |       ELSE 'video/mp4' END AS mime,
-        |  length(d.text) AS n_bytes,
-        |  16 + ascii(substring(d.text, 1, 1)) AS width,
-        |  16 + ascii(substring(d.text, 2, 1)) AS height,
-        |  f.features_csv
-        |FROM documents d JOIN f USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
-    // q_mm_imagedup: the fake-luma dHash is pure floor arithmetic on
-    // code points (8x9 box-average grid, adjacent-cell comparison
-    // bits), replayed cell for cell; the banded pair join equals this
-    // brute-force hamming <= 3 self-join exactly while no band bucket
-    // exceeds the cap (pigeonhole — the simhashPairsPortable
-    // argument, never binding at harness scale). `aug` replays the
-    // planted one-character edits.
-    "q_mm_imagedup" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    substr(text, 1, 36) || 'Q' || substr(text, 38)
-        |  FROM documents WHERE doc_id % 5 = 0
-        |), cpt AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(text) + 1),
-        |      p -> ord(substr(text, p, 1))::BIGINT) AS cp
-        |  FROM aug WHERE length(text) >= 72
-        |), grid AS (
-        |  SELECT doc_id, flatten(list_transform(range(0, 8), r ->
-        |    list_transform(range(0, 9), c ->
-        |      list_sum(cp[
-        |        (r * len(cp)) // 8 + 1 +
-        |          (c * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9 :
-        |        (r * len(cp)) // 8 +
-        |          (((c+1) * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9)])
-        |      // (((c+1) * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9 -
-        |         (c * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9)))) AS g
-        |  FROM cpt
-        |), h AS (
-        |  -- bit 63 as the literal sign value: DuckDB checks 1 << 63
-        |  -- for signed overflow where Spark's shiftleft wraps; the
-        |  -- disjoint-bit sum is numerically identical either way
-        |  SELECT doc_id,
-        |    list_sum(flatten(list_transform(range(0, 8), r ->
-        |      list_transform(range(0, 8), c ->
-        |        CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1] THEN
-        |          CASE WHEN r * 8 + c = 63
-        |            THEN (-9223372036854775807 - 1)::BIGINT
-        |            ELSE 1::BIGINT << (r * 8 + c) END
-        |        ELSE 0::BIGINT END))))::BIGINT AS dhash
-        |  FROM grid
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // q_mm_imagedup_incr: same grid/plant arithmetic; the probe
-    // equals this brute-force batch x base hamming join exactly while
-    // no band bucket exceeds the cap (pigeonhole, as above).
-    "q_mm_imagedup_incr" ->
-      """WITH pert AS (
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    substr(text, 1, 36) || 'Q' || substr(text, 38) AS text
-        |  FROM documents WHERE doc_id % 5 = 0
-        |), allh AS (
-        |  SELECT doc_id, CASE WHEN doc_id >= 1000000
-        |      THEN 'batch' ELSE 'base' END AS side, text
-        |  FROM (SELECT doc_id, text FROM documents
-        |        UNION ALL SELECT doc_id, text FROM pert)
-        |), cpt AS (
-        |  SELECT doc_id, side,
-        |    list_transform(range(1, length(text) + 1),
-        |      p -> ord(substr(text, p, 1))::BIGINT) AS cp
-        |  FROM allh WHERE length(text) >= 72
-        |), grid AS (
-        |  SELECT doc_id, side, flatten(list_transform(range(0, 8), r ->
-        |    list_transform(range(0, 9), c ->
-        |      list_sum(cp[
-        |        (r * len(cp)) // 8 + 1 +
-        |          (c * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9 :
-        |        (r * len(cp)) // 8 +
-        |          (((c+1) * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9)])
-        |      // (((c+1) * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9 -
-        |         (c * (((r+1) * len(cp)) // 8 -
-        |            (r * len(cp)) // 8)) // 9)))) AS g
-        |  FROM cpt
-        |), h AS (
-        |  SELECT doc_id, side,
-        |    list_sum(flatten(list_transform(range(0, 8), r ->
-        |      list_transform(range(0, 8), c ->
-        |        CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1] THEN
-        |          CASE WHEN r * 8 + c = 63
-        |            THEN (-9223372036854775807 - 1)::BIGINT
-        |            ELSE 1::BIGINT << (r * 8 + c) END
-        |        ELSE 0::BIGINT END))))::BIGINT AS dhash
-        |  FROM grid
-        |)
-        |SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
-        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
-        |FROM h a JOIN h b ON a.side = 'base' AND b.side = 'batch'
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-        |ORDER BY doc_batch, doc_base""".stripMargin,
-    // ---- corpus-curation extensions ----
-    // Connected components via transitive min-label closure (recursive
-    // CTE); candidate edges are the same n-gram Jaccard pairs as
-    // q_dedup_ngram. Every document seeds its own label, so docs with
-    // no near-dup come back as singleton clusters.
-    "q_dedup_cc" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes
-        |SELECT doc_id, cluster FROM cl
-        |ORDER BY doc_id""".stripMargin,
-    // Alternating-star and incremental CC answer the SAME closure —
-    // different plans (O(log n) star rounds; base-map + quotient
-    // fold) against one truth, the q_events_interval_binned gate.
-    "q_dedup_cc_star" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes
-        |SELECT doc_id, cluster FROM cl
-        |ORDER BY doc_id""".stripMargin,
-    "q_dedup_cc_incr" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes
-        |SELECT doc_id, cluster FROM cl
-        |ORDER BY doc_id""".stripMargin,
-    // Family-size histogram: same closure, sizes per cluster, grouped
-    // by size; n_docs = size * families (derived, integer).
-    "q_dedup_cluster_sizes" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes,
-        |fs AS (
-        |  SELECT cluster, count(*)::BIGINT AS family_size
-        |  FROM cl GROUP BY cluster
-        |)
-        |SELECT family_size, count(*)::BIGINT AS n_families,
-        |  (family_size * count(*))::BIGINT AS n_docs
-        |FROM fs GROUP BY family_size
-        |ORDER BY family_size""".stripMargin,
-    // Survivors = nodes equal to their component min, payload joined
-    // back; same recursive closure (shared CTEs) as q_dedup_cc.
-    "q_dedup_corpus" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes
-        |SELECT d.doc_id, d.lang, d.source, md5(d.text) AS fp_md5
-        |FROM cl JOIN documents d USING (doc_id)
-        |WHERE cl.doc_id = cl.cluster
-        |ORDER BY doc_id""".stripMargin,
-    // Quality-aware survivors: the same closure, per-cluster argmax
-    // of (token count DESC, doc_id ASC) — integer both engines
-    "q_dedup_keep_best" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes,
-        |sized AS (
-        |  SELECT cl.doc_id, cl.cluster,
-        |    len(regexp_extract_all(d.text, '\\S+'))::BIGINT AS n_tok
-        |  FROM cl JOIN documents d USING (doc_id)
-        |), best AS (
-        |  SELECT doc_id, cluster, n_tok, row_number() OVER (
-        |    PARTITION BY cluster ORDER BY n_tok DESC, doc_id ASC) AS r
-        |  FROM sized
-        |)
-        |SELECT doc_id, cluster, n_tok FROM best WHERE r = 1
-        |ORDER BY doc_id""".stripMargin,
-    // Soft dedup weights: same closure, family sizes counted per
-    // cluster, weight = 10000 DIV size in integer basis points.
-    "q_dedup_weights" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes,
-        |fs AS (
-        |  SELECT cluster, count(*) AS family_size FROM cl GROUP BY cluster
-        |)
-        |SELECT cl.doc_id, cl.cluster, fs.family_size,
-        |  10000 // fs.family_size AS weight_bp
-        |FROM cl JOIN fs USING (cluster)
-        |ORDER BY cl.doc_id""".stripMargin,
-    // soft-dedup weighted sample: the closure's family weights race
-    // through the same integer A-ES max-of-w-hashes as q_sample_weighted
-    "q_dedup_sample" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes,
-        |fs AS (
-        |  SELECT cluster, count(*) AS family_size FROM cl GROUP BY cluster
-        |), wts AS (
-        |  SELECT cl.doc_id,
-        |    greatest(1, (10000 // fs.family_size) // 100) AS wt
-        |  FROM cl JOIN fs USING (cluster)
-        |), keyed AS (
-        |  SELECT doc_id, wt,
-        |    list_max(list_transform(range(1, wt + 1),
-        |      j -> ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
-        |              j::VARCHAR), 1, 15))::BIGINT)) AS sample_key
-        |  FROM wts
-        |), top AS (
-        |  SELECT doc_id, wt, sample_key FROM keyed
-        |  ORDER BY sample_key DESC, doc_id ASC LIMIT 50
-        |)
-        |SELECT doc_id, wt, sample_key FROM top
-        |ORDER BY doc_id""".stripMargin,
-    // CDC merge: upserts (text edited) replace, deletes remove,
-    // untouched rows pass through.
-    "q_snapshot_merge" ->
-      """WITH ch AS (
-        |  SELECT doc_id, 'upsert' AS op, text || ' edited' AS text, source
-        |  FROM documents WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 'delete', NULL, NULL
-        |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 != 0
-        |), merged AS (
-        |  SELECT d.doc_id, d.text, d.source
-        |  FROM documents d LEFT JOIN ch ON d.doc_id = ch.doc_id
-        |  WHERE ch.doc_id IS NULL
-        |  UNION ALL
-        |  SELECT doc_id, text, source FROM ch WHERE op = 'upsert'
-        |)
-        |SELECT doc_id, source, md5(text) AS fp_md5
-        |FROM merged
-        |ORDER BY doc_id""".stripMargin,
-    // Leakage-free split: same recursive closure; the split decision
-    // replays the engine-neutral 60-bit-md5 arithmetic on the cluster
-    // representative, so family atomicity is checked hash-exactly.
-    "q_split_leakfree" ->
-      s"""WITH RECURSIVE $NearDupClosureCtes
-        |SELECT doc_id, cluster,
-        |  CASE WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 15))::BIGINT
-        |            % 100 < 90 THEN 'train' ELSE 'val' END AS split
-        |FROM cl
-        |ORDER BY doc_id""".stripMargin,
-    // Vocabulary edit-distance pairs: the oracle is the brute-force
-    // |V|^2 levenshtein self-join the operator exists to avoid — at
-    // oracle scale it is cheap, and DuckDB's levenshtein is the same
-    // classic edit distance as Spark's.
-    "q_vocab_editdist" ->
-      """WITH v AS (
-        |  SELECT word, count(*) AS cnt FROM (
-        |    SELECT unnest(regexp_extract_all(text, '\S+')) AS word
-        |    FROM documents)
-        |  WHERE length(word) >= 4 GROUP BY word
-        |)
-        |SELECT a.word AS word_a, b.word AS word_b,
-        |  levenshtein(a.word, b.word) AS dist,
-        |  a.cnt AS cnt_a, b.cnt AS cnt_b
-        |FROM v a JOIN v b ON a.word < b.word
-        |WHERE levenshtein(a.word, b.word) <= 2
-        |ORDER BY word_a, word_b""".stripMargin,
-    // PMI over unigram/bigram mass; rank on the rounded score (ulp
-    // stability), bigram tie-break, final order by bigram.
-    "q_text_pmi" ->
-      """WITH toks AS (
-        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
-        |), uni AS (
-        |  SELECT w, count(*) AS c
-        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
-        |), bi AS (
-        |  SELECT b, count(*) AS c_ab FROM (
-        |    SELECT unnest(list_transform(range(len(t) - 1),
-        |      i -> t[i+1] || ' ' || t[i+2])) AS b
-        |    FROM toks WHERE len(t) >= 2) GROUP BY b
-        |), n1 AS (SELECT sum(c) AS n1 FROM uni),
-        |n2 AS (SELECT sum(c_ab) AS n2 FROM bi),
-        |scored AS (
-        |  SELECT b AS bigram, c_ab,
-        |    round(ln((c_ab::DOUBLE / n2.n2)
-        |      / ((ca.c::DOUBLE / n1.n1) * (cb.c::DOUBLE / n1.n1))), 4) + 0.0
-        |      AS pmi
-        |  FROM bi
-        |  JOIN uni ca ON ca.w = split_part(b, ' ', 1)
-        |  JOIN uni cb ON cb.w = split_part(b, ' ', 2), n1, n2
-        |  WHERE c_ab >= 5
-        |), top AS (
-        |  SELECT bigram, c_ab, pmi FROM scored
-        |  ORDER BY pmi DESC, bigram ASC LIMIT 20
-        |)
-        |SELECT bigram, c_ab, pmi FROM top
-        |ORDER BY bigram""".stripMargin,
-    "q_graph_edges" ->
-      """WITH toks AS (
-        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
-        |), bi AS (
-        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
-        |         count(*) AS c
-        |  FROM (SELECT unnest(list_transform(range(len(t) - 1),
-        |          i -> t[i+1] || ' ' || t[i+2])) AS b
-        |        FROM toks WHERE len(t) >= 2)
-        |  GROUP BY 1, 2
-        |), fil AS (
-        |  SELECT w1, w2, c FROM bi WHERE c >= 5 AND w1 <> w2
-        |)
-        |SELECT src, dst, sum(c)::DOUBLE AS w FROM (
-        |  SELECT w1 AS src, w2 AS dst, c FROM fil
-        |  UNION ALL
-        |  SELECT w2 AS src, w1 AS dst, c FROM fil)
-        |GROUP BY src, dst
-        |ORDER BY src, dst""".stripMargin,
-    "q_text_rank" ->
-      """WITH toks AS (
-        |  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
-        |), bi AS (
-        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
-        |         count(*) AS c
-        |  FROM (SELECT unnest(list_transform(range(len(t) - 1),
-        |          i -> t[i+1] || ' ' || t[i+2])) AS b
-        |        FROM toks WHERE len(t) >= 2)
-        |  GROUP BY 1, 2
-        |), fil AS (
-        |  SELECT w1, w2, c FROM bi WHERE c >= 5 AND w1 <> w2
-        |), edges AS (
-        |  SELECT src, dst, sum(c)::DOUBLE AS w FROM (
-        |    SELECT w1 AS src, w2 AS dst, c FROM fil
-        |    UNION ALL
-        |    SELECT w2 AS src, w1 AS dst, c FROM fil)
-        |  GROUP BY src, dst
-        |), wsum AS (
-        |  SELECT src, sum(w) AS wtot FROM edges GROUP BY src
-        |), trans AS (
-        |  SELECT e.src, e.dst, e.w / ws.wtot AS p
-        |  FROM edges e JOIN wsum ws USING (src)
-        |), nn AS (SELECT count(*)::DOUBLE AS n FROM wsum),
-        |r0 AS (SELECT src AS word, 1.0 / nn.n AS r FROM wsum, nn),
-        |r1 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
-        |         + 0.85 * sum(t.p * r.r) AS r
-        |       FROM trans t JOIN r0 r ON r.word = t.src, nn
-        |       GROUP BY t.dst, nn.n),
-        |r2 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
-        |         + 0.85 * sum(t.p * r.r) AS r
-        |       FROM trans t JOIN r1 r ON r.word = t.src, nn
-        |       GROUP BY t.dst, nn.n),
-        |r3 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
-        |         + 0.85 * sum(t.p * r.r) AS r
-        |       FROM trans t JOIN r2 r ON r.word = t.src, nn
-        |       GROUP BY t.dst, nn.n),
-        |r4 AS (SELECT t.dst AS word, (1.0 - 0.85) / nn.n
-        |         + 0.85 * sum(t.p * r.r) AS r
-        |       FROM trans t JOIN r3 r ON r.word = t.src, nn
-        |       GROUP BY t.dst, nn.n),
-        |top AS (
-        |  SELECT word, round(r, 6) AS rank FROM r4
-        |  ORDER BY rank DESC, word ASC LIMIT 20
-        |)
-        |SELECT word, rank FROM top
-        |ORDER BY word""".stripMargin,
-    "q_sample_weighted" ->
-      """WITH keyed AS (
-        |  SELECT doc_id, least(10, 1 + n_chars // 300) AS wt,
-        |    list_max(list_transform(
-        |      range(1, least(10, 1 + n_chars // 300) + 1),
-        |      j -> ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
-        |              j::VARCHAR), 1, 15))::BIGINT)) AS sample_key
-        |  FROM documents
-        |), top AS (
-        |  SELECT doc_id, wt, sample_key FROM keyed
-        |  ORDER BY sample_key DESC, doc_id ASC LIMIT 50
-        |)
-        |SELECT doc_id, wt, sample_key FROM top
-        |ORDER BY doc_id""".stripMargin,
-    "q_sample_stratified" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
-        |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
-        |ORDER BY doc_id""".stripMargin,
-    "q_sample_quota" ->
-      """SELECT doc_id, lang, source FROM (
-        |  SELECT doc_id, lang, source, row_number() OVER (
-        |    PARTITION BY lang
-        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
-        |      doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 20
-        |ORDER BY doc_id""".stripMargin,
-    // the bounded-heap twin answers the SAME question — identical SQL
-    // oracle, the gate proves the aggregate changes the plan, not the
-    // answer
-    "q_sample_quota_agg" ->
-      """SELECT doc_id, lang, source FROM (
-        |  SELECT doc_id, lang, source, row_number() OVER (
-        |    PARTITION BY lang
-        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
-        |      doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 20
-        |ORDER BY doc_id""".stripMargin,
-    "q_tfidf" ->
-      """WITH tf AS (
-        |  SELECT doc_id, w AS term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |        FROM documents)
-        |  GROUP BY doc_id, w
-        |), tot AS (
-        |  SELECT doc_id, term, tf,
-        |    sum(tf) OVER (PARTITION BY doc_id) AS n_tok
-        |  FROM tf
-        |), dfq AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT t.doc_id, t.term, t.tf,
-        |    round((t.tf::DOUBLE / t.n_tok)
-        |      * ln(n.n_docs::DOUBLE / d.df), 4) AS score
-        |  FROM tot t JOIN dfq d USING (term), n
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
-        |  FROM scored
-        |)
-        |SELECT doc_id, term, tf, score
-        |FROM ranked WHERE rn <= 3
-        |ORDER BY doc_id, term""".stripMargin,
-    // Positional postings for the phrase terms: ordered CSV positions
-    "q_phrase_postings" ->
-      """WITH tok AS (
-        |  SELECT doc_id, i AS pos, t[i + 1] AS term
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM documents),
-        |    unnest(range(len(t))) AS u(i)
-        |)
-        |SELECT term, doc_id, count(*)::BIGINT AS n_occ,
-        |  array_to_string(list_transform(list_sort(list(pos)),
-        |    p -> p::VARCHAR), ',') AS positions_csv
-        |FROM tok WHERE term IN ('window', 'fast', 'query')
-        |GROUP BY term, doc_id
-        |ORDER BY term, doc_id""".stripMargin,
-    // Exact phrase match: the classic positional self-join — the
-    // Spark side answers identically from ONE tokenize + ONE window
-    // (lead offsets), the plan-not-answer gate
-    "q_phrase_search" -> PhraseSearchOracle,
-    // identical answer contract for the stream-safe projection twin
-    "q_phrase_projected" -> PhraseSearchOracle,
-    // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
-    // the join form; Spark reads the same counts off one RANGE window
-    "q_phrase_prox" ->
-      """WITH tok AS (
-        |  SELECT doc_id, i AS pos, t[i + 1] AS term
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM documents),
-        |    unnest(range(len(t))) AS u(i)
-        |)
-        |SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS n_anchors,
-        |  count(*)::BIGINT AS n_pairs
-        |FROM tok a
-        |JOIN tok b ON b.doc_id = a.doc_id
-        |  AND abs(b.pos - a.pos) <= 3 AND b.term = 'row'
-        |WHERE a.term = 'hash'
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
-    "q_bm25" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
-        |          AS term FROM documents)
-        |  GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, term, tf,
-        |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
-        |), fil AS (
-        |  SELECT *, count(*) OVER (PARTITION BY term) AS df
-        |  FROM dl WHERE term IN ('spark', 'window', 'scan')
-        |), sc AS (
-        |  SELECT count(*) AS n_docs,
-        |    sum(len(regexp_extract_all(text, '\S+'))) AS n_tok_total
-        |  FROM documents
-        |), scored AS (
-        |  SELECT f.doc_id,
-        |    ln(1 + (sc.n_docs - f.df + 0.5) / (f.df + 0.5))
-        |      * (f.tf * 2.2)
-        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
-        |           / (sc.n_tok_total::DOUBLE / sc.n_docs))) AS contrib
-        |  FROM fil f, sc
-        |), top AS (
-        |  SELECT doc_id, round(sum(contrib), 4) AS score FROM scored
-        |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
-        |)
-        |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
-    "q_line_dedup" ->
-      """WITH lined AS (
-        |  SELECT doc_id, string_split(
-        |    replace(text, ' value ', ' value' || chr(10)), chr(10)) AS ls
-        |  FROM documents
-        |), lines AS (
-        |  SELECT doc_id, i AS pos, ls[i+1] AS line
-        |  FROM lined, unnest(range(len(ls))) AS t(i)
-        |), cnt AS (
-        |  SELECT doc_id, pos, line, count(*) OVER (
-        |    PARTITION BY ('0x' || substr(md5(line),1,15))::BIGINT) AS n_occ
-        |  FROM lines
-        |)
-        |SELECT doc_id, count(*) AS n_lines,
-        |  sum(CASE WHEN n_occ < 3 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        |  coalesce(string_agg(CASE WHEN n_occ < 3 THEN line END,
-        |    chr(10) ORDER BY pos), '') AS clean_text
-        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // The naive window form IS the oracle — the Spark side must reach
-    // the same k rows per source through the histogram threshold.
-    // Score = the q_text_quality product in E4 via floor(x·1e4 + 0.5)
-    // (engine-neutral half-up; round()'s half-cases are not).
-    "q_quality_calibrated" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, coalesce(text, '') AS text,
-        |    regexp_extract_all(coalesce(text, ''), '\S+') AS toks
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, source, len(toks) AS n, length(text) AS ln,
-        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
-        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
-        |  FROM t
-        |), s AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN n = 0 OR ln = 0 THEN 0
-        |         ELSE floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
-        |              * ar * 10000 + 0.5)::BIGINT END AS score
-        |  FROM c
-        |), k AS (
-        |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
-        |  FROM s GROUP BY source
-        |), r AS (
-        |  SELECT s.*, row_number() OVER (
-        |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
-        |  FROM s
-        |)
-        |SELECT doc_id, source, score FROM r JOIN k USING (source)
-        |WHERE rn <= k.k
-        |ORDER BY doc_id""".stripMargin,
-    // Group-min over the SAME selection as q_quality_calibrated —
-    // the model relation the streaming gate broadcasts.
-    "q_quality_thresholds" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, coalesce(text, '') AS text,
-        |    regexp_extract_all(coalesce(text, ''), '\S+') AS toks
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, source, len(toks) AS n, length(text) AS ln,
-        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
-        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
-        |  FROM t
-        |), s AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN n = 0 OR ln = 0 THEN 0
-        |         ELSE floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
-        |              * ar * 10000 + 0.5)::BIGINT END AS score
-        |  FROM c
-        |), k AS (
-        |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
-        |  FROM s GROUP BY source
-        |), r AS (
-        |  SELECT s.*, row_number() OVER (
-        |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
-        |  FROM s
-        |)
-        |SELECT source, min(score)::BIGINT AS thr
-        |FROM r JOIN k USING (source)
-        |WHERE rn <= k.k
-        |GROUP BY source
-        |ORDER BY source""".stripMargin,
-    // Integer metrics + integer cross-multiplied thresholds: no float
-    // ratio ever crosses the engines (power-of-two denominators land
-    // on exact half-values where rounding modes differ).
-    "q_quality_rules" ->
-      """WITH tf AS (
-        |  SELECT doc_id, w, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |        FROM documents)
-        |  GROUP BY doc_id, w
-        |), tok AS (
-        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-        |    count(*) AS n_distinct_tokens, max(tf)::BIGINT AS max_tf
-        |  FROM tf GROUP BY doc_id
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
-        |    CASE WHEN len(t) >= 2 THEN
-        |      len(list_distinct(list_transform(range(len(t) - 1),
-        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
-        |    ELSE 0 END AS n_distinct_2grams
-        |  FROM toks
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(tok.n_tokens, 0) AS n_tokens,
-        |  coalesce(tok.n_distinct_tokens, 0) AS n_distinct_tokens,
-        |  coalesce(tok.max_tf, 0) AS max_tf,
-        |  coalesce(g.n_2grams, 0) AS n_2grams,
-        |  coalesce(g.n_2grams, 0) - coalesce(g.n_distinct_2grams, 0)
-        |    AS n_dup_2grams,
-        |  (coalesce(tok.n_tokens, 0) >= 50
-        |   AND (coalesce(g.n_2grams, 0) - coalesce(g.n_distinct_2grams, 0))
-        |       * 100 <= 20 * coalesce(g.n_2grams, 0)
-        |   AND coalesce(tok.max_tf, 0) * 100
-        |       <= 10 * coalesce(tok.n_tokens, 0)) AS pass
-        |FROM documents d
-        |LEFT JOIN tok ON d.doc_id = tok.doc_id
-        |LEFT JOIN g ON d.doc_id = g.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-    // q_quality_rules' per-doc gate chain, aggregated by source into
-    // the ingest health report; all outputs integer.
-    "q_corpus_health" ->
-      """WITH tf AS (
-        |  SELECT doc_id, w, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |        FROM documents)
-        |  GROUP BY doc_id, w
-        |), tok AS (
-        |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-        |    max(tf)::BIGINT AS max_tf
-        |  FROM tf GROUP BY doc_id
-        |), toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    greatest(len(t) - 1, 0)::BIGINT AS n_2grams,
-        |    CASE WHEN len(t) >= 2 THEN
-        |      len(list_distinct(list_transform(range(len(t) - 1),
-        |        i -> t[i+1] || ' ' || t[i+2])))::BIGINT
-        |    ELSE 0 END AS n_distinct_2grams
-        |  FROM toks
-        |), q AS (
-        |  SELECT d.source, d.lang, md5(coalesce(d.text, '')) AS fp,
-        |    coalesce(tok.n_tokens, 0) AS n_tokens,
-        |    (coalesce(tok.n_tokens, 0) >= 50
-        |     AND (coalesce(g.n_2grams, 0) - coalesce(g.n_distinct_2grams, 0))
-        |         * 100 <= 20 * coalesce(g.n_2grams, 0)
-        |     AND coalesce(tok.max_tf, 0) * 100
-        |         <= 10 * coalesce(tok.n_tokens, 0)) AS pass
-        |  FROM documents d
-        |  LEFT JOIN tok ON d.doc_id = tok.doc_id
-        |  LEFT JOIN g ON d.doc_id = g.doc_id
-        |)
-        |SELECT source, count(*) AS n_docs,
-        |  count(DISTINCT fp) AS n_distinct,
-        |  (count(*) - count(DISTINCT fp)) * 10000 // count(*) AS dup_bp,
-        |  sum(n_tokens)::BIGINT AS n_tokens,
-        |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-        |  count(DISTINCT lang) AS n_langs
-        |FROM q GROUP BY source
-        |ORDER BY source""".stripMargin,
-    // snapshot diff: md5 fingerprints full-outer joined on doc_id
-    "q_corpus_diff" ->
-      """WITH b AS (
-        |  SELECT doc_id, md5(text) AS fp FROM documents
-        |  WHERE doc_id % 7 != 0
-        |), a AS (
-        |  SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
-        |    THEN text || ' edited' ELSE text END) AS fp
-        |  FROM documents WHERE doc_id % 5 != 0
-        |), j AS (
-        |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
-        |    CASE WHEN b.doc_id IS NULL THEN 'added'
-        |      WHEN a.doc_id IS NULL THEN 'removed'
-        |      WHEN a.fp = b.fp THEN 'same'
-        |      ELSE 'changed' END AS status
-        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
-        |)
-        |SELECT status, count(*) AS n_docs, min(doc_id) AS min_doc,
-        |  max(doc_id) AS max_doc
-        |FROM j GROUP BY status
-        |ORDER BY status""".stripMargin,
-    // snapshot drift: per-(source, length-bucket) PSI terms with
-    // Laplace-smoothed shares — p = (cnt+1)/(total+k) in the same
-    // IEEE double ops both engines run; ln ulps absorbed by round(,6)
-    "q_corpus_drift" ->
-      """WITH b AS (
-        |  SELECT source, n_chars // 100 AS len_bucket FROM documents
-        |  WHERE doc_id % 7 != 0
-        |), a AS (
-        |  SELECT source, n_chars // 100 AS len_bucket FROM documents
-        |  WHERE doc_id % 5 != 0
-        |), cb AS (
-        |  SELECT source, len_bucket, count(*) AS cnt_a FROM b GROUP BY 1, 2
-        |), ca AS (
-        |  SELECT source, len_bucket, count(*) AS cnt_b FROM a GROUP BY 1, 2
-        |), j AS (
-        |  SELECT COALESCE(cb.source, ca.source) AS source,
-        |    COALESCE(cb.len_bucket, ca.len_bucket) AS len_bucket,
-        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
-        |  FROM cb FULL OUTER JOIN ca
-        |    ON cb.source = ca.source AND cb.len_bucket = ca.len_bucket
-        |), t AS (
-        |  SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb, count(*) AS k FROM j
-        |)
-        |SELECT source, len_bucket, cnt_a, cnt_b,
-        |  round(((cnt_a + 1)::DOUBLE / (ta + k) - (cnt_b + 1)::DOUBLE / (tb + k))
-        |    * ln(((cnt_a + 1)::DOUBLE / (ta + k))
-        |          / ((cnt_b + 1)::DOUBLE / (tb + k))), 6) AS psi
-        |FROM j CROSS JOIN t
-        |ORDER BY source, len_bucket""".stripMargin,
-    // vocab pruning: deterministic top-K cut (cnt DESC, word), left
-    // join rewrite, position-ordered reassembly
-    "q_vocab_unk" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
-        |  FROM documents
-        |), tok AS (
-        |  SELECT doc_id, unnest(tk) AS word,
-        |    generate_subscripts(tk, 1) AS pos
-        |  FROM t
-        |), v AS (
-        |  SELECT word FROM (
-        |    SELECT word, count(*) AS cnt FROM tok GROUP BY word)
-        |  ORDER BY cnt DESC, word
-        |  LIMIT 20
-        |), r AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN v.word IS NOT NULL THEN tok.word
-        |      ELSE '<unk>' END AS tk,
-        |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS is_unk
-        |  FROM tok LEFT JOIN v ON tok.word = v.word
-        |)
-        |SELECT doc_id,
-        |  string_agg(tk, ' ' ORDER BY pos) AS unk_text,
-        |  count(*) AS n_tok, sum(is_unk)::BIGINT AS n_unk
-        |FROM r GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-    // NB training: counts are exact integers; the four log2 terms
-    // sit inside one round (the lmSurprisal ulp rule); bucket -1 is
-    // the intercept row carrying the class doc counts
-    "q_probe_train" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
-        |      'dup') THEN 1 ELSE 0 END::BIGINT AS y,
-        |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS bucket
-        |  FROM (SELECT doc_id, text,
-        |          unnest(regexp_extract_all(text, '\S+')) AS word
-        |        FROM documents)
-        |), cnt AS (
-        |  SELECT bucket,
-        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c_pos,
-        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c_neg
-        |  FROM tok GROUP BY bucket
-        |), tot AS (
-        |  SELECT sum(c_pos)::BIGINT AS t_pos,
-        |    sum(c_neg)::BIGINT AS t_neg
-        |  FROM cnt
-        |), w AS (
-        |  SELECT bucket, COALESCE(c_pos, 0) AS c_pos,
-        |    COALESCE(c_neg, 0) AS c_neg,
-        |    round(10000.0 * (log2(COALESCE(c_pos, 0) + 1)
-        |      - log2(t_pos + 64) - log2(COALESCE(c_neg, 0) + 1)
-        |      + log2(t_neg + 64)))::BIGINT AS w_int
-        |  FROM (SELECT unnest(range(64)) AS bucket)
-        |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot
-        |), cls AS (
-        |  SELECT sum(CASE WHEN list_contains(
-        |      regexp_extract_all(text, '\S+'), 'dup')
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-        |    sum(CASE WHEN list_contains(
-        |      regexp_extract_all(text, '\S+'), 'dup')
-        |      THEN 0 ELSE 1 END)::BIGINT AS n_neg
-        |  FROM documents
-        |)
-        |SELECT * FROM (
-        |  SELECT bucket, c_pos, c_neg, w_int FROM w
-        |  UNION ALL
-        |  SELECT -1, n_pos, n_neg,
-        |    round(10000.0 * (log2(n_pos) - log2(n_neg)))::BIGINT
-        |  FROM cls
-        |) ORDER BY bucket""".stripMargin,
-    // NB eval: the same training CTEs, then all-integer scoring into
-    // the (y, pred) confusion counts
-    "q_probe_eval" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
-        |      'dup') THEN 1 ELSE 0 END::BIGINT AS y,
-        |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS bucket
-        |  FROM (SELECT doc_id, text,
-        |          unnest(regexp_extract_all(text, '\S+')) AS word
-        |        FROM documents)
-        |), cnt AS (
-        |  SELECT bucket,
-        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c_pos,
-        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c_neg
-        |  FROM tok GROUP BY bucket
-        |), tot AS (
-        |  SELECT sum(c_pos)::BIGINT AS t_pos,
-        |    sum(c_neg)::BIGINT AS t_neg
-        |  FROM cnt
-        |), w AS (
-        |  SELECT bucket,
-        |    round(10000.0 * (log2(COALESCE(c_pos, 0) + 1)
-        |      - log2(t_pos + 64) - log2(COALESCE(c_neg, 0) + 1)
-        |      + log2(t_neg + 64)))::BIGINT AS w_int
-        |  FROM (SELECT unnest(range(64)) AS bucket)
-        |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot
-        |), cls AS (
-        |  SELECT sum(CASE WHEN list_contains(
-        |      regexp_extract_all(text, '\S+'), 'dup')
-        |      THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-        |    sum(CASE WHEN list_contains(
-        |      regexp_extract_all(text, '\S+'), 'dup')
-        |      THEN 0 ELSE 1 END)::BIGINT AS n_neg
-        |  FROM documents
-        |), sc AS (
-        |  SELECT doc_id, sum(w_int)::BIGINT AS s
-        |  FROM tok JOIN w USING (bucket) GROUP BY 1
-        |), dy AS (
-        |  SELECT doc_id,
-        |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
-        |      'dup') THEN 1 ELSE 0 END::BIGINT AS y
-        |  FROM documents
-        |), pr AS (
-        |  SELECT y, CASE WHEN COALESCE(s, 0) + (SELECT
-        |      round(10000.0 * (log2(n_pos) - log2(n_neg)))::BIGINT
-        |      FROM cls) > 0 THEN 1 ELSE 0 END::BIGINT AS pred
-        |  FROM dy LEFT JOIN sc USING (doc_id)
-        |)
-        |SELECT y, pred, count(*)::BIGINT AS n_docs
-        |FROM pr GROUP BY y, pred
-        |ORDER BY y, pred""".stripMargin,
-    // taxonomy tagging: inline (topic, keyword) VALUES dictionary,
-    // token join, sorted distinct topic list + total hits per doc
-    "q_topic_tags" ->
-      """WITH tax(topic, keyword) AS (VALUES
-        |  ('joins', 'join'), ('joins', 'merge'), ('joins', 'hash'),
-        |  ('scans', 'scan'), ('scans', 'filter'), ('scans', 'column'),
-        |  ('streaming', 'stream'), ('streaming', 'window'),
-        |  ('streaming', 'batch'), ('dedup', 'dup')
-        |), tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  string_agg(DISTINCT topic, ',' ORDER BY topic) AS topics,
-        |  count(*) AS n_hits
-        |FROM tok JOIN tax ON word = keyword
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-    // phrase taxonomy: per-position 1- and 2-gram shingles unioned,
-    // joined to the inline dictionary
-    "q_topic_phrases" ->
-      """WITH tax(topic, keyword) AS (VALUES
-        |  ('joins', 'hash join'), ('joins', 'merge join'),
-        |  ('scans', 'scan'), ('scans', 'filter'),
-        |  ('streaming', 'stream'), ('streaming', 'window batch'),
-        |  ('dedup', 'dup')
-        |), tok AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |  FROM documents
-        |), g1 AS (
-        |  SELECT doc_id, unnest(t) AS keyword FROM tok
-        |), g2 AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS keyword
-        |  FROM (SELECT doc_id, t,
-        |          unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM tok)
-        |), g AS (
-        |  SELECT * FROM g1 UNION ALL SELECT * FROM g2
-        |)
-        |SELECT doc_id,
-        |  string_agg(DISTINCT topic, ',' ORDER BY topic) AS topics,
-        |  count(*) AS n_hits
-        |FROM g JOIN tax USING (keyword)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-    "q_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), bench AS (
-        |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
-        |), corp AS (
-        |  SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0
-        |)
-        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
-        |FROM corp c JOIN bench b USING (s)
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2
-        |ORDER BY doc_id, bench_id""".stripMargin,
-    // The positional face: 0-based shingle start positions on the
-    // corpus side, distinct shingles on the bench side — n_shared
-    // must equal q_decontaminate's count for every flagged pair.
-    "q_decontaminate_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), ps AS (
-        |  SELECT doc_id, i AS pos,
-        |    t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-        |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
-        |  WHERE len(t) >= 3 AND doc_id % 97 != 0
-        |), bsh AS (
-        |  SELECT DISTINCT doc_id AS bench_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3 AND doc_id % 97 = 0
-        |)
-        |SELECT doc_id, bench_id,
-        |  count(DISTINCT s)::BIGINT AS n_shared,
-        |  count(*)::BIGINT AS n_hits,
-        |  min(pos)::BIGINT AS first_pos,
-        |  max(pos)::BIGINT AS last_pos,
-        |  (max(pos) - min(pos) + 3)::BIGINT AS span_tokens
-        |FROM ps JOIN bsh USING (s)
-        |GROUP BY doc_id, bench_id
-        |HAVING count(DISTINCT s) >= 2
-        |ORDER BY doc_id, bench_id""".stripMargin,
-    // same SQL as q_decontaminate (see the query comment)
-    "q_decontaminate_bloom" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 2),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), bench AS (
-        |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0
-        |), corp AS (
-        |  SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0
-        |)
-        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
-        |FROM corp c JOIN bench b USING (s)
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2
-        |ORDER BY doc_id, bench_id""".stripMargin,
-    // chunking: stride 56 = 64 - 8; a chunk exists iff it adds >= 1
-    // new token -> nChunks = ceil((n - 8) / 56), min 1.
-    "q_chunk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
-        |    len(regexp_extract_all(text, '\S+')) AS n
-        |  FROM documents
-        |), idx AS (
-        |  SELECT doc_id, t, i AS chunk_idx
-        |  FROM toks, unnest(range(greatest((n - 8 + 55) // 56, 1))) AS u(i)
-        |  WHERE n > 0
-        |)
-        |SELECT doc_id, chunk_idx,
-        |  len(list_slice(t, chunk_idx * 56 + 1, chunk_idx * 56 + 64))::BIGINT
-        |    AS n_tok,
-        |  array_to_string(list_slice(t, chunk_idx * 56 + 1, chunk_idx * 56 + 64),
-        |    ' ') AS chunk_text
-        |FROM idx
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
-    // Content-defined chunking: identical boundary arithmetic — the
-    // 60-bit-md5 divisor rule, prefix-sum run ids, run-relative
-    // forced cuts, ordered string_agg reassembly.
-    "q_chunk_cdc" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), tok AS (
-        |  SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
-        |  FROM toks, unnest(range(len(t))) AS u(i)
-        |), f AS (
-        |  SELECT doc_id, pos, tok,
-        |    CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = 0
-        |         THEN 1 ELSE 0 END AS bnd
-        |  FROM tok
-        |), r AS (
-        |  SELECT doc_id, pos, tok,
-        |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
-        |  FROM f
-        |), s AS (
-        |  SELECT doc_id, pos, tok, run,
-        |    (pos - min(pos) OVER (PARTITION BY doc_id, run)) // 24 AS sub
-        |  FROM r
-        |), c AS (
-        |  SELECT doc_id, run, sub, min(pos) AS start_pos,
-        |    count(*)::BIGINT AS n_tok,
-        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
-        |  FROM s GROUP BY doc_id, run, sub
-        |)
-        |SELECT doc_id,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
-        |    AS chunk_idx,
-        |  n_tok, chunk_text
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    // Theta-sketch source overlap: exact distinct-shingle set algebra
-    // (sketch estimates are exact in the under-nominal regime, see
-    // CorpusOps.sourceOverlapSketch); n_union via inclusion-exclusion.
-    "q_corpus_overlap" ->
-      """WITH toks AS (
-        |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT source, unnest(list_transform(range(len(t) - 2),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT source, count(*) AS n FROM sh GROUP BY source
-        |), pairs AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
-        |  FROM sizes a JOIN sizes b ON a.source < b.source
-        |), common AS (
-        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common
-        |  FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
-        |  GROUP BY 1, 2
-        |)
-        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
-        |  coalesce(c.n_common, 0) AS n_common,
-        |  p.n_a + p.n_b - coalesce(c.n_common, 0) AS n_union
-        |FROM pairs p
-        |LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
-        |ORDER BY 1, 2""".stripMargin,
-    // Identical answer through the merged-sketch plan (theta unions
-    // associative; exact sub-nominal regime) — shares the exact SQL.
-    "q_corpus_overlap_incr" ->
-      """WITH toks AS (
-        |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT source, unnest(list_transform(range(len(t) - 2),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT source, count(*) AS n FROM sh GROUP BY source
-        |), pairs AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
-        |  FROM sizes a JOIN sizes b ON a.source < b.source
-        |), common AS (
-        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common
-        |  FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
-        |  GROUP BY 1, 2
-        |)
-        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
-        |  coalesce(c.n_common, 0) AS n_common,
-        |  p.n_a + p.n_b - coalesce(c.n_common, 0) AS n_union
-        |FROM pairs p
-        |LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
-        |ORDER BY 1, 2""".stripMargin,
     // Hashed-feature linear model: identical integer arithmetic —
     // Knuth-ramp weights over the engine-neutral md5 bucket, integer
     // sum, one final rounded divide.
@@ -8240,7 +5226,12 @@ object SparkEntry {
         |SELECT checkpoint, least(checkpoint * 50, n) AS n_docs, new_words,
         |  (sum(new_words) OVER (ORDER BY checkpoint))::BIGINT AS cum_words
         |FROM b, t ORDER BY checkpoint""".stripMargin,
-  )
+    )
+    val dups = entries.map(_._1).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate oracleSql keys: ${dups.mkString(", ")}")
+    entries.toMap
+  }
 
   /** Shared CTE chain (pre-stripped) for the near-dup transitive
     * closure: Jaccard>=0.8 3-gram pairs (with the df <= 1000
