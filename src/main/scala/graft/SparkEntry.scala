@@ -215,6 +215,124 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Merge-rule budget for the fully-oracled trainer queries
+    * q_bpe_vocab / q_wordpiece_vocab: each sequential greedy round is
+    * one unrolled WITH-cascade stage in the DuckDB oracle, so the
+    * budget bounds oracle size, not trainer capability (BpeSpec /
+    * WordPieceSpec pin 20–30-rule runs vs plain-Scala witnesses). */
+  private val VocabCascadeRules = 12
+
+  /** DuckDB replay of [[graft.operators.Bpe.train]]'s sequential
+    * greedy as an unrolled merge-round WITH-cascade (the q_text_rank
+    * iteration-unrolling convention). Round r: split the wrapped
+    * symbol strings (the [[BpeEncodeInjectedOracle]] chr(1)/chr(2)
+    * encoding), count weighted adjacent pairs, take the (cnt DESC,
+    * s1, s2) argmax — a total order, so cross-engine exact on integer
+    * counts — and apply the winning merge as ONE non-overlapping
+    * left-to-right `replace` (the fold-vs-replace equivalence argued
+    * at [[BpeEncodeInjectedOracle]]). Bpe.train's batched exact
+    * greedy is proven to reproduce this sequential order (soundness
+    * argument in its scaladoc), so the cascade is its oracle, not
+    * merely a twin's. */
+  private def bpeVocabCascadeOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT string_split(substr(s, 2, length(s) - 2),
+         |    chr(2) || chr(1)) AS p, cnt FROM s${r - 1}
+         |), pc$r AS MATERIALIZED (
+         |  SELECT s1, s2, sum(cnt)::BIGINT AS cnt FROM (
+         |    SELECT cnt, unnest(p[1:len(p)-1]) AS s1,
+         |      unnest(p[2:len(p)]) AS s2
+         |    FROM w$r WHERE len(p) >= 2)
+         |  GROUP BY s1, s2
+         |), b$r AS MATERIALIZED (
+         |  SELECT $r::BIGINT AS rank, s1, s2, cnt FROM pc$r
+         |  ORDER BY cnt DESC, s1, s2 LIMIT 1
+         |), s$r AS MATERIALIZED (
+         |  SELECT replace(f.s,
+         |      chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
+         |      chr(1) || b.s1 || b.s2 || chr(2)) AS s, f.cnt
+         |  FROM s${r - 1} f, b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT chr(1) || array_to_string(list_append(list_transform(
+       |      range(1, length(word) + 1), i -> substr(word, i, 1)),
+       |      '</w>'), chr(2) || chr(1)) || chr(2) AS s,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+       |        FROM documents)
+       |  GROUP BY word
+       |),
+       |$rounds
+       |SELECT rank, s1, s2, s1 || s2 AS merged, cnt
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.WordPiece.train]] — the same
+    * unrolled cascade as [[bpeVocabCascadeOracle]] with WordPiece's
+    * differences: BERT symbolization (first char bare, continuation
+    * chars `##`-prefixed, no `</w>`), the likelihood argmax on the
+    * E12-quantized integer score cnt·10^12 // (c1·c2) (HUGEINT here,
+    * DECIMAL(38,0) DIV in Spark — identical truncation on positive
+    * operands), and the `##`-stripping merged-symbol name. Symbol
+    * totals are a second aggregation over the same split relation
+    * each round, exactly WordPiece.scoredPairs' shape. */
+  private def wordPieceVocabCascadeOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT string_split(substr(s, 2, length(s) - 2),
+         |    chr(2) || chr(1)) AS p, cnt FROM s${r - 1}
+         |), c$r AS MATERIALIZED (
+         |  SELECT sym, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(p) AS sym FROM w$r)
+         |  GROUP BY sym
+         |), pc$r AS MATERIALIZED (
+         |  SELECT s1, s2, cnt,
+         |    ((cnt::HUGEINT * 1000000000000) //
+         |     (a.c::HUGEINT * b.c::HUGEINT))::BIGINT AS score_e12
+         |  FROM (
+         |    SELECT s1, s2, sum(cnt)::BIGINT AS cnt FROM (
+         |      SELECT cnt, unnest(p[1:len(p)-1]) AS s1,
+         |        unnest(p[2:len(p)]) AS s2
+         |      FROM w$r WHERE len(p) >= 2)
+         |    GROUP BY s1, s2)
+         |  JOIN c$r a ON a.sym = s1
+         |  JOIN c$r b ON b.sym = s2
+         |), b$r AS MATERIALIZED (
+         |  SELECT $r::BIGINT AS rank, s1, s2,
+         |    s1 || CASE WHEN s2 LIKE '##%' THEN substr(s2, 3)
+         |               ELSE s2 END AS merged,
+         |    cnt, score_e12
+         |  FROM pc$r
+         |  ORDER BY score_e12 DESC, s1, s2 LIMIT 1
+         |), s$r AS MATERIALIZED (
+         |  SELECT replace(f.s,
+         |      chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
+         |      chr(1) || b.merged || chr(2)) AS s, f.cnt
+         |  FROM s${r - 1} f, b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT chr(1) || array_to_string(list_transform(
+       |      range(1, length(word) + 1),
+       |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+       |           ELSE '##' || substr(word, i, 1) END),
+       |    chr(2) || chr(1)) || chr(2) AS s,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+       |        FROM documents)
+       |  GROUP BY word
+       |),
+       |$rounds
+       |SELECT rank, s1, s2, merged, cnt, score_e12
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   /** Injected multi-char unigram pieces (piece, integer weight) for
     * q_unigram_encode_injected — embedded verbatim in the oracle. All
     * within the operator's maxPieceLen = 4; weights chosen so
@@ -401,10 +519,17 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       Bpe.pairCountsQuery(documents(s, dir))),
     // Trained merge table: iterative argmax loop (one 1-row collect
-    // per round over the vocabulary-scale relation) — rows-only;
-    // BpeSpec pins it rule-for-rule vs a plain-Scala reference BPE.
+    // per round over the vocabulary-scale relation). Fully ORACLED at
+    // a reduced 12-rule budget: each sequential greedy round is
+    // closed-form SQL — pair count, (cnt DESC, s1, s2) argmax, one
+    // wrapped-string replace (the BpeEncodeInjectedOracle fold-vs-
+    // replace equivalence) — unrolled as a WITH-cascade the way the
+    // q_text_rank oracle unrolls PageRank iterations. The batched
+    // exact greedy in Bpe.train is proven equal to this sequential
+    // replay (soundness argument at Bpe.train; BpeSpec pins deeper
+    // 30-rule runs rule-for-rule vs a plain-Scala trainer).
     "q_bpe_vocab" -> ((s, dir) =>
-      Bpe.trainQuery(documents(s, dir))),
+      Bpe.trainQuery(documents(s, dir), nMerges = VocabCascadeRules)),
     // Encode the corpus with the trained table: rules fold into ONE
     // projection over the distinct-word relation, segmentations join
     // back broadcast — rows-only (BpeSpec pins vs training's own
@@ -434,10 +559,13 @@ object SparkEntry {
     "q_wordpiece_pairs" -> ((s, dir) =>
       WordPiece.scoredPairsQuery(documents(s, dir))),
     // Trained rule table: sequential likelihood-argmax loop (scores
-    // move non-monotonically, so no BPE-style batching) — rows-only;
-    // WordPieceSpec pins rule-for-rule vs a plain-Scala trainer.
+    // move non-monotonically, so no BPE-style batching). Fully ORACLED
+    // at a reduced 12-rule budget by the same unrolled merge-round
+    // WITH-cascade as q_bpe_vocab — the E12 integer score makes each
+    // round's argmax cross-engine exact (WordPieceSpec pins deeper
+    // runs rule-for-rule vs a plain-Scala trainer).
     "q_wordpiece_vocab" -> ((s, dir) =>
-      WordPiece.train(documents(s, dir), nMerges = 20)),
+      WordPiece.train(documents(s, dir), nMerges = VocabCascadeRules)),
     // Greedy longest-match encode against corpus chars + INJECTED
     // multi-char pieces — unlike BPE/unigram encode this is fully
     // ORACLED: the greedy walk is a recursive CTE in DuckDB, the
@@ -1717,6 +1845,14 @@ object SparkEntry {
     // wrapped symbol strings (see BpeEncodeInjectedOracle's scaladoc
     // for the equivalence argument)
     "q_bpe_encode_injected" -> BpeEncodeInjectedOracle,
+    // Sequential-greedy BPE trainer, every merge round unrolled as a
+    // WITH-cascade stage (pair count -> total-order argmax -> wrapped
+    // -string replace); see bpeVocabCascadeOracle's scaladoc for the
+    // batched-greedy == sequential and fold == replace arguments.
+    "q_bpe_vocab" -> bpeVocabCascadeOracle(VocabCascadeRules),
+    // WordPiece trainer, the same cascade with per-round symbol
+    // totals and the E12 integer likelihood argmax.
+    "q_wordpiece_vocab" -> wordPieceVocabCascadeOracle(VocabCascadeRules),
     // WordPiece scoring kernel: BERT symbolization (first char bare,
     // ## continuations), adjacent-pair counts joined to symbol
     // totals, E12-quantized likelihood in HUGEINT — exact integers
