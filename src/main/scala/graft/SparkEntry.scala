@@ -787,9 +787,17 @@ object SparkEntry {
     // operator runs its production path (srpBucketsAll kernel, bucket
     // grouping, skew cap, pair fan-out, verify joins) unchanged. The
     // random-plane regime's recall stays pinned vs the exact path in
-    // DedupSpec.
+    // DedupSpec. FIXTURE-BOUNDED (vec_id < 1000, mirrored in the
+    // oracle): this low-threshold 4-bit regime is n²/16-candidate by
+    // parameter choice — the superlinear wall is the point of the
+    // telemetry — so the standing harness query caps its input at a
+    // CONSTANT 1000 vectors (sf0.01 passes through whole) and a
+    // 10×/100× rehearsal can't hang on it; the production regime
+    // (lsh09 below) and the incremental probe run uncapped.
     "q_dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupLsh(embeddings(s, dir), threshold = 0.4,
+      Dedup.embeddingNearDupLsh(
+        embeddings(s, dir).filter(col("vec_id") < 1000),
+        threshold = 0.4,
         planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
           Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))))),
     // The PRODUCTION regime (cos >= 0.9, 16 planes x 32 tables) over a
@@ -1045,17 +1053,12 @@ object SparkEntry {
     // Retention matrix: first-active-day cohorts x day offset.
     "q_events_retention" -> ((s, dir) =>
       EventOps.retentionCohorts(events(s, dir))),
-    // No-equi-key interval join, naive nested-loop reference form: its
-    // cost is quadratic in the incident count, so the harness runs it
-    // on a deterministic 1% of incidents (the FULL set took 310 s per
-    // bench run at sf0.1, vs 0.5 s for the binned twin on all of them
-    // — which is the point; the twin below is benched on the full
-    // set).
-    "q_events_interval" -> ((s, dir) =>
-      EventOps.incidentEvents(events(s, dir),
-        incidentPred = pmod(col("event_id"), lit(100)) === 0)),
-    // Binned twin: time-bin equi-join over ALL incidents — the volume
-    // the nested loop cannot afford.
+    // No-equi-key interval join. The naive nested-loop reference form
+    // (EventOps.incidentEvents) is spec-only as of r9 — it was the
+    // single most expensive bench query even on 1% of incidents and
+    // is quadratic by plan; EventOpsSpec pins binned == naive, and
+    // the DuckDB oracle answer-checks the binned twin directly. The
+    // operator itself now refuses large incident sets loudly.
     "q_events_interval_binned" -> ((s, dir) =>
       EventOps.incidentEventsBinned(events(s, dir))),
     // Mergeable-sketch distinct: no DuckDB oracle (estimator internals
@@ -2314,7 +2317,7 @@ object SparkEntry {
     "q_dedup_embedding_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
+        |  FROM embeddings WHERE vec_id < 1000
         |), bk AS (
         |  SELECT vec_id, t.t AS t,
         |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
@@ -3197,19 +3200,10 @@ object SparkEntry {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
     // Interval join on the µs-cast timestamps (both engines compare
-    // the same integers). The naive form runs on the deterministic
-    // tenth of incidents (see the query comment); the binned twin
-    // covers the full set.
-    "q_events_interval" ->
-      """WITH i AS (
-        |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts
-        |  FROM events WHERE event_type = 'error' AND event_id % 100 = 0
-        |)
-        |SELECT e.event_id, i.inc_id
-        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-        |JOIN i ON e.ts >= i.inc_ts - INTERVAL 5 MINUTE
-        |      AND e.ts <= i.inc_ts + INTERVAL 5 MINUTE
-        |ORDER BY event_id, inc_id""".stripMargin,
+    // the same integers). Only the binned equi-join twin stands as a
+    // driver query (the naive nested-loop form is spec-only — see the
+    // queries-map comment); this oracle answer-checks it over the
+    // FULL incident set.
     "q_events_interval_binned" ->
       """WITH i AS (
         |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS inc_ts

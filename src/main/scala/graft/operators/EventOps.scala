@@ -498,12 +498,27 @@ object EventOps {
     * no key to hash on, Spark can only plan a nested-loop join here:
     * fine while one side broadcasts, quadratic wall when both sides
     * are large — which is exactly what [[incidentEventsBinned]]
-    * fixes. Kept as the readable reference semantics and the oracle
-    * anchor (the binned twin shares this form's oracle). */
+    * fixes. Kept as the readable reference semantics and the
+    * spec-level answer anchor (EventOpsSpec pins binned == naive; the
+    * driver's DuckDB oracle answer-checks the binned twin directly,
+    * so this form no longer runs as a standing harness query).
+    *
+    * Guarded: the incident side is counted up front and the call
+    * fails loudly past `maxIncidents` — the pre-flight scan is one
+    * aggregation, while the nested loop it prevents is quadratic.
+    * Production attribution at any volume belongs to
+    * [[incidentEventsBinned]]. */
   def incidentEvents(events: DataFrame, halfWindowMin: Int = 5,
-      incidentPred: Column = lit(true)): DataFrame = {
+      incidentPred: Column = lit(true),
+      maxIncidents: Long = 10000L): DataFrame = {
     val inc = events.filter(col("event_type") === "error" && incidentPred)
       .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
+    val nInc = inc.count()
+    require(nInc <= maxIncidents,
+      s"incidentEvents is the NAIVE nested-loop reference form and " +
+        s"refuses $nInc incidents (> maxIncidents=$maxIncidents): " +
+        "use incidentEventsBinned, the equi-join scale path with " +
+        "identical output")
     events.select(col("event_id"), col("ts"))
       .join(inc,
         col("ts") >= col("inc_ts") - expr(s"INTERVAL $halfWindowMin MINUTES")
