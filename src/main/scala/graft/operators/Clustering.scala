@@ -3,6 +3,42 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Thread-local collector for the pinned RDD ids of eager
+  * localCheckpoints a computation creates — so a caller that must
+  * sweep its TRANSIENT checkpoints afterwards (the bounded-state
+  * contract of
+  * [[graft.streaming.EventStreams.ClusterMapState.fold]]) releases
+  * exactly the blocks its own call pinned, never a diff of the
+  * context's global persistent-RDD registry (which would unpersist
+  * concurrent checkpoint-creating work's blocks out from under it).
+  * Recording is a no-op outside a [[collect]] scope, so the wrapped
+  * operators behave identically on every batch path. */
+private[graft] object CheckpointScope {
+  private val buf =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Int]]
+
+  /** Run `body`, returning its result plus the RDD ids of every
+    * [[checkpointed]] call it made on this thread. */
+  def collect[T](body: => T): (T, Seq[Int]) = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val prev = buf.get()
+    buf.set(b)
+    try { val r = body; (r, b.toSeq) } finally buf.set(prev)
+  }
+
+  /** Eager localCheckpoint that records its pinned RDD id in the
+    * enclosing [[collect]] scope. */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val b = buf.get()
+    if (b != null) out.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        b += lr.rdd.id
+    }
+    out
+  }
+}
+
 /** Connected components over an undirected edge list — the operator
   * that turns near-dup candidate PAIRS (from [[Dedup]]) into duplicate
   * CLUSTERS, the unit survivor selection actually needs: cluster id =
@@ -40,20 +76,20 @@ object Clustering {
     val e = edges.toDF("a", "b")
     // Symmetrize once and pin: every iteration re-reads this relation,
     // not the (expensive) lineage that produced the pairs.
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = nodes.toDF("id")
+    val sym = CheckpointScope.checkpointed(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var labels = CheckpointScope.checkpointed(nodes.toDF("id")
       .union(sym.select(col("a").as("id"))).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .withColumn("lbl", col("id")))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       val viaNeighbor = sym
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
         .select(col("a").as("id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = CheckpointScope.checkpointed(
+        labels.union(viaNeighbor)
+          .groupBy("id").agg(min("lbl").as("lbl")))
       converged = next
         .join(labels.select(col("id"), col("lbl").as("prev")), "id")
         .filter(col("lbl") < col("prev"))
@@ -115,14 +151,15 @@ object Clustering {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
-    var e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint(true)
+    var e = CheckpointScope.checkpointed(
+      edges.toDF("a", "b").filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .distinct())
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = CheckpointScope.checkpointed(smallStar(largeStar(e)))
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
       e = next
       round += 1
@@ -229,18 +266,18 @@ object Clustering {
         sum(when(col("b_base"), 1L).otherwise(0L))
           .as("base_endpoints_b"))
       .select(col("a"), col("b"))
-      // materialize once: the CC symmetrize consumes this relation on
-      // both union legs — unmaterialized, the CollectMetrics node
-      // would sit twice in one plan (an analysis error) and the edge
-      // contraction would re-run per consumer anyway
-      .localCheckpoint()
+    // materialize once: the CC symmetrize consumes this relation on
+    // both union legs — unmaterialized, the CollectMetrics node
+    // would sit twice in one plan (an analysis error) and the edge
+    // contraction would re-run per consumer anyway
+    val projectedCk = CheckpointScope.checkpointed(projected)
     // delta nodes already present in the base keep their base row (a
     // re-delivered id is not a new node); edges it brought were
     // contracted to its representative above
     val fresh = deltaNodes.toDF("id")
       .join(assign.select("id"), Seq("id"), "left_anti")
-    val quotient = connectedComponents(projected, fresh)
-      .localCheckpoint()
+    val quotient = CheckpointScope.checkpointed(
+      connectedComponents(projectedCk, fresh))
     // base side: re-label through the touched-cluster map
     val updatedBase = assign
       .join(quotient.toDF("cluster", "newLbl"), Seq("cluster"), "left")

@@ -803,11 +803,23 @@ object Dedup {
       .select("vec_id").orderBy("vec_id")
   }
 
-  /** Name of the observed metric [[embeddingLshCandidates]] publishes
-    * per run: `bucket_pairs` (pre-dedup pair fan-out the bucket sizes
-    * imply), `skipped_buckets` (buckets over `maxBucket`, i.e. recall
-    * silently traded for boundedness), `max_bucket`. */
+  /** Prefix of the observed metric [[embeddingLshCandidates]]
+    * publishes per run: `bucket_pairs` (pre-dedup pair fan-out the
+    * bucket sizes imply), `skipped_buckets` (buckets over `maxBucket`,
+    * i.e. recall silently traded for boundedness), `max_bucket`. */
   val LSH_CANDIDATE_METRIC = "embedding_lsh_candidates"
+
+  /** The full observation name for a given parameterization. Spark
+    * requires observation names to be UNIQUE within one plan, so the
+    * name carries (planes, tables, seed): two differently-
+    * parameterized candidate relations (e.g. a base index and an
+    * ingest probe unioned into one query) coexist instead of raising
+    * AnalysisException. Composing the SAME parameterization twice in
+    * one plan still collides by Spark's rule — reuse the one
+    * DataFrame in that case. */
+  def lshCandidateMetricName(nPlanes: Int, nTables: Int,
+      seed: Long): String =
+    s"${LSH_CANDIDATE_METRIC}_p${nPlanes}_t${nTables}_s$seed"
 
   /** The candidate-generation stage of [[embeddingNearDupLsh]],
     * exposed on its own: distinct (vec_a < vec_b) pairs co-occurring
@@ -845,7 +857,8 @@ object Dedup {
       // before the fan-out runs, not discovered as a hung stage — the
       // CollectMetrics node rides the bucket aggregation that runs
       // anyway, costing no extra job
-      .observe(LSH_CANDIDATE_METRIC,
+      .observe(
+        lshCandidateMetricName(tables.head.length, tables.length, seed),
         sum(expr("CAST(size(ds) AS BIGINT) * (size(ds) - 1) DIV 2"))
           .as("bucket_pairs"),
         sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))

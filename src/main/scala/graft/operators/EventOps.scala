@@ -222,6 +222,17 @@ object EventOps {
     * Streaming note: the same staircase works incrementally — scaled
     * integer sums are mergeable, and re-referencing to a newer t_max
     * is a global halving (shift) of the old sum. */
+  /** FLOOR-correct epoch-day bucket of a timestamp column, as SQL.
+    * Spark's `DIV` truncates toward zero while the DuckDB oracle's
+    * `//` floors — they agree on post-epoch timestamps but land
+    * pre-1970 timestamps in DIFFERENT day buckets (and would also
+    * misalign the batch/stream day histograms). Subtracting the
+    * non-negative `pmod` remainder first makes the division exact, so
+    * `DIV` IS floor division on every input. */
+  private[graft] def epochDaySql(tsCol: String): String =
+    s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), 86400000000))" +
+      " DIV 86400000000"
+
   def decayedCounts(events: DataFrame, halfLifeDays: Int = 7): DataFrame = {
     require(halfLifeDays >= 1)
     // age in EPOCH-DAY buckets (floor(us/day) difference), not
@@ -234,9 +245,9 @@ object EventOps {
     // remaining documented difference is the per-type vs global
     // reference). Same integer-exactness argument either way.
     val tMax = events.agg(
-      max(expr("unix_micros(ts) DIV 86400000000")).as("d_max"))
+      max(expr(epochDaySql("ts"))).as("d_max"))
     events.select(col("event_type"),
-        expr("unix_micros(ts) DIV 86400000000").as("d"))
+        expr(epochDaySql("ts")).as("d"))
       .crossJoin(broadcast(tMax))
       .withColumn("k", expr(
         s"least((d_max - d) DIV $halfLifeDays, 50)"))

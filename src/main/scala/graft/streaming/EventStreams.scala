@@ -508,7 +508,10 @@ object EventStreams extends Serializable {
     val h = halfLifeDays.toLong
     events
       .select(col("event_type"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
+        // the floor-correct epoch-day bucket batch uses — keeps the
+        // day-histogram state aligned with EventOps.decayedCounts on
+        // pre-1970 timestamps too
+        expr(EventOps.epochDaySql("ts")).as("day"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[DecayState, DecayCount](
@@ -813,6 +816,10 @@ object EventStreams extends Serializable {
   final class ClusterMapState(initial: DataFrame) {
     @volatile private var map: DataFrame =
       initial.toDF("id", "cluster").localCheckpoint(true)
+    // the map superseded by the LAST fold, kept alive one extra
+    // generation: a caller holding a pre-fold `current` can still run
+    // actions on it through the next fold; swept the fold after
+    private var retired: Option[DataFrame] = None
 
     /** The current assignment (id, cluster) — read between folds. */
     def current: DataFrame = map
@@ -824,33 +831,37 @@ object EventStreams extends Serializable {
       * intermediates (the contracted edges, the quotient labels, the
       * CC rounds) — pinned for the JVM lifetime unless released, so N
       * micro-batches would otherwise accumulate O(N) dead blocks.
-      * After materializing the new map, every persisted RDD the fold
-      * created except the map is swept. The sweep diffs the context's
-      * persistent-RDD registry around the fold, which assumes the
-      * fold is the session's only checkpoint-creating activity at
-      * that moment — exactly what Structured Streaming's one-batch-
-      * at-a-time execution gives the owning query; do not share the
-      * session with concurrent checkpointing work during folds. */
+      * The sweep releases exactly the RDD ids the fold's own
+      * computation recorded via
+      * [[graft.operators.CheckpointScope]] — never a diff of the
+      * global persistent-RDD registry, so concurrent
+      * checkpoint-creating work on a shared session keeps its blocks.
+      * Superseded maps get one generation of grace (see `retired`)
+      * before they are released. */
     def fold(batchEdges: DataFrame): Unit = synchronized {
       val sc = batchEdges.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet.toSet
       val prev = map
       val noNodes = batchEdges.sparkSession.range(0).toDF("id")
-      val next = graft.operators.Clustering
-        .incrementalCC(prev, batchEdges.toDF("a", "b"), noNodes)
-        .localCheckpoint(true)
+      val (next, created) = graft.operators.CheckpointScope.collect {
+        graft.operators.Clustering
+          .incrementalCC(prev, batchEdges.toDF("a", "b"), noNodes)
+          .localCheckpoint(true)
+      }
       val keep = next.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
       }
       map = next
-      // sweep the fold's transient checkpoints + the superseded map
-      val prevId = prev.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-      }
-      val created = sc.getPersistentRDDs.keySet.toSet -- before
-      (created ++ prevId -- keep).foreach { id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
-      }
+      def release(id: Int): Unit = sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false))
+      // sweep the fold's own transient checkpoints
+      (created.toSet -- keep).foreach(release)
+      // release the map superseded TWO folds ago; retire this fold's
+      val prevRetired = retired
+      retired = Some(prev)
+      prevRetired.foreach(_.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          release(lr.rdd.id)
+      })
     }
   }
 

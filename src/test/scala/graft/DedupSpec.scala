@@ -372,7 +372,7 @@ class DedupSpec extends SparkSpec {
     // the candidate-volume telemetry rides the run: implied pair
     // fan-out bounds the verified output, and no bucket hit the cap
     val metric = lsh.queryExecution
-      .observedMetrics(Dedup.LSH_CANDIDATE_METRIC)
+      .observedMetrics(Dedup.lshCandidateMetricName(4, 4, 42L))
     assert(metric.getAs[Long]("bucket_pairs") >= got.size)
     assert(metric.getAs[Long]("skipped_buckets") == 0L)
     assert(metric.getAs[Int]("max_bucket") > 1)

@@ -463,7 +463,7 @@ class StreamingSpec extends SparkSpec {
     val witness = batch
       .select(col("event_type"),
         org.apache.spark.sql.functions.expr(
-          "unix_micros(ts) DIV 86400000000").as("day"))
+          graft.operators.EventOps.epochDaySql("ts")).as("day"))
       .as[(String, Long)].collect().groupBy(_._1)
       .map { case (tp, rows) =>
         val ds = rows.map(_._2)
