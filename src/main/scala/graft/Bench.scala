@@ -63,12 +63,20 @@ object Bench {
       // heap collection debt from neighbors, not the query.
       System.gc()
       val first = Seq.fill(timedRuns)(once()).flatten
-      // Adaptive re-measurement (round-7 verdict item 6): when the
-      // spread exceeds 2x the minimum, the median of 3 is still noise-
-      // dominated — take two more samples so one outlier run cannot
-      // masquerade as a regression in the cross-round diff.
+      // Adaptive re-measurement (round-7 verdict item 6, tightened in
+      // round 9): when the spread exceeds 2x the minimum, the batch
+      // was noise-dominated (GC debt / JIT churn from neighbors — the
+      // q_vocab_unk lesson above), so the MEASUREMENT is redone, not
+      // merely padded: five fresh runs, each preceded by its own
+      // gc() drain, REPLACE the noisy batch for both the median and
+      // the recorded [min,max]. Appending extra samples (the r8 form)
+      // fixed the median but left the noisy extremes in the spread,
+      // which round diffing then read as instability
+      // (q_dedup_containment: 1.69-9.18 s recorded, clean in
+      // isolation). A spread still above 2x after per-run drains is
+      // real and stays reported.
       val runs = (if (first.nonEmpty && first.max > 2 * first.min)
-        first ++ Seq.fill(2)(once()).flatten
+        Seq.fill(5) { System.gc(); once() }.flatten
       else first).sorted
       name -> runs
     }
