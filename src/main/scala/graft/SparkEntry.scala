@@ -846,6 +846,21 @@ object SparkEntry {
       Dedup.incrementalExact(base, batch)
         .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
     }),
+    // The STREAMING ingest face of the same operator, drained through
+    // the driver: the ingest half replays as doc_id-ordered
+    // micro-batches through incrementalDedupStream (stream-static
+    // anti-join vs the base fingerprint index + within-stream
+    // fingerprint state), and deterministic arrival order makes
+    // first-arrived == smallest-doc_id — so it SHARES the batch
+    // operator's oracle (one answer, two execution models; the
+    // plan-not-answer gate applied to streaming). StreamingSpec stays
+    // the deep multi-batch/restart equivalence check.
+    "q_dedup_incr_exact_stream" -> ((s, dir) => {
+      val (base, batch) = Dedup.splitIncremental(documents(s, dir))
+      graft.streaming.EventStreams.drainIncrementalDedup(base, batch)
+        .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
+        .orderBy("doc_id")
+    }),
     // Cross-set near-dup probe (batch bands against the base's
     // band-bucket index, exact-Jaccard verified). Plain % 4 split —
     // no plants — so the oracle is the exact cross-set Jaccard join;
@@ -2246,25 +2261,11 @@ object SparkEntry {
     // % 4 != 0; batch = new docs + re-keyed copies + re-deliveries),
     // then drops batch rows whose md5 exists in base and keeps the
     // first batch row per remaining fingerprint.
-    "q_dedup_incr_exact" ->
-      """WITH base AS (
-        |  SELECT * FROM documents WHERE doc_id % 4 != 0
-        |), batch AS (
-        |  SELECT doc_id, text, lang, source
-        |  FROM documents WHERE doc_id % 4 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, source
-        |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text, lang, source
-        |  FROM base WHERE doc_id % 7 = 1
-        |)
-        |SELECT doc_id, lang, source, md5(text) AS fp_md5
-        |FROM batch
-        |WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
-        |QUALIFY row_number() OVER (PARTITION BY md5(text)
-        |  ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incr_exact" -> IncrExactOracle,
+    // One answer, two execution models: the drained stream shares the
+    // batch operator's oracle verbatim (the shared-val convention, so
+    // the two cannot drift).
+    "q_dedup_incr_exact_stream" -> IncrExactOracle,
     // Incremental near-dup probe: exact cross-set 3-gram Jaccard
     // between the batch (doc_id % 4 = 0) and base slices — the
     // minhash banding finds these pairs with ~1e-22 miss probability,
@@ -5466,6 +5467,30 @@ object SparkEntry {
     * plan answers the identical exact result — the plan-not-answer
     * gate; one definition so the two cannot drift, the
     * CurationCascadeCtes convention). */
+  /** Shared oracle for q_dedup_incr_exact AND its drained-stream twin
+    * q_dedup_incr_exact_stream: replays splitIncremental's planted
+    * arithmetic, the base-fingerprint anti-join, and keep-first
+    * (smallest doc_id) within the batch. */
+  private val IncrExactOracle: String =
+    """WITH base AS (
+      |  SELECT * FROM documents WHERE doc_id % 4 != 0
+      |), batch AS (
+      |  SELECT doc_id, text, lang, source
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source
+      |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, lang, source
+      |  FROM base WHERE doc_id % 7 = 1
+      |)
+      |SELECT doc_id, lang, source, md5(text) AS fp_md5
+      |FROM batch
+      |WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
+      |QUALIFY row_number() OVER (PARTITION BY md5(text)
+      |  ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
   private val CorpusOverlapOracle: String =
     """WITH toks AS (
         |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents

@@ -230,6 +230,68 @@ object EventStreams extends Serializable {
       .join(baseFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
       .dropDuplicates("fp_md5")
 
+  /** Drain [[incrementalDedupStream]] over a bounded ingest and return
+    * the survivors as a BATCH DataFrame — the harness face that puts
+    * the streaming ingest path under the SAME DuckDB oracle as the
+    * batch operator ([[graft.operators.Dedup.incrementalExact]]),
+    * giving the streaming family a hash-checked driver row
+    * (StreamingSpec stays the deep multi-batch equivalence check).
+    *
+    * The stream's keep-first is first-ARRIVED while the batch
+    * operator's is smallest-doc_id, so arrival order is made
+    * deterministic and id-ascending: the ingest half is written as
+    * `nBatches` doc_id-RANGE chunks — sequential single-file writes
+    * with explicitly increasing mod-times, each sorted by doc_id —
+    * and `maxFilesPerTrigger = 1` replays them as that many
+    * micro-batches in mod-time order. Within a micro-batch the single
+    * input partition keeps per-state-partition row order (one map
+    * block per reduce partition), so the state store, too, sees each
+    * fingerprint's smallest doc_id first. First-arrived == smallest
+    * id, and the outputs are row-identical to the batch operator. */
+  def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    val spark = base.sparkSession
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-incr-ingest").toString
+    val b = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo) / nBatches + 1)
+    val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    (0 until nBatches).foreach { i =>
+      val chunk = batch.filter(
+        col("doc_id") >= lo + i * width &&
+          (if (i == nBatches - 1) lit(true)
+           else col("doc_id") < lo + (i + 1) * width))
+      chunk.coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(tmp)
+      // stamp strictly increasing mod-times so the file source's
+      // (modTime, path) replay order cannot tie two chunks written
+      // inside one clock tick
+      val dir = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.list(dir).forEach { p =>
+        if (p.toString.endsWith(".parquet") && seen.add(p))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + i * 60000L))
+      }
+    }
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val baseFps = base
+      .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+        .as("fp_md5"))
+      .distinct()
+    val qname = "graft_incr_dedup_drain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = incrementalDedupStream(stream, baseFps)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** Stream-static incremental NEAR-dup: streamed documents probe the
     * base corpus's minhash band index ([[graft.operators.Dedup
     * .bandBuckets]] — the materialize-once relation a 100 TB corpus

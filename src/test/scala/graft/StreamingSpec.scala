@@ -212,6 +212,27 @@ class StreamingSpec extends SparkSpec {
       want.select("fp_md5").as[String].collect().toSet)
   }
 
+  test("drained incremental dedup is ROW-identical to the batch " +
+      "operator (deterministic id-ascending arrival)") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (baseCorpus, batch) =
+      graft.operators.Dedup.splitIncremental(corpus)
+    // unlike the fp-set check above, the harness drain pins ROWS: its
+    // mod-time-stamped id-range replay makes first-arrived ==
+    // smallest-doc_id, the batch keep rule — the property that lets
+    // q_dedup_incr_exact_stream share q_dedup_incr_exact's oracle
+    val got = EventStreams.drainIncrementalDedup(baseCorpus, batch)
+      .select("doc_id", "lang", "source", "fp_md5")
+      .orderBy("doc_id")
+      .collect().toSeq
+    val want = graft.operators.Dedup.incrementalExact(baseCorpus, batch)
+      .select("doc_id", "lang", "source", "fp_md5")
+      .orderBy("doc_id")
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("stream-static incremental near-dup matches the batch probe") {
     import org.apache.spark.sql.functions._
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
