@@ -52,6 +52,13 @@ object Plans {
       "q_quality_calibrated", "q_pipeline_funnel", "q_delete_repack",
       "q_pack_padding", "q_decontaminate_spans", "q_embed_profile",
       "q_salt_plan", "q_corpus_overlap_incr", "q_dedup_incr_simhash")
+    // NOT headline: the trainer queries (q_bpe_vocab, q_wordpiece_
+    // vocab) and the drained-stream twin (q_dedup_incr_exact_stream)
+    // — their returned relation is driver-materialized (rule tables /
+    // a memory-sink read), so the formatted plan is a LocalTableScan
+    // that says nothing; their load-bearing plans are the per-round
+    // kernels already covered by q_bpe_pairs / q_wordpiece_pairs and
+    // the streaming plan is StreamingSpec's domain.
     headline.foreach { name =>
       println(s"\n## $name\n")
       println("```")

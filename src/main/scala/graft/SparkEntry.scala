@@ -234,7 +234,11 @@ object SparkEntry {
     * greedy is proven to reproduce this sequential order (soundness
     * argument in its scaladoc), so the cascade is its oracle, not
     * merely a twin's. */
-  private def bpeVocabCascadeOracle(nMerges: Int): String = {
+  /** The shared WITH-cascade body: s0 = the word-frequency relation
+    * as wrapped symbol strings (word carried through every round so
+    * the encode replay can join segmentations back), then one
+    * (split, pair-count, argmax, replace) stage per merge round. */
+  private def bpeCascadeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""w$r AS MATERIALIZED (
          |  SELECT string_split(substr(s, 2, length(s) - 2),
@@ -249,16 +253,15 @@ object SparkEntry {
          |  SELECT $r::BIGINT AS rank, s1, s2, cnt FROM pc$r
          |  ORDER BY cnt DESC, s1, s2 LIMIT 1
          |), s$r AS MATERIALIZED (
-         |  SELECT replace(f.s,
+         |  SELECT f.word, replace(f.s,
          |      chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
          |      chr(1) || b.s1 || b.s2 || chr(2)) AS s, f.cnt
          |  FROM s${r - 1} f, b$r b
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to nMerges)
-      .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-    s"""WITH s0 AS MATERIALIZED (
-       |  SELECT chr(1) || array_to_string(list_append(list_transform(
+    s"""s0 AS MATERIALIZED (
+       |  SELECT word,
+       |    chr(1) || array_to_string(list_append(list_transform(
        |      range(1, length(word) + 1), i -> substr(word, i, 1)),
        |      '</w>'), chr(2) || chr(1)) || chr(2) AS s,
        |    count(*) AS cnt
@@ -266,10 +269,49 @@ object SparkEntry {
        |        FROM documents)
        |  GROUP BY word
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeVocabCascadeOracle(nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeCascadeCtes(nMerges)}
        |SELECT rank, s1, s2, s1 || s2 AS merged, cnt
        |FROM ($union) ORDER BY rank""".stripMargin
   }
+
+  /** Full oracle for q_bpe_encode — the serve path under the
+    * SELF-TRAINED table (not an injected one): the cascade's final
+    * state relation s<n> IS the per-word segmentation with all n
+    * trained merges applied (BpeSpec pins Bpe.encode's re-derived
+    * segmentation equal to training's own), so the encode replay is
+    * the cascade plus [[BpeEncodeInjectedOracle]]'s token-stream
+    * join-back and per-doc aggregation. Training and serving are
+    * answer-checked END TO END in one query. */
+  private def bpeEncodeCascadeOracle(nMerges: Int): String =
+    s"""WITH ${bpeCascadeCtes(nMerges)},
+       |t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(tk) AS word,
+       |    generate_subscripts(tk, 1) AS pos
+       |  FROM t
+       |), seg AS (
+       |  SELECT word,
+       |    string_split(substr(s, 2, length(s) - 2),
+       |      chr(2) || chr(1)) AS pieces
+       |  FROM s$nMerges
+       |)
+       |SELECT doc_id,
+       |  string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos)
+       |    AS bpe_text,
+       |  sum(len(pieces))::BIGINT AS n_pieces,
+       |  count(*) AS n_tok,
+       |  sum(len(pieces))::BIGINT * 10000 // count(*) AS fertility_bp
+       |FROM tok JOIN seg USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[graft.operators.WordPiece.train]] — the same
     * unrolled cascade as [[bpeVocabCascadeOracle]] with WordPiece's
@@ -530,15 +572,20 @@ object SparkEntry {
     // 30-rule runs rule-for-rule vs a plain-Scala trainer).
     "q_bpe_vocab" -> ((s, dir) =>
       Bpe.trainQuery(documents(s, dir), nMerges = VocabCascadeRules)),
-    // Encode the corpus with the trained table: rules fold into ONE
-    // projection over the distinct-word relation, segmentations join
-    // back broadcast — rows-only (BpeSpec pins vs training's own
-    // segmented relation + reconstruction). The table trains once per
-    // dataset and is cached (the ivfCentroidCache convention).
+    // Encode the corpus with its own trained table: rules fold into
+    // ONE projection over the distinct-word relation, segmentations
+    // join back broadcast. Fully ORACLED as of r9 at the same reduced
+    // 12-rule budget as q_bpe_vocab: the oracle derives the rules IN
+    // SQL (the vocab cascade) and replays the serve path off the
+    // cascade's final segmented relation — train + serve
+    // answer-checked end to end (BpeSpec keeps pinning deeper-budget
+    // encode vs training's own segmentation + reconstruction). The
+    // table trains once per dataset and is cached (the
+    // ivfCentroidCache convention).
     "q_bpe_encode" -> ((s, dir) => {
       import s.implicits._
       val rules = bpeRulesCache.computeIfAbsent(dir, d =>
-        Bpe.train(documents(s, d), nMerges = 30)._1
+        Bpe.train(documents(s, d), nMerges = VocabCascadeRules)._1
           .orderBy("rank").select("s1", "s2")
           .as[(String, String)].collect().toSeq)
       Bpe.encode(documents(s, dir), rules)
@@ -1868,6 +1915,10 @@ object SparkEntry {
     // -string replace); see bpeVocabCascadeOracle's scaladoc for the
     // batched-greedy == sequential and fold == replace arguments.
     "q_bpe_vocab" -> bpeVocabCascadeOracle(VocabCascadeRules),
+    // The serve path under the SELF-trained table: the same cascade
+    // derives the rules in SQL and its final state relation is the
+    // segmentation — train + serve answer-checked end to end.
+    "q_bpe_encode" -> bpeEncodeCascadeOracle(VocabCascadeRules),
     // WordPiece trainer, the same cascade with per-round symbol
     // totals and the E12 integer likelihood argmax.
     "q_wordpiece_vocab" -> wordPieceVocabCascadeOracle(VocabCascadeRules),
