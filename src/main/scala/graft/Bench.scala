@@ -26,6 +26,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's single-partition warning IN THE BENCH ONLY:
+    // every global-window site in the library is a bounded post-limit
+    // relation and says so at the call site (CorpusOps/ProfileOps/
+    // Similarity/TrainingOps/PrefixSum — audited, r8 verdict item 4);
+    // hundreds of repeats of a known-benign warning bury the real
+    // ones. Library code stays un-suppressed for users.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // session warm-up: pay scheduler/codegen startup (~4s) before any
     // timer starts, so the first query's number is the query's, not
     // the JVM's.
