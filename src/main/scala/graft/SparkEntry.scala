@@ -2145,67 +2145,10 @@ object SparkEntry {
         |WHERE common * 10000 >= n_sub * 9000
         |ORDER BY doc_sub, doc_sup""".stripMargin,
     // Per-source diversity: same minhash statistic grouped by source
-    "q_dedup_diversity_src" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, source,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), mins AS (
-        |  SELECT source, doc_id, i.i,
-        |    min(('0x' || substr(md5(s || ':' || i.i::VARCHAR), 1, 15))
-        |      ::BIGINT) AS mh
-        |  FROM sh, unnest(range(16)) AS i(i)
-        |  GROUP BY source, doc_id, i.i
-        |), cnts AS (
-        |  SELECT source, i, mh, count(*) AS c
-        |  FROM mins GROUP BY source, i, mh
-        |), agg AS (
-        |  SELECT source,
-        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
-        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
-        |  FROM cnts GROUP BY source
-        |)
-        |SELECT source, n_docs,
-        |  (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs, collisions,
-        |  (CASE WHEN n_docs >= 2 THEN
-        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
-        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
-        |FROM agg ORDER BY source""".stripMargin,
-    // Diversity: identical md5-minhash components, identical
-    // collision count arithmetic — the estimator replayed exactly
-    "q_dedup_diversity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), mins AS (
-        |  SELECT doc_id, i.i,
-        |    min(('0x' || substr(md5(s || ':' || i.i::VARCHAR), 1, 15))
-        |      ::BIGINT) AS mh
-        |  FROM sh, unnest(range(16)) AS i(i)
-        |  GROUP BY doc_id, i.i
-        |), cnts AS (
-        |  SELECT i, mh, count(*) AS c FROM mins GROUP BY i, mh
-        |), agg AS (
-        |  SELECT
-        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
-        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
-        |  FROM cnts
-        |)
-        |SELECT n_docs, (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs,
-        |  16::BIGINT AS n_components, collisions,
-        |  (CASE WHEN n_docs >= 2 THEN
-        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
-        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
-        |FROM agg""".stripMargin,
+    "q_dedup_diversity_src" -> diversityOracle(perSource = true),
+    // Diversity: the MinHashMins kernel replayed exactly — shared
+    // builder, see diversityOracle
+    "q_dedup_diversity" -> diversityOracle(perSource = false),
     // Prefix-filtered AllPairs join: IDENTICAL answer to an uncapped
     // exact-Jaccard run (the oracle only sees the answer — the
     // prefix candidate cut is a plan property, pinned in DedupSpec)
@@ -5518,6 +5461,69 @@ object SparkEntry {
     * plan answers the identical exact result — the plan-not-answer
     * gate; one definition so the two cannot drift, the
     * CurationCascadeCtes convention). */
+  /** Shared oracle builder for q_dedup_diversity /
+    * q_dedup_diversity_src: replays [[graft.functions.MinHashMins]]
+    * exactly — per shingle the repo-standard md5-60 base hash, then
+    * per component the affine wrap-mix h·A(i)+B(i) in HUGEINT mod
+    * 2^64 folded to signed BIGINT (the q_fingerprint_rolling
+    * convention), min over signed values. The A/B constants are
+    * EMITTED from the kernel's own definitions so SQL and kernel
+    * cannot drift. Duplicate shingles cannot change a min, so the
+    * DISTINCT in the shingle CTE is harmless parity, not load-
+    * bearing. */
+  private def diversityOracle(perSource: Boolean): String = {
+    import graft.functions.MinHashMins
+    val mix = (0 until 16).map { i =>
+      val a = java.lang.Long.toUnsignedString(MinHashMins.a(i))
+      val b = java.lang.Long.toUnsignedString(MinHashMins.b(i))
+      s"($i, ${a}::HUGEINT, ${b}::HUGEINT)"
+    }.mkString(",\n        |    ")
+    val src = if (perSource) ", source" else ""
+    val srcSel = if (perSource) "source, " else ""
+    val groupTail = if (perSource) " GROUP BY source" else ""
+    val outHead = if (perSource) "source, n_docs" else
+      "n_docs, (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs"
+    val outMid = if (perSource)
+      ",\n        |  (n_docs * (n_docs - 1) // 2)::BIGINT AS n_pairs"
+    else ",\n        |  16::BIGINT AS n_components"
+    val orderTail = if (perSource) " ORDER BY source" else ""
+    s"""WITH toks AS (
+        |  SELECT doc_id$src, regexp_extract_all(text, '\\S+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id$src,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), mix(i, a, b) AS (
+        |  VALUES $mix
+        |), mins AS (
+        |  SELECT ${srcSel}doc_id, i,
+        |    min(CASE WHEN v >= 9223372036854775808::HUGEINT
+        |        THEN (v - 18446744073709551616::HUGEINT)::BIGINT
+        |        ELSE v::BIGINT END) AS mh
+        |  FROM (
+        |    SELECT ${srcSel}doc_id, m.i AS i,
+        |      (('0x' || substr(md5(s), 1, 15))::BIGINT::HUGEINT
+        |        * m.a + m.b) % 18446744073709551616::HUGEINT AS v
+        |    FROM sh, mix m)
+        |  GROUP BY ${srcSel}doc_id, i
+        |), cnts AS (
+        |  SELECT ${srcSel}i, mh, count(*) AS c
+        |  FROM mins GROUP BY ${srcSel}i, mh
+        |), agg AS (
+        |  SELECT $srcSel
+        |    sum(CASE WHEN i = 0 THEN c ELSE 0 END)::BIGINT AS n_docs,
+        |    sum(c * (c - 1) // 2)::BIGINT AS collisions
+        |  FROM cnts$groupTail
+        |)
+        |SELECT $outHead$outMid, collisions,
+        |  (CASE WHEN n_docs >= 2 THEN
+        |    collisions * 1000000 // (16 * (n_docs * (n_docs - 1) // 2))
+        |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
+        |FROM agg$orderTail""".stripMargin
+  }
+
   /** Shared oracle for q_dedup_incr_exact AND its drained-stream twin
     * q_dedup_incr_exact_stream: replays splitIncremental's planted
     * arithmetic, the base-fingerprint anti-join, and keep-first

@@ -18,6 +18,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   - `graft_rolling_fp(text, k, w)` — winnowed rolling fingerprints
   *   - `graft_text_dhash(text)`     — perceptual fake-luma dHash
   *   - `graft_phrase_hits(text, 'w1 w2 ...')` — packed overlapping
+  *   - `graft_minhash_mins(text, n, k)` — all k MinHash component
+  *     minima of the word-n-gram shingle set, one pass
   *     phrase-occurrence count + first position
   *
   * so the engine's SQL entry point ([[graft.SparkEntry]] `q_rel_sql`
@@ -100,6 +102,10 @@ object GraftFunctions {
         PhraseHits(es(0),
           stringArg(es(1), "graft_phrase_hits")
             .split("\\s+").filter(_.nonEmpty).toSeq) }),
+    "graft_minhash_mins" ->
+      ((es: Seq[Expression]) => { arity("graft_minhash_mins", es, 3)
+        MinHashMins(es(0), intArg(es(1), "graft_minhash_mins"),
+          intArg(es(2), "graft_minhash_mins")) }),
   )
 
   /** Resolve a foldable string argument (the phrase literal). */

@@ -348,14 +348,19 @@ object Dedup {
   def corpusDiversity(docs: DataFrame, n: Int = 3,
       numHashes: Int = 16): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64)
-    import graft.functions.TextAnalysis.md5Hash60
-    val mins = shingleIndex(docs, n)
+    // all component minima in ONE codegen pass over the text (one
+    // md5 per shingle + numHashes wrap-mixes, nothing per-shingle
+    // ever exits the scan stage) — replaces a 16x-exploded md5 storm
+    // and its (doc, i) min-aggregate shuffle; measured 4x on the
+    // harness corpus, same oracle-replayable arithmetic (kernel doc)
+    val mins = docs
       .select(col("doc_id"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
-        col("shingle"))
-      .withColumn("h", md5Hash60(
-        concat(col("shingle"), lit(":"), col("i").cast("string"))))
-      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.MinHashMins(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), n, numHashes)).as("mins"))
+      .filter(col("mins").isNotNull)
+      .select(col("doc_id"), posexplode(col("mins")).as(Seq("i", "mh")))
     mins
       .groupBy("i", "mh").agg(count("*").as("c"))
       .agg(
@@ -382,15 +387,17 @@ object Dedup {
   def sourceDiversity(docs: DataFrame, n: Int = 3,
       numHashes: Int = 16): DataFrame = {
     require(numHashes >= 1 && numHashes <= 64)
-    import graft.functions.TextAnalysis.md5Hash60
-    val mins = shingleIndex(docs, n)
-      .join(docs.select("doc_id", "source"), "doc_id")
+    // the corpusDiversity kernel, source carried alongside — no join
+    // back (source rides the same scan row)
+    val mins = docs
       .select(col("source"), col("doc_id"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
-        col("shingle"))
-      .withColumn("h", md5Hash60(
-        concat(col("shingle"), lit(":"), col("i").cast("string"))))
-      .groupBy("source", "doc_id", "i").agg(min("h").as("mh"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.MinHashMins(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), n, numHashes)).as("mins"))
+      .filter(col("mins").isNotNull)
+      .select(col("source"), col("doc_id"),
+        posexplode(col("mins")).as(Seq("i", "mh")))
     mins
       .groupBy("source", "i", "mh").agg(count("*").as("c"))
       .groupBy("source")

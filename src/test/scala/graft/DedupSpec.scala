@@ -106,6 +106,37 @@ class DedupSpec extends SparkSpec {
     assert(gotC.nonEmpty, "corpus should contain containment cases")
   }
 
+  test("MinHashMins kernel == plain-Scala witness on the corpus") {
+    // the witness re-derives every doc's component minima from first
+    // principles: \S+ tokens, 3-gram space-joined shingles, first 15
+    // hex chars of md5 as the 60-bit base hash, the kernel's own
+    // affine wrap-mix constants, signed min
+    import graft.functions.MinHashMins
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = corpus.select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          MinHashMins(org.apache.spark.sql.graft.ColumnBridge
+            .expression(col("text")), 3, 16)).as("m"))
+      .filter(col("m").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().flatMap { case (id, t) =>
+        val sh = t.split("\\s+").filter(_.nonEmpty).sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSeq
+        if (sh.isEmpty) None
+        else Some(id -> (0 until 16).map(i =>
+          sh.map(s => h60(s) * MinHashMins.a(i) + MinHashMins.b(i)).min))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, m) => assert(m == want(id), s"doc $id") }
+  }
+
   test("corpusDiversity: exact on a planted 0/1-Jaccard corpus; " +
       "tracks brute-force mean J on sf0.001") {
     // 3 identical docs + 2 unrelated: mean pairwise J = 3/10 exactly,
