@@ -918,6 +918,18 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(4)) === 0))
     }),
+    // The near-dup STREAMING ingest face, drained through the driver:
+    // streamed docs probe the same materialized band index and the
+    // verified pair relation shares the batch probe's oracle — pairs
+    // are a SET (each pair can only arrive in its document's one
+    // micro-batch), so no arrival-order rule exists to perturb.
+    "q_dedup_incr_minhash_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.streaming.EventStreams.drainIncrementalNearDup(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+        .orderBy("doc_batch", "doc_base")
+    }),
     // Incremental SIMHASH near-dup: batch fingerprints probe the
     // base's band index, exact-Hamming verified on the portable
     // 60-bit hash — plain % 4 split, the q_dedup_incr_minhash shape;
@@ -2265,30 +2277,11 @@ object SparkEntry {
     // minhash banding finds these pairs with ~1e-22 miss probability,
     // and every candidate is exact-verified, so the SQL join is the
     // oracle (same argument as q_dedup_minhash).
-    "q_dedup_incr_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
-        |    count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_batch, doc_base,
-        |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = doc_base
-        |JOIN sizes sb ON sb.doc_id = doc_batch
-        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
-        |ORDER BY doc_batch, doc_base""".stripMargin,
+    "q_dedup_incr_minhash" -> IncrMinhashOracle,
+    // One answer, two execution models (the q_dedup_incr_exact_stream
+    // convention): the drained near-dup probe stream shares the batch
+    // operator's oracle verbatim.
+    "q_dedup_incr_minhash_stream" -> IncrMinhashOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -5523,6 +5516,35 @@ object SparkEntry {
         |   ELSE 0 END)::BIGINT AS mean_jaccard_e6
         |FROM agg$orderTail""".stripMargin
   }
+
+  /** Shared oracle for q_dedup_incr_minhash AND its drained-stream
+    * twin q_dedup_incr_minhash_stream: the exact cross-set 3-gram
+    * Jaccard join (minhash banding finds these pairs with ~1e-22 miss
+    * probability; every candidate is exact-verified). */
+  private val IncrMinhashOracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_batch, doc_base,
+        |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_base
+        |JOIN sizes sb ON sb.doc_id = doc_batch
+        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY doc_batch, doc_base""".stripMargin
 
   /** Shared oracle for q_dedup_incr_exact AND its drained-stream twin
     * q_dedup_incr_exact_stream: replays splitIncremental's planted

@@ -248,25 +248,30 @@ object EventStreams extends Serializable {
     * block per reduce partition), so the state store, too, sees each
     * fingerprint's smallest doc_id first. First-arrived == smallest
     * id, and the outputs are row-identical to the batch operator. */
-  def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
-      nBatches: Int = 3): DataFrame = {
-    val spark = base.sparkSession
+  /** Replay a bounded relation as `nBatches` micro-batches in
+    * ascending `idCol` order: sequential single-file id-range chunk
+    * writes with explicitly increasing mod-times (the file source
+    * replays in (modTime, path) order), read back with
+    * `maxFilesPerTrigger = 1`. Within a micro-batch the single input
+    * partition keeps per-state-partition row order. */
+  private def replayAsMicroBatches(rows: DataFrame, idCol: String,
+      nBatches: Int): DataFrame = {
+    val spark = rows.sparkSession
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-incr-ingest").toString
-    val b = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val b = rows.agg(min(col(idCol)), max(col(idCol))).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val width = math.max(1L, (hi - lo) / nBatches + 1)
     val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
     (0 until nBatches).foreach { i =>
-      val chunk = batch.filter(
-        col("doc_id") >= lo + i * width &&
+      val chunk = rows.filter(
+        col(idCol) >= lo + i * width &&
           (if (i == nBatches - 1) lit(true)
-           else col("doc_id") < lo + (i + 1) * width))
-      chunk.coalesce(1).sortWithinPartitions("doc_id")
+           else col(idCol) < lo + (i + 1) * width))
+      chunk.coalesce(1).sortWithinPartitions(idCol)
         .write.mode("append").parquet(tmp)
-      // stamp strictly increasing mod-times so the file source's
-      // (modTime, path) replay order cannot tie two chunks written
-      // inside one clock tick
+      // stamp strictly increasing mod-times so two chunks written
+      // inside one clock tick cannot tie in replay order
       val dir = java.nio.file.Paths.get(tmp)
       java.nio.file.Files.list(dir).forEach { p =>
         if (p.toString.endsWith(".parquet") && seen.add(p))
@@ -275,21 +280,48 @@ object EventStreams extends Serializable {
               1000000000000L + i * 60000L))
       }
     }
-    val stream = spark.readStream.schema(batch.schema)
+    spark.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp)
-    val baseFps = base
-      .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
-        .as("fp_md5"))
-      .distinct()
-    val qname = "graft_incr_dedup_drain_" +
+  }
+
+  /** Drain a streaming query into a batch DataFrame via a uniquely
+    * named memory sink (AvailableNow — terminates when the bounded
+    * source is exhausted). */
+  private def drain(out: DataFrame, label: String): DataFrame = {
+    val qname = label + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = incrementalDedupStream(stream, baseFps)
-      .writeStream.format("memory").queryName(qname)
+    val q = out.writeStream.format("memory").queryName(qname)
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(qname)
+    out.sparkSession.table(qname)
+  }
+
+  def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    val stream = replayAsMicroBatches(batch, "doc_id", nBatches)
+    val baseFps = base
+      .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+        .as("fp_md5"))
+      .distinct()
+    drain(incrementalDedupStream(stream, baseFps),
+      "graft_incr_dedup_drain")
+  }
+
+  /** The NEAR-dup face of [[drainIncrementalDedup]]: the ingest half
+    * replays as micro-batches through [[incrementalNearDupStream]]
+    * (minhash bands probe the base index, exact-Jaccard verified) and
+    * the drained pair relation shares the batch operator's oracle.
+    * Simpler determinism argument than the exact face: the output is
+    * a verified pair SET — each pair can only arrive in its
+    * batch-document's one micro-batch, so no keep-first rule exists
+    * for arrival order to perturb. */
+  def drainIncrementalNearDup(base: DataFrame, batch: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    val stream = replayAsMicroBatches(batch, "doc_id", nBatches)
+    drain(incrementalNearDupStream(stream, base),
+      "graft_incr_near_drain")
   }
 
   /** Stream-static incremental NEAR-dup: streamed documents probe the
