@@ -507,6 +507,21 @@ class PlanSpec extends SparkSpec {
       s"expected base + batch scans only:\n$p")
   }
 
+  test("diversity estimator: ONE corpus scan, ONE generate — no " +
+      "per-shingle row ever exits the scan stage") {
+    // the MinHashMins kernel computes every component minimum inside
+    // the scan projection; the only exploded relation is |docs| x 16
+    // component rows (posexplode of the kernel output). A second
+    // Generate or FileScan means the pre-kernel shape (per-shingle
+    // explode + per-component md5) has crept back.
+    val p = plan(SparkEntry.queries("q_dedup_diversity")(spark, sfDir))
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"expected 1 generate:\n$p")
+    assert(p.contains("graft_minhash_mins") || p.contains("MinHashMins"),
+      s"kernel missing from plan:\n$p")
+  }
+
   test("delete repack: the delete set broadcasts into the narrow " +
       "shard relation; text never rides the plan") {
     val p = plan(SparkEntry.queries("q_delete_repack")(spark, sfDir))
