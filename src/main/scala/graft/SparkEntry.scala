@@ -37,6 +37,11 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, Seq[(String, String)]]()
 
+  /** Trained WordPiece merged-piece vocab per dataset dir (the
+    * [[bpeRulesCache]] convention). */
+  private val wordpieceRulesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** Trained unigram-LM piece tables per dataset dir — the
     * [[bpeRulesCache]] convention for the second tokenizer family:
     * the trained table is a bounded |V|-row relation (index
@@ -321,8 +326,10 @@ object SparkEntry {
     * DECIMAL(38,0) DIV in Spark — identical truncation on positive
     * operands), and the `##`-stripping merged-symbol name. Symbol
     * totals are a second aggregation over the same split relation
-    * each round, exactly WordPiece.scoredPairs' shape. */
-  private def wordPieceVocabCascadeOracle(nMerges: Int): String = {
+    * each round, exactly WordPiece.scoredPairs' shape. This def
+    * returns the shared CTE BODY (s0 + rounds) consumed by both the
+    * vocab oracle and the trained-encode oracle below. */
+  private def wordPieceCascadeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""w$r AS MATERIALIZED (
          |  SELECT string_split(substr(s, 2, length(s) - 2),
@@ -357,9 +364,7 @@ object SparkEntry {
          |  FROM s${r - 1} f, b$r b
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to nMerges)
-      .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-    s"""WITH s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
        |  SELECT chr(1) || array_to_string(list_transform(
        |      range(1, length(word) + 1),
        |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
@@ -370,9 +375,91 @@ object SparkEntry {
        |        FROM documents)
        |  GROUP BY word
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def wordPieceVocabCascadeOracle(nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH ${wordPieceCascadeCtes(nMerges)}
        |SELECT rank, s1, s2, merged, cnt, score_e12
        |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** Full oracle for q_wordpiece_encode_trained — the greedy
+    * longest-match serve walk of the q_wordpiece_encode oracle, with
+    * the multi-char vocabulary DERIVED IN SQL from the trainer
+    * cascade's merged symbols instead of injected literals (the
+    * [[bpeEncodeCascadeOracle]] convention): WordPiece train + serve
+    * answer-checked end to end in one query. The candidate probe
+    * length bound comes from the trained pieces themselves (the
+    * operator's own maxL rule: longest `##`-stripped piece, floor
+    * 1). */
+  private def wordPieceEncodeTrainedOracle(nMerges: Int): String = {
+    val trained = (1 to nMerges)
+      .map(r => s"SELECT merged FROM b$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${wordPieceCascadeCtes(nMerges)},
+       |trained AS MATERIALIZED ($trained),
+       |maxl AS MATERIALIZED (
+       |  SELECT greatest(1, max(length(CASE WHEN merged LIKE '##%'
+       |    THEN substr(merged, 3) ELSE merged END))) AS l
+       |  FROM trained
+       |), words AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS word
+       |  FROM documents
+       |), vocab AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(
+       |    range(1, length(word) + 1),
+       |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+       |         ELSE '##' || substr(word, i, 1) END)) AS piece
+       |  FROM words
+       |  UNION
+       |  SELECT merged AS piece FROM trained
+       |), cand AS (
+       |  SELECT word, p, u.l AS l,
+       |    CASE WHEN p = 1 THEN substr(word, p, u.l)
+       |         ELSE '##' || substr(word, p, u.l) END AS piece
+       |  FROM words, maxl,
+       |    unnest(generate_series(1, length(word))) AS t(p),
+       |    unnest(generate_series(1,
+       |      least(maxl.l, length(word) - p + 1))) AS u(l)
+       |), best AS MATERIALIZED (
+       |  SELECT word, p, arg_max(piece, l) AS piece, max(l) AS l
+       |  FROM cand JOIN vocab USING (piece)
+       |  GROUP BY word, p
+       |), walk AS (
+       |  SELECT word, 1::BIGINT AS pos,
+       |    CAST([] AS VARCHAR[]) AS pieces, false AS unk
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w.word, w.pos + coalesce(b.l, 1),
+       |    CASE WHEN b.piece IS NULL THEN w.pieces
+       |         ELSE list_append(w.pieces, b.piece) END,
+       |    w.unk OR b.piece IS NULL
+       |  FROM walk w LEFT JOIN best b
+       |    ON b.word = w.word AND b.p = w.pos
+       |  WHERE w.pos <= length(w.word)
+       |), segs AS (
+       |  SELECT word,
+       |    CASE WHEN unk THEN ['[UNK]'] ELSE pieces END AS pieces, unk
+       |  FROM walk WHERE pos > length(word)
+       |), tok AS (
+       |  SELECT doc_id, i AS pos, t[i + 1] AS word
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+       |        FROM documents),
+       |    unnest(range(len(t))) AS u(i)
+       |)
+       |SELECT doc_id,
+       |  string_agg(array_to_string(s.pieces, ' '), ' ' ORDER BY pos)
+       |    AS wp_text,
+       |  sum(len(s.pieces))::BIGINT AS n_pieces,
+       |  sum(CASE WHEN s.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+       |  count(*) AS n_tok,
+       |  ((sum(len(s.pieces)) * 10000) // count(*))::BIGINT
+       |    AS fertility_bp
+       |FROM tok JOIN segs s USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Injected multi-char unigram pieces (piece, integer weight) for
@@ -620,6 +707,18 @@ object SparkEntry {
     // q_ann_ivf_injected convention).
     "q_wordpiece_encode" -> ((s, dir) =>
       WordPiece.encode(documents(s, dir), WordPieceEncodePieces)),
+    // The serve path under the SELF-trained vocab (the q_bpe_encode
+    // convention): the 12 trained merged symbols feed the greedy
+    // longest-match encode, and the oracle derives the same pieces IN
+    // SQL from the trainer cascade — WordPiece train + serve
+    // answer-checked end to end.
+    "q_wordpiece_encode_trained" -> ((s, dir) => {
+      import s.implicits._
+      val pieces = wordpieceRulesCache.computeIfAbsent(dir, d =>
+        WordPiece.train(documents(s, d), nMerges = VocabCascadeRules)
+          .orderBy("rank").select("merged").as[String].collect().toSeq)
+      WordPiece.encode(documents(s, dir), pieces)
+    }),
     // ---- unigram-LM (SentencePiece) tokenizer family ----
     // The exact-SQL face: corpus-weighted substring (seed piece)
     // counts, top 50 in the training total order (q_bpe_pairs' role).
@@ -1934,6 +2033,11 @@ object SparkEntry {
     // WordPiece trainer, the same cascade with per-round symbol
     // totals and the E12 integer likelihood argmax.
     "q_wordpiece_vocab" -> wordPieceVocabCascadeOracle(VocabCascadeRules),
+    // The serve path under the self-trained vocab: the cascade
+    // derives the merged pieces in SQL and the greedy longest-match
+    // walk replays against them.
+    "q_wordpiece_encode_trained" ->
+      wordPieceEncodeTrainedOracle(VocabCascadeRules),
     // WordPiece scoring kernel: BERT symbolization (first char bare,
     // ## continuations), adjacent-pair counts joined to symbol
     // totals, E12-quantized likelihood in HUGEINT — exact integers
