@@ -256,6 +256,20 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("drained incremental near-dup equals the batch probe " +
+      "(pair set needs no arrival-order argument)") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (baseCorpus, batch) =
+      graft.operators.Dedup.splitIncremental(corpus)
+    val got = EventStreams.drainIncrementalNearDup(baseCorpus, batch)
+      .orderBy("doc_batch", "doc_base").collect().toSeq
+    val want = graft.operators.Dedup
+      .incrementalNearDupPairs(baseCorpus, batch)
+      .orderBy("doc_batch", "doc_base").collect().toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "planted re-keys must produce pairs")
+  }
+
   test("streaming quality gate: batch-trained thresholds flag exactly " +
       "score >= thr; every batch-kept doc passes") {
     import org.apache.spark.sql.functions._
