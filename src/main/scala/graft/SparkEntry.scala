@@ -1040,6 +1040,16 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(4)) === 0))
     }),
+    // Drained SIMHASH ingest stream sharing the batch probe's oracle
+    // (pair-set determinism, the q_dedup_incr_minhash_stream
+    // convention).
+    "q_dedup_incr_simhash_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.streaming.EventStreams.drainIncrementalSimhash(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+        .orderBy("doc_batch", "doc_base")
+    }),
     // Incremental EMBEDDING near-dup: the batch's vectors probe the
     // base corpus's materialized SRP bucket index — semantic dedup's
     // per-ingest mode. Fully ORACLED via the q_dedup_embedding_lsh
@@ -1054,6 +1064,19 @@ object SparkEntry {
         threshold = 0.4,
         planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
           Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))))
+    }),
+    // Drained EMBEDDING ingest stream — the fourth and last streaming
+    // ingest face under a driver oracle (exact, minhash, simhash,
+    // embedding): same injected planes, same pair-set argument.
+    "q_dedup_incr_embedding_stream" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.streaming.EventStreams.drainIncrementalEmbedding(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(4)) === 0),
+        threshold = 0.4,
+        planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+          Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))))
+        .orderBy("vec_batch", "vec_base")
     }),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
@@ -2436,34 +2459,10 @@ object SparkEntry {
     // Incremental embedding near-dup: the injected-plane bucket CTE
     // split cross-set (batch vec_id % 4 = 0 probes the base index),
     // then the same exact-cosine verification
-    "q_dedup_incr_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), bk AS (
-        |  SELECT vec_id, t.t AS t,
-        |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 2] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 3] > 0 THEN 4 ELSE 0 END +
-        |     CASE WHEN v[4 * t.t + 4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM e, unnest([0, 1, 2, 3]) AS t(t)
-        |), cand AS (
-        |  SELECT DISTINCT q.vec_id AS vec_batch, b.vec_id AS vec_base
-        |  FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
-        |  WHERE q.vec_id % 4 = 0 AND b.vec_id % 4 != 0
-        |), p AS (
-        |  SELECT vec_batch, vec_base,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
-        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
-        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
-        |  FROM cand JOIN e a ON a.vec_id = cand.vec_batch
-        |    JOIN e b ON b.vec_id = cand.vec_base
-        |)
-        |SELECT vec_batch, vec_base,
-        |  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
-        |FROM p
-        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
-        |ORDER BY vec_batch, vec_base""".stripMargin,
+    "q_dedup_incr_embedding" -> IncrEmbeddingOracle,
+    // One answer, two execution models: the drained stream twin
+    // shares this oracle verbatim.
+    "q_dedup_incr_embedding_stream" -> IncrEmbeddingOracle,
     // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
     // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
     // the same IEEE double ops Spark's plantNearDups runs, so the
@@ -2552,29 +2551,10 @@ object SparkEntry {
         |ORDER BY e.vec_id""".stripMargin,
     // Cross-set face of the q_dedup_simhash oracle below: same
     // fingerprint CTEs, base x batch join on the % 4 split.
-    "q_dedup_incr_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-        |  FROM documents
-        |), th AS (
-        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
-        |  FROM toks
-        |), bitsum AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th, unnest(range(60)) AS b(i)
-        |  GROUP BY doc_id, i
-        |), fp AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
-        |  FROM bitsum GROUP BY doc_id
-        |)
-        |SELECT q.doc_id AS doc_batch, b.doc_id AS doc_base,
-        |  bit_count(xor(q.simhash, b.simhash)) AS hamming
-        |FROM fp q JOIN fp b
-        |  ON q.doc_id % 4 = 0 AND b.doc_id % 4 != 0
-        |WHERE bit_count(xor(q.simhash, b.simhash)) <= 3
-        |ORDER BY doc_batch, doc_base""".stripMargin,
+    "q_dedup_incr_simhash" -> IncrSimhashOracle,
+    // One answer, two execution models: the drained stream twin
+    // shares this oracle verbatim.
+    "q_dedup_incr_simhash_stream" -> IncrSimhashOracle,
     // q_dedup_simhash: the 60-bit md5-derived token hash is computed
     // identically by both engines; the oracle is the brute-force
     // self-join, which equals the banded query exactly for
@@ -5649,6 +5629,65 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_batch
         |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
         |ORDER BY doc_batch, doc_base""".stripMargin
+
+  /** Shared oracle for q_dedup_incr_simhash + its drained-stream
+    * twin: the exact cross-set Hamming join on the portable 60-bit
+    * simhash (4-band pigeonhole is exhaustive for hamming <= 3). */
+  private val IncrSimhashOracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |), bitsum AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, unnest(range(60)) AS b(i)
+        |  GROUP BY doc_id, i
+        |), fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |  FROM bitsum GROUP BY doc_id
+        |)
+        |SELECT q.doc_id AS doc_batch, b.doc_id AS doc_base,
+        |  bit_count(xor(q.simhash, b.simhash)) AS hamming
+        |FROM fp q JOIN fp b
+        |  ON q.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+        |WHERE bit_count(xor(q.simhash, b.simhash)) <= 3
+        |ORDER BY doc_batch, doc_base""".stripMargin
+
+  /** Shared oracle for q_dedup_incr_embedding + its drained-stream
+    * twin: injected axis-plane cross-set co-bucket candidates +
+    * exact-cosine verification, closed-form SQL. */
+  private val IncrEmbeddingOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), bk AS (
+        |  SELECT vec_id, t.t AS t,
+        |    (CASE WHEN v[4 * t.t + 1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN v[4 * t.t + 4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM e, unnest([0, 1, 2, 3]) AS t(t)
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS vec_batch, b.vec_id AS vec_base
+        |  FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
+        |  WHERE q.vec_id % 4 = 0 AND b.vec_id % 4 != 0
+        |), p AS (
+        |  SELECT vec_batch, vec_base,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
+        |    list_sum(list_transform(a.v, x -> x * x)) AS na,
+        |    list_sum(list_transform(b.v, x -> x * x)) AS nb
+        |  FROM cand JOIN e a ON a.vec_id = cand.vec_batch
+        |    JOIN e b ON b.vec_id = cand.vec_base
+        |)
+        |SELECT vec_batch, vec_base,
+        |  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM p
+        |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY vec_batch, vec_base""".stripMargin
 
   /** Shared oracle for q_dedup_incr_exact AND its drained-stream twin
     * q_dedup_incr_exact_stream: replays splitIncremental's planted

@@ -324,6 +324,26 @@ object EventStreams extends Serializable {
       "graft_incr_near_drain")
   }
 
+  /** The SIMHASH face of [[drainIncrementalNearDup]] — same pair-set
+    * determinism argument. */
+  def drainIncrementalSimhash(base: DataFrame, batch: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    val stream = replayAsMicroBatches(batch, "doc_id", nBatches)
+    drain(incrementalSimhashStream(stream, base),
+      "graft_incr_simhash_drain")
+  }
+
+  /** The EMBEDDING face of [[drainIncrementalNearDup]] — same
+    * pair-set determinism argument, vectors instead of documents. */
+  def drainIncrementalEmbedding(base: DataFrame, batch: DataFrame,
+      threshold: Double,
+      planes: Option[Seq[Seq[Seq[Double]]]] = None,
+      nBatches: Int = 3): DataFrame = {
+    val stream = replayAsMicroBatches(batch, "vec_id", nBatches)
+    drain(incrementalEmbeddingStream(stream, base, threshold,
+      planes = planes), "graft_incr_emb_drain")
+  }
+
   /** Stream-static incremental NEAR-dup: streamed documents probe the
     * base corpus's minhash band index ([[graft.operators.Dedup
     * .bandBuckets]] — the materialize-once relation a 100 TB corpus
