@@ -255,7 +255,7 @@ object EventStreams extends Serializable {
     * `maxFilesPerTrigger = 1`. Within a micro-batch the single input
     * partition keeps per-state-partition row order. */
   private def replayAsMicroBatches(rows: DataFrame, idCol: String,
-      nBatches: Int): DataFrame = {
+      nBatches: Int): (DataFrame, java.nio.file.Path) = {
     val spark = rows.sparkSession
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-incr-ingest").toString
@@ -280,8 +280,19 @@ object EventStreams extends Serializable {
               1000000000000L + i * 60000L))
       }
     }
-    spark.readStream.schema(rows.schema)
-      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    (spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp),
+      java.nio.file.Paths.get(tmp))
+  }
+
+  /** Recursively delete a drain's replay directory — the memory sink
+    * holds the drained rows, so the files are dead weight the moment
+    * the query terminates. */
+  private def deleteReplayDir(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** Drain a streaming query into a batch DataFrame via a uniquely
@@ -300,13 +311,15 @@ object EventStreams extends Serializable {
 
   def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
-    val stream = replayAsMicroBatches(batch, "doc_id", nBatches)
+    val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
     val baseFps = base
       .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
         .as("fp_md5"))
       .distinct()
-    drain(incrementalDedupStream(stream, baseFps),
+    val out = drain(incrementalDedupStream(stream, baseFps),
       "graft_incr_dedup_drain")
+    deleteReplayDir(tmp)
+    out
   }
 
   /** The NEAR-dup face of [[drainIncrementalDedup]]: the ingest half
@@ -319,18 +332,22 @@ object EventStreams extends Serializable {
     * for arrival order to perturb. */
   def drainIncrementalNearDup(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
-    val stream = replayAsMicroBatches(batch, "doc_id", nBatches)
-    drain(incrementalNearDupStream(stream, base),
+    val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
+    val out = drain(incrementalNearDupStream(stream, base),
       "graft_incr_near_drain")
+    deleteReplayDir(tmp)
+    out
   }
 
   /** The SIMHASH face of [[drainIncrementalNearDup]] — same pair-set
     * determinism argument. */
   def drainIncrementalSimhash(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
-    val stream = replayAsMicroBatches(batch, "doc_id", nBatches)
-    drain(incrementalSimhashStream(stream, base),
+    val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
+    val out = drain(incrementalSimhashStream(stream, base),
       "graft_incr_simhash_drain")
+    deleteReplayDir(tmp)
+    out
   }
 
   /** The EMBEDDING face of [[drainIncrementalNearDup]] — same
@@ -339,9 +356,11 @@ object EventStreams extends Serializable {
       threshold: Double,
       planes: Option[Seq[Seq[Seq[Double]]]] = None,
       nBatches: Int = 3): DataFrame = {
-    val stream = replayAsMicroBatches(batch, "vec_id", nBatches)
-    drain(incrementalEmbeddingStream(stream, base, threshold,
+    val (stream, tmp) = replayAsMicroBatches(batch, "vec_id", nBatches)
+    val out = drain(incrementalEmbeddingStream(stream, base, threshold,
       planes = planes), "graft_incr_emb_drain")
+    deleteReplayDir(tmp)
+    out
   }
 
   /** Stream-static incremental NEAR-dup: streamed documents probe the
