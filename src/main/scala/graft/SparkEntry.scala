@@ -242,7 +242,17 @@ object SparkEntry {
   /** The shared WITH-cascade body: s0 = the word-frequency relation
     * as wrapped symbol strings (word carried through every round so
     * the encode replay can join segmentations back), then one
-    * (split, pair-count, argmax, replace) stage per merge round. */
+    * (split, pair-count, argmax, replace) stage per merge round.
+    * The trainer's `minCount = 2` STOP rule is encoded in-cascade
+    * (the r9 advisory): `b$r` filters to `cnt >= 2` before the
+    * argmax — equivalent to Bpe.train's "stop when the best pair's
+    * count falls below minCount" because the argmax IS by count —
+    * and `s$r` LEFT-JOINs the (possibly empty) winner with a
+    * coalesce pass-through, so once no pair qualifies the state
+    * freezes and every later `b` stage stays empty (state unchanged
+    * ⇒ identical pair counts ⇒ still no qualifier): the cascade
+    * emits exactly the rules the trainer does on ANY corpus, not
+    * just ones where the 12-rule budget binds first. */
   private def bpeCascadeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""w$r AS MATERIALIZED (
@@ -256,12 +266,13 @@ object SparkEntry {
          |  GROUP BY s1, s2
          |), b$r AS MATERIALIZED (
          |  SELECT $r::BIGINT AS rank, s1, s2, cnt FROM pc$r
+         |  WHERE cnt >= 2
          |  ORDER BY cnt DESC, s1, s2 LIMIT 1
          |), s$r AS MATERIALIZED (
-         |  SELECT f.word, replace(f.s,
+         |  SELECT f.word, coalesce(replace(f.s,
          |      chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
-         |      chr(1) || b.s1 || b.s2 || chr(2)) AS s, f.cnt
-         |  FROM s${r - 1} f, b$r b
+         |      chr(1) || b.s1 || b.s2 || chr(2)), f.s) AS s, f.cnt
+         |  FROM s${r - 1} f LEFT JOIN b$r b ON true
          |)""".stripMargin
     }.mkString(",\n")
     s"""s0 AS MATERIALIZED (
@@ -326,7 +337,15 @@ object SparkEntry {
     * DECIMAL(38,0) DIV in Spark — identical truncation on positive
     * operands), and the `##`-stripping merged-symbol name. Symbol
     * totals are a second aggregation over the same split relation
-    * each round, exactly WordPiece.scoredPairs' shape. This def
+    * each round, exactly WordPiece.scoredPairs' shape. The trainer's
+    * `minCount = 2` STOP rule is encoded in-cascade (the r9
+    * advisory), and — unlike BPE, where the argmax is by count — the
+    * order matters: WordPiece stops when the SCORE-argmax row's
+    * count falls below 2, so `b$r` takes the score argmax FIRST and
+    * filters it by `cnt >= 2` after (filtering before the argmax
+    * would wrongly let a lower-scored high-count pair win), with the
+    * same LEFT-JOIN + coalesce pass-through freeze as
+    * [[bpeCascadeCtes]]. This def
     * returns the shared CTE BODY (s0 + rounds) consumed by both the
     * vocab oracle and the trained-encode oracle below. */
   private def wordPieceCascadeCtes(nMerges: Int): String = {
@@ -351,17 +370,19 @@ object SparkEntry {
          |  JOIN c$r a ON a.sym = s1
          |  JOIN c$r b ON b.sym = s2
          |), b$r AS MATERIALIZED (
-         |  SELECT $r::BIGINT AS rank, s1, s2,
-         |    s1 || CASE WHEN s2 LIKE '##%' THEN substr(s2, 3)
-         |               ELSE s2 END AS merged,
-         |    cnt, score_e12
-         |  FROM pc$r
-         |  ORDER BY score_e12 DESC, s1, s2 LIMIT 1
+         |  SELECT * FROM (
+         |    SELECT $r::BIGINT AS rank, s1, s2,
+         |      s1 || CASE WHEN s2 LIKE '##%' THEN substr(s2, 3)
+         |                 ELSE s2 END AS merged,
+         |      cnt, score_e12
+         |    FROM pc$r
+         |    ORDER BY score_e12 DESC, s1, s2 LIMIT 1)
+         |  WHERE cnt >= 2
          |), s$r AS MATERIALIZED (
-         |  SELECT replace(f.s,
+         |  SELECT coalesce(replace(f.s,
          |      chr(1) || b.s1 || chr(2) || chr(1) || b.s2 || chr(2),
-         |      chr(1) || b.merged || chr(2)) AS s, f.cnt
-         |  FROM s${r - 1} f, b$r b
+         |      chr(1) || b.merged || chr(2)), f.s) AS s, f.cnt
+         |  FROM s${r - 1} f LEFT JOIN b$r b ON true
          |)""".stripMargin
     }.mkString(",\n")
     s"""s0 AS MATERIALIZED (
@@ -401,8 +422,8 @@ object SparkEntry {
     s"""WITH RECURSIVE ${wordPieceCascadeCtes(nMerges)},
        |trained AS MATERIALIZED ($trained),
        |maxl AS MATERIALIZED (
-       |  SELECT greatest(1, max(length(CASE WHEN merged LIKE '##%'
-       |    THEN substr(merged, 3) ELSE merged END))) AS l
+       |  SELECT greatest(1, coalesce(max(length(CASE WHEN merged LIKE
+       |    '##%' THEN substr(merged, 3) ELSE merged END)), 1)) AS l
        |  FROM trained
        |), words AS MATERIALIZED (
        |  SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS word
@@ -548,6 +569,183 @@ object SparkEntry {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB integer E4 Mitchell log2 — the same pure-integer
+    * arithmetic as [[graft.operators.Unigram.mlog2Sql]] (bin-length
+    * floor-log2, shift, `//` on positive operands), so the unigram
+    * piece weights are bit-identical across engines BY CONSTRUCTION —
+    * no libm `log2` call on either side whose last-ulp drift could
+    * flip an E4 rounding and, through the Viterbi argmax, an entire
+    * training trajectory (the `round(` cross-engine trap). */
+  private def duckMl(x: String): String =
+    s"((length(bin(($x)::BIGINT)) - 1) * 10000 + " +
+      s"((($x) - (1::BIGINT << (length(bin(($x)::BIGINT)) - 1))) " +
+      s"* 10000) // (1::BIGINT << (length(bin(($x)::BIGINT)) - 1)))"
+
+  /** The add-one-smoothed weight relation for one unigram EM round:
+    * `w(piece) = ml(cnt+1) - ml(tot+|V|)` over piece table `pin`
+    * (Unigram.weighted's exact integer arithmetic). */
+  private def unigramWeightCtes(r: Int, pin: String): String =
+    s"""u_t$r AS MATERIALIZED (
+       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM $pin
+       |), u_w$r AS MATERIALIZED (
+       |  SELECT piece, ${duckMl("cnt + 1")} - ${duckMl("t + v")} AS w
+       |  FROM $pin, u_t$r
+       |)""".stripMargin
+
+  /** One recursive-CTE Viterbi pass over ALL distinct corpus words
+    * under the round-`r` weight table `u_w$r` — the
+    * [[UnigramEncodeInjectedOracle]] DP (integer (sc, bl)
+    * lexicographic candidate max, sentinel -10^8, backpointer walk)
+    * with per-round CTE names so several passes coexist in one
+    * WITH-cascade. Emits `u_seg$r` = (word, pieces). */
+  private def unigramViterbiCtes(r: Int): String =
+    s"""u_c$r AS MATERIALIZED (
+       |  SELECT word, i, list(struct_pack(bl := len, w := w)
+       |    ORDER BY len) AS cs
+       |  FROM u_cand c JOIN u_w$r v USING (piece)
+       |  GROUP BY word, i
+       |), u_dp$r AS (
+       |  SELECT word, 0 AS i, [0::BIGINT] AS scs, [0] AS bls
+       |  FROM u_words
+       |  UNION ALL
+       |  SELECT d.word, d.i + 1,
+       |    list_append(d.scs, coalesce(b.m.sc, -100000000::BIGINT)),
+       |    list_append(d.bls, coalesce(b.m.bl, 0))
+       |  FROM u_dp$r d
+       |  LEFT JOIN u_c$r c ON c.word = d.word AND c.i = d.i + 1,
+       |  LATERAL (
+       |    SELECT list_aggregate(list_transform(coalesce(c.cs, []),
+       |      x -> struct_pack(sc := d.scs[d.i + 2 - x.bl] + x.w,
+       |                       bl := x.bl)), 'max') AS m
+       |  ) b
+       |  WHERE d.i < length(d.word)
+       |), u_walk$r AS (
+       |  SELECT word, length(word) AS wpos, []::VARCHAR[] AS ps, bls
+       |  FROM u_dp$r WHERE i = length(word)
+       |  UNION ALL
+       |  SELECT word, wpos - bls[wpos + 1],
+       |    list_append(ps,
+       |      substr(word, wpos - bls[wpos + 1] + 1, bls[wpos + 1])),
+       |    bls
+       |  FROM u_walk$r WHERE wpos > 0
+       |), u_seg$r AS MATERIALIZED (
+       |  SELECT word, list_reverse(ps) AS pieces
+       |  FROM u_walk$r WHERE wpos = 0
+       |)""".stripMargin
+
+  /** One full hard-EM round `r` over input piece table `pin`:
+    * weights, Viterbi segmentation of every word, frequency-weighted
+    * piece usage re-count, and the vocabulary CLOSURE (`u_p$r` keeps
+    * every `pin` piece, unused ones at count 0 — Unigram.emRound). */
+  private def unigramEmRoundCtes(r: Int, pin: String): String =
+    s"""${unigramWeightCtes(r, pin)},
+       |${unigramViterbiCtes(r)},
+       |u_cnt$r AS MATERIALIZED (
+       |  SELECT piece, sum(cnt)::BIGINT AS cnt FROM (
+       |    SELECT unnest(s.pieces) AS piece, uw.cnt
+       |    FROM u_seg$r s JOIN u_words uw USING (word))
+       |  GROUP BY piece
+       |), u_p$r AS MATERIALIZED (
+       |  SELECT p.piece, coalesce(c.cnt, 0::BIGINT) AS cnt
+       |  FROM $pin p LEFT JOIN u_cnt$r c USING (piece)
+       |)""".stripMargin
+
+  /** Unigram.topWithChars in SQL: ALL single-character pieces of
+    * `rel` (coverage exemption) unioned with its top-`k` rows in the
+    * training total order, deduplicated by max(cnt) — counts come
+    * from the same relation, so max only merges chars that also made
+    * the cut. */
+  private def unigramTopWithCharsSql(rel: String, k: Int): String =
+    s"""SELECT piece, max(cnt)::BIGINT AS cnt FROM (
+       |    SELECT piece, cnt FROM $rel WHERE length(piece) = 1
+       |    UNION ALL
+       |    SELECT piece, cnt FROM (
+       |      SELECT piece, cnt FROM $rel
+       |      ORDER BY cnt DESC, piece LIMIT $k)
+       |  ) GROUP BY piece""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Unigram.train]] at its
+    * default fixed budget (seed 200, 2 EM rounds, prune to 60, one
+    * re-scoring round) as an unrolled WITH-cascade — the
+    * `q_bpe_vocab` convention applied to the hard-EM trainer: each EM
+    * round is one weight relation + one recursive-CTE Viterbi replay
+    * + one usage re-count, and every number that feeds an argmax is
+    * an INTEGER (Mitchell E4 weights via [[duckMl]], summed in the
+    * DP; counts; the (cnt DESC, piece) total orders of the seed and
+    * prune cuts), so the trajectory is cross-engine exact — no float
+    * anywhere in the query. Shared by the vocab and trained-encode
+    * oracles; ends at `u_p3` (the post-prune re-count) and `u_tf`
+    * (its totals). */
+  private val UnigramCascadeCtes: String =
+    s"""u_words AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+       |        FROM documents)
+       |  GROUP BY word
+       |), u_cand AS MATERIALIZED (
+       |  SELECT word, i, len, substr(word, i - len + 1, len) AS piece
+       |  FROM u_words,
+       |    LATERAL (SELECT i, len
+       |             FROM unnest(range(1, length(word) + 1)) a(i),
+       |                  unnest(range(1, 5)) l(len)
+       |             WHERE len <= i) s
+       |), u_seed AS MATERIALIZED (
+       |  SELECT piece, sum(cnt)::BIGINT AS cnt
+       |  FROM u_cand c JOIN u_words w USING (word)
+       |  GROUP BY piece
+       |), u_p0 AS MATERIALIZED (
+       |  ${unigramTopWithCharsSql("u_seed", 200)}
+       |),
+       |${unigramEmRoundCtes(1, "u_p0")},
+       |${unigramEmRoundCtes(2, "u_p1")},
+       |u_pp AS MATERIALIZED (
+       |  ${unigramTopWithCharsSql("u_p2", 60)}
+       |),
+       |${unigramEmRoundCtes(3, "u_pp")},
+       |u_tf AS MATERIALIZED (
+       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM u_p3
+       |)""".stripMargin
+
+  /** Full oracle for q_unigram_vocab: the trainer cascade's final
+    * re-counted vocabulary with its Mitchell-E4 weights, in the
+    * training total order. */
+  private val UnigramVocabCascadeOracle: String =
+    s"""WITH RECURSIVE $UnigramCascadeCtes
+       |SELECT piece, cnt,
+       |  ${duckMl("cnt + 1")} - ${duckMl("t + v")} AS w
+       |FROM u_p3, u_tf
+       |ORDER BY cnt DESC, piece""".stripMargin
+
+  /** Full oracle for q_unigram_encode — the serve path under the
+    * SELF-trained table (the [[bpeEncodeCascadeOracle]] convention):
+    * the trainer cascade derives the final weighted vocabulary IN
+    * SQL, a fourth Viterbi pass segments the distinct words under it,
+    * and the segmentations join back onto the token stream with the
+    * [[UnigramEncodeInjectedOracle]] per-doc aggregation — unigram-LM
+    * train + serve answer-checked end to end in one query. */
+  private val UnigramEncodeCascadeOracle: String =
+    s"""WITH RECURSIVE $UnigramCascadeCtes,
+       |u_w4 AS MATERIALIZED (
+       |  SELECT piece, ${duckMl("cnt + 1")} - ${duckMl("t + v")} AS w
+       |  FROM u_p3, u_tf
+       |),
+       |${unigramViterbiCtes(4)},
+       |u_tok AS (
+       |  SELECT doc_id, unnest(tk) AS word,
+       |    generate_subscripts(tk, 1) AS pos
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+       |        FROM documents)
+       |)
+       |SELECT doc_id,
+       |  string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos)
+       |    AS uni_text,
+       |  sum(len(pieces))::BIGINT AS n_pieces,
+       |  count(*) AS n_tok,
+       |  sum(len(pieces))::BIGINT * 10000 // count(*) AS fertility_bp
+       |FROM u_tok JOIN u_seg4 USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of the Rabin–Karp winnowing fingerprints
     * (q_fingerprint_rolling): Scala long multiplication/addition wraps
@@ -724,15 +922,22 @@ object SparkEntry {
     // counts, top 50 in the training total order (q_bpe_pairs' role).
     "q_unigram_seed" -> ((s, dir) =>
       Unigram.seedQuery(documents(s, dir))),
-    // Hard-EM trained piece table: argmax loop, rows-only like
-    // q_bpe_vocab (UnigramSpec pins piece-for-piece vs a plain-Scala
-    // trainer). Trained once per dataset (bpeRulesCache convention —
-    // a bounded |V|-row table, index metadata).
+    // Hard-EM trained piece table. Fully ORACLED as of r10 at the
+    // default fixed budget (seed 200, 2 EM rounds, prune 60): the
+    // EM loop unrolls into a WITH-cascade — per round one integer
+    // Mitchell-E4 weight relation + one recursive-CTE Viterbi replay
+    // + one usage re-count — with NO float anywhere (the q_bpe_vocab
+    // convention; UnigramSpec keeps pinning piece-for-piece vs a
+    // plain-Scala trainer). Trained once per dataset (bpeRulesCache
+    // convention — a bounded |V|-row table, index metadata).
     "q_unigram_vocab" -> ((s, dir) =>
       cachedUnigram(s, dir).orderBy(col("cnt").desc, col("piece").asc)),
-    // Serving face: Viterbi-segment the distinct words with the
-    // trained table, broadcast back onto the token stream; rows-only
-    // (UnigramSpec pins segmentation parity + reconstruction).
+    // Serving face under the SELF-trained table: Viterbi-segment the
+    // distinct words, broadcast back onto the token stream. Fully
+    // ORACLED as of r10 — the trainer cascade derives the weighted
+    // vocabulary IN SQL and a fourth Viterbi pass replays the serve
+    // walk (the q_bpe_encode convention): unigram train + serve
+    // answer-checked end to end, closing the tokenizer family.
     "q_unigram_encode" -> ((s, dir) =>
       Unigram.encode(documents(s, dir), cachedUnigram(s, dir))),
     // Fully-ORACLED encode regime (closes the tokenizer-family serve
@@ -2181,6 +2386,12 @@ object SparkEntry {
     // integer DP + backpointer walk — see
     // UnigramEncodeInjectedOracle's scaladoc)
     "q_unigram_encode_injected" -> UnigramEncodeInjectedOracle,
+    // Unigram-LM trainer + self-trained serve, fully oracled as of
+    // r10: the hard-EM loop unrolled as a WITH-cascade of integer
+    // Mitchell-E4 weight relations and recursive-CTE Viterbi replays
+    // (no float anywhere — see UnigramCascadeCtes' scaladoc)
+    "q_unigram_vocab" -> UnigramVocabCascadeOracle,
+    "q_unigram_encode" -> UnigramEncodeCascadeOracle,
     "q_span_corruption" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk

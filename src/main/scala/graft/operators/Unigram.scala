@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   * [[Bpe.encode]], so the corpus-side cost stays one scan + one
   * map-side join.
   *
-  * Determinism (spec-pinned, not SQL-oracled — EM's argmax loop has
-  * no closed SQL form, the [[Bpe.train]] precedent): piece weights
-  * are integer E4 fixed-point add-one-smoothed log2-probabilities
-  * (`round(10^4 * log2((cnt+1)/(total+|V|)))`), so Viterbi compares
-  * exact integer sums; ties prefer the longer last piece via a
+  * Determinism (spec-pinned AND, as of r10, fully SQL-oracled at the
+  * default fixed-round budget — the hard-EM loop unrolls into a
+  * WITH-cascade of per-round recursive-CTE Viterbi replays, the
+  * `q_bpe_vocab` convention): piece weights are integer E4
+  * fixed-point add-one-smoothed log2-probabilities via the EXACT
+  * integer Mitchell approximation ([[mlog2Sql]] — no libm float
+  * anywhere), so Viterbi compares exact integer sums; ties prefer
+  * the longer last piece via a
   * lexicographic (score, len) struct max, which is order-independent
   * because (end, len) determines the candidate uniquely. Every
   * single-character piece of the corpus is kept in-vocabulary through
@@ -85,17 +88,33 @@ object Unigram {
       .limit(topN)
   }
 
-  /** E4 fixed-point add-one-smoothed log2 piece weights: ONE in-plan
-    * total (a one-row broadcast, no driver collect); |V| rides the
-    * same aggregate. Zero-count pieces stay in-vocabulary with the
-    * smoothing floor — vocabulary closure is what guarantees DP
-    * coverage. */
+  /** Integer E4 Mitchell log2 of a positive BIGINT — the piecewise-
+    * linear log2 approximation (Mitchell 1962): `b*10^4 + (n - 2^b) *
+    * 10^4 DIV 2^b` with `b = floor(log2 n)` via the binary-string
+    * length. PURE integer arithmetic (bin/shift/DIV on positive
+    * operands), so the value is bit-identical across engines — no
+    * libm `log2` whose last-ulp drift could flip an E4 rounding and
+    * through it a Viterbi argmax (the cross-engine `round(` trap the
+    * WordPiece E12 quotient already avoids). Max error vs true log2
+    * is ~0.086 bits (~860 E4 units), monotone non-decreasing —
+    * harmless for a likelihood weight, decisive for oracle-ability. */
+  private[graft] def mlog2Sql(x: String): String =
+    s"((length(bin($x)) - 1) * 10000L + " +
+      s"((($x) - shiftleft(1L, length(bin($x)) - 1)) * 10000L) DIV " +
+      s"shiftleft(1L, length(bin($x)) - 1))"
+
+  /** E4 fixed-point add-one-smoothed log2 piece weights — the exact
+    * integer [[mlog2Sql]] form of `10^4 * log2((cnt+1)/(tot+|V|))`:
+    * ONE in-plan total (a one-row broadcast, no driver collect); |V|
+    * rides the same aggregate. Zero-count pieces stay in-vocabulary
+    * with the smoothing floor — vocabulary closure is what guarantees
+    * DP coverage. */
   private def weighted(pieces: DataFrame): DataFrame = {
     val tot = pieces.agg(sum("cnt").as("t"), count(lit(1)).as("v"))
     pieces.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
-        round(lit(10000) * log2((col("cnt") + 1).cast("double") /
-          (col("t") + col("v")))).cast("long").as("w"))
+        expr(s"${mlog2Sql("cnt + 1L")} - ${mlog2Sql("t + v")}")
+          .cast("long").as("w"))
   }
 
   // DP over positions 1..n: state = array of (sc, bl) per prefix —

@@ -14,11 +14,13 @@ class UnigramSpec extends SparkSpec {
 
   // ---- plain-Scala witness: identical arithmetic, identical ties --
 
-  private def sparkRound(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-
-  private def lg2(x: Double) = math.log(x) / math.log(2.0)
+  /** Integer E4 Mitchell log2 — the operator's exact arithmetic
+    * (Unigram.mlog2Sql): b*10^4 + (n - 2^b)*10^4 / 2^b, floor-log2
+    * via bit position, all integer. */
+  private def ml(n: Long): Long = {
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    b * 10000L + ((n - (1L << b)) * 10000L) / (1L << b)
+  }
 
   private class Witness(maxPieceLen: Int) {
     def substrs(w: String): Seq[String] =
@@ -37,8 +39,7 @@ class UnigramSpec extends SparkSpec {
 
     def weights(rel: Map[String, Long]): Map[String, Long] = {
       val t = rel.values.sum; val v = rel.size
-      rel.map { case (p, c) =>
-        p -> sparkRound(10000.0 * lg2((c + 1).toDouble / (t + v))) }
+      rel.map { case (p, c) => p -> (ml(c + 1) - ml(t + v)) }
     }
 
     /** Same DP as the operator: integer scores, sentinel -10^8,
