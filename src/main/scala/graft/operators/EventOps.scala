@@ -503,7 +503,9 @@ object EventOps {
     }.orderBy("user_id")
   }
 
-  /** No-equi-key interval join, naive form: every event inside the
+  /** EAGER — runs a pre-flight Spark job at CALL time (the incident
+    * count guard below), not at first action on the returned plan.
+    * No-equi-key interval join, naive form: every event inside the
     * ±`halfWindowMin`-minute window around any error event (incident
     * impact attribution — which traffic was possibly affected). With
     * no key to hash on, Spark can only plan a nested-loop join here:
@@ -517,6 +519,9 @@ object EventOps {
     * Guarded: the incident side is counted up front and the call
     * fails loudly past `maxIncidents` — the pre-flight scan is one
     * aggregation, while the nested loop it prevents is quadratic.
+    * The incident relation is cached (evictable `cache()`, not a
+    * pinned checkpoint) so the guard's scan and the join read one
+    * materialization instead of computing the filter twice.
     * Production attribution at any volume belongs to
     * [[incidentEventsBinned]]. */
   def incidentEvents(events: DataFrame, halfWindowMin: Int = 5,
@@ -524,6 +529,7 @@ object EventOps {
       maxIncidents: Long = 10000L): DataFrame = {
     val inc = events.filter(col("event_type") === "error" && incidentPred)
       .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
+      .cache()
     val nInc = inc.count()
     require(nInc <= maxIncidents,
       s"incidentEvents is the NAIVE nested-loop reference form and " +

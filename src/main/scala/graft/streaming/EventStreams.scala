@@ -260,6 +260,11 @@ object EventStreams extends Serializable {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-incr-ingest").toString
     val b = rows.agg(min(col(idCol)), max(col(idCol))).head()
+    // loud empty-input guard: min/max are NULL on an empty relation
+    // and the getLong below would otherwise die on a null unboxing
+    require(!b.isNullAt(0),
+      s"replayAsMicroBatches: empty ingest relation (no $idCol rows " +
+        "to chunk into micro-batches)")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val width = math.max(1L, (hi - lo) / nBatches + 1)
     val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
@@ -273,12 +278,13 @@ object EventStreams extends Serializable {
       // stamp strictly increasing mod-times so two chunks written
       // inside one clock tick cannot tie in replay order
       val dir = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.list(dir).forEach { p =>
+      val ls = java.nio.file.Files.list(dir) // close: fd per chunk
+      try ls.forEach { p =>
         if (p.toString.endsWith(".parquet") && seen.add(p))
           java.nio.file.Files.setLastModifiedTime(p,
             java.nio.file.attribute.FileTime.fromMillis(
               1000000000000L + i * 60000L))
-      }
+      } finally ls.close()
     }
     (spark.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp),
@@ -290,14 +296,20 @@ object EventStreams extends Serializable {
     * the query terminates. */
   private def deleteReplayDir(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
+    val ws = java.nio.file.Files.walk(dir) // close: fd per drain
+    val paths = try ws.iterator().asScala.toVector finally ws.close()
+    paths.sortBy(-_.getNameCount)
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** Drain a streaming query into a batch DataFrame via a uniquely
     * named memory sink (AvailableNow — terminates when the bounded
-    * source is exhausted). */
+    * source is exhausted). The sink's rows are copied into a
+    * LocalRelation and the UUID-named temp view dropped before
+    * returning: the bench re-runs each drain many times per session,
+    * and an undropped memory sink would pin a full result copy in
+    * driver memory per run for the life of the SparkSession. The
+    * copy is bounded — drained results are harness-output scale. */
   private def drain(out: DataFrame, label: String): DataFrame = {
     val qname = label + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -306,7 +318,11 @@ object EventStreams extends Serializable {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    out.sparkSession.table(qname)
+    val spark = out.sparkSession
+    val sink = spark.table(qname)
+    val rows = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(qname)
+    rows
   }
 
   def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
