@@ -747,6 +747,64 @@ object SparkEntry {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact word-frequency oracle shared by q_wordcount_heavy and its
+    * drained-stream twin: the Misra–Gries summary is provably exact
+    * while capacity exceeds the distinct-word count (every harness
+    * scale), so both faces answer-check against plain counts. */
+  private val WordHeavyOracle: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
+      |      FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY cnt DESC, word""".stripMargin
+
+  /** Rate-anomaly oracle shared by q_events_anomaly and its drained
+    * train-batch/serve-stream twin: variance from exact integer sums
+    * (n, Σx, Σx²) with the identical explicit formula — never the
+    * engine's stddev aggregate; `+ 0.0` normalizes IEEE −0.0 from
+    * rounded tiny z's. */
+  private val AnomalyOracle: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS w_start, event_type,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT event_type, count(*) AS nw,
+      |    sum(n_events) AS s1, sum(n_events * n_events) AS s2
+      |  FROM h GROUP BY event_type
+      |)
+      |SELECT h.event_type, h.w_start, h.n_events,
+      |  round(s1::DOUBLE / nw, 4) AS mean_events,
+      |  round(CASE WHEN (s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw > 0
+      |    THEN (h.n_events - s1::DOUBLE / nw)
+      |      / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw)
+      |    ELSE 0.0 END, 4) + 0.0 AS z
+      |FROM h JOIN st USING (event_type)
+      |ORDER BY h.event_type, h.w_start""".stripMargin
+
+  /** Session-window oracle shared by q_events_session and its drained
+    * streaming twin: gaps-and-islands reconstruction of
+    * session_window(ts, 30 min) — session end = last event + gap. */
+  private val SessionOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id, min(ts) AS s_start,
+      |  max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   /** DuckDB replay of the Rabin–Karp winnowing fingerprints
     * (q_fingerprint_rolling): Scala long multiplication/addition wraps
     * mod 2^64, so the kernel's rolling hash EQUALS the direct
@@ -810,6 +868,14 @@ object SparkEntry {
     // approximate and stopped matching the oracle.
     "q_wordcount_heavy" -> ((s, dir) =>
       WordCount.heavyHitters(documents(s, dir), col("text"), 1024)),
+    // The streaming Misra–Gries serve face drained in COMPLETE mode
+    // (bounded capacity-entry state — the regime MG exists for) and
+    // exploded to (word, cnt): exact here because capacity exceeds
+    // the vocabulary at every harness scale, so it shares
+    // q_wordcount_heavy's exact-frequency oracle verbatim.
+    "q_wordcount_heavy_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainHeavyHitters(
+        documents(s, dir), 1024)),
     // K7: formatted sink rows ("word -> count").
     "q_wordcount_fmt" -> ((s, dir) =>
       WordCount.formatted(
@@ -1438,6 +1504,23 @@ object SparkEntry {
     "q_events_outliers" -> ((s, dir) =>
       EventOps.valueOutliers(events(s, dir))),
     "q_events_session" -> ((s, dir) => EventOps.sessionCounts(events(s, dir))),
+    // The STREAMING session-window serve path, drained through the
+    // oracle harness (r9's drainIncrementalDedup convention extended
+    // to watermarked aggregations): ts-ordered micro-batch replay +
+    // one watermark-flush sentinel event so append mode emits every
+    // real session; shares q_events_session's oracle verbatim — one
+    // answer, two execution models.
+    "q_events_session_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainSessionCounts(events(s, dir))),
+    // The anomaly monitor's train-batch/serve-stream loop drained:
+    // rateStats trained offline on the history, served over the same
+    // events as a stream — shares q_events_anomaly's oracle verbatim.
+    "q_events_anomaly_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stats = EventOps.rateStats(events(s, dir))
+        .as[(String, Long, Long, Long)].collect().toSeq
+      graft.streaming.EventStreams.drainRateAnomaly(events(s, dir), stats)
+    }),
     "q_events_json" -> ((s, dir) => EventOps.propStats(events(s, dir))),
     "q_events_top_users" -> ((s, dir) =>
       EventOps.topUsersPerType(events(s, dir), 5)),
@@ -1975,13 +2058,9 @@ object SparkEntry {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY word""".stripMargin,
-    "q_wordcount_heavy" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
-        |      FROM documents) t
-        |WHERE word <> ''
-        |GROUP BY word
-        |ORDER BY cnt DESC, word""".stripMargin,
+    "q_wordcount_heavy" -> WordHeavyOracle,
+    // drained streaming MG summary, exact regime — same answer
+    "q_wordcount_heavy_stream" -> WordHeavyOracle,
     "q_wordcount_topk" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
@@ -3262,24 +3341,9 @@ object SparkEntry {
     // rate anomalies: variance from exact integer sums (n, Σx, Σx²)
     // with the identical explicit formula — never the engine's stddev
     // aggregate; + 0.0 normalizes IEEE -0.0 from rounded tiny z's
-    "q_events_anomaly" ->
-      """WITH h AS (
-        |  SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2
-        |), st AS (
-        |  SELECT event_type, count(*) AS nw,
-        |    sum(n_events) AS s1, sum(n_events * n_events) AS s2
-        |  FROM h GROUP BY event_type
-        |)
-        |SELECT h.event_type, h.w_start, h.n_events,
-        |  round(s1::DOUBLE / nw, 4) AS mean_events,
-        |  round(CASE WHEN (s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw > 0
-        |    THEN (h.n_events - s1::DOUBLE / nw)
-        |      / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / nw) / nw)
-        |    ELSE 0.0 END, 4) + 0.0 AS z
-        |FROM h JOIN st USING (event_type)
-        |ORDER BY h.event_type, h.w_start""".stripMargin,
+    "q_events_anomaly" -> AnomalyOracle,
+    // drained train-batch/serve-stream loop — same answer
+    "q_events_anomaly_stream" -> AnomalyOracle,
     // user-journey transitions: lead() in the identical total order
     "q_events_transitions" ->
       """WITH s AS (
@@ -3391,24 +3455,9 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // Gaps-and-islands reconstruction of session_window(ts, 30 min):
     // session end = last event + gap.
-    "q_events_session" ->
-      """WITH o AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |            > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |), s AS (
-        |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o
-        |)
-        |SELECT user_id, min(ts) AS s_start,
-        |  max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n_events
-        |FROM s
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin,
+    "q_events_session" -> SessionOracle,
+    // drained streaming session windows — same answer
+    "q_events_session_stream" -> SessionOracle,
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  count(*) AS n_events,

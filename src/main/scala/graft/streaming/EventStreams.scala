@@ -255,7 +255,8 @@ object EventStreams extends Serializable {
     * `maxFilesPerTrigger = 1`. Within a micro-batch the single input
     * partition keeps per-state-partition row order. */
   private def replayAsMicroBatches(rows: DataFrame, idCol: String,
-      nBatches: Int): (DataFrame, java.nio.file.Path) = {
+      nBatches: Int,
+      tail: Option[DataFrame] = None): (DataFrame, java.nio.file.Path) = {
     val spark = rows.sparkSession
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-incr-ingest").toString
@@ -268,15 +269,11 @@ object EventStreams extends Serializable {
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val width = math.max(1L, (hi - lo) / nBatches + 1)
     val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
-    (0 until nBatches).foreach { i =>
-      val chunk = rows.filter(
-        col(idCol) >= lo + i * width &&
-          (if (i == nBatches - 1) lit(true)
-           else col(idCol) < lo + (i + 1) * width))
+    // stamp strictly increasing mod-times so two chunks written
+    // inside one clock tick cannot tie in replay order
+    def writeChunk(chunk: DataFrame, i: Int): Unit = {
       chunk.coalesce(1).sortWithinPartitions(idCol)
         .write.mode("append").parquet(tmp)
-      // stamp strictly increasing mod-times so two chunks written
-      // inside one clock tick cannot tie in replay order
       val dir = java.nio.file.Paths.get(tmp)
       val ls = java.nio.file.Files.list(dir) // close: fd per chunk
       try ls.forEach { p =>
@@ -286,6 +283,17 @@ object EventStreams extends Serializable {
               1000000000000L + i * 60000L))
       } finally ls.close()
     }
+    (0 until nBatches).foreach { i =>
+      writeChunk(rows.filter(
+        col(idCol) >= lo + i * width &&
+          (if (i == nBatches - 1) lit(true)
+           else col(idCol) < lo + (i + 1) * width)), i)
+    }
+    // optional FINAL chunk replayed after every range chunk — the
+    // watermark-flush sentinel's slot: an id-range split would lump
+    // nearly all real rows into chunk 0 if the far-future sentinel
+    // stretched [lo, hi], so it ships as its own last micro-batch
+    tail.foreach(writeChunk(_, nBatches))
     (spark.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", 1).parquet(tmp),
       java.nio.file.Paths.get(tmp))
@@ -324,6 +332,31 @@ object EventStreams extends Serializable {
     spark.catalog.dropTempView(qname)
     rows
   }
+
+  /** [[drain]] in COMPLETE output mode — for bounded replays of
+    * global aggregations whose own state is bounded (the Misra–Gries
+    * summary below: `capacity` entries regardless of stream length),
+    * where the final complete emission IS the batch answer. Same
+    * copy-and-release sink discipline as [[drain]]. */
+  private def drainComplete(out: DataFrame, label: String): DataFrame = {
+    val qname = label + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val spark = out.sparkSession
+    val sink = spark.table(qname)
+    val rows = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(qname)
+    rows
+  }
+
+  /** One year in µs — the watermark-flush sentinel's offset past the
+    * real maximum event time: generously clears any watermark delay +
+    * gap + window the drained queries use. */
+  private val YearUs = 31536000000000L
 
   def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
@@ -377,6 +410,97 @@ object EventStreams extends Serializable {
       planes = planes), "graft_incr_emb_drain")
     deleteReplayDir(tmp)
     out
+  }
+
+  /** Drain [[sessionCounts]] over a bounded, EVENT-TIME-ordered
+    * replay of the events table — the harness face that puts the
+    * streaming session-window serve path under the SAME DuckDB
+    * oracle as the batch [[graft.operators.EventOps.sessionCounts]]
+    * (the drainIncrementalDedup convention, extended to watermarked
+    * aggregations). Two mechanics make the drain complete and exact:
+    *
+    *  - the replay chunks by event time (µs), so every micro-batch's
+    *    rows are later than the previous batch's and the advancing
+    *    watermark can never drop an in-order row;
+    *  - one WATERMARK-FLUSH SENTINEL event (user −1, [[YearUs]] past
+    *    the real maximum ts) rides as its own final micro-batch: the
+    *    closing no-data batch then carries the watermark past every
+    *    real session's end, so append mode emits them ALL. The
+    *    sentinel's own session stays open in state and is never
+    *    emitted — and is filtered defensively anyway. */
+  def drainSessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour",
+      nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("user_id"), col("ts"))
+      .withColumn("__ord", unix_micros(col("ts")))
+    val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+    val sentinel = Seq((-1L, maxUs + YearUs)).toDF("user_id", "__ord")
+      .select(col("user_id"), timestamp_micros(col("__ord")).as("ts"),
+        col("__ord"))
+    val (stream, tmp) = replayAsMicroBatches(slim, "__ord", nBatches,
+      tail = Some(sentinel))
+    val out = drain(
+      sessionCounts(stream.drop("__ord"), gap, watermarkDelay),
+      "graft_session_drain")
+    deleteReplayDir(tmp)
+    out.filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "s_start")
+  }
+
+  /** Drain [[rateAnomalyStream]] — the anomaly monitor's
+    * train-batch/serve-stream loop under the batch twin's oracle:
+    * statistics trained offline on the full history
+    * ([[graft.operators.EventOps.rateStats]]) score the SAME events
+    * replayed as a live stream, so the drained windows must equal
+    * the batch [[graft.operators.EventOps.rateAnomaly]] row for row.
+    * Same ts-ordered replay + watermark-flush sentinel mechanics as
+    * [[drainSessionCounts]]; the sentinel's own window joins no
+    * stats row (its type is not in the trained relation), so the
+    * inner broadcast join drops it from the output by construction. */
+  def drainRateAnomaly(events: DataFrame,
+      stats: Seq[(String, Long, Long, Long)],
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour",
+      nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("ts"), col("event_type"), col("value"))
+      .withColumn("__ord", unix_micros(col("ts")))
+    val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+    val sentinel = Seq(("__watermark_sentinel__", 0.0d, maxUs + YearUs))
+      .toDF("event_type", "value", "__ord")
+      .select(timestamp_micros(col("__ord")).as("ts"),
+        col("event_type"), col("value"), col("__ord"))
+    val (stream, tmp) = replayAsMicroBatches(slim, "__ord", nBatches,
+      tail = Some(sentinel))
+    val out = drain(rateAnomalyStream(stream.drop("__ord"), stats,
+      windowDur, Some(watermarkDelay)), "graft_anomaly_drain")
+    deleteReplayDir(tmp)
+    out.orderBy("event_type", "w_start")
+  }
+
+  /** Drain [[heavyHittersStream]] over a doc-id-chunked replay of the
+    * corpus and explode the final Misra–Gries summary into (word,
+    * cnt) rows — the streaming heavy-hitters serve face under the
+    * batch [[graft.operators.WordCount.heavyHitters]] oracle. Runs in
+    * COMPLETE mode (a global aggregation has no watermark to emit
+    * by), which is exactly the regime the MG summary exists for: the
+    * sink receives `capacity` entries per trigger no matter how long
+    * the stream ran. In the exact regime (capacity > distinct words —
+    * the harness setting) the drained summary equals the exact
+    * frequency relation, so the oracle answer-checks it fully. */
+  def drainHeavyHitters(docs: DataFrame, capacity: Int = 1024,
+      nBatches: Int = 3): DataFrame = {
+    val (stream, tmp) = replayAsMicroBatches(
+      docs.select(col("doc_id"), col("text")), "doc_id", nBatches)
+    val out = drainComplete(
+      heavyHittersStream(stream, capacity, textCol = "text"),
+      "graft_hh_drain")
+    deleteReplayDir(tmp)
+    out.select(explode(col("top")).as("e"))
+      .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
   }
 
   /** Stream-static incremental NEAR-dup: streamed documents probe the

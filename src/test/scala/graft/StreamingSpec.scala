@@ -817,4 +817,34 @@ class StreamingSpec extends SparkSpec {
       // user 2 has no prior click: emitted with a null match
       (4L, 2L, None, None)))
   }
+
+  test("drained streaming session windows equal the batch sessions " +
+      "(the q_events_session_stream regime)") {
+    val batch = Tables.events(spark, sfDir)
+    val got = EventStreams.drainSessionCounts(batch).collect().toSeq
+    val want = EventOps.sessionCounts(batch).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("drained rate-anomaly serve loop equals the batch scorer " +
+      "(the q_events_anomaly_stream regime)") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir)
+    val stats = EventOps.rateStats(batch)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val got = EventStreams.drainRateAnomaly(batch, stats).collect().toSeq
+    val want = EventOps.rateAnomaly(batch).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("drained streaming heavy hitters equal the batch summary in " +
+      "the exact regime (the q_wordcount_heavy_stream regime)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = EventStreams.drainHeavyHitters(corpus, 1024)
+      .collect().toSeq
+    val want = graft.operators.WordCount
+      .heavyHitters(corpus, col("text"), 1024).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
