@@ -365,10 +365,9 @@ object EventStreams extends Serializable {
       .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
         .as("fp_md5"))
       .distinct()
-    val out = drain(incrementalDedupStream(stream, baseFps),
+    try drain(incrementalDedupStream(stream, baseFps),
       "graft_incr_dedup_drain")
-    deleteReplayDir(tmp)
-    out
+    finally deleteReplayDir(tmp)
   }
 
   /** The NEAR-dup face of [[drainIncrementalDedup]]: the ingest half
@@ -382,10 +381,9 @@ object EventStreams extends Serializable {
   def drainIncrementalNearDup(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
-    val out = drain(incrementalNearDupStream(stream, base),
+    try drain(incrementalNearDupStream(stream, base),
       "graft_incr_near_drain")
-    deleteReplayDir(tmp)
-    out
+    finally deleteReplayDir(tmp)
   }
 
   /** The SIMHASH face of [[drainIncrementalNearDup]] — same pair-set
@@ -393,10 +391,9 @@ object EventStreams extends Serializable {
   def drainIncrementalSimhash(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
-    val out = drain(incrementalSimhashStream(stream, base),
+    try drain(incrementalSimhashStream(stream, base),
       "graft_incr_simhash_drain")
-    deleteReplayDir(tmp)
-    out
+    finally deleteReplayDir(tmp)
   }
 
   /** The EMBEDDING face of [[drainIncrementalNearDup]] — same
@@ -406,10 +403,9 @@ object EventStreams extends Serializable {
       planes: Option[Seq[Seq[Seq[Double]]]] = None,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "vec_id", nBatches)
-    val out = drain(incrementalEmbeddingStream(stream, base, threshold,
+    try drain(incrementalEmbeddingStream(stream, base, threshold,
       planes = planes), "graft_incr_emb_drain")
-    deleteReplayDir(tmp)
-    out
+    finally deleteReplayDir(tmp)
   }
 
   /** Drain [[sessionCounts]] over a bounded, EVENT-TIME-ordered
@@ -441,10 +437,11 @@ object EventStreams extends Serializable {
         col("__ord"))
     val (stream, tmp) = replayAsMicroBatches(slim, "__ord", nBatches,
       tail = Some(sentinel))
-    val out = drain(
-      sessionCounts(stream.drop("__ord"), gap, watermarkDelay),
-      "graft_session_drain")
-    deleteReplayDir(tmp)
+    val out =
+      try drain(
+        sessionCounts(stream.drop("__ord"), gap, watermarkDelay),
+        "graft_session_drain")
+      finally deleteReplayDir(tmp)
     out.filter(col("user_id") =!= -1L)
       .orderBy("user_id", "s_start")
   }
@@ -474,9 +471,10 @@ object EventStreams extends Serializable {
         col("event_type"), col("value"), col("__ord"))
     val (stream, tmp) = replayAsMicroBatches(slim, "__ord", nBatches,
       tail = Some(sentinel))
-    val out = drain(rateAnomalyStream(stream.drop("__ord"), stats,
-      windowDur, Some(watermarkDelay)), "graft_anomaly_drain")
-    deleteReplayDir(tmp)
+    val out =
+      try drain(rateAnomalyStream(stream.drop("__ord"), stats,
+        windowDur, Some(watermarkDelay)), "graft_anomaly_drain")
+      finally deleteReplayDir(tmp)
     out.orderBy("event_type", "w_start")
   }
 
@@ -494,10 +492,11 @@ object EventStreams extends Serializable {
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(
       docs.select(col("doc_id"), col("text")), "doc_id", nBatches)
-    val out = drainComplete(
-      heavyHittersStream(stream, capacity, textCol = "text"),
-      "graft_hh_drain")
-    deleteReplayDir(tmp)
+    val out =
+      try drainComplete(
+        heavyHittersStream(stream, capacity, textCol = "text"),
+        "graft_hh_drain")
+      finally deleteReplayDir(tmp)
     out.select(explode(col("top")).as("e"))
       .select(col("e.word").as("word"), col("e.cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)

@@ -11,11 +11,18 @@ grow ~100x, clustering diameters change), turning the scaling signal
 into a semantics change. So:
 
   documents   doc_id + k*1e5; every word in replica k>0 gets a
-              2-letter tag ('q'+letter_k) so WITHIN-replica shingle
-              structure (planted dup families) is preserved exactly
-              while CROSS-replica jaccard is ~0; n_chars recomputed.
+              4-letter tag ('q' + base-26 of k, r10 fix: the old
+              k%26 single letter made replicas 26 apart EXACT
+              duplicates of each other at REP>26, inflating every
+              cross-replica dedup answer superlinearly) so
+              WITHIN-replica shingle structure (planted dup families)
+              is preserved exactly while CROSS-replica jaccard is ~0
+              at ANY REP <= 17576; n_chars recomputed.
   embeddings  vec_id + k*1e5 (stays < plantNearDups' 1e6 idOffset);
-              vectors np.roll'ed by k — rotation preserves norms and
+              vectors np.roll'ed by k then sign-flipped by a
+              deterministic per-(replica, dim) +-1 pattern (r10 fix:
+              a bare roll wraps at dim=64, making replicas 64 apart
+              IDENTICAL at REP>64) — both ops preserve norms and
               within-replica cosine geometry exactly, cross-replica
               cosines are those of independent gaussians.
   events      event_id + k*1e6, user_id + k*1e5, ts + k days (ns) —
@@ -26,8 +33,12 @@ into a semantics change. So:
   lineitem    l_orderkey + k*1e6 (follows orders).
   region nation customer supplier part   copied as-is (dimensions).
 
-Usage: python3 tools/make_sf.py [REP] [OUTDIR]
-       defaults: REP=10 OUTDIR=/tmp/testdata/sf1.0
+Usage: python3 tools/make_sf.py [REP] [OUTDIR] [TABLE...]
+       defaults: REP=10 OUTDIR=/tmp/testdata/sf1.0, all tables;
+       naming TABLEs restricts the build (e.g. `1000 /tmp/x documents`
+       for the 1000x single-family stress set — events at REP=1000
+       would be 400M rows of ballast the documents rehearsal never
+       reads).
 """
 import re
 import string
@@ -71,7 +82,8 @@ def documents(t, k):
     t = shift_col(t, "doc_id", k * 100_000, pa.int64())
     if k == 0:
         return t
-    tag = "q" + string.ascii_lowercase[k % 26]
+    l = string.ascii_lowercase
+    tag = "q" + l[(k // 676) % 26] + l[(k // 26) % 26] + l[k % 26]
     texts = [WORD.sub(lambda m: m.group(0) + tag, x)
              for x in t.column("text").to_pylist()]
     t = t.set_column(t.schema.get_field_index("text"),
@@ -90,7 +102,13 @@ def embeddings(t, k):
         col = col.chunk(0)
     dim = len(col[0])
     flat = np.asarray(col.values)
-    rolled = np.roll(flat.reshape(-1, dim), k, axis=1).reshape(-1)
+    rolled = np.roll(flat.reshape(-1, dim), k, axis=1)
+    # deterministic +-1 per (replica, dim): sign-flip preserves norms
+    # and within-replica cosines exactly; cross-replica cosines of
+    # same-roll replicas become sums of +-gaussians (mean 0), not 1.0
+    rng = np.random.default_rng(1000003 + k)
+    signs = rng.integers(0, 2, size=dim) * 2 - 1
+    rolled = (rolled * signs).reshape(-1)
     arr = pa.ListArray.from_arrays(col.offsets, pa.array(rolled, pa.float32()))
     return t.set_column(t.schema.get_field_index("embedding"),
                         t.schema.field("embedding"), arr)
@@ -118,10 +136,14 @@ def lineitem(t, k):
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
-    replicate("documents", documents)
-    replicate("embeddings", embeddings)
-    replicate("events", events)
-    replicate("orders", orders)
-    replicate("lineitem", lineitem)
+    only = set(sys.argv[3:])
+    def want(name):
+        return not only or name in only
+    for name, fn in [("documents", documents), ("embeddings", embeddings),
+                     ("events", events), ("orders", orders),
+                     ("lineitem", lineitem)]:
+        if want(name):
+            replicate(name, fn)
     for dim in ["region", "nation", "customer", "supplier", "part"]:
-        copy(dim)
+        if want(dim):
+            copy(dim)
