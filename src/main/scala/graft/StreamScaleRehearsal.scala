@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the four streaming incremental-dedup ingest
+  * faces (round-9 verdict item 3): replay the ingest half of the
+  * given dataset as micro-batches through each stream and time the
+  * full execution with the EXECUTOR-SIDE count sink
+  * ([[graft.streaming.EventStreams.replayThroughCountSink]]) — the
+  * corpus-scale sink shape. The harness queries keep the memory-sink
+  * drain (bounded output at harness SF, needed for the oracle
+  * compare); this main exists because a 100x exact-dedup output is
+  * most of the ingest corpus, which no driver-collected sink should
+  * ever hold.
+  *
+  * Usage: `sbt "runMain graft.StreamScaleRehearsal [sfDir]"`,
+  * optionally `SPARK_GRAFT_FACES=exact,minhash` to restrict. Prints
+  * one JSON line per face: seconds + output rows. */
+object StreamScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/testdata/sf10")
+    val only = sys.env.get("SPARK_GRAFT_FACES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    import graft.streaming.EventStreams
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def face(name: String)(body: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val n = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"face":"$name","sec":$sec%.1f,"rows":$n}""")
+      }
+    face("exact") {
+      val (base, batch) = Dedup.splitIncremental(docs)
+      val baseFps = base
+        .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+          .as("fp_md5"))
+        .distinct()
+      EventStreams.replayThroughCountSink(batch, "doc_id",
+        s => EventStreams.incrementalDedupStream(s, baseFps))
+    }
+    face("minhash") {
+      EventStreams.replayThroughCountSink(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id",
+        s => EventStreams.incrementalNearDupStream(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)))
+    }
+    face("simhash") {
+      EventStreams.replayThroughCountSink(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id",
+        s => EventStreams.incrementalSimhashStream(s,
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)))
+    }
+    face("embedding") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // the harness's injected axis planes (q_dedup_incr_embedding)
+      val planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+        Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0))))
+      EventStreams.replayThroughCountSink(
+        e.filter(pmod(col("vec_id"), lit(4)) === 0), "vec_id",
+        s => EventStreams.incrementalEmbeddingStream(s,
+          e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+          threshold = 0.4, planes = planes))
+    }
+    spark.stop()
+  }
+}

@@ -223,12 +223,23 @@ object EventStreams extends Serializable {
     * (micro-batch order), vs smallest doc_id in the batch operator —
     * StreamingSpec pins the survivor fingerprint sets equal. */
   def incrementalDedupStream(docs: DataFrame,
-      baseFps: DataFrame): DataFrame =
+      baseFps: DataFrame): DataFrame = {
+    // the static fp index materializes ONCE, pre-partitioned and
+    // sorted on the join key: a stream-static join re-plans per
+    // micro-batch, and an unpartitioned static side would re-scan,
+    // re-hash, and re-exchange the base corpus EVERY batch (the 100x
+    // rehearsal's superlinear wall) — with the partitioning baked
+    // into the checkpointed blocks, each batch's anti-join reuses
+    // them exchange-free and only the (small) arriving side moves
+    val fps = graft.operators.CheckpointScope.checkpointed(
+      baseFps.select(col("fp_md5"))
+        .repartition(col("fp_md5")).sortWithinPartitions("fp_md5"))
     docs
       .withColumn("fp_md5",
         graft.functions.TextAnalysis.fingerprintMd5(col("text")))
-      .join(baseFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+      .join(fps, Seq("fp_md5"), "left_anti")
       .dropDuplicates("fp_md5")
+  }
 
   /** Drain [[incrementalDedupStream]] over a bounded ingest and return
     * the survivors as a BATCH DataFrame — the harness face that puts
@@ -358,6 +369,60 @@ object EventStreams extends Serializable {
     * gap + window the drained queries use. */
   private val YearUs = 31536000000000L
 
+  /** Run a drain body inside a [[graft.operators.CheckpointScope]]
+    * and release every checkpoint block it pinned once the drained
+    * rows are safely copied off ([[drain]] returns a LocalRelation,
+    * so nothing in the result depends on the blocks). Without this,
+    * each bench run of a drained query left its static index
+    * checkpoints pinned for the JVM lifetime — at the 100x rehearsal
+    * that accumulated to disk exhaustion across runs. */
+  private def scopedDrain(spark: SparkSession)(
+      body: => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val (out, created) = graft.operators.CheckpointScope.collect(body)
+    created.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+    out
+  }
+
+  /** REHEARSAL-ONLY sink shape for CORPUS-SCALE stream outputs:
+    * replay `batch` as micro-batches through `transform` and drive
+    * the stream with foreachBatch + per-batch count — every output
+    * row is materialized on the EXECUTORS and never collected to the
+    * driver. The memory-sink drains above are bounded-output HARNESS
+    * tooling (they copy the result into driver memory twice — sink
+    * table + LocalRelation); an output that is itself corpus-scale
+    * (the exact-dedup survivors: most of the ingest) belongs to the
+    * exactly-once parquet sink in a deployment, and to this shape in
+    * a scale rehearsal — the 100x run that OOMed the driver through
+    * the memory sink is exactly the wall this exists to avoid.
+    * Returns total output rows; checkpoints created by `transform`
+    * (the static index relations) are released before returning. */
+  private[graft] def replayThroughCountSink(batch: DataFrame,
+      idCol: String, transform: DataFrame => DataFrame,
+      nBatches: Int = 3): Long = {
+    val spark = batch.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft_rehearsal_rows")
+    val (_, created) = graft.operators.CheckpointScope.collect {
+      val (stream, tmp) = replayAsMicroBatches(batch, idCol, nBatches)
+      try {
+        val q = transform(stream).writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[
+               org.apache.spark.sql.Row], _: Long) =>
+              acc.add(df.count())
+          }
+          .outputMode(OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteReplayDir(tmp)
+    }
+    created.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+    acc.value
+  }
+
   def drainIncrementalDedup(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
@@ -365,9 +430,11 @@ object EventStreams extends Serializable {
       .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
         .as("fp_md5"))
       .distinct()
-    try drain(incrementalDedupStream(stream, baseFps),
-      "graft_incr_dedup_drain")
-    finally deleteReplayDir(tmp)
+    scopedDrain(base.sparkSession) {
+      try drain(incrementalDedupStream(stream, baseFps),
+        "graft_incr_dedup_drain")
+      finally deleteReplayDir(tmp)
+    }
   }
 
   /** The NEAR-dup face of [[drainIncrementalDedup]]: the ingest half
@@ -381,9 +448,11 @@ object EventStreams extends Serializable {
   def drainIncrementalNearDup(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
-    try drain(incrementalNearDupStream(stream, base),
-      "graft_incr_near_drain")
-    finally deleteReplayDir(tmp)
+    scopedDrain(base.sparkSession) {
+      try drain(incrementalNearDupStream(stream, base),
+        "graft_incr_near_drain")
+      finally deleteReplayDir(tmp)
+    }
   }
 
   /** The SIMHASH face of [[drainIncrementalNearDup]] — same pair-set
@@ -391,9 +460,11 @@ object EventStreams extends Serializable {
   def drainIncrementalSimhash(base: DataFrame, batch: DataFrame,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "doc_id", nBatches)
-    try drain(incrementalSimhashStream(stream, base),
-      "graft_incr_simhash_drain")
-    finally deleteReplayDir(tmp)
+    scopedDrain(base.sparkSession) {
+      try drain(incrementalSimhashStream(stream, base),
+        "graft_incr_simhash_drain")
+      finally deleteReplayDir(tmp)
+    }
   }
 
   /** The EMBEDDING face of [[drainIncrementalNearDup]] — same
@@ -403,9 +474,11 @@ object EventStreams extends Serializable {
       planes: Option[Seq[Seq[Seq[Double]]]] = None,
       nBatches: Int = 3): DataFrame = {
     val (stream, tmp) = replayAsMicroBatches(batch, "vec_id", nBatches)
-    try drain(incrementalEmbeddingStream(stream, base, threshold,
-      planes = planes), "graft_incr_emb_drain")
-    finally deleteReplayDir(tmp)
+    scopedDrain(base.sparkSession) {
+      try drain(incrementalEmbeddingStream(stream, base, threshold,
+        planes = planes), "graft_incr_emb_drain")
+      finally deleteReplayDir(tmp)
+    }
   }
 
   /** Drain [[sessionCounts]] over a bounded, EVENT-TIME-ordered
@@ -530,16 +603,26 @@ object EventStreams extends Serializable {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     import graft.operators.Dedup
-    val baseSets = Dedup.shingleSets(base, n)
-      .toDF("doc_base", "sh_base").localCheckpoint(true)
-    val baseIdx = Dedup.bandBuckets(
-        Dedup.minhashSignatures(
-          baseSets.toDF("doc_id", "sh"), numHashes),
-        numHashes, bands)
-      .groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("base_ds"))
-      .filter(size(col("base_ds")) <= maxBucket)
-      .localCheckpoint(true)
+    // both static relations pre-partition + sort on their JOIN keys
+    // before the eager checkpoint: LogicalRDD carries the physical
+    // partitioning/ordering, so every micro-batch's probe and verify
+    // joins reuse the materialized layout instead of re-exchanging
+    // the base corpus per batch (the 100x rehearsal's superlinear
+    // wall — 8 multi-GB static-side shuffles per drained query)
+    val baseSets = graft.operators.CheckpointScope.checkpointed(
+      Dedup.shingleSets(base, n)
+        .toDF("doc_base", "sh_base")
+        .repartition(col("doc_base")).sortWithinPartitions("doc_base"))
+    val baseIdx = graft.operators.CheckpointScope.checkpointed(
+      Dedup.bandBuckets(
+          Dedup.minhashSignatures(
+            baseSets.toDF("doc_id", "sh"), numHashes),
+          numHashes, bands)
+        .groupBy("band", "bucket")
+        .agg(collect_list("doc_id").as("base_ds"))
+        .filter(size(col("base_ds")) <= maxBucket)
+        .repartition(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket"))
     val sh = docs
       .select(col("doc_id").as("doc_batch"),
         array_distinct(graft.functions.TextAnalysis
@@ -587,9 +670,13 @@ object EventStreams extends Serializable {
       maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
     import graft.operators.Dedup
     // static side: the SAME materialize-once index the batch face
-    // probes, eager-checkpointed so micro-batches re-read the blocks
-    val baseIdx = Dedup.simhashBandIndex(base, maxBucket)
-      .localCheckpoint(true)
+    // probes, eager-checkpointed pre-partitioned/sorted on the probe
+    // key so micro-batches re-read the blocks WITHOUT re-exchanging
+    // them (the incrementalDedupStream discipline)
+    val baseIdx = graft.operators.CheckpointScope.checkpointed(
+      Dedup.simhashBandIndex(base, maxBucket)
+        .repartition(col("band"), col("key"))
+        .sortWithinPartitions("band", "key"))
     val batchBanded = docs
       .filter(graft.functions.TextAnalysis.tokenCountWs(col("text")) > 0)
       .select(col("doc_id").as("doc_batch"),
@@ -666,17 +753,23 @@ object EventStreams extends Serializable {
     val tables = planes.getOrElse((0 until nTables)
       .map(t => graft.operators.Similarity.hyperplanes(nPlanes, dim,
         seed + t)))
-    val baseV = base.select(col("vec_id").as("vec_base"),
-        Vectors.toDoubleVec(col("embedding")).as("vb"))
-      .localCheckpoint(true)
-    val baseIdx = baseV
-      .select(col("vec_base"),
-        posexplode(Vectors.srpBucketsAll(col("vb"), tables)))
-      .toDF("vec_base", "t", "bucket")
-      .groupBy("t", "bucket")
-      .agg(collect_list("vec_base").as("base_ds"))
-      .filter(size(col("base_ds")) <= maxBucket)
-      .localCheckpoint(true)
+    // pre-partitioned/sorted on the join keys before the eager
+    // checkpoint (the incrementalDedupStream discipline): per-batch
+    // probe and verify joins reuse the materialized layout
+    val baseV = graft.operators.CheckpointScope.checkpointed(
+      base.select(col("vec_id").as("vec_base"),
+          Vectors.toDoubleVec(col("embedding")).as("vb"))
+        .repartition(col("vec_base")).sortWithinPartitions("vec_base"))
+    val baseIdx = graft.operators.CheckpointScope.checkpointed(
+      baseV
+        .select(col("vec_base"),
+          posexplode(Vectors.srpBucketsAll(col("vb"), tables)))
+        .toDF("vec_base", "t", "bucket")
+        .groupBy("t", "bucket")
+        .agg(collect_list("vec_base").as("base_ds"))
+        .filter(size(col("base_ds")) <= maxBucket)
+        .repartition(col("t"), col("bucket"))
+        .sortWithinPartitions("t", "bucket"))
     val cos = Vectors.dot(col("vq"), col("vb")) /
       (sqrt(Vectors.normSq(col("vq"))) * sqrt(Vectors.normSq(col("vb"))))
     vectors
