@@ -36,12 +36,20 @@ object StreamScaleRehearsal {
     def face(name: String)(body: => Long): Unit =
       if (only.forall(_.contains(name))) {
         val t0 = System.nanoTime()
-        val n = body
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"face":"$name","sec":$sec%.1f,"rows":$n}""")
+        try {
+          val n = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"face":"$name","sec":$sec%.1f,"rows":$n}""")
+        } catch { case e: Throwable =>
+          println(s"""{"face":"$name","error":"${e.getMessage
+            .takeWhile(_ != '\n')}"}""")
+        }
       }
     face("exact") {
-      val (base, batch) = Dedup.splitIncremental(docs)
+      // idOffset raised past the replica sets' shifted doc ids (the
+      // 100x set tops out at ~9.9M; the harness sets at thousands)
+      val (base, batch) = Dedup.splitIncremental(docs,
+        idOffset = 1000000000L)
       val baseFps = base
         .select(graft.functions.TextAnalysis.fingerprintMd5(col("text"))
           .as("fp_md5"))
@@ -63,14 +71,19 @@ object StreamScaleRehearsal {
     }
     face("embedding") {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      // the harness's injected axis planes (q_dedup_incr_embedding)
-      val planes = Some(Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
-        Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0))))
+      // PRODUCTION SRP geometry (32 tables x 16 planes -> 65k buckets
+      // per table), NOT the harness's injected 4x4 axis planes: those
+      // exist so the oracle is closed-form, but 64 total buckets stop
+      // discriminating past ~100k vectors — every bucket crowds
+      // toward maxBucket and the candidate explode converges to
+      // all-pairs (the 100x run died spilling ~10^10 candidate rows).
+      // Bucket count must scale with corpus size; 65k/table holds
+      // bucket occupancy ~n/65536 per table.
       EventStreams.replayThroughCountSink(
         e.filter(pmod(col("vec_id"), lit(4)) === 0), "vec_id",
         s => EventStreams.incrementalEmbeddingStream(s,
           e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
-          threshold = 0.4, planes = planes))
+          threshold = 0.4))
     }
     spark.stop()
   }
