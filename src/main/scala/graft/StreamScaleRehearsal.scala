@@ -41,8 +41,12 @@ object StreamScaleRehearsal {
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"""{"face":"$name","sec":$sec%.1f,"rows":$n}""")
         } catch { case e: Throwable =>
-          println(s"""{"face":"$name","error":"${e.getMessage
-            .takeWhile(_ != '\n')}"}""")
+          // getMessage can be null (NPE here would kill the rehearsal
+          // instead of reporting the face), and the text must be
+          // JSON-escaped or the emitted line is unparseable
+          val msg = String.valueOf(e.getMessage).takeWhile(_ != '\n')
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          println(s"""{"face":"$name","error":"$msg"}""")
         }
       }
     face("exact") {

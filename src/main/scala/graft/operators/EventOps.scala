@@ -516,26 +516,31 @@ object EventOps {
     * driver's DuckDB oracle answer-checks the binned twin directly,
     * so this form no longer runs as a standing harness query).
     *
-    * Guarded: the incident side is counted up front and the call
-    * fails loudly past `maxIncidents` — the pre-flight scan is one
-    * aggregation, while the nested loop it prevents is quadratic.
-    * The incident relation is cached (evictable `cache()`, not a
-    * pinned checkpoint) so the guard's scan and the join read one
-    * materialization instead of computing the filter twice.
-    * Production attribution at any volume belongs to
-    * [[incidentEventsBinned]]. */
+    * Guarded: the incident side is collected up front (bounded —
+    * `limit(maxIncidents + 1)`) and the call fails loudly past
+    * `maxIncidents`; the pre-flight collect is one bounded scan,
+    * while the nested loop it prevents is quadratic. The collected
+    * rows become a LocalRelation the join reads directly — no
+    * `cache()` to leak for the SparkSession lifetime (the r10
+    * advisor's finding: a per-call MEMORY_AND_DISK cache was
+    * registered forever), and the guard and the join share the one
+    * materialization by construction. Production attribution at any
+    * volume belongs to [[incidentEventsBinned]]. */
   def incidentEvents(events: DataFrame, halfWindowMin: Int = 5,
       incidentPred: Column = lit(true),
       maxIncidents: Long = 10000L): DataFrame = {
-    val inc = events.filter(col("event_type") === "error" && incidentPred)
+    val spark = events.sparkSession
+    val incPlan = events
+      .filter(col("event_type") === "error" && incidentPred)
       .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
-      .cache()
-    val nInc = inc.count()
-    require(nInc <= maxIncidents,
+    val rows = incPlan.limit((maxIncidents + 1).toInt).collect()
+    require(rows.length <= maxIncidents,
       s"incidentEvents is the NAIVE nested-loop reference form and " +
-        s"refuses $nInc incidents (> maxIncidents=$maxIncidents): " +
+        s"refuses > maxIncidents=$maxIncidents incidents: " +
         "use incidentEventsBinned, the equi-join scale path with " +
         "identical output")
+    val inc = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), incPlan.schema)
     events.select(col("event_id"), col("ts"))
       .join(inc,
         col("ts") >= col("inc_ts") - expr(s"INTERVAL $halfWindowMin MINUTES")

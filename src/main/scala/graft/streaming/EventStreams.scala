@@ -329,11 +329,12 @@ object EventStreams extends Serializable {
     * and an undropped memory sink would pin a full result copy in
     * driver memory per run for the life of the SparkSession. The
     * copy is bounded — drained results are harness-output scale. */
-  private def drain(out: DataFrame, label: String): DataFrame = {
+  private def drain(out: DataFrame, label: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
     val qname = label + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append())
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -347,22 +348,9 @@ object EventStreams extends Serializable {
   /** [[drain]] in COMPLETE output mode — for bounded replays of
     * global aggregations whose own state is bounded (the Misra–Gries
     * summary below: `capacity` entries regardless of stream length),
-    * where the final complete emission IS the batch answer. Same
-    * copy-and-release sink discipline as [[drain]]. */
-  private def drainComplete(out: DataFrame, label: String): DataFrame = {
-    val qname = label + "_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val spark = out.sparkSession
-    val sink = spark.table(qname)
-    val rows = spark.createDataFrame(sink.collectAsList(), sink.schema)
-    spark.catalog.dropTempView(qname)
-    rows
-  }
+    * where the final complete emission IS the batch answer. */
+  private def drainComplete(out: DataFrame, label: String): DataFrame =
+    drain(out, label, OutputMode.Complete())
 
   /** One year in µs — the watermark-flush sentinel's offset past the
     * real maximum event time: generously clears any watermark delay +
@@ -563,6 +551,21 @@ object EventStreams extends Serializable {
     * frequency relation, so the oracle answer-checks it fully. */
   def drainHeavyHitters(docs: DataFrame, capacity: Int = 1024,
       nBatches: Int = 3): DataFrame = {
+    // assert the EXACT regime up front: the shared batch oracle only
+    // answer-checks the drained summary while every distinct word fits
+    // in the MG capacity — past that the summary turns approximate BY
+    // DESIGN and an oracle mismatch would point at the stream, not the
+    // regime. The distinct count is one cheap aggregation at drain
+    // (harness) scale.
+    val nDistinct = docs
+      .select(Tokenizer.explodeTokens(col("text")).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(countDistinct(col("word"))).head().getLong(0)
+    require(nDistinct <= capacity,
+      s"drainHeavyHitters: $nDistinct distinct words > capacity=" +
+        s"$capacity — the Misra–Gries summary is in its " +
+        "approximate regime and the exact-frequency oracle no longer " +
+        "applies; raise capacity or drop the oracle row")
     val (stream, tmp) = replayAsMicroBatches(
       docs.select(col("doc_id"), col("text")), "doc_id", nBatches)
     val out =
