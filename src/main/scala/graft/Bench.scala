@@ -46,9 +46,19 @@ object Bench {
     // the driver leaves it unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Deterministic measurement order (a Map literal iterates in
+    // arbitrary hash order): plain queries first, name-sorted, then
+    // every drained-stream query LAST. The drains run full streaming
+    // replays (state stores, chunk-file sources, memory sinks) whose
+    // JVM debris — state-store providers, streaming-query threads,
+    // accumulated heap — otherwise lands on whatever carried query
+    // happens to hash after them (the r10 +23% uniform drift). The
+    // queries themselves are unchanged; only neighbors moved.
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    val (drains, carried) = selected.toSeq.sortBy(_._1)
+      .partition(_._1.endsWith("_stream"))
+    val results = (carried ++ drains).map { case (name, fn) =>
       def once(): Option[Double] =
         try {
           val t0 = System.nanoTime()
@@ -127,7 +137,7 @@ object Bench {
     }
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
     try pw.println(detail) finally pw.close()
-    val total = medians.values.filter(_ >= 0).sum
+    val total = medians.map(_._2).filter(_ >= 0).sum
     val byCost = medians.toSeq.sortBy { case (_, v) => -v }
     val budget = 1200 // chars for the stdout queries map
     val kept = scala.collection.mutable.ListBuffer.empty[String]

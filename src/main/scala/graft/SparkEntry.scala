@@ -805,6 +805,162 @@ object SparkEntry {
       |GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin
 
+  /** Staircase half-life decay oracle shared by q_events_decay and
+    * its drained streaming twin (drained with asOfDay = the table's
+    * max epoch day, so both faces reference the SAME day): identical
+    * integer arithmetic — age = epoch-day bucket difference, k = age
+    * DIV 7 clamped at 50, weight 2^(50-k) summed exactly (DuckDB
+    * sum(BIGINT) -> HUGEINT), one integer divide. */
+  private val DecayOracle: String =
+    """WITH s AS (
+      |  SELECT max(epoch_us(ts) // 86400000000) AS d_max FROM events
+      |), k AS (
+      |  SELECT event_type,
+      |    least((s.d_max - epoch_us(ts) // 86400000000) // 7,
+      |      50) AS kk
+      |  FROM events, s
+      |)
+      |SELECT event_type, count(*)::BIGINT AS n_events,
+      |  ((sum(1::BIGINT << CAST(50 - kk AS INT)) * 1000000)
+      |    // (1::BIGINT << 50))::BIGINT AS decay_e6
+      |FROM k GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Per-event outlier-flag oracle for the drained
+    * train-batch/serve-stream value gate: the q_events_outliers
+    * integer fence CTEs (E4 quantization, closed integer quartile
+    * interpolation, fences scaled x400), then every event whose
+    * 400·v_e4 falls outside its type's fences — the long-vs-long
+    * compare valueOutlierFlags serves per row. `value` is a raw
+    * column pass-through (both engines read the same stored
+    * double). */
+  private val OutlierFlagsOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, v_e4,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v_e4)
+      |      AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), st AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN r - 1 = (n - 1) // 4 THEN v_e4 END) AS x25,
+      |    max(CASE WHEN r - 1 = (n - 1) // 4 + 1 THEN v_e4 END) AS x25b,
+      |    max(CASE WHEN r - 1 = (3 * (n - 1)) // 4 THEN v_e4 END) AS x75,
+      |    max(CASE WHEN r - 1 = (3 * (n - 1)) // 4 + 1 THEN v_e4 END) AS x75b,
+      |    max((n - 1) % 4) AS m25, max((3 * (n - 1)) % 4) AS m75
+      |  FROM r GROUP BY event_type
+      |), f AS (
+      |  SELECT event_type,
+      |    4 * x25 + m25 * (coalesce(x25b, x25) - x25) AS p25q4,
+      |    4 * x75 + m75 * (coalesce(x75b, x75) - x75) AS p75q4
+      |  FROM st
+      |), b AS (
+      |  SELECT event_type,
+      |    100 * p25q4 - 150 * (p75q4 - p25q4) AS lo400,
+      |    100 * p75q4 + 150 * (p75q4 - p25q4) AS hi400
+      |  FROM f
+      |)
+      |SELECT e.event_id, e.event_type, e.value
+      |FROM events e JOIN b USING (event_type)
+      |WHERE CAST(floor(e.value * 10000 + 0.5) AS BIGINT) * 400 < b.lo400
+      |   OR CAST(floor(e.value * 10000 + 0.5) AS BIGINT) * 400 > b.hi400
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Per-doc oracle for the drained streaming quality gate: the
+    * q_quality_thresholds CTEs (E4 integer score, per-source top-25%
+    * threshold via the rank cut), then EVERY doc scored and gated on
+    * score >= thr through a LEFT join — a source absent from
+    * training would carry a NULL pass, exactly the serving
+    * contract. */
+  private val QualityGateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, coalesce(text, '') AS text,
+      |    regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, len(toks) AS n, length(text) AS ln,
+      |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS sc,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS ar
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n = 0 OR ln = 0 THEN 0
+      |         ELSE floor(least(1.0, n::DOUBLE / 50.0) * (1.0 - sc::DOUBLE / n)
+      |              * ar * 10000 + 0.5)::BIGINT END AS score
+      |  FROM c
+      |), k AS (
+      |  SELECT source, (count(*) * 2500 + 9999) // 10000 AS k
+      |  FROM s GROUP BY source
+      |), r AS (
+      |  SELECT s.*, row_number() OVER (
+      |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
+      |  FROM s
+      |), thr AS (
+      |  SELECT source, min(score)::BIGINT AS thr
+      |  FROM r JOIN k USING (source)
+      |  WHERE rn <= k.k
+      |  GROUP BY source
+      |)
+      |SELECT s.doc_id, s.source, s.score, (s.score >= thr.thr) AS pass
+      |FROM s LEFT JOIN thr USING (source)
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Per-doc oracle for the drained streaming NB probe: the
+    * q_probe_train/q_probe_eval training CTEs (exact integer counts,
+    * four log2 terms inside ONE final round per weight — the
+    * lmSurprisal ulp rule), then every doc's served score
+    * s_int = bias + Σ w[bucket(token)] and its flag. Zero-token docs
+    * score the bare bias through the LEFT join. */
+  private val NbScoreOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN list_contains(regexp_extract_all(text, '\S+'),
+      |      'dup') THEN 1 ELSE 0 END::BIGINT AS y,
+      |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS bucket
+      |  FROM (SELECT doc_id, text,
+      |          unnest(regexp_extract_all(text, '\S+')) AS word
+      |        FROM documents)
+      |), cnt AS (
+      |  SELECT bucket,
+      |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+      |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c_neg
+      |  FROM tok GROUP BY bucket
+      |), tot AS (
+      |  SELECT sum(c_pos)::BIGINT AS t_pos,
+      |    sum(c_neg)::BIGINT AS t_neg
+      |  FROM cnt
+      |), w AS (
+      |  SELECT bucket,
+      |    round(10000.0 * (log2(COALESCE(c_pos, 0) + 1)
+      |      - log2(t_pos + 64) - log2(COALESCE(c_neg, 0) + 1)
+      |      + log2(t_neg + 64)))::BIGINT AS w_int
+      |  FROM (SELECT unnest(range(64)) AS bucket)
+      |  LEFT JOIN cnt USING (bucket) CROSS JOIN tot
+      |), cls AS (
+      |  SELECT sum(CASE WHEN list_contains(
+      |      regexp_extract_all(text, '\S+'), 'dup')
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+      |    sum(CASE WHEN list_contains(
+      |      regexp_extract_all(text, '\S+'), 'dup')
+      |      THEN 0 ELSE 1 END)::BIGINT AS n_neg
+      |  FROM documents
+      |), sc AS (
+      |  SELECT doc_id, sum(w_int)::BIGINT AS s
+      |  FROM tok JOIN w USING (bucket) GROUP BY 1
+      |), bias AS (
+      |  SELECT round(10000.0 * (log2(n_pos) - log2(n_neg)))::BIGINT
+      |    AS b FROM cls
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(sc.s, 0) + bias.b AS s_int,
+      |  (COALESCE(sc.s, 0) + bias.b > 0) AS flagged
+      |FROM documents d LEFT JOIN sc USING (doc_id) CROSS JOIN bias
+      |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB replay of the Rabin–Karp winnowing fingerprints
     * (q_fingerprint_rolling): Scala long multiplication/addition wraps
     * mod 2^64, so the kernel's rolling hash EQUALS the direct
@@ -1499,10 +1655,26 @@ object SparkEntry {
     // scaled-2^50 integer sums — engine-exact, no pow() anywhere.
     "q_events_decay" -> ((s, dir) =>
       EventOps.decayedCounts(events(s, dir), halfLifeDays = 7)),
+    // The decay feature served as a STREAM and drained: update-mode
+    // mapGroupsWithState emissions, LAST emission per type kept, and
+    // the reference pinned to the table's max epoch day via asOfDay —
+    // shares q_events_decay's oracle verbatim (one answer, two
+    // execution models; the staircase is an order-free histogram
+    // fold, so no sentinel and no event-time ordering needed).
+    "q_events_decay_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainDecayedCounts(events(s, dir),
+        halfLifeDays = 7)),
     // Tukey-fence value outliers per type: exact quartiles -> fences
     // broadcast back -> counts; compare on unrounded doubles.
     "q_events_outliers" -> ((s, dir) =>
       EventOps.valueOutliers(events(s, dir))),
+    // The value gate's train-batch/serve-stream loop drained at the
+    // FLAG level: integer fences trained offline (valueFences), every
+    // replayed event flagged by the SAME long-vs-long compare the
+    // batch gate runs — the oracle answers per event, not per type.
+    "q_events_outlier_flags_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainValueOutlierFlags(
+        events(s, dir))),
     "q_events_session" -> ((s, dir) => EventOps.sessionCounts(events(s, dir))),
     // The STREAMING session-window serve path, drained through the
     // oracle harness (r9's drainIncrementalDedup convention extended
@@ -1590,6 +1762,13 @@ object SparkEntry {
     // what qualityGateStream broadcasts over new documents.
     "q_quality_thresholds" -> ((s, dir) =>
       CorpusOps.qualityThresholds(documents(s, dir), keepBp = 2500)),
+    // The calibrated gate SERVED over a document stream and drained:
+    // thresholds trained offline, collected to a serving relation,
+    // every replayed doc scored with the identical E4 integer
+    // arithmetic and gated on score >= thr — oracled per doc.
+    "q_quality_gate_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainQualityGate(documents(s, dir),
+        CorpusOps.qualityThresholds(documents(s, dir), keepBp = 2500))),
     "q_tfidf" -> ((s, dir) => CorpusOps.tfIdf(documents(s, dir), k = 3)),
     // Okapi BM25 top-10 for a fixed query-term bag: one tokenize
     // lineage (dl window before the term filter, df window after),
@@ -1684,6 +1863,13 @@ object SparkEntry {
     // zero false positives at sf0.01).
     "q_probe_eval" -> ((s, dir) =>
       CorpusOps.naiveBayesEvalFrom(documents(s, dir),
+        cachedNbModel(s, dir))),
+    // The trained probe SERVED over a document stream and drained:
+    // the model relation collapses to driver literals (nbServingModel)
+    // and every replayed doc's all-integer score + flag is oracled
+    // per doc (q_probe_eval answers only at the confusion level).
+    "q_nb_score_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainNbScores(documents(s, dir),
         cachedNbModel(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       CorpusOps.decontaminateQuery(documents(s, dir))),
@@ -3409,20 +3595,11 @@ object SparkEntry {
     // age = epoch-day bucket difference (aligned with the streaming
     // histogram state), k = age DIV 7 clamped at 50, weight 2^(50-k)
     // summed exactly (DuckDB sum(BIGINT) -> HUGEINT), integer divide
-    "q_events_decay" ->
-      """WITH s AS (
-        |  SELECT max(epoch_us(ts) // 86400000000) AS d_max FROM events
-        |), k AS (
-        |  SELECT event_type,
-        |    least((s.d_max - epoch_us(ts) // 86400000000) // 7,
-        |      50) AS kk
-        |  FROM events, s
-        |)
-        |SELECT event_type, count(*)::BIGINT AS n_events,
-        |  ((sum(1::BIGINT << CAST(50 - kk AS INT)) * 1000000)
-        |    // (1::BIGINT << 50))::BIGINT AS decay_e6
-        |FROM k GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+    "q_events_decay" -> DecayOracle,
+    // drained streaming decay (asOfDay = global max day) — same answer
+    "q_events_decay_stream" -> DecayOracle,
+    // per-event flags of the drained train-batch/serve-stream gate
+    "q_events_outlier_flags_stream" -> OutlierFlagsOracle,
     "q_events_gaps" ->
       """WITH s AS (
         |  SELECT event_type, epoch_us(ts) AS us,
@@ -4446,6 +4623,8 @@ object SparkEntry {
         |WHERE rn <= k.k
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // drained streaming gate — every doc scored + gated per source
+    "q_quality_gate_stream" -> QualityGateOracle,
     // Integer metrics + integer cross-multiplied thresholds: no float
     // ratio ever crosses the engines (power-of-two denominators land
     // on exact half-values where rounding modes differ).
@@ -4702,6 +4881,8 @@ object SparkEntry {
         |SELECT y, pred, count(*)::BIGINT AS n_docs
         |FROM pr GROUP BY y, pred
         |ORDER BY y, pred""".stripMargin,
+    // drained streaming NB serve — every doc's integer score + flag
+    "q_nb_score_stream" -> NbScoreOracle,
     // taxonomy tagging: inline (topic, keyword) VALUES dictionary,
     // token join, sorted distinct topic list + total hits per doc
     "q_topic_tags" ->

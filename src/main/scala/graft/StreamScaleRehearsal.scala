@@ -73,6 +73,53 @@ object StreamScaleRehearsal {
         s => EventStreams.incrementalSimhashStream(s,
           docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)))
     }
+    // --- watermarked-aggregation / COMPLETE-mode drains (r10 verdict
+    // item 2: the memory-sink harness drains of these faces are
+    // output-linear — the session face held 955k session rows in the
+    // driver at 10x; these rehearse the same streams through the
+    // executor-side count sink at any scale) ---
+    lazy val events = graft.sources.Tables.events(spark, sfDir)
+    val YearUs = 31536000000000L
+    import spark.implicits._
+    face("session") {
+      val slim = events.select(col("user_id"), col("ts"))
+        .withColumn("__ord", unix_micros(col("ts")))
+      val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+      val sentinel = Seq((-1L, maxUs + YearUs)).toDF("user_id", "__ord")
+        .select(col("user_id"),
+          timestamp_micros(col("__ord")).as("ts"), col("__ord"))
+      EventStreams.replayThroughCountSink(slim, "__ord",
+        s => EventStreams.sessionCounts(s.drop("__ord")),
+        tail = Some(sentinel))
+    }
+    face("anomaly") {
+      val stats = graft.operators.EventOps.rateStats(events)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val slim = events
+        .select(col("ts"), col("event_type"), col("value"))
+        .withColumn("__ord", unix_micros(col("ts")))
+      val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+      val sentinel =
+        Seq(("__watermark_sentinel__", 0.0d, maxUs + YearUs))
+          .toDF("event_type", "value", "__ord")
+          .select(timestamp_micros(col("__ord")).as("ts"),
+            col("event_type"), col("value"), col("__ord"))
+      EventStreams.replayThroughCountSink(slim, "__ord",
+        s => EventStreams.rateAnomalyStream(s.drop("__ord"), stats,
+          watermark = Some("1 hour")),
+        tail = Some(sentinel))
+    }
+    face("heavy") {
+      // COMPLETE mode: the count sink receives the capacity-bounded
+      // Misra-Gries summary per trigger — at rehearsal scale the
+      // summary is APPROXIMATE by design (vocabulary > capacity);
+      // what is measured is throughput and that state stays at
+      // `capacity` entries, not the oracle regime
+      EventStreams.replayThroughCountSink(
+        docs.select(col("doc_id"), col("text")), "doc_id",
+        s => EventStreams.heavyHittersStream(s, 1024, textCol = "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
     face("embedding") {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       // PRODUCTION SRP geometry (32 tables x 16 planes -> 65k buckets

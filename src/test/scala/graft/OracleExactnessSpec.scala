@@ -88,8 +88,9 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_events_anomaly_stream", "q_events_gaps", "q_events_json",
     "q_events_sliding", "q_events_tumbling", "q_hard_negatives",
     "q_lang_stats", "q_lm_bigram", "q_lm_surprisal",
-    "q_mix_temperature", "q_ppl_buckets", "q_probe_eval",
-    "q_probe_train", "q_profile_corr", "q_quality_model",
+    "q_mix_temperature", "q_nb_score_stream", "q_ppl_buckets",
+    "q_probe_eval", "q_probe_train", "q_profile_corr",
+    "q_quality_model",
     "q_rel_cube", "q_rel_groupsets", "q_rel_nation_rev",
     "q_rel_pivot", "q_rel_pricing", "q_rel_quantiles",
     "q_rel_rollup", "q_rel_runsum", "q_rel_salted", "q_rel_sql",
@@ -104,7 +105,8 @@ class OracleExactnessSpec extends AnyFunSuite {
   // float log2 — rounded output columns (surprisal/ppl/dsir scores)
   private val Log2Allowed = Set(
     "q_dsir_topk", "q_dsir_weights", "q_lm_bigram", "q_lm_surprisal",
-    "q_ppl_buckets", "q_probe_eval", "q_probe_train")
+    "q_nb_score_stream", "q_ppl_buckets", "q_probe_eval",
+    "q_probe_train")
 
   test("log2( allowlist frozen (the unigram trainer must NOT rejoin " +
       "it — its weights feed an argmax and use integer Mitchell log2)") {
@@ -146,13 +148,15 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_curriculum", "q_dedup_diversity", "q_dedup_diversity_src",
     "q_dedup_sample", "q_dedup_sources", "q_dedup_weights",
     "q_delete_repack", "q_embed_mrl", "q_embed_profile",
-    "q_embed_rbo", "q_events_decay", "q_events_outliers",
+    "q_embed_rbo", "q_events_decay", "q_events_decay_stream",
+    "q_events_outlier_flags_stream", "q_events_outliers",
     "q_histogram", "q_key_skew", "q_lang_mix", "q_mix_temperature",
     "q_mix_unimax", "q_mm_features", "q_mm_frames", "q_mm_imagedup",
     "q_mm_imagedup_incr", "q_oov_rate", "q_pack_padding",
     "q_pack_seqs", "q_passage_dedup", "q_passage_rebuild",
     "q_pipeline", "q_quality_calibrated", "q_quality_thresholds",
-    "q_salt_plan", "q_sample_weighted", "q_shard_summary", "q_shards",
+    "q_quality_gate_stream", "q_salt_plan", "q_sample_weighted",
+    "q_shard_summary", "q_shards",
     "q_span_corruption", "q_token_budget", "q_unigram_encode",
     "q_unigram_encode_injected", "q_unigram_vocab", "q_vocab_growth",
     "q_wordpiece_encode", "q_wordpiece_encode_trained",

@@ -847,4 +847,68 @@ class StreamingSpec extends SparkSpec {
       .heavyHitters(corpus, col("text"), 1024).collect().toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("drained serve faces equal their batch twins (decay asOfDay, " +
+      "outlier flags, quality gate, NB scores)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sfDir)
+    // decay: the drain pins asOfDay = global max epoch day, so the
+    // drained staircase must equal the BATCH operator bit for bit —
+    // the alignment that lets the harness row share q_events_decay's
+    // oracle (the self-referenced stream default may not)
+    val gotD = EventStreams.drainDecayedCounts(events)
+    val wantD = EventOps.decayedCounts(events, halfLifeDays = 7)
+    assert(sortedRows(gotD) == sortedRows(wantD))
+    // outlier flags: drained flag rows == the batch gate's rows
+    val fences = EventOps.valueFences(events)
+      .as[(String, Long, Long)].collect().toSeq
+    val gotF = EventStreams.drainValueOutlierFlags(events)
+    val wantF = EventStreams.valueOutlierFlags(
+      events.select($"event_id", $"event_type", $"value"), fences)
+    assert(gotF.count() > 0)
+    assert(sortedRows(gotF) == sortedRows(wantF))
+    // quality gate + NB probe: drained == the same stateless body
+    // applied in batch (their stream-vs-batch equivalence is pinned
+    // above; this pins the DRAIN plumbing end to end)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thr = graft.operators.CorpusOps
+      .qualityThresholds(docs, keepBp = 2500).localCheckpoint()
+    val gotQ = EventStreams.drainQualityGate(docs, thr)
+    val wantQ = EventStreams.qualityGateStream(
+      docs.select($"doc_id", $"source", $"text"), thr)
+    assert(gotQ.count() == docs.count())
+    assert(sortedRows(gotQ) == sortedRows(wantQ))
+    val model = graft.operators.CorpusOps.markerNbModel(docs)
+      .localCheckpoint()
+    val (w, b) = graft.operators.CorpusOps.nbServingModel(model)
+    val gotN = EventStreams.drainNbScores(docs, model)
+    val wantN = EventStreams.nbScoreStream(
+      docs.select($"doc_id", $"text"), w, b)
+    assert(gotN.count() == docs.count())
+    assert(sortedRows(gotN) == sortedRows(wantN))
+  }
+
+  test("decay drain pins the GLOBAL reference day: a type with no " +
+      "recent events decays against the table's max day, not its own") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, "a", "2024-01-10 00:00:00"),
+      (2L, "a", "2024-01-01 00:00:00"),
+      (3L, "b", "2024-01-01 00:00:00"),
+      (4L, "b", "2024-01-03 00:00:00")) // b's newest 7 days old
+      .toDF("event_id", "event_type", "ts_s")
+      .select($"event_id", $"event_type",
+        to_timestamp($"ts_s").as("ts"))
+    val got = EventStreams
+      .drainDecayedCounts(ev, halfLifeDays = 1, nBatches = 2)
+    val want = EventOps.decayedCounts(ev, halfLifeDays = 1)
+    assert(sortedRows(got) == sortedRows(want))
+    // the witness that asOfDay does the aligning: self-referenced to
+    // b's own newest day (Jan 3), b's staircase would be
+    // (2^48 + 2^50)·1e6 / 2^50 = 1_250_000; referenced to the global
+    // Jan 10 it is (2^41 + 2^43)·1e6 DIV 2^50 = 5e6 DIV 512 = 9_765
+    val bRow = got.filter($"event_type" === "b")
+      .select($"decay_e6").as[Long].head()
+    assert(bRow == 9765L && bRow != 1250000L)
+  }
 }
