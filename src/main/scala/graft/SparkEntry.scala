@@ -225,7 +225,7 @@ object SparkEntry {
     * one unrolled WITH-cascade stage in the DuckDB oracle, so the
     * budget bounds oracle size, not trainer capability (BpeSpec /
     * WordPieceSpec pin 20–30-rule runs vs plain-Scala witnesses). */
-  private val VocabCascadeRules = 12
+  private[graft] val VocabCascadeRules = 12
 
   /** DuckDB replay of [[graft.operators.Bpe.train]]'s sequential
     * greedy as an unrolled merge-round WITH-cascade (the q_text_rank
@@ -288,7 +288,7 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private def bpeVocabCascadeOracle(nMerges: Int): String = {
+  private[graft] def bpeVocabCascadeOracle(nMerges: Int): String = {
     val union = (1 to nMerges)
       .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
     s"""WITH ${bpeCascadeCtes(nMerges)}
@@ -304,7 +304,7 @@ object SparkEntry {
     * the cascade plus [[BpeEncodeInjectedOracle]]'s token-stream
     * join-back and per-doc aggregation. Training and serving are
     * answer-checked END TO END in one query. */
-  private def bpeEncodeCascadeOracle(nMerges: Int): String =
+  private[graft] def bpeEncodeCascadeOracle(nMerges: Int): String =
     s"""WITH ${bpeCascadeCtes(nMerges)},
        |t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
@@ -399,7 +399,7 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private def wordPieceVocabCascadeOracle(nMerges: Int): String = {
+  private[graft] def wordPieceVocabCascadeOracle(nMerges: Int): String = {
     val union = (1 to nMerges)
       .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
     s"""WITH ${wordPieceCascadeCtes(nMerges)}
@@ -416,7 +416,7 @@ object SparkEntry {
     * length bound comes from the trained pieces themselves (the
     * operator's own maxL rule: longest `##`-stripped piece, floor
     * 1). */
-  private def wordPieceEncodeTrainedOracle(nMerges: Int): String = {
+  private[graft] def wordPieceEncodeTrainedOracle(nMerges: Int): String = {
     val trained = (1 to nMerges)
       .map(r => s"SELECT merged FROM b$r").mkString(" UNION ALL ")
     s"""WITH RECURSIVE ${wordPieceCascadeCtes(nMerges)},
@@ -638,7 +638,7 @@ object SparkEntry {
     * weights, Viterbi segmentation of every word, frequency-weighted
     * piece usage re-count, and the vocabulary CLOSURE (`u_p$r` keeps
     * every `pin` piece, unused ones at count 0 — Unigram.emRound). */
-  private def unigramEmRoundCtes(r: Int, pin: String): String =
+  private[graft] def unigramEmRoundCtes(r: Int, pin: String): String =
     s"""${unigramWeightCtes(r, pin)},
        |${unigramViterbiCtes(r)},
        |u_cnt$r AS MATERIALIZED (
@@ -656,7 +656,7 @@ object SparkEntry {
     * training total order, deduplicated by max(cnt) — counts come
     * from the same relation, so max only merges chars that also made
     * the cut. */
-  private def unigramTopWithCharsSql(rel: String, k: Int): String =
+  private[graft] def unigramTopWithCharsSql(rel: String, k: Int): String =
     s"""SELECT piece, max(cnt)::BIGINT AS cnt FROM (
        |    SELECT piece, cnt FROM $rel WHERE length(piece) = 1
        |    UNION ALL

@@ -172,6 +172,46 @@ class OracleExactnessSpec extends AnyFunSuite {
     assertFrozen("quantile_cont", "quantile_cont", QuantileContAllowed)
   }
 
+  test("SQL generators: the cascade builders' trap-construct profile " +
+      "is parameter-invariant (generated text scanned like committed " +
+      "literals)") {
+    // The cascade builders emit oracle SQL programmatically; their
+    // output AT THE COMMITTED parameterization already sits in
+    // oracleSql and is scanned by every test above. This pins the
+    // OTHER parameterizations: a regime-dependent branch (a future
+    // "if (nMerges > K)" special case) cannot smuggle pow(/round(/
+    // log2( into generated text at a rule count the committed scan
+    // never sees — the profile of trap constructs must not depend on
+    // the parameter at all.
+    val traps = Seq("pow\\(", "stddev", "var_pop\\(", "var_samp\\(",
+      "percentile", "\\blog\\(", "\\brandom\\(", "setseed",
+      "round\\(", "log2\\(", "\\bln\\(", "sqrt\\(", "quantile_cont")
+    def profile(sql: String): Set[String] =
+      traps.filter(t => t.r.findFirstIn(sql).isDefined).toSet
+    val gens: Seq[(String, Int => String)] = Seq(
+      ("bpeVocabCascadeOracle",
+        SparkEntry.bpeVocabCascadeOracle _),
+      ("bpeEncodeCascadeOracle",
+        SparkEntry.bpeEncodeCascadeOracle _),
+      ("wordPieceVocabCascadeOracle",
+        SparkEntry.wordPieceVocabCascadeOracle _),
+      ("wordPieceEncodeTrainedOracle",
+        SparkEntry.wordPieceEncodeTrainedOracle _),
+      ("unigramEmRoundCtes",
+        (r: Int) => SparkEntry.unigramEmRoundCtes(r, s"u_p${r - 1}")),
+      ("unigramTopWithCharsSql",
+        (k: Int) => SparkEntry.unigramTopWithCharsSql("u_seed", k)))
+    for ((name, gen) <- gens) {
+      val committed = profile(gen(SparkEntry.VocabCascadeRules))
+      for (n <- Seq(1, 3, 40))
+        assert(profile(gen(n)) == committed,
+          s"$name($n) emits a different trap-construct profile than " +
+            s"$name(${SparkEntry.VocabCascadeRules}) — a parameter-" +
+            "dependent branch introduced or dropped a scanned " +
+            "construct")
+    }
+  }
+
   test("every query has either an oracle or a documented rows-only " +
       "status (no silent oracle drops)") {
     // oracle keys must be a subset of query names — a typo'd key
