@@ -1648,6 +1648,12 @@ object SparkEntry {
     // pairs in (ts, event_id) order, counted into the |types|² matrix.
     "q_events_transitions" -> ((s, dir) =>
       EventOps.typeTransitions(events(s, dir))),
+    // The out-of-order-safe streaming Markov miner drained and
+    // aggregated to the same matrix — shares q_events_transitions'
+    // oracle (ts-ordered replay + watermark-flush sentinel finalizes
+    // every user's chain before the drain terminates).
+    "q_events_transitions_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainTypeTransitions(events(s, dir))),
     // Same-type inter-arrival cadence per user, aggregated per type —
     // exact integer µs gaps, one rounded mean.
     "q_events_gaps" -> ((s, dir) => EventOps.interArrival(events(s, dir))),
@@ -1705,6 +1711,13 @@ object SparkEntry {
       EventOps.distinctUsersPerType(events(s, dir))),
     "q_events_attrib" -> ((s, dir) =>
       EventOps.purchaseAttribution(events(s, dir))),
+    // The stream-STREAM interval join drained — shares
+    // q_events_attrib's oracle. Inner-join matches emit when the
+    // second side arrives (no sentinel); the ts-ordered replay is
+    // what makes watermark state eviction provably lossless.
+    "q_events_attrib_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainPurchaseAttribution(
+        events(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(events(s, dir))),
     // Retention matrix: first-active-day cohorts x day offset.
     "q_events_retention" -> ((s, dir) =>
@@ -2180,6 +2193,12 @@ object SparkEntry {
     }),
     // As-of join: purchases looked up against the user's latest click.
     "q_events_asof" -> ((s, dir) => AsofJoin.eventAsof(events(s, dir))),
+    // The custom two-sided-state streaming as-of join drained —
+    // shares q_events_asof's DuckDB ASOF LEFT JOIN oracle (reference-
+    // side sentinel advances the watermark past every query row so
+    // LEFT semantics emit nulls too).
+    "q_events_asof_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainAsofEnrich(events(s, dir))),
     // Hot-key refinement: same as-of semantics with the heavy window
     // partitioned by (user, hour-bucket) — output is identical to the
     // plain join BY CONSTRUCTION, so it shares q_events_asof's oracle:
@@ -3543,6 +3562,19 @@ object SparkEntry {
         |FROM s WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // drained streaming transition miner — same matrix, same oracle:
+    "q_events_transitions_stream" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // Tukey fences from exact interpolated quartiles — identical IEEE
     // fence arithmetic, comparison on unrounded values, rounded output
     // Integer-exact Tukey fences: E4-quantized values, closed integer
@@ -3668,6 +3700,15 @@ object SparkEntry {
         |QUALIFY rank <= 5
         |ORDER BY event_type, rank""".stripMargin,
     "q_events_attrib" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  c.event_id AS click_id, c.ts AS c_ts
+        |FROM events p
+        |JOIN events c ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // drained stream-stream interval join — same pairs, same oracle:
+    "q_events_attrib_stream" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
         |  c.event_id AS click_id, c.ts AS c_ts
         |FROM events p
@@ -3962,6 +4003,23 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY ev_id""".stripMargin,
     "q_events_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS ev_id, p.user_id, p.ts AS ev_ts,
+        |  c.event_id AS asof_id, c.ts AS asof_ts,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY ev_id""".stripMargin,
+    // drained streaming as-of enrichment — same rows (incl. null
+    // matches: LEFT semantics), same oracle:
+    "q_events_asof_stream" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'purchase'

@@ -759,6 +759,103 @@ object EventStreams extends Serializable {
     out.orderBy("doc_id")
   }
 
+  /** The (user_id, ts, event_id, event_type, __ord µs) replay slim +
+    * max event-time the three event-stream drains below share. */
+  private def eventReplaySlim(events: DataFrame): (DataFrame, Long) = {
+    val slim = events.select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("__ord", unix_micros(col("ts")))
+    (slim, slim.agg(max(col("__ord"))).head().getLong(0))
+  }
+
+  /** Drain [[typeTransitionsStream]] and aggregate the emitted edges
+    * into the |types|² transition matrix — the streaming Markov miner
+    * under the SAME oracle as the batch
+    * [[graft.operators.EventOps.typeTransitions]]. Mechanics are the
+    * [[drainSessionCounts]] convention: event-time-ordered replay +
+    * one watermark-flush sentinel (user −1) as its own final
+    * micro-batch, whose closing no-data batch advances the watermark
+    * past every real event so each user's pending buffer finalizes
+    * and emits its chain (the sentinel's own single-event chain has
+    * no transitions; its user is filtered defensively anyway). */
+  def drainTypeTransitions(events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (slim, maxUs) = eventReplaySlim(events)
+    val sentinel =
+      Seq((-1L, maxUs + YearUs, -1L, "__watermark_sentinel__"))
+        .toDF("user_id", "__ord", "event_id", "event_type")
+        .select(col("user_id"), timestamp_micros(col("__ord")).as("ts"),
+          col("event_id"), col("event_type"), col("__ord"))
+    val (stream, tmp) = replayForDrain(slim, "__ord", nBatches,
+      tail = Some(sentinel))
+    val out =
+      try drain(
+        typeTransitionsStream(stream.drop("__ord"), watermarkDelay)
+          .toDF(), "graft_trans_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out.filter(col("user_id") =!= -1L)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Drain the stream-STREAM interval join [[purchaseAttribution]] —
+    * the first stream-stream face under a DuckDB oracle (shared with
+    * the batch [[graft.operators.EventOps.purchaseAttribution]]). No
+    * sentinel: an INNER stream-stream join emits a match in the
+    * micro-batch where its second side arrives — nothing waits for
+    * the watermark. The replay is still event-time-ordered, which is
+    * what makes the watermark STATE EVICTION safe by construction: a
+    * click leaves state only once the watermark proves no future
+    * purchase can reach back to it (c_ts < wm − window ≤ p_ts −
+    * window for every still-possible p). */
+  def drainPurchaseAttribution(events: DataFrame,
+      window: String = "1 hour", watermarkDelay: String = "2 hours",
+      nBatches: Int = 3): DataFrame = {
+    val (slim, _) = eventReplaySlim(events)
+    val (stream, tmp) = replayForDrain(slim, "__ord", nBatches)
+    val out =
+      try drain(
+        purchaseAttribution(stream.drop("__ord"), window,
+          watermarkDelay), "graft_attrib_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out.orderBy("purchase_id", "click_id")
+  }
+
+  /** Drain [[asofEnrichStream]] — the custom two-sided-state as-of
+    * join under the SAME oracle as the batch
+    * [[graft.operators.AsofJoin.eventAsof]] (DuckDB's native ASOF
+    * LEFT JOIN). The watermark-flush sentinel is a REFERENCE-side
+    * event (user −1): it must survive the isin(queryType, refType)
+    * filter to advance the watermark, and a reference row emits
+    * nothing itself — it parks in user −1's state while its no-data
+    * batch pushes the watermark strictly past every real query row,
+    * so each pending query emits its match (or its null — LEFT
+    * semantics). */
+  def drainAsofEnrich(events: DataFrame,
+      queryType: String = "purchase", refType: String = "click",
+      watermarkDelay: String = "1 hour",
+      nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (slim, maxUs) = eventReplaySlim(events)
+    val sentinel = Seq((-1L, maxUs + YearUs, -1L, refType))
+      .toDF("user_id", "__ord", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("__ord")).as("ts"),
+        col("event_id"), col("event_type"), col("__ord"))
+    val (stream, tmp) = replayForDrain(slim, "__ord", nBatches,
+      tail = Some(sentinel))
+    val out =
+      try drain(
+        asofEnrichStream(stream.drop("__ord"), queryType, refType,
+          watermarkDelay).toDF(), "graft_asof_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out.filter(col("user_id") =!= -1L).orderBy("ev_id")
+  }
+
   /** Stream-static incremental NEAR-dup: streamed documents probe the
     * base corpus's minhash band index ([[graft.operators.Dedup
     * .bandBuckets]] — the materialize-once relation a 100 TB corpus

@@ -888,6 +888,29 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(gotN) == sortedRows(wantN))
   }
 
+  test("drained transition / attribution / as-of faces equal their " +
+      "batch twins") {
+    val events = Tables.events(spark, sfDir)
+    // transitions: drained edges aggregate to the batch matrix
+    val gotT = EventStreams.drainTypeTransitions(events).collect().toSeq
+    val wantT = EventOps.typeTransitions(events).collect().toSeq
+    assert(gotT.nonEmpty && gotT == wantT)
+    // stream-STREAM interval join: drained pairs == batch join
+    val gotA = EventStreams.drainPurchaseAttribution(events)
+      .collect().toSeq
+    val wantA = EventOps.purchaseAttribution(events).collect().toSeq
+    assert(gotA.nonEmpty && gotA == wantA)
+    // as-of: drained rows == batch as-of join, INCLUDING the null
+    // matches (LEFT semantics — the sentinel must flush unmatched
+    // queries too)
+    val gotAs = EventStreams.drainAsofEnrich(events).collect().toSeq
+    val wantAs = graft.operators.AsofJoin.eventAsof(events)
+      .collect().toSeq
+    assert(gotAs.nonEmpty && gotAs == wantAs)
+    assert(wantAs.exists(_.isNullAt(3)),
+      "fixture should exercise the null-match path")
+  }
+
   test("decay drain pins the GLOBAL reference day: a type with no " +
       "recent events decays against the table's max day, not its own") {
     import org.apache.spark.sql.functions._
