@@ -1029,6 +1029,11 @@ object SparkEntry {
     // exploded to (word, cnt): exact here because capacity exceeds
     // the vocabulary at every harness scale, so it shares
     // q_wordcount_heavy's exact-frequency oracle verbatim.
+    // The REFERENCE pipeline's streaming form drained COMPLETE-mode:
+    // the final emission is the exact frequency relation — shares
+    // q_wordcount_freq's oracle (S1->T2->A3/X4 incremental, oracled).
+    "q_wordcount_freq_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainWordCount(documents(s, dir))),
     "q_wordcount_heavy_stream" -> ((s, dir) =>
       graft.streaming.EventStreams.drainHeavyHitters(
         documents(s, dir), 1024)),
@@ -1639,6 +1644,10 @@ object SparkEntry {
         .orderBy("vec_id")),
     // ---- event analytics (batch forms; streaming in graft.streaming) ----
     "q_events_tumbling" -> ((s, dir) => EventOps.tumblingCounts(events(s, dir))),
+    // The watermarked streaming windowed aggregation drained — shares
+    // q_events_tumbling's oracle (ts-ordered replay + sentinel).
+    "q_events_tumbling_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainWindowedCounts(events(s, dir))),
     "q_events_sliding" -> ((s, dir) => EventOps.slidingCounts(events(s, dir))),
     // Per-window rate anomalies: hourly counts z-scored against each
     // type's own mean/stddev from exact integer sums (never the
@@ -1690,6 +1699,12 @@ object SparkEntry {
     // answer, two execution models.
     "q_events_session_stream" -> ((s, dir) =>
       graft.streaming.EventStreams.drainSessionCounts(events(s, dir))),
+    // The HAND-ROLLED flatMapGroupsWithState sessionizer drained under
+    // the SAME oracle — one answer, three execution models (batch,
+    // built-in session_window state, custom state + event-time
+    // timeout).
+    "q_events_session_custom_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainUserSessions(events(s, dir))),
     // The anomaly monitor's train-batch/serve-stream loop drained:
     // rateStats trained offline on the history, served over the same
     // events as a stream — shares q_events_anomaly's oracle verbatim.
@@ -2266,6 +2281,9 @@ object SparkEntry {
     "q_wordcount_heavy" -> WordHeavyOracle,
     // drained streaming MG summary, exact regime — same answer
     "q_wordcount_heavy_stream" -> WordHeavyOracle,
+    // drained COMPLETE-mode streaming word count — the same exact
+    // frequency relation
+    "q_wordcount_freq_stream" -> WordHeavyOracle,
     "q_wordcount_topk" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
@@ -3543,6 +3561,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // drained watermarked streaming windows — same rows
+    "q_events_tumbling_stream" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // rate anomalies: variance from exact integer sums (n, Σx, Σx²)
     // with the identical explicit formula — never the engine's stddev
     // aggregate; + 0.0 normalizes IEEE -0.0 from rounded tiny z's
@@ -3667,6 +3692,8 @@ object SparkEntry {
     "q_events_session" -> SessionOracle,
     // drained streaming session windows — same answer
     "q_events_session_stream" -> SessionOracle,
+    // drained CUSTOM-state sessionizer — same answer again
+    "q_events_session_custom_stream" -> SessionOracle,
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  count(*) AS n_events,

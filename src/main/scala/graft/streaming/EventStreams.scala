@@ -759,6 +759,80 @@ object EventStreams extends Serializable {
     out.orderBy("doc_id")
   }
 
+  /** Drain the REFERENCE pipeline's streaming form
+    * ([[wordCountStream]] — S1→T2→A3/X4 of SURVEY §2, incremental) in
+    * COMPLETE mode: the final emission IS the corpus frequency
+    * relation, so the drained stream shares q_wordcount_freq's oracle
+    * (tie-break refinement included: cnt DESC, word ASC).
+    * Complete-mode state is vocabulary-sized — the documented
+    * contrast with the Misra–Gries drain ([[drainHeavyHitters]]);
+    * exact answers need exact state. */
+  def drainWordCount(docs: DataFrame, nBatches: Int = 3): DataFrame = {
+    val (stream, tmp) = replayForDrain(
+      docs.select(col("doc_id"), col("text")), "doc_id", nBatches)
+    val out =
+      try drainComplete(wordCountStream(stream, textCol = "text"),
+        "graft_wc_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out.orderBy(col("cnt").desc, col("word").asc)
+  }
+
+  /** Drain the watermarked streaming [[windowedCounts]] — the very
+    * first streaming face this engine grew, under the batch tumbling
+    * oracle: ts-ordered replay + watermark-flush sentinel (the
+    * [[drainSessionCounts]] mechanics) emits every real hourly
+    * window; the sentinel's own far-future window stays behind the
+    * watermark and its type is filtered defensively. */
+  def drainWindowedCounts(events: DataFrame,
+      windowDur: String = "1 hour", watermarkDelay: String = "1 hour",
+      nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("ts"), col("event_type"), col("value"))
+      .withColumn("__ord", unix_micros(col("ts")))
+    val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+    val sentinel =
+      Seq(("__watermark_sentinel__", 0.0d, maxUs + YearUs))
+        .toDF("event_type", "value", "__ord")
+        .select(timestamp_micros(col("__ord")).as("ts"),
+          col("event_type"), col("value"), col("__ord"))
+    val (stream, tmp) = replayForDrain(slim, "__ord", nBatches,
+      tail = Some(sentinel))
+    val out =
+      try drain(windowedCounts(stream.drop("__ord"), windowDur,
+        Some(watermarkDelay)), "graft_window_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out.filter(col("event_type") =!= "__watermark_sentinel__")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Drain the CUSTOM-state sessionizer [[userSessions]]
+    * (flatMapGroupsWithState + event-time timeout) under the SAME
+    * gaps-and-islands oracle as the built-in session_window drain
+    * ([[drainSessionCounts]]) — one answer, three execution models:
+    * batch, built-in streaming session state, hand-rolled streaming
+    * state. Same slim + sentinel as the built-in drain, so the two
+    * share one cached replay directory. */
+  def drainUserSessions(events: DataFrame, gapMinutes: Long = 30,
+      watermarkDelay: String = "1 hour",
+      nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("user_id"), col("ts"))
+      .withColumn("__ord", unix_micros(col("ts")))
+    val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+    val sentinel = Seq((-1L, maxUs + YearUs)).toDF("user_id", "__ord")
+      .select(col("user_id"), timestamp_micros(col("__ord")).as("ts"),
+        col("__ord"))
+    val (stream, tmp) = replayForDrain(slim, "__ord", nBatches,
+      tail = Some(sentinel))
+    val out =
+      try drain(userSessions(stream.drop("__ord"), gapMinutes,
+        watermarkDelay).toDF(), "graft_usersess_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out.filter(col("user_id") =!= -1L).orderBy("user_id", "s_start")
+  }
+
   /** The (user_id, ts, event_id, event_type, __ord µs) replay slim +
     * max event-time the three event-stream drains below share. */
   private def eventReplaySlim(events: DataFrame): (DataFrame, Long) = {

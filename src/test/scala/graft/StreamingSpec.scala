@@ -888,6 +888,25 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(gotN) == sortedRows(wantN))
   }
 
+  test("drained word-count / tumbling / custom-session faces equal " +
+      "their batch twins") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the REFERENCE pipeline's streaming form, COMPLETE-mode drained
+    val gotW = EventStreams.drainWordCount(docs).collect().toSeq
+    val wantW = graft.operators.WordCount.byFrequency(docs, col("text"))
+      .collect().toSeq
+    assert(gotW.nonEmpty && gotW == wantW)
+    val events = Tables.events(spark, sfDir)
+    val gotT = EventStreams.drainWindowedCounts(events).collect().toSeq
+    val wantT = EventOps.tumblingCounts(events).collect().toSeq
+    assert(gotT.nonEmpty && gotT == wantT)
+    // custom flatMapGroupsWithState sessions == batch session_window
+    val gotS = EventStreams.drainUserSessions(events).collect().toSeq
+    val wantS = EventOps.sessionCounts(events).collect().toSeq
+    assert(gotS.nonEmpty && gotS == wantS)
+  }
+
   test("drained transition / attribution / as-of faces equal their " +
       "batch twins") {
     val events = Tables.events(spark, sfDir)
