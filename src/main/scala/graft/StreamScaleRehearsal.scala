@@ -109,6 +109,35 @@ object StreamScaleRehearsal {
           watermark = Some("1 hour")),
         tail = Some(sentinel))
     }
+    // the r11 custom-state serve faces: per-key buffered state
+    // (flatMapGroupsWithState) and the stream-stream join — their
+    // state is watermark-bounded by construction; these rehearsals
+    // measure the per-decade cost of carrying it
+    def eventSlim = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__ord", unix_micros(col("ts")))
+    def eventSentinel(tp: String) = {
+      val maxUs = eventSlim.agg(max(col("__ord"))).head().getLong(0)
+      Seq((-1L, maxUs + YearUs, -1L, tp))
+        .toDF("user_id", "__ord", "event_id", "event_type")
+        .select(col("user_id"), timestamp_micros(col("__ord")).as("ts"),
+          col("event_id"), col("event_type"), col("__ord"))
+    }
+    face("transitions") {
+      EventStreams.replayThroughCountSink(eventSlim, "__ord",
+        s => EventStreams.typeTransitionsStream(s.drop("__ord")).toDF(),
+        tail = Some(eventSentinel("__watermark_sentinel__")))
+    }
+    face("asof") {
+      EventStreams.replayThroughCountSink(eventSlim, "__ord",
+        s => EventStreams.asofEnrichStream(s.drop("__ord")).toDF(),
+        tail = Some(eventSentinel("click")))
+    }
+    face("attribution") {
+      EventStreams.replayThroughCountSink(eventSlim, "__ord",
+        s => EventStreams.purchaseAttribution(s.drop("__ord")))
+    }
     face("heavy") {
       // COMPLETE mode: the count sink receives the capacity-bounded
       // Misra-Gries summary per trigger — at rehearsal scale the
