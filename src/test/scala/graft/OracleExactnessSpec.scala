@@ -86,7 +86,8 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_dedup_ngram_df", "q_dedup_prefix", "q_dsir_topk",
     "q_dsir_weights", "q_embed_cohesion", "q_events_anomaly",
     "q_events_anomaly_stream", "q_events_gaps", "q_events_json",
-    "q_events_sliding", "q_events_tumbling", "q_hard_negatives",
+    "q_events_sliding", "q_events_tumbling",
+    "q_events_tumbling_stream", "q_hard_negatives",
     "q_lang_stats", "q_lm_bigram", "q_lm_surprisal",
     "q_mix_temperature", "q_nb_score_stream", "q_ppl_buckets",
     "q_probe_eval", "q_probe_train", "q_profile_corr",
