@@ -138,6 +138,34 @@ object StreamScaleRehearsal {
       EventStreams.replayThroughCountSink(eventSlim, "__ord",
         s => EventStreams.purchaseAttribution(s.drop("__ord")))
     }
+    face("customsession") {
+      val slim = events.select(col("user_id"), col("ts"))
+        .withColumn("__ord", unix_micros(col("ts")))
+      val maxUs = slim.agg(max(col("__ord"))).head().getLong(0)
+      val sentinel = Seq((-1L, maxUs + YearUs)).toDF("user_id", "__ord")
+        .select(col("user_id"),
+          timestamp_micros(col("__ord")).as("ts"), col("__ord"))
+      EventStreams.replayThroughCountSink(slim, "__ord",
+        s => EventStreams.userSessions(s.drop("__ord")).toDF(),
+        tail = Some(sentinel))
+    }
+    face("decay") {
+      // mapGroupsWithState — Update mode; state is the per-type day
+      // HISTOGRAM (bounded at <= 50*halfLife entries per type by the
+      // lossless clamp compaction), so 100x data must NOT grow it
+      EventStreams.replayThroughCountSink(eventSlim, "__ord",
+        s => EventStreams.decayedCountsStream(s.drop("__ord")).toDF(),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    face("wordcount") {
+      // COMPLETE-mode exact counts: state and per-trigger emission are
+      // VOCABULARY-sized — the documented contrast with the heavy
+      // (Misra-Gries) face; the rehearsal measures that growth
+      EventStreams.replayThroughCountSink(
+        docs.select(col("doc_id"), col("text")), "doc_id",
+        s => EventStreams.wordCountStream(s, textCol = "text"),
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
     face("heavy") {
       // COMPLETE mode: the count sink receives the capacity-bounded
       // Misra-Gries summary per trigger — at rehearsal scale the
