@@ -213,6 +213,25 @@ class OracleExactnessSpec extends AnyFunSuite {
     }
   }
 
+  test("construct occurrence totals frozen — an edit INSIDE an " +
+      "already-allowlisted oracle still surfaces") {
+    // The per-query allowlists above are binary: once a query is
+    // allowlisted for round(, a second round( sneaking into the same
+    // oracle passes unseen. Freezing the corpus-wide occurrence count
+    // per construct makes ANY added or removed use cost one conscious
+    // number change here.
+    val totals = Seq(
+      "round\\(" -> 83, "log2\\(" -> 32, "\\bln\\(" -> 5,
+      "sqrt\\(" -> 77, "//" -> 149, "quantile_cont" -> 4)
+    val diffs = totals.flatMap { case (re, want) =>
+      val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
+      if (got != want) Some(s"$re: $got (frozen $want)") else None
+    }
+    assert(diffs.isEmpty,
+      "construct occurrence totals changed — re-freeze consciously: " +
+        diffs.mkString(", "))
+  }
+
   test("every query has either an oracle or a documented rows-only " +
       "status (no silent oracle drops)") {
     // oracle keys must be a subset of query names — a typo'd key
