@@ -1312,6 +1312,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     }),
+    // The cluster-map MAINTENANCE LOOP drained: the same base/delta
+    // split, but the delta edges arrive as a STREAM and fold into a
+    // ClusterMapState per micro-batch (foreachBatch, idempotent at-
+    // least-once) — final map + edgeless-batch singletons shares the
+    // from-scratch closure oracle with q_dedup_cc_incr.
+    "q_dedup_cc_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = cachedPairs(s, dir)
+      val baseA = pmod(col("doc_a"), lit(4)) =!= 0
+      val baseB = pmod(col("doc_b"), lit(4)) =!= 0
+      graft.streaming.EventStreams.drainClusterMap(
+        Clustering.clustersFromPairs(
+          pairs.filter(baseA && baseB),
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+            .select(col("doc_id"))),
+        pairs.filter(!baseA || !baseB),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id")))
+    }),
     // End-to-end: the deduplicated corpus itself (cluster-min
     // survivors with payload; text fingerprinted for the harness).
     "q_dedup_corpus" -> ((s, dir) =>
@@ -4285,6 +4304,11 @@ object SparkEntry {
         |SELECT doc_id, cluster FROM cl
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_cc_incr" ->
+      s"""WITH RECURSIVE $NearDupClosureCtes
+        |SELECT doc_id, cluster FROM cl
+        |ORDER BY doc_id""".stripMargin,
+    // drained cluster-map maintenance loop — same closure
+    "q_dedup_cc_stream" ->
       s"""WITH RECURSIVE $NearDupClosureCtes
         |SELECT doc_id, cluster FROM cl
         |ORDER BY doc_id""".stripMargin,

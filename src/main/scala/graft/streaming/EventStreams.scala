@@ -1594,6 +1594,59 @@ object EventStreams extends Serializable {
           release(lr.rdd.id)
       })
     }
+
+    /** Release the final map's (and the retired generation's) pinned
+      * blocks once a caller has copied the assignment off — the
+      * harness drain's end-of-life hook. The state is dead after
+      * this; `current` must not be acted on again. */
+    def release(): Unit = synchronized {
+      def rel(df: DataFrame): Unit =
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.id
+        }.foreach(id => df.sparkSession.sparkContext
+          .getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false)))
+      rel(map)
+      retired.foreach(rel)
+      retired = None
+    }
+  }
+
+  /** Drain [[clusterMapStream]] — the evolving cluster-map
+    * maintenance loop under the SAME from-scratch-closure oracle as
+    * batch incremental CC (q_dedup_cc_incr): the base assignment
+    * seeds a [[ClusterMapState]], the delta edge relation replays as
+    * micro-batches, each batch folds via foreachBatch, and the final
+    * map — plus the edgeless batch docs as singletons (a fold only
+    * ever sees edge ENDPOINTS) — must equal the closure over ALL
+    * pairs. Arrival order is irrelevant: connectivity is
+    * partition-independent, and every fold keeps min-id labels
+    * (each base representative is its part's minimum), so any
+    * chunking of the edge set converges to the same map. The
+    * state's pinned blocks are released once the assignment is
+    * copied off. */
+  def drainClusterMap(baseAssign: DataFrame, deltaEdges: DataFrame,
+      newNodes: DataFrame, nBatches: Int = 3): DataFrame = {
+    val spark = baseAssign.sparkSession
+    val state = new ClusterMapState(baseAssign.toDF("id", "cluster"))
+    val (stream, tmp) = replayForDrain(deltaEdges.toDF("a", "b"), "a",
+      nBatches)
+    try {
+      val q = clusterMapStream(stream, state)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally tmp.foreach(deleteReplayDir)
+    val m = state.current
+    val folded = spark.createDataFrame(m.collectAsList(), m.schema)
+      .toDF("doc_id", "cluster")
+    state.release()
+    folded
+      .unionByName(newNodes.toDF("doc_id")
+        .join(folded, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster")))
+      .orderBy("doc_id")
   }
 
   /** Wire an edge stream into a [[ClusterMapState]] — one
