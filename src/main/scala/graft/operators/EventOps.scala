@@ -533,7 +533,12 @@ object EventOps {
     val incPlan = events
       .filter(col("event_type") === "error" && incidentPred)
       .select(col("event_id").as("inc_id"), col("ts").as("inc_ts"))
-    val rows = incPlan.limit((maxIncidents + 1).toInt).collect()
+    // maxIncidents is a Long but limit() takes an Int: clamp so a
+    // huge bound can't overflow to a negative (throws) or wrapped
+    // limit that under-collects and falsely passes the guard below
+    val rows = incPlan
+      .limit(math.min(maxIncidents + 1, Int.MaxValue.toLong).toInt)
+      .collect()
     require(rows.length <= maxIncidents,
       s"incidentEvents is the NAIVE nested-loop reference form and " +
         s"refuses > maxIncidents=$maxIncidents incidents: " +

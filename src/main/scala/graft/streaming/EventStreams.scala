@@ -321,14 +321,18 @@ object EventStreams extends Serializable {
     * measurement.
     *
     * Safety: only relations whose analyzed plan is entirely
-    * file-backed are cacheable — a LocalRelation or LogicalRDD prints
-    * no data identity into the canonical plan, so two different
-    * in-memory fixtures with one schema would collide (spec fixtures
-    * take the uncached path and keep their delete-after-drain
-    * behavior). Data under a file path is immutable within one JVM
-    * session (the harness contract; the driver regenerates testdata
-    * only BETWEEN rounds, i.e. between JVMs). Cached directories are
-    * removed by a shutdown hook. */
+    * file-backed are cacheable, and the key carries the relation's
+    * sorted `inputFiles` list as the data identity — the canonical
+    * plan alone is NOT enough, because a parquet LogicalRelation
+    * canonicalizes without its paths ("Relation [none#0L,...]
+    * parquet"), so two same-schema drains over different directories
+    * would otherwise collide. LocalRelation / LogicalRDD plans (spec
+    * fixtures) and relations with empty inputFiles take the uncached
+    * path and keep their delete-after-drain behavior. Data under a
+    * file path is immutable within one JVM session (the harness
+    * contract; the driver regenerates testdata only BETWEEN rounds,
+    * i.e. between JVMs). Cached directories are removed by a shutdown
+    * hook. */
   private object ReplayDirCache {
     private val dirs =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -359,7 +363,14 @@ object EventStreams extends Serializable {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _ => false
     }
-    if (!fileBacked) {
+    // A parquet LogicalRelation canonicalizes WITHOUT its file paths
+    // ("Relation [none#0L,...] parquet"), so the canonical plan alone
+    // cannot distinguish two same-schema drains reading DIFFERENT
+    // directories — the sorted file list is the data identity and must
+    // be part of the key. Empty inputFiles = no identity → uncached.
+    val files =
+      if (fileBacked) rows.inputFiles.sorted else Array.empty[String]
+    if (!fileBacked || files.isEmpty) {
       val (s, p) = replayAsMicroBatches(rows, idCol, nBatches, tail)
       (s, Some(p))
     } else ReplayDirCache.synchronized {
@@ -369,6 +380,7 @@ object EventStreams extends Serializable {
       val key = Seq(rows.schema.catalogString, idCol, nBatches.toString,
         tail.map(t => t.schema.catalogString +
           t.collect().mkString(";")).getOrElse(""),
+        files.mkString(","),
         plan.canonicalized.toString).mkString(" ")
       ReplayDirCache.get(key) match {
         case Some(dir) =>
@@ -1629,6 +1641,18 @@ object EventStreams extends Serializable {
   def drainClusterMap(baseAssign: DataFrame, deltaEdges: DataFrame,
       newNodes: DataFrame, nBatches: Int = 3): DataFrame = {
     val spark = baseAssign.sparkSession
+    // Empty delta: nothing to fold — the batch twin (q_dedup_cc_incr)
+    // returns base map + singletons here, and replayAsMicroBatches
+    // requires a non-empty relation, so match the twin instead of
+    // failing loudly when no pair touched the delta window.
+    if (deltaEdges.isEmpty) {
+      val base = baseAssign.toDF("doc_id", "cluster")
+      return base
+        .unionByName(newNodes.toDF("doc_id")
+          .join(base, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster")))
+        .orderBy("doc_id")
+    }
     val state = new ClusterMapState(baseAssign.toDF("id", "cluster"))
     val (stream, tmp) = replayForDrain(deltaEdges.toDF("a", "b"), "a",
       nBatches)
