@@ -23,6 +23,11 @@ object Bench {
       // across rounds and machines — a bench that re-plans is not
       // measuring the same query
       .config("spark.sql.shuffle.partitions", cpus)
+      // one planning regime for the whole run (the stored-index probes
+      // would flip this mid-run otherwise): report bucketed-scan sort
+      // order — safe, Spark still verifies one-file-per-bucket before
+      // trusting it (see sources/DedupIndexStore)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

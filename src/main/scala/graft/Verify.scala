@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // one planning regime for the whole run (the stored-index probes
+      // would flip this mid-run otherwise): report bucketed-scan sort
+      // order — safe, Spark still verifies one-file-per-bucket before
+      // trusting it (see sources/DedupIndexStore)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

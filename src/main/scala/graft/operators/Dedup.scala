@@ -681,16 +681,21 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
-  def incrementalSimhashPairs(base: DataFrame, batch: DataFrame,
-      maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame = {
-    val batchBanded = simhash(batch, bits = 60, hasher = md5Hash60)
+  /** A batch's (doc_batch, sh_batch, band, key) probe rows — the
+    * per-ingest side of [[simhashProbe]], shared by the inline and
+    * stored-index forms. */
+  private[graft] def simhashBatchBanded(batch: DataFrame): DataFrame =
+    simhash(batch, bits = 60, hasher = md5Hash60)
       .select(col("doc_id"), col("simhash"),
         posexplode(simhashBandCols(col("simhash"))))
       .toDF("doc_batch", "sh_batch", "band", "key")
-    simhashProbe(batchBanded, simhashBandIndex(base, maxBucket), maxHamming)
+
+  def incrementalSimhashPairs(base: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3, maxBucket: Int = 65535): DataFrame =
+    simhashProbe(simhashBatchBanded(batch),
+        simhashBandIndex(base, maxBucket), maxHamming)
       .distinct()
       .orderBy("doc_batch", "doc_base")
-  }
 
   /** Embedding-cosine near-dup pairs >= threshold. Exact all-pairs —
     * correct at verification scale; the LSH-bucketed path in
@@ -1065,14 +1070,34 @@ object Dedup {
     * it against the big sets relation — no full-base shuffle). */
   def incrementalNearDupPairs(base: DataFrame, batch: DataFrame,
       n: Int = 3, threshold: Double = 0.8, numHashes: Int = 64,
-      bands: Int = 16, maxBucket: Int = 10000): DataFrame = {
-    val baseSets = shingleSets(base, n)
+      bands: Int = 16, maxBucket: Int = 10000): DataFrame =
+    minhashProbe(minhashBandIndex(base, n, numHashes, bands, maxBucket),
+      shingleSets(base, n), batch, n, threshold, numHashes, bands)
+
+  /** The base corpus's grouped (band, bucket → base doc-id list)
+    * minhash index — the materialize-once relation every incremental
+    * probe joins against. A deployment writes this (plus the base's
+    * [[shingleSets]], for the exact verify) to parquet bucketed by
+    * (band, bucket) via [[graft.sources.DedupIndexStore]] and never
+    * rebuilds it per ingest. */
+  def minhashBandIndex(base: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = 10000): DataFrame =
+    bandBuckets(minhashSignatures(shingleSets(base, n), numHashes),
+        numHashes, bands)
+      .groupBy("band", "bucket")
+      .agg(collect_list("doc_id").as("base_ds"))
+      .filter(size(col("base_ds")) <= maxBucket)
+
+  /** Probe half of [[incrementalNearDupPairs]], with the base's two
+    * relations passed IN — either freshly built (the inline form) or
+    * read back from bucketed parquet (the stored-index form; identical
+    * output, the lineage is the only difference). `baseIdx` =
+    * [[minhashBandIndex]] rows, `baseSets` = the base's
+    * [[shingleSets]]. */
+  private[graft] def minhashProbe(baseIdx: DataFrame, baseSets: DataFrame,
+      batch: DataFrame, n: Int, threshold: Double, numHashes: Int,
+      bands: Int): DataFrame = {
     val batchSets = shingleSets(batch, n)
-    val baseIdx =
-      bandBuckets(minhashSignatures(baseSets, numHashes), numHashes, bands)
-        .groupBy("band", "bucket")
-        .agg(collect_list("doc_id").as("base_ds"))
-        .filter(size(col("base_ds")) <= maxBucket)
     val cand =
       bandBuckets(minhashSignatures(batchSets, numHashes), numHashes, bands)
         .join(baseIdx, Seq("band", "bucket"))
@@ -1081,7 +1106,7 @@ object Dedup {
         // onto ~one task and that task would emit every posting-list
         // explosion (the same failure the 10x rehearsal pinned on
         // embeddingLshCandidates — see its comment)
-        .repartition(base.sparkSession.sparkContext.defaultParallelism)
+        .repartition(batch.sparkSession.sparkContext.defaultParallelism)
         .select(col("doc_id").as("doc_batch"),
           explode(col("base_ds")).as("doc_base"))
         .distinct()
@@ -1123,23 +1148,45 @@ object Dedup {
       "injected tables must share one plane count"))
     val tables = planes.getOrElse((0 until nTables)
       .map(t => Similarity.hyperplanes(nPlanes, dim, seed + t)))
-    def vecs(df: DataFrame) = df.select(col("vec_id"),
-      Vectors.toDoubleVec(col("embedding")).as("v"))
-    def banded(e: DataFrame) = e.select(col("vec_id"),
+    // in production this relation is READ, not built: store it once
+    // per corpus version (sources/DedupIndexStore), probe it per ingest
+    embeddingProbe(embeddingBandIndex(base, tables, maxBucket),
+      embeddingVecs(base), batch, threshold, tables)
+  }
+
+  /** (vec_id, v: array<double>) — the raw-vector relation the exact
+    * cosine verify reads; stored next to the band index. */
+  private[graft] def embeddingVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+
+  /** The base corpus's grouped (t, bucket → base vec-id list) SRP
+    * band index — the materialize-once relation semantic dedup
+    * ingests probe. `tables` must be the resolved plane set (the same
+    * set at build and probe — persist it with the index). */
+  def embeddingBandIndex(base: DataFrame, tables: Seq[Seq[Seq[Double]]],
+      maxBucket: Int = 10000): DataFrame =
+    embeddingVecs(base)
+      .select(col("vec_id"),
         posexplode(Vectors.srpBucketsAll(col("v"), tables)))
       .toDF("vec_id", "t", "bucket")
-    val baseV = vecs(base)
-    val batchV = vecs(batch)
-    // in production this relation is READ, not built: store it once
-    // per corpus version (sources/Bucketing), probe it per ingest
-    val baseIdx = banded(baseV)
       .groupBy("t", "bucket").agg(collect_list("vec_id").as("base_ds"))
       .filter(size(col("base_ds")) <= maxBucket)
-    val cand = banded(batchV)
+
+  /** Probe half of [[incrementalEmbeddingNearDup]] — the base's
+    * relations passed in, fresh or read from bucketed parquet.
+    * `baseVecs` = [[embeddingVecs]] rows (vec_id, v). */
+  private[graft] def embeddingProbe(baseIdx: DataFrame,
+      baseVecs: DataFrame, batch: DataFrame, threshold: Double,
+      tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val batchV = embeddingVecs(batch)
+    val cand = batchV
+      .select(col("vec_id"),
+        posexplode(Vectors.srpBucketsAll(col("v"), tables)))
+      .toDF("vec_id", "t", "bucket")
       .join(baseIdx, Seq("t", "bucket"))
       // fan-out, not input bytes, sizes these tasks — the same AQE
       // coalescing hazard embeddingLshCandidates documents
-      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("vec_batch"),
         explode(col("base_ds")).as("vec_base"))
       .distinct()
@@ -1147,7 +1194,7 @@ object Dedup {
       (sqrt(Vectors.normSq(col("vq"))) * sqrt(Vectors.normSq(col("vb"))))
     cand
       .join(batchV.toDF("vec_batch", "vq"), "vec_batch")
-      .join(baseV.toDF("vec_base", "vb"), "vec_base")
+      .join(baseVecs.toDF("vec_base", "vb"), "vec_base")
       .withColumn("cos", cos)
       .filter(col("cos") >= threshold)
       .select(col("vec_batch"), col("vec_base"),

@@ -23,12 +23,28 @@ object Bucketing {
     * (external table: catalog entry + parquet buckets at the path). */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    writeBucketed(df, tableName, path, Seq(key), buckets)
+
+  /** Multi-column variant — bucket AND sort by the full key list (a
+    * join on exactly these columns reads the table with no Exchange
+    * and no Sort under it). */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty)
+    // One file per bucket: repartition on the bucket keys into exactly
+    // `buckets` partitions (repartition's Murmur3-pmod IS the bucket-id
+    // function, so each task holds one whole bucket). With multiple
+    // files per bucket Spark discards the sortBy metadata at read time
+    // and re-sorts under every join — the one-file layout is what makes
+    // the probe leg Sort-free, not just Exchange-free.
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Join two same-key same-count bucketed tables — planned without a
     * shuffle on either side. The merge hint pins SortMergeJoin (this

@@ -1,0 +1,176 @@
+package graft.sources
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted near-dup indexes — the 100 TB operating mode's storage
+  * half. The incremental dedup operators
+  * ([[graft.operators.Dedup.incrementalNearDupPairs]] and siblings)
+  * probe a base corpus's band-bucket index; at scale that index is
+  * built ONCE per corpus version (the sf100 rehearsal sized minhash's
+  * at ~26 GB for 5M docs — PERF.md §1000x) and every subsequent ingest
+  * READS it. This object is that contract made literal: each `write*`
+  * persists the index relations as parquet tables bucketed by their
+  * probe key via [[Bucketing]], and each `probe*` re-derives the exact
+  * incremental-operator output from `spark.table(...)` scans — same
+  * answer (the oracle doesn't move), different lineage (storage, not
+  * recomputation).
+  *
+  * Plan posture: the probe joins carry a merge hint on the stored
+  * side, so the index subtree plans as a bucketed SortMergeJoin leg
+  * with NO Exchange and NO Sort under it (DedupIndexStoreSpec pins
+  * this) — per ingest, only the (small) batch side shuffles, into the
+  * index's bucket layout. At 100 TB that is the difference between
+  * re-shuffling a corpus-sized relation per ingest and moving only the
+  * delta.
+  *
+  * Build-once registry: file-backed bases are keyed by their sorted
+  * `inputFiles` + canonicalized plan + parameters, so one JVM builds
+  * each (corpus, params) index exactly once however many queries probe
+  * it (the bench's warm-up run pays the build; timed runs probe
+  * storage — exactly the deployment cost model). In-memory bases
+  * (spec fixtures) have no file identity and build uncached under a
+  * unique name. */
+object DedupIndexStore {
+
+  final case class MinhashIndex(bucketsTable: String, setsTable: String,
+      n: Int, numHashes: Int, bands: Int)
+  final case class SimhashIndex(table: String)
+  final case class EmbeddingIndex(bucketsTable: String, vecsTable: String)
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** [[Bucketing.writeBucketed]] lays each bucket out as exactly ONE
+    * sorted file, which makes the stored sort order trustworthy at
+    * read time — but since Spark 3.0 the scan only *reports* that
+    * order when `spark.sql.legacy.bucketedTableScanOutputOrdering` is
+    * on (off by default because the one-file-per-bucket check costs a
+    * driver-side listing, not because it is unsafe: with the flag on,
+    * Spark still verifies the single-file condition before trusting
+    * the order). Probes flip it on for their session so the index leg
+    * of the SortMergeJoin drops its per-probe Sort — at corpus scale
+    * that sort would be the dominant per-ingest cost. */
+  private def enableBucketedSortOrder(spark: SparkSession): Unit =
+    spark.conf
+      .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+  /** Data identity of a base relation: its files + filter plan. None
+    * for in-memory fixtures (nothing stable to key on → no cache). */
+  private def identityKey(df: DataFrame): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else Some(files.sorted.mkString(",") + "|" +
+      df.queryExecution.analyzed.canonicalized.toString)
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** Build-or-reuse one bucketed index table. `build` is by-name: a
+    * registry hit never constructs the relation at all. */
+  private def table(family: String, key: Option[String], params: String,
+      keys: Seq[String], buckets: Int)(build: => DataFrame): String = {
+    def write(name: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-idx-$name").toString
+      Bucketing.writeBucketed(build, name, dir, keys, buckets)
+      name
+    }
+    key match {
+      case Some(k) =>
+        val name = s"graft_idx_${family}_${md5(k + "|" + params)}"
+        built.computeIfAbsent(name, write)
+      case None => write(s"graft_idx_${family}_tmp${seq.incrementAndGet()}")
+    }
+  }
+
+  /** Persist the base corpus's minhash band index
+    * ([[Dedup.minhashBandIndex]], bucketed by its (band, bucket) probe
+    * key) plus its shingle sets (bucketed by doc_id — the exact-verify
+    * side). */
+  def writeMinhashIndex(base: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxBucket: Int = 10000,
+      buckets: Int = 8): MinhashIndex = {
+    val key = identityKey(base)
+    val params = s"mh|$n|$numHashes|$bands|$maxBucket|$buckets"
+    MinhashIndex(
+      table("mh_buckets", key, params, Seq("band", "bucket"), buckets)(
+        Dedup.minhashBandIndex(base, n, numHashes, bands, maxBucket)),
+      table("mh_sets", key, params, Seq("doc_id"), buckets)(
+        Dedup.shingleSets(base, n)),
+      n, numHashes, bands)
+  }
+
+  /** Probe a stored minhash index with a new batch — output identical
+    * to [[Dedup.incrementalNearDupPairs]] over the same base. The
+    * merge hint pins the bucketed-leg SortMergeJoin (at corpus scale
+    * the index side must never broadcast OR shuffle; only the batch
+    * bands exchange, into the index's bucket layout). */
+  def probeMinhash(spark: SparkSession, idx: MinhashIndex,
+      batch: DataFrame, threshold: Double = 0.8): DataFrame = {
+    enableBucketedSortOrder(spark)
+    Dedup.minhashProbe(
+      spark.table(idx.bucketsTable).hint("merge"),
+      spark.table(idx.setsTable),
+      batch, idx.n, threshold, idx.numHashes, idx.bands)
+  }
+
+  /** Persist the base corpus's simhash band index
+    * ([[Dedup.simhashBandIndex]]) bucketed by its (band, key) probe
+    * key; the 60-bit fingerprints ride inside the member structs, so
+    * the Hamming verify needs no second table. */
+  def writeSimhashIndex(base: DataFrame, maxBucket: Int = 65535,
+      buckets: Int = 8): SimhashIndex = {
+    val key = identityKey(base)
+    val params = s"sh|$maxBucket|$buckets"
+    SimhashIndex(
+      table("sh_idx", key, params, Seq("band", "key"), buckets)(
+        Dedup.simhashBandIndex(base, maxBucket)))
+  }
+
+  /** Probe a stored simhash index — output identical to
+    * [[Dedup.incrementalSimhashPairs]] over the same base. */
+  def probeSimhash(spark: SparkSession, idx: SimhashIndex,
+      batch: DataFrame, maxHamming: Int = 3): DataFrame = {
+    enableBucketedSortOrder(spark)
+    Dedup.simhashProbe(Dedup.simhashBatchBanded(batch),
+        spark.table(idx.table).hint("merge"), maxHamming)
+      .distinct()
+      .orderBy("doc_batch", "doc_base")
+  }
+
+  /** Persist the base corpus's SRP band index
+    * ([[Dedup.embeddingBandIndex]], bucketed by its (t, bucket) probe
+    * key) plus its raw vectors (bucketed by vec_id — the exact-cosine
+    * verify side). The SAME resolved plane tables must be passed to
+    * [[probeEmbedding]] (a deployment persists them with the index;
+    * the plane digest is part of the registry key). */
+  def writeEmbeddingIndex(base: DataFrame,
+      tables: Seq[Seq[Seq[Double]]], maxBucket: Int = 10000,
+      buckets: Int = 8): EmbeddingIndex = {
+    val key = identityKey(base)
+    val params = s"emb|$maxBucket|$buckets|planes:${md5(tables.toString)}"
+    EmbeddingIndex(
+      table("emb_buckets", key, params, Seq("t", "bucket"), buckets)(
+        Dedup.embeddingBandIndex(base, tables, maxBucket)),
+      table("emb_vecs", key, params, Seq("vec_id"), buckets)(
+        Dedup.embeddingVecs(base)))
+  }
+
+  /** Probe a stored embedding index — output identical to
+    * [[Dedup.incrementalEmbeddingNearDup]] over the same base with the
+    * same planes. */
+  def probeEmbedding(spark: SparkSession, idx: EmbeddingIndex,
+      batch: DataFrame, threshold: Double,
+      tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    enableBucketedSortOrder(spark)
+    Dedup.embeddingProbe(
+      spark.table(idx.bucketsTable).hint("merge"),
+      spark.table(idx.vecsTable),
+      batch, threshold, tables)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.DedupIndexStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** The stored-index round trip: the incremental dedup operators'
+  * base-side relations persisted as bucketed parquet, reopened in a
+  * FRESH session (nothing transient survives — the deployment story),
+  * probed from storage, and the answers must be byte-identical to the
+  * inline operators that rebuild the index per call. Plus the plan
+  * pin: the stored-index leg of the probe join must read with no
+  * Exchange and no Sort under the SortMergeJoin (bucket layout == join
+  * layout), so per ingest only the small batch side shuffles. */
+class DedupIndexStoreSpec extends SparkSpec {
+
+  private def corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def base = corpus.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+  private def batch = corpus.filter(pmod(col("doc_id"), lit(4)) === 0)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  /** The AQE-final physical plan. */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Every node in the physical plan, descending THROUGH AQE query
+    * stages and reused exchanges (both are leaf nodes whose subtree
+    * hangs off a field, so plain TreeNode.collect never sees it). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** Assert: some SortMergeJoin in `plan` has `table`'s scan on one
+    * side, and that whole side has no Exchange and no Sort — the
+    * bucketed layout IS the join layout. */
+  private def assertNoExchangeLeg(plan: SparkPlan, table: String): Unit = {
+    def scans(p: SparkPlan): Boolean = allNodes(p).exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table == table)
+      case _ => false
+    }
+    val legs = allNodes(plan).collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right).filter(scans)
+    }.flatten
+    assert(legs.nonEmpty,
+      s"no SortMergeJoin leg scans stored index $table:\n$plan")
+    legs.foreach { leg =>
+      assert(allNodes(leg)
+          .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"stored-index leg of $table shuffled:\n$leg")
+      assert(allNodes(leg).collect { case s: SortExec => s }.isEmpty,
+        s"stored-index leg of $table re-sorted:\n$leg")
+    }
+  }
+
+  test("stored minhash index: fresh-session probe == inline operator; " +
+      "index leg reads with no Exchange/Sort") {
+    val inline = rows(Dedup.incrementalNearDupPairs(base, batch))
+    assert(inline.nonEmpty, "fixture must produce cross-set near-dups")
+    val idx = DedupIndexStore.writeMinhashIndex(base)
+    // fresh session: same catalog (the stored tables), no lineage
+    val fresh = spark.newSession()
+    val probe = DedupIndexStore.probeMinhash(fresh, idx,
+      fresh.read.parquet(s"$sfDir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(4)) === 0))
+    assert(rows(probe) == inline)
+    assertNoExchangeLeg(finalPlan(probe), idx.bucketsTable)
+  }
+
+  test("stored minhash index is built once per (corpus, params)") {
+    val a = DedupIndexStore.writeMinhashIndex(base)
+    val b = DedupIndexStore.writeMinhashIndex(base)
+    assert(a == b, "file-backed base must hit the build-once registry")
+    val other = DedupIndexStore.writeMinhashIndex(base, n = 4)
+    assert(other.bucketsTable != a.bucketsTable,
+      "different params must not collide")
+  }
+
+  test("stored simhash index: fresh-session probe == inline operator; " +
+      "index leg reads with no Exchange/Sort") {
+    val inline = rows(Dedup.incrementalSimhashPairs(base, batch))
+    assert(inline.nonEmpty, "fixture must produce cross-set simhash dups")
+    val idx = DedupIndexStore.writeSimhashIndex(base)
+    val fresh = spark.newSession()
+    val probe = DedupIndexStore.probeSimhash(fresh, idx,
+      fresh.read.parquet(s"$sfDir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(4)) === 0))
+    assert(rows(probe) == inline)
+    assertNoExchangeLeg(finalPlan(probe), idx.table)
+  }
+
+  test("stored embedding index: fresh-session probe == inline operator; " +
+      "index leg reads with no Exchange/Sort") {
+    val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+      Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eBase = embs.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val eBatch = embs.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val inline = rows(Dedup.incrementalEmbeddingNearDup(
+      eBase, eBatch, threshold = 0.4, planes = Some(planes)))
+    assert(inline.nonEmpty, "fixture must produce cross-set embed dups")
+    val idx = DedupIndexStore.writeEmbeddingIndex(eBase, planes)
+    val fresh = spark.newSession()
+    val probe = DedupIndexStore.probeEmbedding(fresh, idx,
+      fresh.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(4)) === 0),
+      threshold = 0.4, tables = planes)
+    assert(rows(probe) == inline)
+    assertNoExchangeLeg(finalPlan(probe), idx.bucketsTable)
+  }
+}

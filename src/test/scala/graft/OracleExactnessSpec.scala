@@ -81,7 +81,9 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_corpus_drift", "q_dedup_containment", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
     "q_dedup_incr_embedding", "q_dedup_incr_embedding_stream",
+    "q_dedup_incr_embedding_stored",
     "q_dedup_incr_minhash", "q_dedup_incr_minhash_stream",
+    "q_dedup_incr_minhash_stored",
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_cosine",
     "q_dedup_ngram_df", "q_dedup_prefix", "q_dsir_topk",
     "q_dsir_weights", "q_embed_cohesion", "q_events_anomaly",
@@ -130,6 +132,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_ann_lsh_injected", "q_ann_pq_injected", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
     "q_dedup_incr_embedding", "q_dedup_incr_embedding_stream",
+    "q_dedup_incr_embedding_stored",
     "q_dedup_ngram_cosine", "q_dedup_semantic",
     "q_dedup_semantic_cells", "q_embed_cohesion", "q_embed_mrl",
     "q_embed_rbo", "q_events_anomaly", "q_events_anomaly_stream",
@@ -221,8 +224,8 @@ class OracleExactnessSpec extends AnyFunSuite {
     // per construct makes ANY added or removed use cost one conscious
     // number change here.
     val totals = Seq(
-      "round\\(" -> 83, "log2\\(" -> 32, "\\bln\\(" -> 5,
-      "sqrt\\(" -> 77, "//" -> 149, "quantile_cont" -> 4)
+      "round\\(" -> 85, "log2\\(" -> 32, "\\bln\\(" -> 5,
+      "sqrt\\(" -> 81, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
       if (got != want) Some(s"$re: $got (frozen $want)") else None
