@@ -193,6 +193,57 @@ object StreamScaleRehearsal {
           e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
           threshold = 0.4))
     }
+    // The cluster-map maintenance loop (q_dedup_cc_stream's fold loop,
+    // r11 verdict item 2): the UNTIMED prep mines the near-dup pairs
+    // and clusters the base — a deployment's map and edge stream both
+    // already exist; what this face measures is the FOLD cost of a
+    // scale-factor's worth of delta edges against a scale-factor's
+    // base map. Per-fold blast radius (the incremental_cc_fold
+    // observed metric) is captured via a QueryExecutionListener and
+    // printed next to the timing; the returned pinned-RDD delta must
+    // be 0 (rolling localCheckpoint releases every predecessor).
+    if (only.forall(_.contains("clustermap"))) {
+      import graft.operators.Clustering
+      val ccMetrics =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.get(Clustering.INCR_CC_METRIC)
+              .foreach { row =>
+                ccMetrics.add(s"""{"quotient_edges":${row.getLong(0)},""" +
+                  s""""base_endpoints_a":${row.getLong(1)},""" +
+                  s""""base_endpoints_b":${row.getLong(2)}}""")
+              }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              error: Exception): Unit = ()
+        })
+      val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val baseA = pmod(col("doc_a"), lit(4)) =!= 0
+      val baseB = pmod(col("doc_b"), lit(4)) =!= 0
+      val baseAssign = Clustering.clustersFromPairs(
+          pairs.filter(baseA && baseB),
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+            .select(col("doc_id")))
+        .localCheckpoint()
+      val delta = pairs.filter(!baseA || !baseB).localCheckpoint()
+      var pinned = -1
+      face("clustermap") {
+        val (n, p) =
+          EventStreams.rehearseClusterMapFold(baseAssign, delta)
+        pinned = p
+        n
+      }
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(2000)
+      import scala.jdk.CollectionConverters._
+      println(s"""{"face":"clustermap_folds","pinned_rdd_delta":$pinned,""" +
+        s""""folds":[${ccMetrics.asScala.mkString(",")}]}""")
+    }
     spark.stop()
   }
 }

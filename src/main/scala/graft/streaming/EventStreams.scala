@@ -417,16 +417,49 @@ object EventStreams extends Serializable {
       mode: OutputMode = OutputMode.Append()): DataFrame = {
     val qname = label + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     val spark = out.sparkSession
+    withDrainShufflePartitions(spark) {
+      // awaitTermination stays INSIDE the scope: the stream thread
+      // clones the session (and its conf) after start() returns, so
+      // restoring before the query finishes would race the clone
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val sink = spark.table(qname)
     val rows = spark.createDataFrame(sink.collectAsList(), sink.schema)
     spark.catalog.dropTempView(qname)
     rows
+  }
+
+  /** Shuffle/state partition count for the harness DRAINS only — NOT
+    * batch queries. A stateful micro-batch commits one state store
+    * per shuffle partition per trigger, so at the session default
+    * (32) a 4-micro-batch two-sided drain pays 2 x 32 x 4 = 256
+    * HDFS-backed store commits to move a few thousand rows — the
+    * q_events_attrib_stream fixed-cost ceiling the r11 bench
+    * documented. Drain volumes are harness-output scale (thousands of
+    * rows), so 8 partitions keeps every core busy per store while
+    * quartering the commit count. Answers are partition-count
+    * independent (each drain's determinism argument — pair sets,
+    * min-id keeps, watermark flush — never references partitioning;
+    * the shared oracles gate that per round). */
+  private val DrainShufflePartitions = 8
+
+  /** Run `body` (which must START and fully EXECUTE any streaming
+    * query it creates) with the drain-scoped shuffle-partition
+    * setting, restoring the session value after. Stateful operators
+    * read the conf when the query plans its first micro-batch, so
+    * setting it around start()/awaitTermination() is sufficient and
+    * airtight — the harness runs queries sequentially. */
+  private def withDrainShufflePartitions[T](spark: SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, DrainShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** [[drain]] in COMPLETE output mode — for bounded replays of
@@ -1656,7 +1689,7 @@ object EventStreams extends Serializable {
     val state = new ClusterMapState(baseAssign.toDF("id", "cluster"))
     val (stream, tmp) = replayForDrain(deltaEdges.toDF("a", "b"), "a",
       nBatches)
-    try {
+    try withDrainShufflePartitions(spark) {
       val q = clusterMapStream(stream, state)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -1671,6 +1704,33 @@ object EventStreams extends Serializable {
         .join(folded, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster")))
       .orderBy("doc_id")
+  }
+
+  /** REHEARSAL-ONLY corpus-scale shape of [[drainClusterMap]] (the
+    * [[replayThroughCountSink]] convention): same replay + foreachBatch
+    * fold loop, but the final map is COUNTED on the executors — a 100x
+    * cluster map is corpus-sized and must never be collected; a
+    * deployment MERGEs each fold into its stored table instead.
+    * Returns (final map rows, persistent RDDs still pinned AFTER
+    * release) — the second value is the block-accumulation check: the
+    * rolling localCheckpoint must release every predecessor, so the
+    * delta over the run's start should be 0. */
+  private[graft] def rehearseClusterMapFold(baseAssign: DataFrame,
+      deltaEdges: DataFrame, nBatches: Int = 3): (Long, Int) = {
+    val sc = baseAssign.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val state = new ClusterMapState(baseAssign.toDF("id", "cluster"))
+    val (stream, tmp) =
+      replayAsMicroBatches(deltaEdges.toDF("a", "b"), "a", nBatches)
+    try {
+      val q = clusterMapStream(stream, state)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteReplayDir(tmp)
+    val n = state.current.count()
+    state.release()
+    (n, sc.getPersistentRDDs.size - before)
   }
 
   /** Wire an edge stream into a [[ClusterMapState]] — one
