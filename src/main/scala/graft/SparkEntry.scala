@@ -1800,6 +1800,17 @@ object SparkEntry {
     // pinned in EventOpsSpec.
     "q_events_distinct_hll" -> ((s, dir) =>
       EventOps.distinctUsersSketch(events(s, dir))),
+    // The sketch stream DRAINED (COMPLETE mode) — the last spec-only
+    // stream face as a driver row: rows-only like its batch twin (HLL
+    // internals are engine-specific), but the drained relation carries
+    // the exact batch countDistinct alongside, so a reader checks the
+    // estimate against truth in the row itself. The deliberate trade
+    // stands: no exact STREAMING twin exists because exact-distinct
+    // streaming state grows with cardinality — the problem sketches
+    // exist to solve (see distinctUsersSketchStream).
+    "q_events_hll_stream" -> ((s, dir) =>
+      graft.streaming.EventStreams.drainDistinctUsersSketch(
+        events(s, dir))),
     // Count-min-sketch frequencies: fully oracled against the exact
     // GROUP BY — estimates are provably exact here (no all-rows hash
     // collision among the closed 5-type set at this seed, a property

@@ -156,6 +156,35 @@ object EventStreams extends Serializable {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
         .as("n_users_approx"))
 
+  /** Drain [[distinctUsersSketchStream]] over an event-id-chunked
+    * replay (COMPLETE mode — a global-per-group aggregation has no
+    * watermark to emit by) and return the final emission WITH the
+    * exact batch `countDistinct` alongside. The estimate column is
+    * rows-only BY DESIGN (HLL register layout is engine-specific, so
+    * no DuckDB oracle can hash-match it); the exact column is the
+    * check a reader applies instead, and the drained estimates equal
+    * the batch sketch's (one deterministic, merge-associative
+    * aggregate — EventOpsSpec pins error + associativity; arrival
+    * chunking cannot move a merge-associative result). */
+  def drainDistinctUsersSketch(events: DataFrame, lgK: Int = 14,
+      nBatches: Int = 3): DataFrame = {
+    val slim = events
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val (stream, tmp) = replayForDrain(slim, "event_id", nBatches)
+    val out =
+      try drainComplete(distinctUsersSketchStream(stream, lgK),
+        "graft_hll_drain")
+      finally tmp.foreach(deleteReplayDir)
+    out
+      .join(events.filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users_exact")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_users_exact"),
+        col("n_users_approx"))
+      .orderBy("event_type")
+  }
+
   /** Approximate heavy hitters over the unbounded stream: the
     * Misra–Gries aggregate ([[graft.functions.HeavyHitters]]) holds a
     * fixed `capacity`-entry summary where [[wordCountStream]]'s

@@ -848,6 +848,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("drained HLL sketch stream equals the batch sketch estimate " +
+      "and carries the true exact-distinct column") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val events = Tables.events(spark, sfDir)
+    val got = EventStreams.drainDistinctUsersSketch(events)
+      .collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // estimate column == the batch sketch's (one deterministic
+    // merge-associative aggregate; chunked arrival cannot move it)
+    val batchEst = graft.operators.EventOps.distinctUsersSketch(events)
+      .collect().toSeq
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (tp, _, approx) =>
+      assert(approx == batchEst(tp),
+        s"$tp: drained estimate $approx != batch ${batchEst(tp)}") }
+    // exact column is the truth (the in-row check a reader applies)
+    val exact = events.filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (tp, ex, _) => assert(ex == exact(tp)) }
+  }
+
   test("drained serve faces equal their batch twins (decay asOfDay, " +
       "outlier flags, quality gate, NB scores)") {
     import org.apache.spark.sql.functions._
