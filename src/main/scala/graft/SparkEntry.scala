@@ -1536,6 +1536,12 @@ object SparkEntry {
     // build, the timed runs measure probing storage, which is the
     // deployment cost model). Outputs are identical to the inline
     // twins, so each shares its twin's oracle verbatim.
+    "q_dedup_incr_exact_stored" -> ((s, dir) => {
+      val (base, batch) = Dedup.splitIncremental(documents(s, dir))
+      val idx = graft.sources.DedupIndexStore.writeExactIndex(base)
+      graft.sources.DedupIndexStore.probeExact(s, idx, batch)
+        .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
+    }),
     "q_dedup_incr_minhash_stored" -> ((s, dir) => {
       val docs = documents(s, dir)
       val idx = graft.sources.DedupIndexStore.writeMinhashIndex(
@@ -2973,6 +2979,8 @@ object SparkEntry {
     // batch operator's oracle verbatim (the shared-val convention, so
     // the two cannot drift).
     "q_dedup_incr_exact_stream" -> IncrExactOracle,
+    // Stored-index probe: same oracle (the minhash_stored convention).
+    "q_dedup_incr_exact_stored" -> IncrExactOracle,
     // Incremental near-dup probe: exact cross-set 3-gram Jaccard
     // between the batch (doc_id % 4 = 0) and base slices — the
     // minhash banding finds these pairs with ~1e-22 miss probability,

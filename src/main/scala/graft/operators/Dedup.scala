@@ -952,9 +952,22 @@ object Dedup {
     * the index relation — in production you store this, not recompute
     * it), the anti-join and the keep-first window both hash on fp_md5,
     * and with AQE a small batch side broadcasts. */
-  def incrementalExact(base: DataFrame, batch: DataFrame): DataFrame = {
-    val baseFps = base
-      .select(fingerprintMd5(col("text")).as("fp_md5")).distinct()
+  def incrementalExact(base: DataFrame, batch: DataFrame): DataFrame =
+    exactProbe(exactFpIndex(base), batch)
+
+  /** The base corpus's distinct 16-byte fingerprint relation — exact
+    * dedup's materialize-once index ([[minhashBandIndex]]'s role for
+    * the exact face; stored bucketed by fp_md5 via
+    * [[graft.sources.DedupIndexStore]]). */
+  def exactFpIndex(base: DataFrame): DataFrame =
+    base.select(fingerprintMd5(col("text")).as("fp_md5")).distinct()
+
+  /** Probe half of [[incrementalExact]]: anti-join the batch's
+    * fingerprints against a base index passed in (fresh or read from
+    * bucketed parquet), then keep the first batch row per surviving
+    * fingerprint. */
+  private[graft] def exactProbe(baseFps: DataFrame,
+      batch: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("fp_md5").orderBy(col("doc_id").asc)
     batch.withColumn("fp_md5", fingerprintMd5(col("text")))

@@ -33,6 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unique name. */
 object DedupIndexStore {
 
+  final case class ExactIndex(table: String)
   final case class MinhashIndex(bucketsTable: String, setsTable: String,
       n: Int, numHashes: Int, bands: Int)
   final case class SimhashIndex(table: String)
@@ -86,6 +87,25 @@ object DedupIndexStore {
         built.computeIfAbsent(name, write)
       case None => write(s"graft_idx_${family}_tmp${seq.incrementAndGet()}")
     }
+  }
+
+  /** Persist the base corpus's distinct-fingerprint index
+    * ([[Dedup.exactFpIndex]]) bucketed by fp_md5 — exact dedup's
+    * probe key. */
+  def writeExactIndex(base: DataFrame, buckets: Int = 8): ExactIndex = {
+    val key = identityKey(base)
+    ExactIndex(table("fp_idx", key, s"ex|$buckets", Seq("fp_md5"),
+      buckets)(Dedup.exactFpIndex(base)))
+  }
+
+  /** Probe a stored fingerprint index — output identical to
+    * [[Dedup.incrementalExact]] over the same base. The anti-join's
+    * stored leg reads with no Exchange/Sort; only the batch
+    * fingerprints shuffle, into the index's bucket layout. */
+  def probeExact(spark: SparkSession, idx: ExactIndex,
+      batch: DataFrame): DataFrame = {
+    enableBucketedSortOrder(spark)
+    Dedup.exactProbe(spark.table(idx.table).hint("merge"), batch)
   }
 
   /** Persist the base corpus's minhash band index

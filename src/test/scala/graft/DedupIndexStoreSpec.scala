@@ -87,6 +87,22 @@ class DedupIndexStoreSpec extends SparkSpec {
     assertNoExchangeLeg(finalPlan(probe), idx.bucketsTable)
   }
 
+  test("stored exact fingerprint index: fresh-session probe == inline " +
+      "operator; index leg reads with no Exchange/Sort") {
+    val (b, batchP) = Dedup.splitIncremental(corpus)
+    val inline = rows(Dedup.incrementalExact(b, batchP)
+      .select(col("doc_id"), col("fp_md5")))
+    assert(inline.nonEmpty, "fixture must produce surviving batch docs")
+    val idx = DedupIndexStore.writeExactIndex(b)
+    val fresh = spark.newSession()
+    val (_, freshBatch) = Dedup.splitIncremental(
+      fresh.read.parquet(s"$sfDir/documents.parquet"))
+    val probe = DedupIndexStore.probeExact(fresh, idx, freshBatch)
+      .select(col("doc_id"), col("fp_md5"))
+    assert(rows(probe) == inline)
+    assertNoExchangeLeg(finalPlan(probe), idx.table)
+  }
+
   test("stored minhash index is built once per (corpus, params)") {
     val a = DedupIndexStore.writeMinhashIndex(base)
     val b = DedupIndexStore.writeMinhashIndex(base)
