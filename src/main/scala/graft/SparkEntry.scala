@@ -1566,6 +1566,33 @@ object SparkEntry {
         e.filter(pmod(col("vec_id"), lit(4)) === 0),
         threshold = 0.4, tables = planes)
     }),
+    // ---- stored-index REFRESH: the maintenance half of the index
+    // lifecycle. Three generations: base (%4 != 0) builds the index,
+    // an accepted first ingest (%8 == 4) folds in via refresh*Index
+    // (id-level merge — the base corpus is never re-read), and the
+    // NEXT ingest (%8 == 0) probes the refreshed version. The oracle
+    // is the from-scratch cross-set relation over (base ∪ first
+    // ingest) vs the next ingest — refresh == rebuild in the uncapped
+    // regime (see refreshMinhashIndex's cap caveat).
+    "q_dedup_incr_exact_refresh" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeExactIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.refreshExactIndex(s, v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      graft.sources.DedupIndexStore.probeExact(s, v2,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+        .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
+    }),
+    "q_dedup_incr_minhash_refresh" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeMinhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.refreshMinhashIndex(s, v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      graft.sources.DedupIndexStore.probeMinhash(s, v2,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -2981,6 +3008,19 @@ object SparkEntry {
     "q_dedup_incr_exact_stream" -> IncrExactOracle,
     // Stored-index probe: same oracle (the minhash_stored convention).
     "q_dedup_incr_exact_stored" -> IncrExactOracle,
+    // Refreshed-index probe: the NEXT ingest (%8 = 0) against the
+    // refreshed fingerprint set (base %4 != 0 plus the accepted %8 = 4
+    // ingest = everything with doc_id %8 != 0); plain integer split,
+    // no plants — keep-first within the probing batch.
+    "q_dedup_incr_exact_refresh" ->
+      """SELECT doc_id, lang, source, md5(text) AS fp_md5
+        |FROM documents
+        |WHERE doc_id % 8 = 0
+        |  AND md5(text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 8 != 0)
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     // Incremental near-dup probe: exact cross-set 3-gram Jaccard
     // between the batch (doc_id % 4 = 0) and base slices — the
     // minhash banding finds these pairs with ~1e-22 miss probability,
@@ -2995,6 +3035,33 @@ object SparkEntry {
     // (bucketed parquet read back from disk) shares the same oracle —
     // storage changes the lineage, never the pairs.
     "q_dedup_incr_minhash_stored" -> IncrMinhashOracle,
+    // Refreshed-index probe: IncrMinhashOracle's cross-set Jaccard
+    // with the refreshed base side (doc_id % 8 != 0 = original base
+    // plus the accepted %8 = 4 ingest) vs the next ingest (%8 = 0).
+    "q_dedup_incr_minhash_refresh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 8 != 0 AND b.doc_id % 8 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_batch, doc_base,
+        |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_base
+        |JOIN sizes sb ON sb.doc_id = doc_batch
+        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY doc_batch, doc_base""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the STORED-INDEX probe path
+  * (sources/DedupIndexStore): at harness SF the stored probes are
+  * oracle-gated; this main measures what storage buys at scale — the
+  * per-ingest cost of probing a persisted bucketed index vs the
+  * inline operator that rebuilds the base index every call. Three
+  * numbers per face:
+  *
+  *   inline — the full incremental operator (index rebuilt + probe)
+  *   build  — one-time: build the index and persist it bucketed
+  *   stored — probe the persisted tables only
+  *
+  * A deployment pays `build` once per corpus version and `stored` per
+  * ingest; the inline form pays ~(build + probe) per ingest. The gap
+  * between `inline` and `stored` is the re-derivation a 100 TB corpus
+  * cannot afford.
+  *
+  * Usage: `SPARK_DRIVER_MEM=48g sbt "runMain graft.StoredIndexRehearsal
+  * [sfDir]"`, optionally SPARK_GRAFT_FACES=exact,minhash,simhash.
+  * Prints one JSON line per (face, arm). */
+object StoredIndexRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/testdata/sf10")
+    val only = sys.env.get("SPARK_GRAFT_FACES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_IDX_BUCKETS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    import graft.sources.DedupIndexStore
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    def arm(face: String, name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val n = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"face":"$face","arm":"$name","sec":$sec%.1f,"rows":$n}""")
+      } catch { case e: Throwable =>
+        val msg = String.valueOf(e.getMessage).takeWhile(_ != '\n')
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        println(s"""{"face":"$face","arm":"$name","error":"$msg"}""")
+      }
+    }
+    def face(name: String)(body: => Unit): Unit =
+      if (only.forall(_.contains(name))) body
+    // .count() materializes the probe work on the executors (the
+    // terminal orderBy is elided identically in both arms)
+    face("exact") {
+      arm("exact", "inline") { Dedup.incrementalExact(base, batch).count() }
+      var idx: DedupIndexStore.ExactIndex = null
+      arm("exact", "build") {
+        idx = DedupIndexStore.writeExactIndex(base, buckets = buckets)
+        spark.table(idx.table).count()
+      }
+      arm("exact", "stored") {
+        DedupIndexStore.probeExact(spark, idx, batch).count()
+      }
+    }
+    face("minhash") {
+      arm("minhash", "inline") {
+        Dedup.incrementalNearDupPairs(base, batch).count()
+      }
+      var idx: DedupIndexStore.MinhashIndex = null
+      arm("minhash", "build") {
+        idx = DedupIndexStore.writeMinhashIndex(base, buckets = buckets)
+        spark.table(idx.bucketsTable).count()
+      }
+      arm("minhash", "stored") {
+        DedupIndexStore.probeMinhash(spark, idx, batch).count()
+      }
+    }
+    face("simhash") {
+      arm("simhash", "inline") {
+        Dedup.incrementalSimhashPairs(base, batch).count()
+      }
+      var idx: DedupIndexStore.SimhashIndex = null
+      arm("simhash", "build") {
+        idx = DedupIndexStore.writeSimhashIndex(base, buckets = buckets)
+        spark.table(idx.table).count()
+      }
+      arm("simhash", "stored") {
+        DedupIndexStore.probeSimhash(spark, idx, batch).count()
+      }
+    }
+    spark.stop()
+  }
+}

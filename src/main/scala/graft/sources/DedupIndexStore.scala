@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Persisted near-dup indexes — the 100 TB operating mode's storage
   * half. The incremental dedup operators
@@ -71,6 +72,24 @@ object DedupIndexStore {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
 
+  /** Directories this JVM wrote index tables into — swept at exit
+    * (harness indexes are rebuildable; a deployment stores its index
+    * next to the corpus and would not route through /tmp). */
+  private val createdDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val ws = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          val paths = try ws.iterator().asScala.toVector finally ws.close()
+          paths.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
+  }
+
   /** Build-or-reuse one bucketed index table. `build` is by-name: a
     * registry hit never constructs the relation at all. */
   private def table(family: String, key: Option[String], params: String,
@@ -78,6 +97,7 @@ object DedupIndexStore {
     def write(name: String): String = {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-idx-$name").toString
+      createdDirs.add(dir)
       Bucketing.writeBucketed(build, name, dir, keys, buckets)
       name
     }
@@ -179,6 +199,66 @@ object DedupIndexStore {
         Dedup.embeddingBandIndex(base, tables, maxBucket)),
       table("emb_vecs", key, params, Seq("vec_id"), buckets)(
         Dedup.embeddingVecs(base)))
+  }
+
+  /** Fold an ACCEPTED ingest batch into a stored fingerprint index —
+    * the maintenance half of the index lifecycle (build once → probe
+    * per ingest → REFRESH per accepted ingest → probe the next batch
+    * against the refreshed version). Refresh merges id-level
+    * relations: the base corpus text is never re-read or re-hashed
+    * (only the new batch fingerprints), which at 100 TB is the
+    * difference between an O(index)-shuffle refresh and an O(corpus)
+    * rebuild. Writes a NEW versioned table — the old version stays
+    * readable until swept, so a reader never sees a half-written
+    * index. Probing the refreshed index equals probing a from-scratch
+    * index over (base ∪ accepted) — spec-pinned. */
+  def refreshExactIndex(spark: SparkSession, idx: ExactIndex,
+      accepted: DataFrame, buckets: Int = 8): ExactIndex = {
+    val key = identityKey(accepted).map(k => s"refresh|${idx.table}|$k")
+    ExactIndex(table("fp_idx_r", key, s"ex|$buckets", Seq("fp_md5"),
+      buckets)(
+      spark.table(idx.table)
+        .unionByName(Dedup.exactFpIndex(accepted))
+        .distinct()))
+  }
+
+  /** [[refreshExactIndex]] for the minhash index: the stored
+    * (band, bucket → id-list) groups explode back to rows, union the
+    * accepted batch's band rows (the only shingling work — the base
+    * is never re-tokenized), regroup, and rewrite as the next
+    * version; the shingle-set table appends the batch's sets.
+    *
+    * Cap caveat (the one divergence from a from-scratch rebuild,
+    * which only exists in the CAPPED regime): a bucket dropped at an
+    * earlier build because it exceeded `maxBucket` cannot resurrect
+    * its old members — it re-enters with new members only, where a
+    * rebuild would re-drop it entirely. Uncapped (no bucket near the
+    * limit — the common case at sane banding), refresh == rebuild
+    * exactly; DedupIndexStoreSpec pins probe-level equality there.
+    * Deployments in the capped regime compact with a periodic full
+    * build, the usual LSM discipline. */
+  def refreshMinhashIndex(spark: SparkSession, idx: MinhashIndex,
+      accepted: DataFrame, maxBucket: Int = 10000,
+      buckets: Int = 8): MinhashIndex = {
+    val key = identityKey(accepted)
+      .map(k => s"refresh|${idx.bucketsTable}|$k")
+    val params = s"mh|$maxBucket|$buckets"
+    MinhashIndex(
+      table("mh_buckets_r", key, params, Seq("band", "bucket"), buckets)(
+        spark.table(idx.bucketsTable)
+          .select(col("band"), col("bucket"),
+            explode(col("base_ds")).as("doc_id"))
+          .unionByName(Dedup.bandBuckets(
+            Dedup.minhashSignatures(
+              Dedup.shingleSets(accepted, idx.n), idx.numHashes),
+            idx.numHashes, idx.bands))
+          .groupBy("band", "bucket")
+          .agg(collect_list("doc_id").as("base_ds"))
+          .filter(size(col("base_ds")) <= maxBucket)),
+      table("mh_sets_r", key, params, Seq("doc_id"), buckets)(
+        spark.table(idx.setsTable)
+          .unionByName(Dedup.shingleSets(accepted, idx.n))),
+      idx.n, idx.numHashes, idx.bands)
   }
 
   /** Probe a stored embedding index — output identical to

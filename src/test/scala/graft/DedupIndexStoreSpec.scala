@@ -103,6 +103,30 @@ class DedupIndexStoreSpec extends SparkSpec {
     assertNoExchangeLeg(finalPlan(probe), idx.table)
   }
 
+  test("refreshed indexes == from-scratch rebuild at probe level " +
+      "(uncapped regime): the maintenance loop never re-reads the base") {
+    // three generations: base builds v1, gen1 folds in via refresh,
+    // gen2 probes v2 — must equal both a from-scratch index over
+    // (base ∪ gen1) and the inline operator over the same split
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val gen2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val grown = corpus.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+    val v2 = DedupIndexStore.refreshMinhashIndex(spark,
+      DedupIndexStore.writeMinhashIndex(base), gen1)
+    val got = rows(DedupIndexStore.probeMinhash(spark, v2, gen2))
+    assert(got.nonEmpty, "fixture must produce cross-generation dups")
+    assert(got == rows(DedupIndexStore.probeMinhash(spark,
+      DedupIndexStore.writeMinhashIndex(grown), gen2)))
+    assert(got == rows(Dedup.incrementalNearDupPairs(grown, gen2)))
+    val e2 = DedupIndexStore.refreshExactIndex(spark,
+      DedupIndexStore.writeExactIndex(base), gen1)
+    val gotE = rows(DedupIndexStore.probeExact(spark, e2, gen2)
+      .select(col("doc_id"), col("fp_md5")))
+    assert(gotE.nonEmpty)
+    assert(gotE == rows(Dedup.incrementalExact(grown, gen2)
+      .select(col("doc_id"), col("fp_md5"))))
+  }
+
   test("stored minhash index is built once per (corpus, params)") {
     val a = DedupIndexStore.writeMinhashIndex(base)
     val b = DedupIndexStore.writeMinhashIndex(base)

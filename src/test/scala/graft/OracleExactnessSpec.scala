@@ -82,8 +82,8 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
     "q_dedup_incr_embedding", "q_dedup_incr_embedding_stream",
     "q_dedup_incr_embedding_stored",
-    "q_dedup_incr_minhash", "q_dedup_incr_minhash_stream",
-    "q_dedup_incr_minhash_stored",
+    "q_dedup_incr_minhash", "q_dedup_incr_minhash_refresh",
+    "q_dedup_incr_minhash_stream", "q_dedup_incr_minhash_stored",
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_cosine",
     "q_dedup_ngram_df", "q_dedup_prefix", "q_dsir_topk",
     "q_dsir_weights", "q_embed_cohesion", "q_events_anomaly",
@@ -224,7 +224,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     // per construct makes ANY added or removed use cost one conscious
     // number change here.
     val totals = Seq(
-      "round\\(" -> 85, "log2\\(" -> 32, "\\bln\\(" -> 5,
+      "round\\(" -> 86, "log2\\(" -> 32, "\\bln\\(" -> 5,
       "sqrt\\(" -> 81, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
