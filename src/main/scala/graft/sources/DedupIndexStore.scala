@@ -261,6 +261,55 @@ object DedupIndexStore {
       idx.n, idx.numHashes, idx.bands)
   }
 
+  /** [[refreshMinhashIndex]] for the simhash index (same id-level
+    * merge shape; the member structs carry the 60-bit fingerprints,
+    * so only the accepted batch is fingerprinted). Same cap caveat. */
+  def refreshSimhashIndex(spark: SparkSession, idx: SimhashIndex,
+      accepted: DataFrame, maxBucket: Int = 65535,
+      buckets: Int = 8): SimhashIndex = {
+    val key = identityKey(accepted).map(k => s"refresh|${idx.table}|$k")
+    SimhashIndex(
+      table("sh_idx_r", key, s"sh|$maxBucket|$buckets",
+        Seq("band", "key"), buckets)(
+        spark.table(idx.table)
+          .select(col("band"), col("key"), explode(col("ds")).as("e"))
+          .select(col("e.doc_base").as("doc_base"),
+            col("e.sh_base").as("sh_base"), col("band"), col("key"))
+          .unionByName(Dedup.simhashBatchBanded(accepted)
+            .toDF("doc_base", "sh_base", "band", "key"))
+          .groupBy("band", "key")
+          .agg(collect_list(struct(col("doc_base"), col("sh_base")))
+            .as("ds"))
+          .filter(size(col("ds")) <= maxBucket)))
+  }
+
+  /** [[refreshMinhashIndex]] for the embedding SRP index — the SAME
+    * plane tables must be passed (the index's geometry; its digest is
+    * part of the refresh key). Same cap caveat. */
+  def refreshEmbeddingIndex(spark: SparkSession, idx: EmbeddingIndex,
+      accepted: DataFrame, tables0: Seq[Seq[Seq[Double]]],
+      maxBucket: Int = 10000, buckets: Int = 8): EmbeddingIndex = {
+    val key = identityKey(accepted)
+      .map(k => s"refresh|${idx.bucketsTable}|$k")
+    val params = s"emb|$maxBucket|$buckets|planes:${md5(tables0.toString)}"
+    EmbeddingIndex(
+      table("emb_buckets_r", key, params, Seq("t", "bucket"), buckets)(
+        spark.table(idx.bucketsTable)
+          .select(col("t"), col("bucket"),
+            explode(col("base_ds")).as("vec_id"))
+          .unionByName(Dedup.embeddingVecs(accepted)
+            .select(col("vec_id"), posexplode(
+              graft.functions.Vectors.srpBucketsAll(col("v"), tables0)))
+            .toDF("vec_id", "t", "bucket")
+            .select(col("t"), col("bucket"), col("vec_id")))
+          .groupBy("t", "bucket")
+          .agg(collect_list("vec_id").as("base_ds"))
+          .filter(size(col("base_ds")) <= maxBucket)),
+      table("emb_vecs_r", key, params, Seq("vec_id"), buckets)(
+        spark.table(idx.vecsTable)
+          .unionByName(Dedup.embeddingVecs(accepted))))
+  }
+
   /** Probe a stored embedding index — output identical to
     * [[Dedup.incrementalEmbeddingNearDup]] over the same base with the
     * same planes. */

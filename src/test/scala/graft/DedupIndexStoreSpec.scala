@@ -125,6 +125,23 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(gotE.nonEmpty)
     assert(gotE == rows(Dedup.incrementalExact(grown, gen2)
       .select(col("doc_id"), col("fp_md5"))))
+    val s2 = DedupIndexStore.refreshSimhashIndex(spark,
+      DedupIndexStore.writeSimhashIndex(base), gen1)
+    assert(rows(DedupIndexStore.probeSimhash(spark, s2, gen2)) ==
+      rows(Dedup.incrementalSimhashPairs(grown, gen2)))
+    val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+      Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eb = embs.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val eg1 = embs.filter(pmod(col("vec_id"), lit(8)) === 4)
+    val eg2 = embs.filter(pmod(col("vec_id"), lit(8)) === 0)
+    val v2e = DedupIndexStore.refreshEmbeddingIndex(spark,
+      DedupIndexStore.writeEmbeddingIndex(eb, planes), eg1, planes)
+    assert(rows(DedupIndexStore.probeEmbedding(spark, v2e, eg2,
+        threshold = 0.4, tables = planes)) ==
+      rows(Dedup.incrementalEmbeddingNearDup(
+        embs.filter(pmod(col("vec_id"), lit(8)) =!= 0), eg2,
+        threshold = 0.4, planes = Some(planes))))
   }
 
   test("stored minhash index is built once per (corpus, params)") {
