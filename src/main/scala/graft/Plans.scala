@@ -17,6 +17,7 @@ object Plans {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,7 +52,9 @@ object Plans {
       "q_dedup_incr_embedding", "q_dedup_cc_incr",
       "q_quality_calibrated", "q_pipeline_funnel", "q_delete_repack",
       "q_pack_padding", "q_decontaminate_spans", "q_embed_profile",
-      "q_salt_plan", "q_corpus_overlap_incr", "q_dedup_incr_simhash")
+      "q_salt_plan", "q_corpus_overlap_incr", "q_dedup_incr_simhash",
+      "q_dedup_incr_minhash_stored", "q_dedup_incr_exact_stored",
+      "q_dedup_incr_minhash_refresh")
     // NOT headline: the trainer queries (q_bpe_vocab, q_wordpiece_
     // vocab) and the drained-stream twin (q_dedup_incr_exact_stream)
     // — their returned relation is driver-materialized (rule tables /
