@@ -261,6 +261,30 @@ object DedupIndexStore {
       idx.n, idx.numHashes, idx.bands)
   }
 
+  /** Compact a (possibly much-refreshed) minhash index: rebuild the
+    * band-bucket table from the stored SHINGLE-SET table — the corpus
+    * text is still never read. This is the answer to the refresh cap
+    * caveat: a refresh cannot resurrect a bucket dropped over
+    * `maxBucket` at an earlier build, but the sets table carries the
+    * full per-doc shingle sets, so a compaction reproduces exactly
+    * what a from-scratch build over the grown corpus would emit
+    * (spec-pinned with a binding cap). The LSM discipline in one
+    * O(index) pass: refresh per ingest, compact on a period. */
+  def compactMinhashIndex(spark: SparkSession, idx: MinhashIndex,
+      maxBucket: Int = 10000, buckets: Int = 8): MinhashIndex = {
+    val key = Some(s"compact|${idx.bucketsTable}|${idx.setsTable}")
+    val params = s"mh|$maxBucket|$buckets"
+    MinhashIndex(
+      table("mh_buckets_c", key, params, Seq("band", "bucket"), buckets)(
+        Dedup.bandBuckets(
+            Dedup.minhashSignatures(spark.table(idx.setsTable),
+              idx.numHashes), idx.numHashes, idx.bands)
+          .groupBy("band", "bucket")
+          .agg(collect_list("doc_id").as("base_ds"))
+          .filter(size(col("base_ds")) <= maxBucket)),
+      idx.setsTable, idx.n, idx.numHashes, idx.bands)
+  }
+
   /** [[refreshMinhashIndex]] for the simhash index (same id-level
     * merge shape; the member structs carry the 60-bit fingerprints,
     * so only the accepted batch is fingerprinted). Same cap caveat. */

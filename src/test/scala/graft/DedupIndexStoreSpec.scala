@@ -144,6 +144,45 @@ class DedupIndexStoreSpec extends SparkSpec {
         threshold = 0.4, planes = Some(planes))))
   }
 
+  test("compaction restores rebuild-equality where a BINDING cap made " +
+      "refresh diverge (rebuilt from the sets table, corpus never read)") {
+    // maxBucket = 1 drops every bucket with 2+ BASE members. The
+    // corpus's planted near-dups alone can't make that bind (two
+    // near-dup base docs still differ in SOME band, where each sits
+    // alone and the probe finds them), so plant two EXACT-duplicate
+    // base docs + an identical next-ingest doc: the base pair
+    // co-buckets in all 16 bands, cap 1 drops every one, and the
+    // capped answer provably loses those cross pairs. Compaction
+    // rebuilds bands from the stored shingle sets and must equal the
+    // from-scratch capped rebuild exactly.
+    import spark.implicits._
+    val dupText = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    val planted = Seq(
+      (9000001L, dupText, "en", "s", dupText.length.toLong), // base
+      (9000002L, dupText, "en", "s", dupText.length.toLong), // base
+      (9000000L, dupText, "en", "s", dupText.length.toLong)) // gen2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = corpus.unionByName(planted)
+    val pBase = all.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val gen1 = all.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val gen2 = all.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val grown = all.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+    val v2 = DedupIndexStore.refreshMinhashIndex(spark,
+      DedupIndexStore.writeMinhashIndex(pBase, maxBucket = 1), gen1,
+      maxBucket = 1)
+    val compacted =
+      DedupIndexStore.compactMinhashIndex(spark, v2, maxBucket = 1)
+    val rebuilt =
+      DedupIndexStore.writeMinhashIndex(grown, maxBucket = 1)
+    val want = rows(DedupIndexStore.probeMinhash(spark, rebuilt, gen2))
+    assert(rows(DedupIndexStore.probeMinhash(spark, compacted, gen2))
+      == want)
+    // prove the cap BINDS in this fixture (else the test is vacuous):
+    // the capped rebuild must differ from the uncapped answer
+    assert(want != rows(Dedup.incrementalNearDupPairs(grown, gen2)),
+      "maxBucket = 1 must drop candidate buckets in this fixture")
+  }
+
   test("stored minhash index is built once per (corpus, params)") {
     val a = DedupIndexStore.writeMinhashIndex(base)
     val b = DedupIndexStore.writeMinhashIndex(base)
