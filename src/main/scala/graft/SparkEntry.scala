@@ -1670,6 +1670,20 @@ object SparkEntry {
         nCells = 3, nProbe = 2,
         centroids = Some(Array.tabulate(3)(k =>
           Array.tabulate(64)(i => if (i == k) 1.0 else 0.0))))),
+    // Stored-IVF serve loop: the same injected-centroid regime with
+    // the cell assignment PERSISTED partitioned-by-cell and the probe
+    // reading only its nProbe cells' files (partition pruning —
+    // AnnIndexStore; DedupIndexStoreSpec's stored-leg convention for
+    // the ANN family). Shares q_ann_ivf_injected's oracle verbatim.
+    "q_ann_ivf_injected_stored" -> ((s, dir) => {
+      val cents = Array.tabulate(3)(kk =>
+        Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))
+      val idx = graft.sources.AnnIndexStore.writeIvfIndex(
+        embeddings(s, dir), cents)
+      graft.sources.AnnIndexStore.probeIvf(s, idx,
+        embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
+        nProbe = 2)
+    }),
     // Fully-ORACLED LSH regime (the ivf_injected convention): one
     // table of 4 axis-aligned planes folds each SRP bit to a
     // coordinate sign test (v[j] > 0), so bucket codes, the
@@ -3473,41 +3487,10 @@ object SparkEntry {
     // probe ranking = (score DESC, cell ASC), then the exact cosine
     // rerank over ONLY the probed cells' members — the oracle models
     // the same candidate cuts the operator makes.
-    "q_ann_ivf_injected" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), cellq AS (
-        |  SELECT vec_id, v,
-        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
-        |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell
-        |  FROM e
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
-        |), probes AS (
-        |  SELECT query_id, qv, cell FROM (
-        |    SELECT query_id, qv, u.c AS cell,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY qv[u.c + 1] DESC, u.c) AS r
-        |    FROM q, unnest([0, 1, 2]) AS u(c)
-        |  ) WHERE r <= 2
-        |), p AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM probes JOIN cellq USING (cell)
-        |  WHERE vec_id <> query_id
-        |), s AS (
-        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_injected" -> IvfInjectedOracle,
+    // Stored-IVF probe: same oracle (the minhash_stored convention) —
+    // the cell-partitioned read changes lineage, never the top-k.
+    "q_ann_ivf_injected_stored" -> IvfInjectedOracle,
     // Injected-plane LSH: bucket bit j = (v[j+1] > 0) exactly (the
     // axis plane's dot folds to the coordinate), multi-probe =
     // xor with each popcount<=1 mask, candidates = bucket-union
@@ -6280,6 +6263,45 @@ object SparkEntry {
     * twin q_dedup_incr_minhash_stream: the exact cross-set 3-gram
     * Jaccard join (minhash banding finds these pairs with ~1e-22 miss
     * probability; every candidate is exact-verified). */
+  /** Shared oracle for q_ann_ivf_injected + its stored-index twin:
+    * injected axis centroids make cells, probe ranking, and the
+    * exact-cosine rerank closed-form SQL. */
+  private val IvfInjectedOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), cellq AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
+        |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        |), probes AS (
+        |  SELECT query_id, qv, cell FROM (
+        |    SELECT query_id, qv, u.c AS cell,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY qv[u.c + 1] DESC, u.c) AS r
+        |    FROM q, unnest([0, 1, 2]) AS u(c)
+        |  ) WHERE r <= 2
+        |), p AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM probes JOIN cellq USING (cell)
+        |  WHERE vec_id <> query_id
+        |), s AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+
   private val IncrMinhashOracle: String =
     """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents

@@ -483,23 +483,48 @@ object Similarity {
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val cents: Array[Array[Double]] =
       centroids.getOrElse(ivfCentroids(e, nCells, kmeansIters))
-    def cellScores(v: Column): Column =
-      array(cents.map(c => dot(v, typedlit(c.toSeq))): _*)
-    // |v| is constant across cells, so argmax of dot-with-unit-centroid
-    // IS the nearest cell by cosine
-    val idx = e
-      .withColumn("cs", cellScores(col("v")))
+    ivfProbeFrom(ivfAssign(e, cents), cents,
+      e.filter(queryPred).toDF("query_id", "qv"), k, nProbe)
+  }
+
+  /** The (vec_id, v, cell) cell-assignment relation — IVF's
+    * materialize-once index half ([[graft.sources.AnnIndexStore]]
+    * persists it PARTITIONED by cell, so a probe's nProbe-cell read
+    * prunes every other cell's files). |v| is constant across cells,
+    * so argmax of dot-with-unit-centroid IS the nearest cell by
+    * cosine. */
+  private[graft] def ivfAssign(e: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val cs = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
+    e.withColumn("cs", cs)
       .withColumn("cell",
         (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .select("vec_id", "v", "cell")
+  }
+
+  /** Per-query probed cells: (query_id, qv, cell) for the nProbe
+    * closest centroids — the driver-bounded side of the candidate
+    * join (|queries| x nProbe rows). */
+  private[graft] def ivfProbes(queries: DataFrame,
+      cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val cellScores =
+      array(cents.map(c => dot(col("qv"), typedlit(c.toSeq))): _*)
     val probeRank = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cell").asc)
-    val probes = e.filter(queryPred).toDF("query_id", "qv")
-      .select(col("query_id"), col("qv"),
-        posexplode(cellScores(col("qv")))).toDF("query_id", "qv", "cell", "score")
+    queries
+      .select(col("query_id"), col("qv"), posexplode(cellScores))
+      .toDF("query_id", "qv", "cell", "score")
       .withColumn("r", row_number().over(probeRank))
       .filter(col("r") <= nProbe)
       .select("query_id", "qv", "cell")
+  }
+
+  /** Probe half of [[ivfTopK]] — the assignment relation passed in,
+    * fresh or read back from cell-partitioned parquet. */
+  private[graft] def ivfProbeFrom(idx: DataFrame,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val probes = ivfProbes(queries, cents, nProbe)
     val cand = idx.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))

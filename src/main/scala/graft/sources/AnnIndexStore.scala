@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.functions.Vectors
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — [[DedupIndexStore]]'s role for the
+  * similarity family. An IVF deployment trains centroids once,
+  * assigns every corpus vector to its cell once, and serves query
+  * batches forever after from that stored assignment; what makes the
+  * storage layout load-bearing is that a probe touches only `nProbe`
+  * cells, so the assignment is persisted PARTITIONED BY CELL and a
+  * probe's scan partition-prunes every other cell's files — at
+  * corpus scale the difference between reading nProbe/nCells of the
+  * index and reading all of it (the bucket-layout argument, applied
+  * to hive partitioning because the probe side filters by literal
+  * cell ids rather than joining on a key both sides shuffle to).
+  *
+  * Build-once registry + exit sweep: the [[DedupIndexStore]]
+  * conventions (file-backed corpora keyed by inputFiles + plan +
+  * centroid digest; in-memory fixtures build uncached). */
+object AnnIndexStore {
+
+  /** `centroids` ride in the handle — they are the trained model
+    * (driver-scale: nCells x dim doubles); a deployment persists them
+    * next to the assignment. */
+  final case class IvfIndex(path: String,
+      centroids: Array[Array[Double]])
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+  private val createdDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val ws = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          val paths = try ws.iterator().asScala.toVector finally ws.close()
+          paths.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** Persist the corpus's IVF cell assignment
+    * ([[Similarity.ivfAssign]]) partitioned by cell. */
+  def writeIvfIndex(embs: DataFrame,
+      centroids: Array[Array[Double]]): IvfIndex = {
+    val e = embs.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val files = embs.inputFiles
+    val cdigest = md5(centroids.map(_.mkString(",")).mkString(";"))
+    def write(dir: String): String = {
+      createdDirs.add(dir)
+      Similarity.ivfAssign(e, centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    val path =
+      if (files.isEmpty)
+        write(java.nio.file.Files
+          .createTempDirectory(s"graft-ivf-tmp${seq.incrementAndGet()}")
+          .toString)
+      else {
+        val key = files.sorted.mkString(",") + "|" +
+          embs.queryExecution.analyzed.canonicalized.toString +
+          "|" + cdigest
+        built.computeIfAbsent(md5(key), h => write(java.nio.file.Files
+          .createTempDirectory(s"graft-ivf-$h").toString))
+      }
+    IvfIndex(path, centroids)
+  }
+
+  /** Probe a stored IVF index — output identical to
+    * [[Similarity.ivfTopK]] with the same injected centroids.
+    * `queries` are raw embedding rows (vec_id, embedding, ...). The
+    * probed cell ids are collected up front (bounded: ≤ |queries| x
+    * nProbe ints — queries are broadcast-small by contract) so the
+    * index scan carries them as a literal partition filter and reads
+    * ONLY those cells' files (spec-pinned). */
+  def probeIvf(spark: SparkSession, idx: IvfIndex, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val qs = queries.select(col("vec_id").as("query_id"),
+      Vectors.toDoubleVec(col("embedding")).as("qv"))
+    val cells = Similarity.ivfProbes(qs, idx.centroids, nProbe)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    Similarity.ivfProbeFrom(
+      spark.read.parquet(idx.path)
+        .filter(col("cell").isin(cells.map(Int.box): _*)),
+      idx.centroids, qs, k, nProbe)
+  }
+}

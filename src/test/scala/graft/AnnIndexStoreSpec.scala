@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.AnnIndexStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The stored-ANN round trip (DedupIndexStoreSpec's contract for the
+  * similarity family): the IVF cell assignment persisted partitioned
+  * by cell, reopened in a fresh session, probed from storage — same
+  * top-k as the inline operator, and the index scan must carry a
+  * cell partition filter so only the probed cells' files are read. */
+class AnnIndexStoreSpec extends SparkSpec {
+
+  private val planes = Array.tabulate(3)(k =>
+    Array.tabulate(64)(i => if (i == k) 1.0 else 0.0))
+
+  private def embs(s: org.apache.spark.sql.SparkSession) =
+    s.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  test("stored IVF index: fresh-session probe == inline operator; " +
+      "index scan partition-prunes to the probed cells") {
+    val inline = rows(Similarity.ivfTopK(embs(spark),
+      col("vec_id") < 5, k = 10, nCells = 3, nProbe = 2,
+      centroids = Some(planes)))
+    assert(inline.nonEmpty)
+    val idx = AnnIndexStore.writeIvfIndex(embs(spark), planes)
+    val fresh = spark.newSession()
+    val probe = AnnIndexStore.probeIvf(fresh, idx,
+      embs(fresh).filter(col("vec_id") < 5), k = 10, nProbe = 2)
+    assert(rows(probe) == inline)
+    probe.collect()
+    val ep = probe.queryExecution.executedPlan
+    val scans = allNodes(ep).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(idx.path.stripPrefix("/"))) => f
+    }
+    assert(scans.nonEmpty, s"no scan of the stored index:\n$ep")
+    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      s"stored IVF scan reads every cell (no partition filter):\n$f"))
+  }
+
+  test("stored IVF index is built once per (corpus, centroids)") {
+    val a = AnnIndexStore.writeIvfIndex(embs(spark), planes)
+    val b = AnnIndexStore.writeIvfIndex(embs(spark), planes)
+    assert(a.path == b.path)
+    val other = AnnIndexStore.writeIvfIndex(embs(spark),
+      planes.map(_.map(_ * 2.0)))
+    assert(other.path != a.path, "different centroids must not collide")
+  }
+}
