@@ -57,7 +57,6 @@ object AnnIndexStore {
       centroids: Array[Array[Double]]): IvfIndex = {
     val e = embs.select(col("vec_id"),
       Vectors.toDoubleVec(col("embedding")).as("v"))
-    val files = embs.inputFiles
     val cdigest = md5(centroids.map(_.mkString(",")).mkString(";"))
     def write(dir: String): String = {
       createdDirs.add(dir)
@@ -65,18 +64,18 @@ object AnnIndexStore {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       dir
     }
-    val path =
-      if (files.isEmpty)
+    // same identity rule as DedupIndexStore: cache only fully
+    // file-backed corpora (in-memory rows are absent from the key)
+    val path = DedupIndexStore.identityKey(embs) match {
+      case None =>
         write(java.nio.file.Files
           .createTempDirectory(s"graft-ivf-tmp${seq.incrementAndGet()}")
           .toString)
-      else {
-        val key = files.sorted.mkString(",") + "|" +
-          embs.queryExecution.analyzed.canonicalized.toString +
-          "|" + cdigest
-        built.computeIfAbsent(md5(key), h => write(java.nio.file.Files
-          .createTempDirectory(s"graft-ivf-$h").toString))
-      }
+      case Some(k) =>
+        built.computeIfAbsent(md5(k + "|" + cdigest),
+          h => write(java.nio.file.Files
+            .createTempDirectory(s"graft-ivf-$h").toString))
+    }
     IvfIndex(path, centroids)
   }
 

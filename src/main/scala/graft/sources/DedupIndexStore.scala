@@ -59,12 +59,23 @@ object DedupIndexStore {
       .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
   /** Data identity of a base relation: its files + filter plan. None
-    * for in-memory fixtures (nothing stable to key on → no cache). */
-  private def identityKey(df: DataFrame): Option[String] = {
+    * unless the plan is ENTIRELY file-backed — a LocalRelation or
+    * LogicalRDD anywhere in it (e.g. a spec fixture unioned onto a
+    * parquet table) carries data the canonical plan does not print,
+    * so two same-shape plans over different in-memory rows would
+    * collide (the replay-cache lesson). Those build uncached. */
+  private[sources] def identityKey(df: DataFrame): Option[String] = {
+    val plan = df.queryExecution.analyzed
+    val inMemory = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
     val files = df.inputFiles
-    if (files.isEmpty) None
+    if (inMemory || files.isEmpty) None
     else Some(files.sorted.mkString(",") + "|" +
-      df.queryExecution.analyzed.canonicalized.toString)
+      plan.canonicalized.toString)
   }
 
   private def md5(s: String): String =
