@@ -95,6 +95,40 @@ object StoredIndexRehearsal {
         DedupIndexStore.probeSimhash(spark, idx, batch).count()
       }
     }
+    face("embedding") {
+      // PRODUCTION SRP geometry (the StreamScaleRehearsal embedding
+      // face's lesson): the harness's 4x4 injected axis planes stop
+      // discriminating past ~100k vectors; 16 planes x 32 tables
+      // holds bucket occupancy ~n/65536 per table.
+      // planted near-dups (idOffset past any make_sf replica shift) so
+      // the exact-cosine verify join carries real work at threshold
+      // 0.9 — raw scaled gaussians produce zero pairs there and the
+      // rehearsal would time only the bucket join. The offset is ≡ 1
+      // (mod 4) ON PURPOSE: a multiple of 4 preserves the %4 split
+      // parity and every planted pair lands same-side (zero cross-set
+      // rows); +1 rotates the parity so plants straddle the split.
+      val e = Dedup.plantNearDups(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        idOffset = 1000000001L)
+      val eBase = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      val eBatch = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val tables = (0 until 32).map(t =>
+        graft.operators.Similarity.hyperplanes(16, 64, 42L + t))
+      arm("embedding", "inline") {
+        Dedup.incrementalEmbeddingNearDup(eBase, eBatch,
+          threshold = 0.9, planes = Some(tables)).count()
+      }
+      var idx: DedupIndexStore.EmbeddingIndex = null
+      arm("embedding", "build") {
+        idx = DedupIndexStore.writeEmbeddingIndex(eBase, tables,
+          buckets = buckets)
+        spark.table(idx.bucketsTable).count()
+      }
+      arm("embedding", "stored") {
+        DedupIndexStore.probeEmbedding(spark, idx, eBatch,
+          threshold = 0.9, tables = tables).count()
+      }
+    }
     spark.stop()
   }
 }
