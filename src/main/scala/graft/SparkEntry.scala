@@ -1923,6 +1923,18 @@ object SparkEntry {
     "q_phrase_search" -> ((s, dir) =>
       CorpusOps.phraseSearch(documents(s, dir),
         phrase = Seq("window", "fast", "query"))),
+    // The SERVING face: the full positional index persisted bucketed
+    // by term (PostingsStore - built once per corpus per JVM) and the
+    // phrase answered FROM STORAGE via the classic positional-index
+    // slot join - per-slot input is the term's document frequency,
+    // the corpus text untouched. One answer, three plans (window /
+    // projection / stored postings); shares the same oracle.
+    "q_phrase_search_stored" -> ((s, dir) => {
+      val idx = graft.sources.PostingsStore.writePostings(
+        documents(s, dir))
+      graft.sources.PostingsStore.phraseSearch(s, idx,
+        phrase = Seq("window", "fast", "query"))
+    }),
     // Proximity co-occurrence via one RANGE-frame window.
     "q_phrase_prox" -> ((s, dir) =>
       CorpusOps.proximitySearch(documents(s, dir),
@@ -4714,6 +4726,9 @@ object SparkEntry {
     // Spark side answers identically from ONE tokenize + ONE window
     // (lead offsets), the plan-not-answer gate
     "q_phrase_search" -> PhraseSearchOracle,
+    // One answer, three plans: the stored-postings serve face shares
+    // the oracle verbatim (the minhash_stored convention).
+    "q_phrase_search_stored" -> PhraseSearchOracle,
     // identical answer contract for the stream-safe projection twin
     "q_phrase_projected" -> PhraseSearchOracle,
     // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via

@@ -177,6 +177,52 @@ object CorpusOps {
       .orderBy("term", "doc_id")
   }
 
+  /** The FULL positional index in its stored form: (term, doc_id,
+    * positions array<int>) for every term — what
+    * [[graft.sources.PostingsStore]] persists bucketed by term (so a
+    * phrase probe's per-term scan bucket-prunes) and
+    * [[phraseFromPostings]] serves from. [[positionalPostings]] stays
+    * the term-sliced query face (CSV positions, the scalar-column
+    * oracle convention). */
+  private[graft] def postingsRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text")))
+        .as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase search FROM a postings relation (stored or fresh) —
+    * output identical to [[phraseSearch]] over the same corpus, but
+    * the corpus text is never touched: each phrase slot reads its
+    * term's posting rows, slots join on doc_id, and the match test is
+    * an array intersection of position lists shifted by slot offset —
+    * the classic positional-index algorithm, with per-slot input
+    * bounded by the term's document frequency instead of the corpus.
+    * Duplicate phrase terms are fine (two slots read the same posting
+    * rows). */
+  private[graft] def phraseFromPostings(postings: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs >= 2 terms")
+    val slots = phrase.zipWithIndex
+    val joined = slots.tail.foldLeft(
+      postings.filter(col("term") === phrase.head)
+        .select(col("doc_id"), col("positions").as("p0"))) {
+      case (acc, (t, i)) =>
+        acc.join(postings.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as(s"p$i")), "doc_id")
+    }
+    val hits = slots.tail.foldLeft(col("p0")) { case (acc, (_, i)) =>
+      filter(acc, p => array_contains(col(s"p$i"), p + i))
+    }
+    joined
+      .withColumn("hits", hits)
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Exact phrase search — every document containing the words of
     * `phrase` CONSECUTIVELY, with occurrence count and first match
     * position. Formulated JOIN-FREE: one tokenize pass, one per-doc

@@ -101,6 +101,11 @@ object DedupIndexStore {
       }))
   }
 
+  /** Register a sibling store's index directory for the exit sweep
+    * (one hook, shared by every stored-index family). */
+  private[sources] def sweepAtExit(dir: String): Unit =
+    createdDirs.add(dir)
+
   /** Build-or-reuse one bucketed index table. `build` is by-name: a
     * registry hit never constructs the relation at all. */
   private def table(family: String, key: Option[String], params: String,
