@@ -1912,6 +1912,17 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       CorpusOps.bm25(documents(s, dir),
         terms = Seq("spark", "window", "scan"))),
+    // BM25 served FROM the stored postings index (no corpus access):
+    // tf = posting-list lengths (term-set scan, bucket-pruned), dl +
+    // corpus scalars from the persisted doclens side table, whose
+    // join leg reads with no Exchange/Sort. Shares q_bm25's oracle -
+    // the one-answer-many-plans convention.
+    "q_bm25_stored" -> ((s, dir) => {
+      val idx = graft.sources.PostingsStore.writePostings(
+        documents(s, dir))
+      graft.sources.PostingsStore.bm25Search(s, idx,
+        terms = Seq("spark", "window", "scan"))
+    }),
     // ---- positional retrieval: postings / phrase / proximity ----
     // The index artifact: term -> ordered position postings.
     "q_phrase_postings" -> ((s, dir) =>
@@ -1933,6 +1944,21 @@ object SparkEntry {
       val idx = graft.sources.PostingsStore.writePostings(
         documents(s, dir))
       graft.sources.PostingsStore.phraseSearch(s, idx,
+        phrase = Seq("window", "fast", "query"))
+    }),
+    // The index MAINTENANCE face: v1 built from 3/4 of the corpus,
+    // the remaining quarter folds in via refreshPostings (id-level
+    // merge - the base text is never re-read, and refresh == rebuild
+    // exactly: nothing is capped out of a postings index), then the
+    // phrase serves from v2. base ∪ accepted = the whole corpus, so
+    // the oracle is q_phrase_search's verbatim.
+    "q_phrase_search_refresh" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.PostingsStore.writePostings(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.PostingsStore.refreshPostings(s, v1,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      graft.sources.PostingsStore.phraseSearch(s, v2,
         phrase = Seq("window", "fast", "query"))
     }),
     // Proximity co-occurrence via one RANGE-frame window.
@@ -4729,6 +4755,9 @@ object SparkEntry {
     // One answer, three plans: the stored-postings serve face shares
     // the oracle verbatim (the minhash_stored convention).
     "q_phrase_search_stored" -> PhraseSearchOracle,
+    // the maintenance face covers the same corpus (base ∪ accepted),
+    // so the refresh probe shares the oracle verbatim too
+    "q_phrase_search_refresh" -> PhraseSearchOracle,
     // identical answer contract for the stream-safe projection twin
     "q_phrase_projected" -> PhraseSearchOracle,
     // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
@@ -4747,34 +4776,11 @@ object SparkEntry {
         |  AND abs(b.pos - a.pos) <= 3 AND b.term = 'row'
         |WHERE a.term = 'hash'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
-    "q_bm25" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
-        |          AS term FROM documents)
-        |  GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, term, tf,
-        |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
-        |), fil AS (
-        |  SELECT *, count(*) OVER (PARTITION BY term) AS df
-        |  FROM dl WHERE term IN ('spark', 'window', 'scan')
-        |), sc AS (
-        |  SELECT count(*) AS n_docs,
-        |    sum(len(regexp_extract_all(text, '\S+'))) AS n_tok_total
-        |  FROM documents
-        |), scored AS (
-        |  SELECT f.doc_id,
-        |    ln(1 + (sc.n_docs - f.df + 0.5) / (f.df + 0.5))
-        |      * (f.tf * 2.2)
-        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
-        |           / (sc.n_tok_total::DOUBLE / sc.n_docs))) AS contrib
-        |  FROM fil f, sc
-        |), top AS (
-        |  SELECT doc_id, round(sum(contrib), 4) AS score FROM scored
-        |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
-        |)
-        |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    "q_bm25" -> Bm25Oracle,
+    // BM25 served from the stored postings index: same answer, storage
+    // lineage (one answer, two plans - q_phrase_search_stored's
+    // convention).
+    "q_bm25_stored" -> Bm25Oracle,
     "q_line_dedup" ->
       """WITH lined AS (
         |  SELECT doc_id, string_split(
@@ -6522,8 +6528,43 @@ object SparkEntry {
       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Shared by q_phrase_search (window form) and q_phrase_projected
-    * (stream-safe projection form): one answer, two plans. */
+  /** Shared by q_bm25 (corpus-scan form) and q_bm25_stored (served
+    * from the persisted postings + doclens tables): one answer, two
+    * plans. */
+  private val Bm25Oracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+      |          AS term FROM documents)
+      |  GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, term, tf,
+      |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+      |), fil AS (
+      |  SELECT *, count(*) OVER (PARTITION BY term) AS df
+      |  FROM dl WHERE term IN ('spark', 'window', 'scan')
+      |), sc AS (
+      |  SELECT count(*) AS n_docs,
+      |    sum(len(regexp_extract_all(text, '\S+'))) AS n_tok_total
+      |  FROM documents
+      |), scored AS (
+      |  SELECT f.doc_id,
+      |    ln(1 + (sc.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |      * (f.tf * 2.2)
+      |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl
+      |           / (sc.n_tok_total::DOUBLE / sc.n_docs))) AS contrib
+      |  FROM fil f, sc
+      |), top AS (
+      |  SELECT doc_id, round(sum(contrib), 4) AS score FROM scored
+      |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+      |)
+      |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin
+
+  /** Shared by q_phrase_search (window form), q_phrase_projected
+    * (stream-safe projection form), q_phrase_search_stored (served
+    * from the persisted postings index), and q_phrase_search_refresh
+    * (served from a refreshed index covering the same corpus): one
+    * answer, four plans. */
   private val PhraseSearchOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, i AS pos, t[i + 1] AS term

@@ -132,12 +132,24 @@ object CorpusOps {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val scalars = docs.agg(count("*").as("n_docs"),
       sum(tokenCountWs(col("text"))).as("n_tok_total"))
-    val scored = docs
+    val withDf = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .filter(col("term").isin(terms: _*))
       .withColumn("df", count("*").over(Window.partitionBy("term")))
+    bm25Rank(withDf, scalars, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail of [[bm25]] and [[bm25FromPostings]]
+    * — from a prepared (doc_id, tf, dl, df) relation and the broadcast
+    * corpus scalars: Lucene idf, Okapi contribution, ROUNDED score
+    * before the top-k cut, tie-broken by doc_id. Same expressions in
+    * both lineages, so corpus-scan and served-from-storage answers are
+    * bit-identical. */
+  private def bm25Rank(withDf: DataFrame, scalars: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame =
+    withDf
       .crossJoin(broadcast(scalars))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -147,11 +159,32 @@ object CorpusOps {
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) +
           lit(b) * col("dl") / col("avgdl"))))
-    scored
       .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .orderBy("doc_id")
+
+  /** [[bm25]] served FROM stored relations (no corpus access): tf(t,d)
+    * is the stored posting list's length and df(t) a window over the
+    * probe's own |terms|-scale rows — the postings scan carries the
+    * literal term set, so a bucketed layout prunes it to the query
+    * terms' buckets; dl(d) and the corpus scalars come from the
+    * doclens side table persisted at build (the norms file of a
+    * classic search index). Identical output to [[bm25]] over the
+    * corpus the index was built from. */
+  private[graft] def bm25FromPostings(postings: DataFrame,
+      doclens: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val scalars = doclens.agg(count("*").as("n_docs"),
+      sum(col("dl")).as("n_tok_total"))
+    val withDf = postings
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"),
+        size(col("positions")).cast("long").as("tf"))
+      .withColumn("df", count("*").over(Window.partitionBy("term")))
+      .join(doclens, "doc_id")
+    bm25Rank(withDf, scalars, k, k1, b)
   }
 
   // ---- positional retrieval: postings, phrase, proximity -------------
@@ -185,11 +218,28 @@ object CorpusOps {
     * the term-sliced query face (CSV positions, the scalar-column
     * oracle convention). */
   private[graft] def postingsRows(docs: DataFrame): DataFrame =
+    postingRowsFlat(docs)
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** The pre-grouped (term, doc_id, pos) rows [[postingsRows]]
+    * aggregates — also the unit a stored-index REFRESH merges at
+    * ([[graft.sources.PostingsStore.refreshPostings]] explodes the
+    * stored lists back to this shape, unions the accepted batch's
+    * rows, and regroups — exactly a from-scratch build's grouping). */
+  private[graft] def postingRowsFlat(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(wsTokens(col("text")))
         .as(Seq("pos", "term")))
-      .groupBy("term", "doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("pos"))
+
+  /** Per-document token counts — the doclens side table persisted with
+    * the postings index (BM25's dl and, aggregated, its corpus
+    * scalars). regexp_count lineage: no token array is materialized
+    * just to be counted. */
+  private[graft] def doclensRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      tokenCountWs(col("text")).cast("long").as("dl"))
 
   /** Exact phrase search FROM a postings relation (stored or fresh) —
     * output identical to [[phraseSearch]] over the same corpus, but

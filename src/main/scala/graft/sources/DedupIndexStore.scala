@@ -54,7 +54,7 @@ object DedupIndexStore {
     * the order). Probes flip it on for their session so the index leg
     * of the SortMergeJoin drops its per-probe Sort — at corpus scale
     * that sort would be the dominant per-ingest cost. */
-  private def enableBucketedSortOrder(spark: SparkSession): Unit =
+  private[sources] def enableBucketedSortOrder(spark: SparkSession): Unit =
     spark.conf
       .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
@@ -101,14 +101,12 @@ object DedupIndexStore {
       }))
   }
 
-  /** Register a sibling store's index directory for the exit sweep
-    * (one hook, shared by every stored-index family). */
-  private[sources] def sweepAtExit(dir: String): Unit =
-    createdDirs.add(dir)
-
-  /** Build-or-reuse one bucketed index table. `build` is by-name: a
-    * registry hit never constructs the relation at all. */
-  private def table(family: String, key: Option[String], params: String,
+  /** Build-or-reuse one bucketed index table (shared by every stored-
+    * index family — [[PostingsStore]] names its tables through here
+    * too). `build` is by-name: a registry hit never constructs the
+    * relation at all. */
+  private[sources] def table(family: String, key: Option[String],
+      params: String,
       keys: Seq[String], buckets: Int)(build: => DataFrame): String = {
     def write(name: String): String = {
       val dir = java.nio.file.Files

@@ -3,8 +3,10 @@ package graft
 import graft.operators.CorpusOps
 import graft.sources.PostingsStore
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 
 /** The stored-postings round trip (the DedupIndexStoreSpec contract
@@ -54,6 +56,73 @@ class PostingsStoreSpec extends SparkSpec {
       assert(pruned.isDefined && pruned.get.cardinality() < 8,
         s"slot scan reads every bucket (no term pruning):\n$f")
     }
+  }
+
+  test("stored bm25: fresh-session serve == corpus-scan operator; " +
+      "postings scan bucket-prunes; doclens leg has no Exchange/Sort") {
+    val terms = Seq("spark", "window", "scan")
+    val inline = rows(CorpusOps.bm25(corpus(spark), terms))
+    assert(inline.nonEmpty, "fixture terms must score documents")
+    val idx = PostingsStore.writePostings(corpus(spark))
+    val fresh = spark.newSession()
+    val served = PostingsStore.bm25Search(fresh, idx, terms)
+    assert(rows(served) == inline)
+    served.collect()
+    val plan = served.queryExecution.executedPlan
+    // the postings scan reads only the query terms' buckets
+    val postingScans = allNodes(plan).collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == idx.table) => f
+    }
+    assert(postingScans.nonEmpty)
+    postingScans.foreach { f =>
+      val pruned = f.optionalBucketSet
+      assert(pruned.isDefined && pruned.get.cardinality() < 8,
+        s"postings scan reads every bucket (no term-set pruning):\n$f")
+    }
+    // the doclens join leg reads in stored bucket layout: no Exchange,
+    // no Sort under its SortMergeJoin side
+    def scansDoclens(p: SparkPlan): Boolean = allNodes(p).exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table == idx.doclensTable)
+      case _ => false
+    }
+    val legs = allNodes(plan).collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right).filter(scansDoclens)
+    }.flatten
+    assert(legs.nonEmpty,
+      s"no SortMergeJoin leg scans stored doclens ${idx.doclensTable}:\n$plan")
+    legs.foreach { leg =>
+      assert(allNodes(leg)
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"stored doclens leg shuffled:\n$leg")
+      assert(allNodes(leg).collect { case s: SortExec => s }.isEmpty,
+        s"stored doclens leg re-sorted:\n$leg")
+    }
+  }
+
+  test("refreshed postings == from-scratch rebuild: phrase and bm25 " +
+      "served from v2 equal the corpus operators; v2 is a new version") {
+    val docs = corpus(spark)
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val accepted = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val v1 = PostingsStore.writePostings(base)
+    val v2 = PostingsStore.refreshPostings(spark, v1, accepted)
+    // versioned: refresh never overwrites the tables a reader may hold
+    assert(v2.table != v1.table && v2.doclensTable != v1.doclensTable)
+    // base ∪ accepted = the whole corpus, so v2 must answer exactly
+    // like the corpus-scan operators — and like an index built from
+    // scratch over the full corpus (refresh == rebuild, no cap caveat)
+    assert(rows(PostingsStore.phraseSearch(spark, v2, phrase)) ==
+      rows(CorpusOps.phraseSearch(docs, phrase)))
+    val terms = Seq("spark", "window", "scan")
+    assert(rows(PostingsStore.bm25Search(spark, v2, terms)) ==
+      rows(CorpusOps.bm25(docs, terms)))
+    val full = PostingsStore.writePostings(docs)
+    assert(rows(spark.table(v2.table).orderBy("term", "doc_id")) ==
+      rows(spark.table(full.table).orderBy("term", "doc_id")))
+    assert(rows(spark.table(v2.doclensTable).orderBy("doc_id")) ==
+      rows(spark.table(full.doclensTable).orderBy("doc_id")))
   }
 
   test("duplicate phrase terms and a no-match phrase behave") {
