@@ -1965,6 +1965,15 @@ object SparkEntry {
     "q_phrase_prox" -> ((s, dir) =>
       CorpusOps.proximitySearch(documents(s, dir),
         anchor = "hash", near = "row", window = 3)),
+    // Proximity served FROM the stored postings index: two
+    // bucket-pruned literal-term scans + pure array arithmetic over
+    // the position lists. Shares q_phrase_prox's oracle.
+    "q_phrase_prox_stored" -> ((s, dir) => {
+      val idx = graft.sources.PostingsStore.writePostings(
+        documents(s, dir))
+      graft.sources.PostingsStore.proximitySearch(s, idx,
+        anchor = "hash", near = "row", window = 3)
+    }),
     // The stream-safe pure-projection twin (zero shuffle, zero
     // state) — same answer, same oracle; StreamingSpec runs the
     // identical code on a file stream.
@@ -4762,20 +4771,10 @@ object SparkEntry {
     "q_phrase_projected" -> PhraseSearchOracle,
     // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
     // the join form; Spark reads the same counts off one RANGE window
-    "q_phrase_prox" ->
-      """WITH tok AS (
-        |  SELECT doc_id, i AS pos, t[i + 1] AS term
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-        |        FROM documents),
-        |    unnest(range(len(t))) AS u(i)
-        |)
-        |SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS n_anchors,
-        |  count(*)::BIGINT AS n_pairs
-        |FROM tok a
-        |JOIN tok b ON b.doc_id = a.doc_id
-        |  AND abs(b.pos - a.pos) <= 3 AND b.term = 'row'
-        |WHERE a.term = 'hash'
-        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q_phrase_prox" -> PhraseProxOracle,
+    // proximity served from the stored postings index: same answer,
+    // storage lineage
+    "q_phrase_prox_stored" -> PhraseProxOracle,
     "q_bm25" -> Bm25Oracle,
     // BM25 served from the stored postings index: same answer, storage
     // lineage (one answer, two plans - q_phrase_search_stored's
@@ -6527,6 +6526,26 @@ object SparkEntry {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared by q_phrase_prox (|pos('hash') - pos('row')| <= 3 pair
+    * counting — Spark's corpus form reads the counts off one RANGE
+    * window) and q_phrase_prox_stored (pure array arithmetic over two
+    * stored posting lists): one answer, three plans including the
+    * oracle's join form. */
+  private val PhraseProxOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, i AS pos, t[i + 1] AS term
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+      |        FROM documents),
+      |    unnest(range(len(t))) AS u(i)
+      |)
+      |SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS n_anchors,
+      |  count(*)::BIGINT AS n_pairs
+      |FROM tok a
+      |JOIN tok b ON b.doc_id = a.doc_id
+      |  AND abs(b.pos - a.pos) <= 3 AND b.term = 'row'
+      |WHERE a.term = 'hash'
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
   /** Shared by q_bm25 (corpus-scan form) and q_bm25_stored (served
     * from the persisted postings + doclens tables): one answer, two

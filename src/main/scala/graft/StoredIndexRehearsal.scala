@@ -95,6 +95,40 @@ object StoredIndexRehearsal {
         DedupIndexStore.probeSimhash(spark, idx, batch).count()
       }
     }
+    // Text retrieval served from the stored positional index
+    // (sources/PostingsStore): inline = corpus-scan operators, build =
+    // one-time postings + doclens persist, stored = serve from the
+    // tables (identical rows), refresh = fold an accepted batch into a
+    // base index at O(index) cost (v1 build over the base is paid
+    // outside the timed arm — it is the same work "build" already
+    // measures).
+    face("postings") {
+      import graft.operators.CorpusOps
+      import graft.sources.PostingsStore
+      val phrase = Seq("window", "fast", "query")
+      val terms = Seq("spark", "window", "scan")
+      arm("postings", "inline_phrase") {
+        CorpusOps.phraseSearch(docs, phrase).count()
+      }
+      arm("postings", "inline_bm25") { CorpusOps.bm25(docs, terms).count() }
+      var idx: PostingsStore.PostingsIndex = null
+      arm("postings", "build") {
+        idx = PostingsStore.writePostings(docs, buckets = buckets)
+        spark.table(idx.table).count()
+      }
+      arm("postings", "stored_phrase") {
+        PostingsStore.phraseSearch(spark, idx, phrase).count()
+      }
+      arm("postings", "stored_bm25") {
+        PostingsStore.bm25Search(spark, idx, terms).count()
+      }
+      val v1 = PostingsStore.writePostings(base, buckets = buckets)
+      arm("postings", "refresh") {
+        val v2 = PostingsStore.refreshPostings(spark, v1, batch,
+          buckets = buckets)
+        spark.table(v2.table).count()
+      }
+    }
     face("embedding") {
       // PRODUCTION SRP geometry (the StreamScaleRehearsal embedding
       // face's lesson): the harness's 4x4 injected axis planes stop

@@ -273,6 +273,36 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Proximity co-occurrence FROM a postings relation — output
+    * identical to [[proximitySearch]] over the same corpus: the anchor
+    * and near terms' posting rows join on doc_id (two bucket-pruned
+    * literal-term scans — per-doc input is the two terms' position
+    * lists, the corpus untouched) and the pair counting is pure array
+    * arithmetic: per anchor position, the near positions within
+    * ±window; anchors with none are dropped from n_anchors, exactly
+    * the window operator's `n_near > 0` gate. */
+  private[graft] def proximityFromPostings(postings: DataFrame,
+      anchor: String, near: String, window: Int): DataFrame = {
+    require(window >= 1)
+    require(anchor != near,
+      "anchor == near would count each anchor as its own neighbor")
+    val nearCounts = filter(
+      transform(col("pa"), p =>
+        size(filter(col("pb"), q => abs(q - p) <= window))),
+      c => c > 0)
+    postings.filter(col("term") === anchor)
+      .select(col("doc_id"), col("positions").as("pa"))
+      .join(postings.filter(col("term") === near)
+        .select(col("doc_id"), col("positions").as("pb")), "doc_id")
+      .withColumn("nc", nearCounts)
+      .filter(size(col("nc")) > 0)
+      .select(col("doc_id"),
+        size(col("nc")).cast("long").as("n_anchors"),
+        aggregate(col("nc"), lit(0L),
+          (acc, c) => acc + c).as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
   /** Exact phrase search — every document containing the words of
     * `phrase` CONSECUTIVELY, with occurrence count and first match
     * position. Formulated JOIN-FREE: one tokenize pass, one per-doc

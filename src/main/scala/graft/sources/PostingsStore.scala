@@ -52,6 +52,14 @@ object PostingsStore {
       phrase: Seq[String]): DataFrame =
     CorpusOps.phraseFromPostings(spark.table(idx.table), phrase)
 
+  /** Proximity co-occurrence served FROM the stored index — output
+    * identical to [[CorpusOps.proximitySearch]] over the same corpus;
+    * two bucket-pruned literal-term scans, pure array arithmetic. */
+  def proximitySearch(spark: SparkSession, idx: PostingsIndex,
+      anchor: String, near: String, window: Int): DataFrame =
+    CorpusOps.proximityFromPostings(spark.table(idx.table), anchor,
+      near, window)
+
   /** Okapi BM25 top-k served FROM the stored index — output identical
     * to [[CorpusOps.bm25]] over the same corpus. The doclens leg of
     * the dl join carries a merge hint and reads in its stored bucket

@@ -58,6 +58,30 @@ class PostingsStoreSpec extends SparkSpec {
     }
   }
 
+  test("stored proximity: fresh-session serve == corpus-scan RANGE-" +
+      "window operator; both term scans bucket-prune") {
+    val inline = rows(CorpusOps.proximitySearch(corpus(spark),
+      anchor = "hash", near = "row", window = 3))
+    assert(inline.nonEmpty, "fixture anchor/near must co-occur")
+    val idx = PostingsStore.writePostings(corpus(spark))
+    val fresh = spark.newSession()
+    val served = PostingsStore.proximitySearch(fresh, idx,
+      anchor = "hash", near = "row", window = 3)
+    assert(rows(served) == inline)
+    served.collect()
+    val scans = allNodes(served.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == idx.table) => f
+    }
+    assert(scans.size >= 2,
+      s"expected an anchor and a near stored-index scan, got ${scans.size}")
+    scans.foreach { f =>
+      val pruned = f.optionalBucketSet
+      assert(pruned.isDefined && pruned.get.cardinality() < 8,
+        s"term scan reads every bucket (no pruning):\n$f")
+    }
+  }
+
   test("stored bm25: fresh-session serve == corpus-scan operator; " +
       "postings scan bucket-prunes; doclens leg has no Exchange/Sort") {
     val terms = Seq("spark", "window", "scan")
