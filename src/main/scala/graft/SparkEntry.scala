@@ -1961,6 +1961,19 @@ object SparkEntry {
       graft.sources.PostingsStore.phraseSearch(s, v2,
         phrase = Seq("window", "fast", "query"))
     }),
+    // The maintenance loop DRAINED: the same base/delta split, but the
+    // delta documents arrive as a STREAM and fold into the stored
+    // index per micro-batch (foreachBatch refreshPostings - versioned
+    // tables, base text never re-read); the final version serves the
+    // phrase. Fold order is chunking-independent and refresh ==
+    // rebuild, so the answer is q_phrase_search's verbatim.
+    "q_phrase_index_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.streaming.EventStreams.drainPostingsMaintenance(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        phrase = Seq("window", "fast", "query"))
+    }),
     // Proximity co-occurrence via one RANGE-frame window.
     "q_phrase_prox" -> ((s, dir) =>
       CorpusOps.proximitySearch(documents(s, dir),
@@ -4767,6 +4780,9 @@ object SparkEntry {
     // the maintenance face covers the same corpus (base ∪ accepted),
     // so the refresh probe shares the oracle verbatim too
     "q_phrase_search_refresh" -> PhraseSearchOracle,
+    // ... and so does the drained maintenance LOOP (delta documents
+    // folding in as a stream, final index version serving the phrase)
+    "q_phrase_index_stream" -> PhraseSearchOracle,
     // identical answer contract for the stream-safe projection twin
     "q_phrase_projected" -> PhraseSearchOracle,
     // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
@@ -6581,9 +6597,10 @@ object SparkEntry {
 
   /** Shared by q_phrase_search (window form), q_phrase_projected
     * (stream-safe projection form), q_phrase_search_stored (served
-    * from the persisted postings index), and q_phrase_search_refresh
-    * (served from a refreshed index covering the same corpus): one
-    * answer, four plans. */
+    * from the persisted postings index), q_phrase_search_refresh
+    * (served from a refreshed index covering the same corpus), and
+    * q_phrase_index_stream (the maintenance loop drained — delta docs
+    * fold in as a stream): one answer, five plans. */
   private val PhraseSearchOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, i AS pos, t[i + 1] AS term

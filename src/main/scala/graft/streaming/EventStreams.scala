@@ -1771,4 +1771,49 @@ object EventStreams extends Serializable {
     edges.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch((batch: DataFrame, _: Long) => state.fold(batch))
+
+  /** Maintain the stored positional index from a DOCUMENT stream —
+    * [[drainClusterMap]]'s maintenance-loop shape applied to
+    * [[graft.sources.PostingsStore]], and the deployment story of a
+    * search index over a growing corpus: the base corpus builds v1
+    * once (the lifecycle's one corpus read), the delta documents
+    * replay as micro-batches, each batch folds in via
+    * `refreshPostings` (an id-level O(index) merge — the base text is
+    * never re-read, and each fold writes a NEW versioned table, so a
+    * concurrent reader never sees a half-written index), and the FINAL
+    * version serves the phrase query. Fold order is irrelevant (the
+    * per-(term, doc_id) merge is chunking-independent) and refresh ==
+    * rebuild exactly (nothing is capped out of a postings index), so
+    * the served answer equals the corpus-scan operator over
+    * base ∪ delta — q_phrase_search's oracle verbatim when the split
+    * covers the whole corpus. */
+  def drainPostingsMaintenance(baseDocs: DataFrame, deltaDocs: DataFrame,
+      phrase: Seq[String], nBatches: Int = 3): DataFrame = {
+    val spark = baseDocs.sparkSession
+    var idx = graft.sources.PostingsStore.writePostings(baseDocs)
+    // empty delta: nothing to fold — serve from v1, matching the batch
+    // operator over base ∪ ∅ (replayForDrain requires non-empty rows)
+    if (deltaDocs.isEmpty)
+      return graft.sources.PostingsStore.phraseSearch(spark, idx, phrase)
+    val (stream, tmp) = replayForDrain(
+      deltaDocs.select(col("doc_id"), col("text")), "doc_id", nBatches)
+    try withDrainShufflePartitions(spark) {
+      // AvailableNow serializes foreachBatch calls, so the rolling
+      // `idx` handle needs no lock; each fold's registry key chains on
+      // the predecessor table's name, so bench re-runs that hit the
+      // replay-dir cache also reuse the fold tables — the deployment
+      // cost model (an ingest folds once; queries serve from storage)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch((batch: DataFrame, _: Long) => {
+          idx = graft.sources.PostingsStore.refreshPostings(spark, idx,
+            batch)
+          ()
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally tmp.foreach(deleteReplayDir)
+    graft.sources.PostingsStore.phraseSearch(spark, idx, phrase)
+  }
 }

@@ -149,6 +149,20 @@ class PostingsStoreSpec extends SparkSpec {
       rows(spark.table(full.doclensTable).orderBy("doc_id")))
   }
 
+  test("streamed maintenance loop: delta docs folding in as micro-" +
+      "batches serve the same phrase answer; empty delta serves v1") {
+    val docs = corpus(spark)
+    val inline = rows(CorpusOps.phraseSearch(docs, phrase))
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    assert(rows(graft.streaming.EventStreams.drainPostingsMaintenance(
+      base, delta, phrase)) == inline)
+    // empty delta: nothing to fold — the answer is v1's (base-only)
+    assert(rows(graft.streaming.EventStreams.drainPostingsMaintenance(
+      base, delta.limit(0), phrase)) ==
+      rows(CorpusOps.phraseSearch(base, phrase)))
+  }
+
   test("duplicate phrase terms and a no-match phrase behave") {
     val docs = corpus(spark)
     val idx = PostingsStore.writePostings(docs)
