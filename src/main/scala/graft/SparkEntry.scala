@@ -1684,6 +1684,23 @@ object SparkEntry {
         embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
         nProbe = 2)
     }),
+    // The ANN MAINTENANCE face: v1's cell assignment built from 3/4 of
+    // the vectors, the remaining quarter folds in as an APPENDED
+    // segment (centroids frozen - O(batch) per ingest, the base
+    // segment never rewritten; probes read the pruned segment union,
+    // Lucene's model). base ∪ accepted = the whole relation, so the
+    // oracle is q_ann_ivf_injected's verbatim.
+    "q_ann_ivf_injected_refresh" -> ((s, dir) => {
+      val cents = Array.tabulate(3)(kk =>
+        Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))
+      val e = embeddings(s, dir)
+      val v1 = graft.sources.AnnIndexStore.writeIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), cents)
+      val v2 = graft.sources.AnnIndexStore.refreshIvfIndex(v1,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      graft.sources.AnnIndexStore.probeIvf(s, v2,
+        e.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+    }),
     // Fully-ORACLED LSH regime (the ivf_injected convention): one
     // table of 4 axis-aligned planes folds each SRP bit to a
     // coordinate sign test (v[j] > 0), so bucket codes, the
@@ -3551,6 +3568,9 @@ object SparkEntry {
     // Stored-IVF probe: same oracle (the minhash_stored convention) —
     // the cell-partitioned read changes lineage, never the top-k.
     "q_ann_ivf_injected_stored" -> IvfInjectedOracle,
+    // segment-append maintenance face over the same full relation:
+    // same answer, storage lineage
+    "q_ann_ivf_injected_refresh" -> IvfInjectedOracle,
     // Injected-plane LSH: bucket bit j = (v[j+1] > 0) exactly (the
     // axis plane's dot folds to the coordinate), multi-probe =
     // xor with each popcount<=1 mask, candidates = bucket-union

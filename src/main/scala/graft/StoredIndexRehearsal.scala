@@ -128,6 +128,14 @@ object StoredIndexRehearsal {
           buckets = buckets)
         spark.table(v2.table).count()
       }
+      // the drained maintenance LOOP (q_phrase_index_stream's shape):
+      // v1 reuses the registry hit from the refresh arm's base build,
+      // so this times the STREAM half - 3 foreachBatch refresh folds
+      // over the delta replay plus the final stored serve
+      arm("postings", "maint_stream") {
+        graft.streaming.EventStreams.drainPostingsMaintenance(
+          base, batch, phrase).count()
+      }
     }
     face("embedding") {
       // PRODUCTION SRP geometry (the StreamScaleRehearsal embedding

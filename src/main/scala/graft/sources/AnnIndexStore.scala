@@ -24,8 +24,12 @@ object AnnIndexStore {
 
   /** `centroids` ride in the handle — they are the trained model
     * (driver-scale: nCells x dim doubles); a deployment persists them
-    * next to the assignment. */
-  final case class IvfIndex(path: String,
+    * next to the assignment. `paths` is the index's SEGMENT list
+    * (Lucene's model): the base build is one segment, and each
+    * [[refreshIvfIndex]] appends another — a probe reads the union,
+    * partition-pruned per segment, so an ingest never rewrites the
+    * index. */
+  final case class IvfIndex(paths: Seq[String],
       centroids: Array[Array[Double]])
 
   private val built =
@@ -76,7 +80,42 @@ object AnnIndexStore {
           h => write(java.nio.file.Files
             .createTempDirectory(s"graft-ivf-$h").toString))
     }
-    IvfIndex(path, centroids)
+    IvfIndex(Seq(path), centroids)
+  }
+
+  /** Fold newly accepted vectors into a stored IVF index — the
+    * maintenance half of the ANN lifecycle, at O(batch) cost: the
+    * centroids are FROZEN (they are the trained model; re-training is
+    * the compaction-analog a deployment schedules separately), so the
+    * accepted batch assigns map-side against the broadcast centroids
+    * and lands as a NEW cell-partitioned SEGMENT directory. Nothing
+    * existing is rewritten or touched — readers holding the old
+    * handle keep their exact segment list — and a probe of the grown
+    * index reads the segment union with the same literal cell filter
+    * pruning every segment. Probing the refreshed index equals the
+    * inline operator over (base ∪ accepted) — spec-pinned. */
+  def refreshIvfIndex(idx: IvfIndex, accepted: DataFrame): IvfIndex = {
+    val e = accepted.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val cdigest = md5(idx.centroids.map(_.mkString(",")).mkString(";"))
+    def write(dir: String): String = {
+      createdDirs.add(dir)
+      Similarity.ivfAssign(e, idx.centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    val seg = DedupIndexStore.identityKey(accepted) match {
+      case None =>
+        write(java.nio.file.Files
+          .createTempDirectory(s"graft-ivfr-tmp${seq.incrementAndGet()}")
+          .toString)
+      case Some(k) =>
+        built.computeIfAbsent(
+          md5(s"refresh|${idx.paths.mkString(",")}|$k|$cdigest"),
+          h => write(java.nio.file.Files
+            .createTempDirectory(s"graft-ivfr-$h").toString))
+    }
+    IvfIndex(idx.paths :+ seg, idx.centroids)
   }
 
   /** Probe a stored IVF index — output identical to
@@ -92,9 +131,14 @@ object AnnIndexStore {
       Vectors.toDoubleVec(col("embedding")).as("qv"))
     val cells = Similarity.ivfProbes(qs, idx.centroids, nProbe)
       .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // one pruned scan PER SEGMENT, unioned (Lucene probes per segment
+    // for the same reason); a single multi-root read would need the
+    // segments to share a discovery base path, which independent
+    // append-only directories deliberately do not
     Similarity.ivfProbeFrom(
-      spark.read.parquet(idx.path)
-        .filter(col("cell").isin(cells.map(Int.box): _*)),
+      idx.paths.map(p => spark.read.parquet(p)
+          .filter(col("cell").isin(cells.map(Int.box): _*)))
+        .reduce(_ unionByName _),
       idx.centroids, qs, k, nProbe)
   }
 }

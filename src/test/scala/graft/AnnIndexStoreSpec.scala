@@ -50,8 +50,9 @@ class AnnIndexStoreSpec extends SparkSpec {
     val ep = probe.queryExecution.executedPlan
     val scans = allNodes(ep).collect {
       case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(
-            _.toString.contains(idx.path.stripPrefix("/"))) => f
+          if f.relation.location.rootPaths.exists(r =>
+            idx.paths.exists(p => r.toString.contains(p.stripPrefix("/"))))
+        => f
     }
     assert(scans.nonEmpty, s"no scan of the stored index:\n$ep")
     scans.foreach(f => assert(f.partitionFilters.nonEmpty,
@@ -61,9 +62,39 @@ class AnnIndexStoreSpec extends SparkSpec {
   test("stored IVF index is built once per (corpus, centroids)") {
     val a = AnnIndexStore.writeIvfIndex(embs(spark), planes)
     val b = AnnIndexStore.writeIvfIndex(embs(spark), planes)
-    assert(a.path == b.path)
+    assert(a.paths == b.paths)
     val other = AnnIndexStore.writeIvfIndex(embs(spark),
       planes.map(_.map(_ * 2.0)))
-    assert(other.path != a.path, "different centroids must not collide")
+    assert(other.paths != a.paths, "different centroids must not collide")
+  }
+
+  test("refreshed IVF index (segment append): probe == inline over " +
+      "base ∪ accepted; base segment untouched; probe still prunes") {
+    val e = embs(spark)
+    val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val accepted = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val v1 = AnnIndexStore.writeIvfIndex(base, planes)
+    val filesBefore = spark.read.parquet(v1.paths: _*).inputFiles.sorted
+    val v2 = AnnIndexStore.refreshIvfIndex(v1, accepted)
+    // segment model: the refresh APPENDS a segment; the base segment's
+    // files are byte-for-byte the ones v1 readers keep seeing
+    assert(v2.paths.startsWith(v1.paths) && v2.paths.size == 2)
+    assert(spark.read.parquet(v1.paths: _*).inputFiles.sorted
+      .sameElements(filesBefore))
+    val inline = rows(Similarity.ivfTopK(e, col("vec_id") < 5, k = 10,
+      nCells = 3, nProbe = 2, centroids = Some(planes)))
+    val probe = AnnIndexStore.probeIvf(spark, v2,
+      e.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+    assert(rows(probe) == inline)
+    probe.collect()
+    val scans = allNodes(probe.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(r =>
+            v2.paths.exists(p => r.toString.contains(p.stripPrefix("/"))))
+        => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      s"grown-index scan reads every cell (no partition filter):\n$f"))
   }
 }
