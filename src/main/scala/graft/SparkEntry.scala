@@ -1746,6 +1746,21 @@ object SparkEntry {
         codebooks = Some(Array.tabulate(8)(_ => Array(
           Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
           Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))))),
+    // Stored-PQ serve loop: the m-byte code relation - the ~32x-
+    // smaller artifact PQ exists to store - persisted bucketed by
+    // vec_id with the raw vectors beside it; the ADC compressed-
+    // domain scan reads the stored codes and only refine*k candidates
+    // per query touch the vectors. Shares q_ann_pq_injected's oracle.
+    "q_ann_pq_injected_stored" -> ((s, dir) => {
+      val cbs = Array.tabulate(8)(_ => Array(
+        Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+        Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+      val idx = graft.sources.AnnIndexStore.writePqIndex(
+        embeddings(s, dir), cbs)
+      graft.sources.AnnIndexStore.probePq(s, idx,
+        embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
+        refine = 4)
+    }),
     // Int8 quantization: symmetric max-abs scale + floor-based
     // rounding — every code bit oracled (floor is IEEE-exact where
     // round()'s half-cases are engine-defined). Codes ride as a CSV
@@ -3617,46 +3632,10 @@ object SparkEntry {
     // dot = sum of ±q[8m+1] in subspace order, refine keeps the top
     // 40 by approx (vec_id tie-break), then the bruteforce oracle's
     // exact-cosine rerank emits the top 10
-    "q_ann_pq_injected" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-        |  FROM e
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnorm
-        |  FROM n WHERE vec_id < 5
-        |), adc AS (
-        |  SELECT query_id, vec_id, qv, v,
-        |    list_sum(list_transform([0, 1, 2, 3, 4, 5, 6, 7],
-        |      m -> CASE WHEN v[8 * m + 1] > 0
-        |           THEN qv[8 * m + 1] ELSE -qv[8 * m + 1] END))
-        |      / (qnorm * nrm) AS approx
-        |  FROM n CROSS JOIN q
-        |  WHERE vec_id <> query_id
-        |), cut AS (
-        |  SELECT query_id, vec_id, qv, v,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY approx DESC, vec_id) AS ar
-        |  FROM adc
-        |), p AS (
-        |  SELECT query_id, vec_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * v[i])) AS dot,
-        |    list_sum(list_transform(qv, x -> x * x)) AS na,
-        |    list_sum(list_transform(v, x -> x * x)) AS nb
-        |  FROM cut WHERE ar <= 40
-        |), s AS (
-        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM p
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
-        |FROM s WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq_injected" -> PqInjectedOracle,
+    // stored-PQ serve face: the persisted code relation scanned in the
+    // compressed domain, same answer, storage lineage
+    "q_ann_pq_injected_stored" -> PqInjectedOracle,
     // semantic decontamination: rounded-cosine threshold join of the
     // corpus against the broadcast benchmark slice
     "q_sem_decontaminate" ->
@@ -6319,6 +6298,49 @@ object SparkEntry {
     * twin q_dedup_incr_minhash_stream: the exact cross-set 3-gram
     * Jaccard join (minhash banding finds these pairs with ~1e-22 miss
     * probability; every candidate is exact-verified). */
+  /** Shared oracle for q_ann_pq_injected + its stored-index twin:
+    * one answer, two plans (the IvfInjectedOracle convention). */
+  private val PqInjectedOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnorm
+        |  FROM n WHERE vec_id < 5
+        |), adc AS (
+        |  SELECT query_id, vec_id, qv, v,
+        |    list_sum(list_transform([0, 1, 2, 3, 4, 5, 6, 7],
+        |      m -> CASE WHEN v[8 * m + 1] > 0
+        |           THEN qv[8 * m + 1] ELSE -qv[8 * m + 1] END))
+        |      / (qnorm * nrm) AS approx
+        |  FROM n CROSS JOIN q
+        |  WHERE vec_id <> query_id
+        |), cut AS (
+        |  SELECT query_id, vec_id, qv, v,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx DESC, vec_id) AS ar
+        |  FROM adc
+        |), p AS (
+        |  SELECT query_id, vec_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * v[i])) AS dot,
+        |    list_sum(list_transform(qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(v, x -> x * x)) AS nb
+        |  FROM cut WHERE ar <= 40
+        |), s AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
+        |FROM s WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+
   /** Shared oracle for q_ann_ivf_injected + its stored-index twin:
     * injected axis centroids make cells, probe ranking, and the
     * exact-cosine rerank closed-form SQL. */

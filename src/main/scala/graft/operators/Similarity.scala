@@ -722,14 +722,26 @@ object Similarity {
     require(refine >= 1)
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val cbs = codebooks.getOrElse(pqCodebooks(e, m, kCodes, dim))
+    pqProbeFrom(pqEncode(e, cbs), e, e.filter(queryPred)
+      .toDF("query_id", "qv"), cbs, k, refine)
+  }
+
+  /** The ADC search + exact-rerank tail of [[pqTopK]], from explicit
+    * codes / raw-vector / query relations — what a STORED PQ index
+    * serves through ([[graft.sources.AnnIndexStore.probePq]]): the
+    * compressed-domain scan reads the persisted m-byte codes (the
+    * relation PQ exists to store — ~32x smaller than the corpus) and
+    * only the refine·k candidates per query touch the raw vectors. */
+  private[graft] def pqProbeFrom(codes: DataFrame, vecs: DataFrame,
+      queries: DataFrame, cbs: Array[Array[Array[Double]]], k: Int,
+      refine: Int): DataFrame = {
     val dsub = cbs(0)(0).length
-    val codes = pqEncode(e, cbs)
     // per-query LUT: lut(mi)(ci) = dot(q_mi, codebook(mi)(ci))
     val lutCol = array(cbs.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(col("qv"), mi * dsub + 1, dsub)
       array(cb.map(c => dot(sub, typedlit(c.toSeq))): _*)
     }: _*)
-    val q = e.filter(queryPred).toDF("query_id", "qv")
+    val q = queries
       .select(col("query_id"), col("qv"), lutCol.as("lut"),
         sqrt(normSq(col("qv"))).as("qnorm"))
     val adc = codes
@@ -744,7 +756,7 @@ object Similarity {
       .withColumn("r", row_number().over(probeRank))
       .filter(col("r") <= refine * k)
       .select("query_id", "qv", "vec_id")
-    val rescored = cand.join(e, Seq("vec_id"))
+    val rescored = cand.join(vecs, Seq("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     scoredTopK(rescored, k)
   }

@@ -118,6 +118,48 @@ object AnnIndexStore {
     IvfIndex(idx.paths :+ seg, idx.centroids)
   }
 
+  /** A persisted PQ index: the m-byte code relation — the ~32x-smaller
+    * artifact PQ exists to store — plus the raw vectors for the exact
+    * rerank, both bucketed by vec_id (the rerank's join key). The
+    * codebooks ride in the handle (the trained model, as
+    * [[IvfIndex]]'s centroids). */
+  final case class PqIndex(codesTable: String, vecsTable: String,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Persist the corpus's PQ code relation ([[Similarity.pqEncode]]
+    * under the given trained codebooks) plus the raw vectors. */
+  def writePqIndex(embs: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      buckets: Int = 8): PqIndex = {
+    val e = embs.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val key = DedupIndexStore.identityKey(embs)
+    val params = s"pq|$buckets|cb:" +
+      md5(codebooks.map(_.map(_.mkString(",")).mkString("|"))
+        .mkString(";"))
+    PqIndex(
+      DedupIndexStore.table("pq_codes", key, params, Seq("vec_id"),
+        buckets)(Similarity.pqEncode(e, codebooks)),
+      DedupIndexStore.table("pq_vecs", key, params, Seq("vec_id"),
+        buckets)(e),
+      codebooks)
+  }
+
+  /** Probe a stored PQ index — output identical to
+    * [[Similarity.pqTopK]] with the same injected codebooks: the ADC
+    * compressed-domain scan reads the persisted codes, and only the
+    * refine·k candidates per query join back to the stored raw
+    * vectors. */
+  def probePq(spark: SparkSession, idx: PqIndex, queries: DataFrame,
+      k: Int, refine: Int): DataFrame = {
+    DedupIndexStore.enableBucketedSortOrder(spark)
+    Similarity.pqProbeFrom(spark.table(idx.codesTable),
+      spark.table(idx.vecsTable),
+      queries.select(col("vec_id").as("query_id"),
+        Vectors.toDoubleVec(col("embedding")).as("qv")),
+      idx.codebooks, k, refine)
+  }
+
   /** Probe a stored IVF index — output identical to
     * [[Similarity.ivfTopK]] with the same injected centroids.
     * `queries` are raw embedding rows (vec_id, embedding, ...). The

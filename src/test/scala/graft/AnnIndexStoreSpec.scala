@@ -68,6 +68,28 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(other.paths != a.paths, "different centroids must not collide")
   }
 
+  test("stored PQ index: fresh-session probe == inline operator " +
+      "(same injected codebooks); built once per (corpus, codebooks)") {
+    val cbs = Array.tabulate(8)(_ => Array(
+      Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+      Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+    val inline = rows(Similarity.pqTopK(embs(spark),
+      col("vec_id") < 5, k = 10, m = 8, refine = 4, dim = 64,
+      codebooks = Some(cbs)))
+    assert(inline.nonEmpty)
+    val idx = AnnIndexStore.writePqIndex(embs(spark), cbs)
+    val fresh = spark.newSession()
+    val probe = AnnIndexStore.probePq(fresh, idx,
+      embs(fresh).filter(col("vec_id") < 5), k = 10, refine = 4)
+    assert(rows(probe) == inline)
+    val again = AnnIndexStore.writePqIndex(embs(spark), cbs)
+    assert(again.codesTable == idx.codesTable)
+    val other = AnnIndexStore.writePqIndex(embs(spark),
+      cbs.map(_.map(_.map(_ * 2.0))))
+    assert(other.codesTable != idx.codesTable,
+      "different codebooks must not collide")
+  }
+
   test("refreshed IVF index (segment append): probe == inline over " +
       "base ∪ accepted; base segment untouched; probe still prunes") {
     val e = embs(spark)
