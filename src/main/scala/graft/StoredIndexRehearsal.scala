@@ -171,6 +171,33 @@ object StoredIndexRehearsal {
           threshold = 0.9, tables = tables).count()
       }
     }
+    // PQ serving: the trained codebooks are the model (trained once,
+    // outside the arms — both arms inject them, the production
+    // shape); inline re-ENCODES the corpus to m-byte codes per query
+    // batch, stored reads the persisted code relation. The rerank
+    // touches raw vectors identically in both arms.
+    face("pq") {
+      import graft.operators.Similarity
+      import graft.sources.AnnIndexStore
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cbs = Similarity.pqCodebooks(
+        e.select(col("vec_id"),
+          graft.functions.Vectors.toDoubleVec(col("embedding")).as("v")),
+        m = 8, k = 16, dim = 64)
+      arm("pq", "inline") {
+        Similarity.pqTopK(e, col("vec_id") < 5, k = 10, m = 8,
+          refine = 4, dim = 64, codebooks = Some(cbs)).count()
+      }
+      var idx: AnnIndexStore.PqIndex = null
+      arm("pq", "build") {
+        idx = AnnIndexStore.writePqIndex(e, cbs, buckets = buckets)
+        spark.table(idx.codesTable).count()
+      }
+      arm("pq", "stored") {
+        AnnIndexStore.probePq(spark, idx,
+          e.filter(col("vec_id") < 5), k = 10, refine = 4).count()
+      }
+    }
     spark.stop()
   }
 }
