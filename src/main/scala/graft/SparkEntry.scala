@@ -1761,6 +1761,56 @@ object SparkEntry {
         embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
         refine = 4)
     }),
+    // IVF-PQ - the production FAISS composition (IVFADC), fully
+    // ORACLED in the injected regime: axis centroids fold the cell to
+    // the ivf_injected CASE, +-e1 residual codebooks fold code bit m
+    // to (v[8m+1] - 1{m=0, cell=0}) > 0 (the residual subtraction
+    // touches only subspace 0's tested coordinate, and only in cell
+    // 0), and ADC approx dot = qv[cell+1] + sum of +-qv[8m+1]. BOTH
+    // approximations bind (nProbe=2 of 3 cells, 8 sign bits) and the
+    // oracle models both cuts plus the exact rerank.
+    "q_ann_ivfpq_injected" -> ((s, dir) =>
+      Similarity.ivfPqTopK(embeddings(s, dir), col("vec_id") < 5,
+        k = 10, nCells = 3, nProbe = 2, m = 8, refine = 4, dim = 64,
+        centroids = Some(Array.tabulate(3)(kk =>
+          Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))),
+        codebooks = Some(Array.tabulate(8)(_ => Array(
+          Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+          Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))))),
+    // ... and served from STORAGE: cell-partitioned residual-code
+    // segments (the probe reads only its nProbe cells' CODE files -
+    // which are also ~32x smaller than the vectors) + bucketed raw
+    // vectors for the refine*k rerank. Same oracle verbatim.
+    "q_ann_ivfpq_injected_stored" -> ((s, dir) => {
+      val cents = Array.tabulate(3)(kk =>
+        Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))
+      val cbs = Array.tabulate(8)(_ => Array(
+        Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+        Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+      val idx = graft.sources.AnnIndexStore.writeIvfPqIndex(
+        embeddings(s, dir), cents, cbs)
+      graft.sources.AnnIndexStore.probeIvfPq(s, idx,
+        embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
+        nProbe = 2, refine = 4)
+    }),
+    // ... and its maintenance face: the accepted quarter assigns and
+    // residual-encodes against the frozen model and lands as an
+    // appended segment (O(batch)); probing the grown index covers the
+    // full relation - same oracle verbatim.
+    "q_ann_ivfpq_injected_refresh" -> ((s, dir) => {
+      val cents = Array.tabulate(3)(kk =>
+        Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))
+      val cbs = Array.tabulate(8)(_ => Array(
+        Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+        Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+      val e = embeddings(s, dir)
+      val v1 = graft.sources.AnnIndexStore.writeIvfPqIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), cents, cbs)
+      val v2 = graft.sources.AnnIndexStore.refreshIvfPqIndex(s, v1,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      graft.sources.AnnIndexStore.probeIvfPq(s, v2,
+        e.filter(col("vec_id") < 5), k = 10, nProbe = 2, refine = 4)
+    }),
     // Int8 quantization: symmetric max-abs scale + floor-based
     // rounding — every code bit oracled (floor is IEEE-exact where
     // round()'s half-cases are engine-defined). Codes ride as a CSV
@@ -3636,6 +3686,12 @@ object SparkEntry {
     // stored-PQ serve face: the persisted code relation scanned in the
     // compressed domain, same answer, storage lineage
     "q_ann_pq_injected_stored" -> PqInjectedOracle,
+    // IVF-PQ (IVFADC): one answer, three plans — inline, served from
+    // cell-partitioned residual-code segments, and segment-append
+    // refreshed over the same full relation
+    "q_ann_ivfpq_injected" -> IvfPqInjectedOracle,
+    "q_ann_ivfpq_injected_stored" -> IvfPqInjectedOracle,
+    "q_ann_ivfpq_injected_refresh" -> IvfPqInjectedOracle,
     // semantic decontamination: rounded-cosine threshold join of the
     // corpus against the broadcast benchmark slice
     "q_sem_decontaminate" ->
@@ -6344,6 +6400,65 @@ object SparkEntry {
   /** Shared oracle for q_ann_ivf_injected + its stored-index twin:
     * injected axis centroids make cells, probe ranking, and the
     * exact-cosine rerank closed-form SQL. */
+  /** Shared oracle for q_ann_ivfpq_injected and its stored/refresh
+    * twins — the FAISS IVFADC composition in closed form: the
+    * ivf_injected cell CASE, residual code bit m =
+    * (v[8m+1] − 1{m=0, cell=0}) > 0, ADC approx dot = qv[cell+1] +
+    * Σ ±qv[8m+1], refine-40 cut, exact-cosine top-10 rerank. */
+  private val IvfPqInjectedOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings
+      |), cellq AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] THEN 0
+      |         WHEN v[2] >= v[3] THEN 1 ELSE 2 END AS cell,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+      |  FROM e WHERE vec_id < 5
+      |), probes AS (
+      |  SELECT query_id, qv, qnorm, cell FROM (
+      |    SELECT query_id, qv, qnorm, u.c AS cell,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY qv[u.c + 1] DESC, u.c) AS r
+      |    FROM q, unnest([0, 1, 2]) AS u(c)
+      |  ) WHERE r <= 2
+      |), adc AS (
+      |  SELECT query_id, vec_id, qv, v,
+      |    (qv[cell + 1] + list_sum(list_transform(
+      |      [0, 1, 2, 3, 4, 5, 6, 7],
+      |      m -> CASE WHEN v[8 * m + 1]
+      |             - (CASE WHEN m = 0 AND cell = 0 THEN 1 ELSE 0 END)
+      |             > 0
+      |           THEN qv[8 * m + 1] ELSE -qv[8 * m + 1] END)))
+      |      / (qnorm * vnorm) AS approx
+      |  FROM probes JOIN cellq USING (cell)
+      |  WHERE vec_id <> query_id
+      |), cut AS (
+      |  SELECT query_id, vec_id, qv, v,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY approx DESC, vec_id) AS ar
+      |  FROM adc
+      |), p AS (
+      |  SELECT query_id, vec_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i] * v[i])) AS dot,
+      |    list_sum(list_transform(qv, x -> x * x)) AS na,
+      |    list_sum(list_transform(v, x -> x * x)) AS nb
+      |  FROM cut WHERE ar <= 40
+      |), s AS (
+      |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+      |  FROM p
+      |)
+      |SELECT query_id, vec_id, round(cos, 4) + 0.0 AS cos, rank
+      |FROM s WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   private val IvfInjectedOracle: String =
     """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

@@ -659,7 +659,15 @@ object Similarity {
     * to the widest subspace with copies of that subspace's FIRST
     * centroid: a padded copy ties with index 0 and strict `>` keeps
     * the first, so codes are provably unchanged by padding. */
-  def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    e.select(col("vec_id"), pqCodesColumn(codebooks, col("v")).as("codes"),
+      sqrt(normSq(col("v"))).as("vnorm"))
+
+  /** The fused [[graft.functions.PqCodes]] encoder as a column over an
+    * arbitrary input vector — shared by [[pqEncode]] (raw vectors) and
+    * [[ivfPqTopK]] (cell residuals). */
+  private def pqCodesColumn(codebooks: Array[Array[Array[Double]]],
+      in: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     val dsub = codebooks(0)(0).length
     val m = codebooks.length
@@ -669,10 +677,8 @@ object Similarity {
       cb(if (idx % kMax < cb.length) idx % kMax else 0)
     }
     val halfNorms = flat.map(c => c.map(x => x * x).sum / 2.0)
-    val codes = ColumnBridge.column(graft.functions.PqCodes(
-      ColumnBridge.expression(col("v")), flat, halfNorms, m, kMax, dsub))
-    e.select(col("vec_id"), codes.as("codes"),
-      sqrt(normSq(col("v"))).as("vnorm"))
+    ColumnBridge.column(graft.functions.PqCodes(
+      ColumnBridge.expression(in), flat, halfNorms, m, kMax, dsub))
   }
 
   /** The composed slice + per-centroid [[graft.functions.DotProduct]]
@@ -750,6 +756,106 @@ object Similarity {
         aggregate(zip_with(col("lut"), col("codes"),
             (l, c) => element_at(l, c + 1)),
           lit(0.0), (acc, x) => acc + x) / (col("qnorm") * col("vnorm")))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = adc
+      .withColumn("r", row_number().over(probeRank))
+      .filter(col("r") <= refine * k)
+      .select("query_id", "qv", "vec_id")
+    val rescored = cand.join(vecs, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    scoredTopK(rescored, k)
+  }
+
+  /** IVF-PQ approximate top-k — the production FAISS composition
+    * (IVFADC, Jégou et al. TPAMI'11 §IV): the corpus partitions into
+    * `nCells` Voronoi cells (the coarse quantizer, [[ivfAssign]]), and
+    * each vector stores an m-byte PQ code of its RESIDUAL v − c(cell)
+    * — residuals concentrate near the origin, so the same codebook
+    * budget quantizes them far better than raw vectors. A query scans
+    * ONLY its `nProbe` cells' codes: approx dot = q·c(cell) +
+    * Σ_m lut[m][code_m] — the per-(query, cell) constant q·c hoisted
+    * out of the per-row loop, the rest m table lookups per row
+    * (`zip_with` + `aggregate`, codegen'd). The top `refine·k` by
+    * approximate cosine rerank by exact cosine, [[pqTopK]]'s repair
+    * step. Both models inject (`centroids` + `codebooks` ARE the
+    * trained index — the build-once shape of [[ivfTopK]]/[[pqTopK]]);
+    * defaults train per call, acceptable only for one-shot queries.
+    *
+    * Scale shape: the index relation is (vec_id, cell, codes, vnorm)
+    * — cell-partitionable AND ~32x smaller than the corpus, the
+    * combination that serves web-scale ANN from storage
+    * ([[graft.sources.AnnIndexStore.writeIvfPqIndex]]); per query
+    * batch the scan reads nProbe/nCells of the code relation and the
+    * raw vectors surface only for refine·k candidates. */
+  def ivfPqTopK(embs: DataFrame, queryPred: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      refine: Int = 4, dim: Int = 64, kmeansIters: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(nProbe <= nCells && refine >= 1)
+    val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val cents = centroids.getOrElse(ivfCentroids(e, nCells, kmeansIters))
+    val cbs = codebooks.getOrElse {
+      // default training runs on residuals — the model must quantize
+      // what it will encode
+      val assign = ivfAssign(e, cents)
+      pqCodebooks(residuals(assign, cents)
+        .select(col("vec_id"), col("rv").as("v")), m, kCodes, dim)
+    }
+    ivfPqProbeFrom(ivfPqIndexRows(e, cents, cbs), e,
+      e.filter(queryPred).toDF("query_id", "qv"), cents, cbs, k,
+      nProbe, refine)
+  }
+
+  /** v − c(cell) per assigned row, via one flat literal of the
+    * centroid matrix (codegen-friendly: no per-cell branch). */
+  private def residuals(assign: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val dim = cents(0).length
+    val flat = typedlit(cents.flatten.toSeq)
+    assign.withColumn("rv",
+      zip_with(col("v"), sequence(lit(0), lit(dim - 1)),
+        (x, i) => x - element_at(flat, col("cell") * dim + i + 1)))
+  }
+
+  /** The IVF-PQ index relation: (vec_id, cell, codes, vnorm) — the
+    * residual-encoded, cell-addressed, norm-carrying form a
+    * deployment persists partitioned by cell. */
+  private[graft] def ivfPqIndexRows(e: DataFrame,
+      cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    residuals(ivfAssign(e, cents), cents)
+      .select(col("vec_id"), col("cell"),
+        pqCodesColumn(cbs, col("rv")).as("codes"),
+        sqrt(normSq(col("v"))).as("vnorm"))
+
+  /** The probe half of [[ivfPqTopK]], from explicit index / raw-vector
+    * relations (fresh or reopened from storage). */
+  private[graft] def ivfPqProbeFrom(idx: DataFrame, vecs: DataFrame,
+      queries: DataFrame, cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      refine: Int): DataFrame = {
+    val dsub = cbs(0)(0).length
+    // residual-codebook LUT + the q·c(cell) constant, per probed cell
+    val lutCol = array(cbs.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      array(cb.map(c => dot(sub, typedlit(c.toSeq))): _*)
+    }: _*)
+    val qcCol = element_at(
+      array(cents.map(c => dot(col("qv"), typedlit(c.toSeq))): _*),
+      col("cell") + 1)
+    val qc = ivfProbes(queries, cents, nProbe)
+      .select(col("query_id"), col("qv"), col("cell"),
+        lutCol.as("lut"), qcCol.as("qc"),
+        sqrt(normSq(col("qv"))).as("qnorm"))
+    val adc = idx.join(broadcast(qc), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        (col("qc") + aggregate(zip_with(col("lut"), col("codes"),
+            (l, c) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+          / (col("qnorm") * col("vnorm")))
     val probeRank = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("vec_id").asc)
     val cand = adc

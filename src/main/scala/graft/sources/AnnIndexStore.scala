@@ -118,6 +118,113 @@ object AnnIndexStore {
     IvfIndex(idx.paths :+ seg, idx.centroids)
   }
 
+  /** A persisted IVF-PQ index — the production FAISS composition
+    * stored: (vec_id, cell, codes, vnorm) segments partitioned by
+    * cell (so a probe reads nProbe/nCells of the files) with
+    * residual-encoded m-byte codes (so what it reads is ~32x smaller
+    * than raw vectors), plus the raw vectors bucketed by vec_id for
+    * the exact rerank. Centroids + codebooks are the trained model in
+    * the handle; `paths` is the segment list ([[IvfIndex]]'s append
+    * model). */
+  final case class IvfPqIndex(paths: Seq[String], vecsTable: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  private def ivfPqDigest(centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): String =
+    md5(centroids.map(_.mkString(",")).mkString(";") + "#" +
+      codebooks.map(_.map(_.mkString(",")).mkString("|")).mkString(";"))
+
+  /** Persist the corpus's IVF-PQ index: residual-encoded code segments
+    * partitioned by cell + the raw vectors bucketed by vec_id. */
+  def writeIvfPqIndex(embs: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      buckets: Int = 8): IvfPqIndex = {
+    val e = embs.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val digest = ivfPqDigest(centroids, codebooks)
+    def write(dir: String): String = {
+      createdDirs.add(dir)
+      Similarity.ivfPqIndexRows(e, centroids, codebooks)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    val key = DedupIndexStore.identityKey(embs)
+    val path = key match {
+      case None =>
+        write(java.nio.file.Files
+          .createTempDirectory(
+            s"graft-ivfpq-tmp${seq.incrementAndGet()}").toString)
+      case Some(k) =>
+        built.computeIfAbsent(md5(k + "|ivfpq|" + digest),
+          h => write(java.nio.file.Files
+            .createTempDirectory(s"graft-ivfpq-$h").toString))
+    }
+    IvfPqIndex(Seq(path),
+      DedupIndexStore.table("ivfpq_vecs", key, s"vecs|$buckets|$digest",
+        Seq("vec_id"), buckets)(e),
+      centroids, codebooks)
+  }
+
+  /** Fold newly accepted vectors into a stored IVF-PQ index — the
+    * [[refreshIvfIndex]] segment-append model: the batch assigns and
+    * residual-encodes against the frozen model and lands as a new
+    * cell-partitioned segment (O(batch); base segments untouched);
+    * the rerank vectors append as a bucketed table version. */
+  def refreshIvfPqIndex(spark: SparkSession, idx: IvfPqIndex,
+      accepted: DataFrame, buckets: Int = 8): IvfPqIndex = {
+    val e = accepted.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val digest = ivfPqDigest(idx.centroids, idx.codebooks)
+    def write(dir: String): String = {
+      createdDirs.add(dir)
+      Similarity.ivfPqIndexRows(e, idx.centroids, idx.codebooks)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    val key = DedupIndexStore.identityKey(accepted)
+    val seg = key match {
+      case None =>
+        write(java.nio.file.Files
+          .createTempDirectory(
+            s"graft-ivfpqr-tmp${seq.incrementAndGet()}").toString)
+      case Some(k) =>
+        built.computeIfAbsent(
+          md5(s"refresh|${idx.paths.mkString(",")}|$k|ivfpq|$digest"),
+          h => write(java.nio.file.Files
+            .createTempDirectory(s"graft-ivfpqr-$h").toString))
+    }
+    IvfPqIndex(idx.paths :+ seg,
+      DedupIndexStore.table("ivfpq_vecs_r",
+        key.map(k => s"refresh|${idx.vecsTable}|$k"),
+        s"vecs|$buckets|$digest", Seq("vec_id"), buckets)(
+        spark.table(idx.vecsTable).unionByName(e)),
+      idx.centroids, idx.codebooks)
+  }
+
+  /** Probe a stored IVF-PQ index — output identical to
+    * [[Similarity.ivfPqTopK]] with the same injected model: the
+    * probed cell ids become a literal partition filter per segment
+    * (the scan reads only those cells' CODE files), and only
+    * refine·k candidates per query join back to the stored raw
+    * vectors. */
+  def probeIvfPq(spark: SparkSession, idx: IvfPqIndex,
+      queries: DataFrame, k: Int, nProbe: Int,
+      refine: Int): DataFrame = {
+    DedupIndexStore.enableBucketedSortOrder(spark)
+    val qs = queries.select(col("vec_id").as("query_id"),
+      Vectors.toDoubleVec(col("embedding")).as("qv"))
+    val cells = Similarity.ivfProbes(qs, idx.centroids, nProbe)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    Similarity.ivfPqProbeFrom(
+      idx.paths.map(p => spark.read.parquet(p)
+          .filter(col("cell").isin(cells.map(Int.box): _*)))
+        .reduce(_ unionByName _),
+      spark.table(idx.vecsTable), qs, idx.centroids, idx.codebooks,
+      k, nProbe, refine)
+  }
+
   /** A persisted PQ index: the m-byte code relation — the ~32x-smaller
     * artifact PQ exists to store — plus the raw vectors for the exact
     * rerank, both bucketed by vec_id (the rerank's join key). The

@@ -90,6 +90,50 @@ class AnnIndexStoreSpec extends SparkSpec {
       "different codebooks must not collide")
   }
 
+  test("stored IVF-PQ index: fresh-session probe == inline; code " +
+      "segments partition-prune; segment-append refresh == inline") {
+    val cents = planes
+    val cbs = Array.tabulate(8)(_ => Array(
+      Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+      Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+    val inline = rows(Similarity.ivfPqTopK(embs(spark),
+      col("vec_id") < 5, k = 10, nCells = 3, nProbe = 2, m = 8,
+      refine = 4, dim = 64, centroids = Some(cents),
+      codebooks = Some(cbs)))
+    assert(inline.nonEmpty)
+    val idx = AnnIndexStore.writeIvfPqIndex(embs(spark), cents, cbs)
+    val fresh = spark.newSession()
+    val probe = AnnIndexStore.probeIvfPq(fresh, idx,
+      embs(fresh).filter(col("vec_id") < 5), k = 10, nProbe = 2,
+      refine = 4)
+    assert(rows(probe) == inline)
+    probe.collect()
+    val scans = allNodes(probe.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(r =>
+            idx.paths.exists(p => r.toString.contains(p.stripPrefix("/"))))
+        => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      s"IVF-PQ code scan reads every cell (no partition filter):\n$f"))
+    // maintenance: the accepted quarter folds in as an appended
+    // segment; the grown index answers like the inline operator over
+    // the full relation, and the base segment's files are untouched
+    val e = embs(spark)
+    val v1 = AnnIndexStore.writeIvfPqIndex(
+      e.filter(pmod(col("vec_id"), lit(4)) =!= 0), cents, cbs)
+    val filesBefore = spark.read.parquet(v1.paths: _*).inputFiles.sorted
+    val v2 = AnnIndexStore.refreshIvfPqIndex(spark, v1,
+      e.filter(pmod(col("vec_id"), lit(4)) === 0))
+    assert(v2.paths.startsWith(v1.paths) && v2.paths.size == 2)
+    assert(spark.read.parquet(v1.paths: _*).inputFiles.sorted
+      .sameElements(filesBefore))
+    assert(rows(AnnIndexStore.probeIvfPq(spark, v2,
+      e.filter(col("vec_id") < 5), k = 10, nProbe = 2,
+      refine = 4)) == inline)
+  }
+
   test("refreshed IVF index (segment append): probe == inline over " +
       "base ∪ accepted; base segment untouched; probe still prunes") {
     val e = embs(spark)

@@ -286,6 +286,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("IVF-PQ with a zero coarse quantizer and a perfect residual " +
+      "codebook reproduces brute force exactly") {
+    // one cell at the origin: residual = v and the q·c term = 0, so
+    // IVFADC degenerates to plain ADC; a perfect residual codebook
+    // (every subvector IS a centroid) then makes approx scores the
+    // true dots — the composition's plumbing (cell join, residual
+    // encode, hoisted q·c, LUT fold, rerank) must lose nothing
+    val dim = 8
+    val vecs = (0 until 20).map { i =>
+      val a = Array.tabulate(dim)(j =>
+        (((i * 31 + j * 17) % 13) - 6) / 7.0f + 0.01f * (j + 1))
+      (i.toLong, a)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val all = vecs.map(_._2.map(_.toDouble))
+    val cbs = Array.tabulate(4) { mi =>
+      all.map(_.slice(mi * 2, mi * 2 + 2)).distinct.toArray
+    }
+    val got = Similarity.ivfPqTopK(e, col("vec_id") < 3, k = 5,
+      nCells = 1, nProbe = 1, m = 4, refine = 1, dim = dim,
+      centroids = Some(Array(Array.fill(dim)(0.0))),
+      codebooks = Some(cbs))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val want = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("IVF centroids: k-means seeding recovers clusters where first-N fails") {
     // Two tight clusters whose ids correlate with geometry (the ingest-
     // order hazard): ids 0-11 hug the x-axis, ids 12-23 the y-axis,
