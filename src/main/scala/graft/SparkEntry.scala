@@ -1793,6 +1793,24 @@ object SparkEntry {
         embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
         nProbe = 2, refine = 4)
     }),
+    // ... the maintenance loop DRAINED: the delta quarter arrives as
+    // a vector STREAM, each micro-batch appending a segment via
+    // foreachBatch (frozen model, base segments untouched), the grown
+    // index serving the queries. Segment order is irrelevant, so the
+    // answer is q_ann_ivfpq_injected's verbatim.
+    "q_ann_ivfpq_stream" -> ((s, dir) => {
+      val cents = Array.tabulate(3)(kk =>
+        Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))
+      val cbs = Array.tabulate(8)(_ => Array(
+        Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+        Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+      val e = embeddings(s, dir)
+      graft.streaming.EventStreams.drainIvfPqMaintenance(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(4)) === 0),
+        e.filter(col("vec_id") < 5), cents, cbs, k = 10, nProbe = 2,
+        refine = 4)
+    }),
     // ... and its maintenance face: the accepted quarter assigns and
     // residual-encodes against the frozen model and lands as an
     // appended segment (O(batch)); probing the grown index covers the
@@ -3692,6 +3710,9 @@ object SparkEntry {
     "q_ann_ivfpq_injected" -> IvfPqInjectedOracle,
     "q_ann_ivfpq_injected_stored" -> IvfPqInjectedOracle,
     "q_ann_ivfpq_injected_refresh" -> IvfPqInjectedOracle,
+    // the drained maintenance loop covers the same full relation —
+    // fourth plan on the same answer
+    "q_ann_ivfpq_stream" -> IvfPqInjectedOracle,
     // semantic decontamination: rounded-cosine threshold join of the
     // corpus against the broadcast benchmark slice
     "q_sem_decontaminate" ->

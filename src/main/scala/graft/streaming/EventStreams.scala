@@ -1816,4 +1816,44 @@ object EventStreams extends Serializable {
     } finally tmp.foreach(deleteReplayDir)
     graft.sources.PostingsStore.phraseSearch(spark, idx, phrase)
   }
+
+  /** [[drainPostingsMaintenance]] for the ANN family: a VECTOR stream
+    * folds into the stored IVF-PQ index — each micro-batch assigns and
+    * residual-encodes against the frozen model and lands as an
+    * APPENDED cell-partitioned segment
+    * ([[graft.sources.AnnIndexStore.refreshIvfPqIndex]], O(batch) per
+    * fold, base segments never touched), and the grown index serves
+    * the query batch. Segment order is irrelevant (segments are
+    * disjoint row sets a probe unions), so any chunking converges to
+    * the same index — the answer equals the inline operator over
+    * base ∪ delta, q_ann_ivfpq_injected's oracle verbatim when the
+    * split covers the whole relation. */
+  def drainIvfPqMaintenance(baseVecs: DataFrame, deltaVecs: DataFrame,
+      queries: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      refine: Int, nBatches: Int = 3): DataFrame = {
+    val spark = baseVecs.sparkSession
+    var idx = graft.sources.AnnIndexStore.writeIvfPqIndex(baseVecs,
+      centroids, codebooks)
+    if (deltaVecs.isEmpty)
+      return graft.sources.AnnIndexStore.probeIvfPq(spark, idx,
+        queries, k, nProbe, refine)
+    val (stream, tmp) = replayForDrain(
+      deltaVecs.select(col("vec_id"), col("embedding")), "vec_id",
+      nBatches)
+    try withDrainShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch((batch: DataFrame, _: Long) => {
+          idx = graft.sources.AnnIndexStore.refreshIvfPqIndex(spark,
+            idx, batch)
+          ()
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally tmp.foreach(deleteReplayDir)
+    graft.sources.AnnIndexStore.probeIvfPq(spark, idx, queries, k,
+      nProbe, refine)
+  }
 }

@@ -134,6 +134,33 @@ class AnnIndexStoreSpec extends SparkSpec {
       refine = 4)) == inline)
   }
 
+  test("streamed IVF-PQ maintenance loop: delta vectors appending " +
+      "segments per micro-batch serve the inline answer; empty delta " +
+      "serves v1") {
+    val cents = planes
+    val cbs = Array.tabulate(8)(_ => Array(
+      Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+      Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+    val e = embs(spark)
+    val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val queries = e.filter(col("vec_id") < 5)
+    val inline = rows(Similarity.ivfPqTopK(e, col("vec_id") < 5,
+      k = 10, nCells = 3, nProbe = 2, m = 8, refine = 4, dim = 64,
+      centroids = Some(cents), codebooks = Some(cbs)))
+    assert(rows(graft.streaming.EventStreams.drainIvfPqMaintenance(
+      base, delta, queries, cents, cbs, k = 10, nProbe = 2,
+      refine = 4)) == inline)
+    // empty delta: nothing folds — the answer is a direct probe of
+    // the base-only v1 index (queries need not be index members)
+    val v1 = AnnIndexStore.writeIvfPqIndex(base, cents, cbs)
+    assert(rows(graft.streaming.EventStreams.drainIvfPqMaintenance(
+      base, delta.limit(0), queries, cents, cbs, k = 10, nProbe = 2,
+      refine = 4)) ==
+      rows(AnnIndexStore.probeIvfPq(spark, v1, queries, k = 10,
+        nProbe = 2, refine = 4)))
+  }
+
   test("refreshed IVF index (segment append): probe == inline over " +
       "base ∪ accepted; base segment untouched; probe still prunes") {
     val e = embs(spark)
