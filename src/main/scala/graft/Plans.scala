@@ -54,7 +54,10 @@ object Plans {
       "q_pack_padding", "q_decontaminate_spans", "q_embed_profile",
       "q_salt_plan", "q_corpus_overlap_incr", "q_dedup_incr_simhash",
       "q_dedup_incr_minhash_stored", "q_dedup_incr_exact_stored",
-      "q_dedup_incr_minhash_refresh")
+      "q_dedup_incr_minhash_refresh",
+      "q_phrase_search_stored", "q_bm25_stored", "q_phrase_prox_stored",
+      "q_phrase_search_refresh", "q_ann_ivfpq_injected",
+      "q_ann_ivfpq_injected_stored")
     // NOT headline: the trainer queries (q_bpe_vocab, q_wordpiece_
     // vocab) and the drained-stream twin (q_dedup_incr_exact_stream)
     // — their returned relation is driver-materialized (rule tables /

@@ -77,8 +77,14 @@ class OracleExactnessSpec extends AnyFunSuite {
   // identical-double inputs only (cosines/z-scores/means/tf-idf...)
   private val RoundAllowed = Set(
     "q_ann_bruteforce", "q_ann_hamming", "q_ann_ivf_injected",
-    "q_ann_ivf_injected_stored",
-    "q_ann_lsh_injected", "q_ann_pq_injected", "q_bm25",
+    "q_ann_ivf_injected_stored", "q_ann_ivf_injected_refresh",
+    // the r12 stored/refresh/stream serve faces SHARE their inline
+    // twins' oracle text verbatim (one answer, N plans), so every
+    // construct below is the already-proven use counted once more
+    "q_ann_ivfpq_injected", "q_ann_ivfpq_injected_stored",
+    "q_ann_ivfpq_injected_refresh", "q_ann_ivfpq_stream",
+    "q_ann_lsh_injected", "q_ann_pq_injected",
+    "q_ann_pq_injected_stored", "q_bm25", "q_bm25_stored",
     "q_corpus_drift", "q_dedup_containment", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
     "q_dedup_incr_embedding", "q_dedup_incr_embedding_stream",
@@ -121,8 +127,8 @@ class OracleExactnessSpec extends AnyFunSuite {
   }
 
   private val LnAllowed = Set(
-    "q_bm25", "q_corpus_drift", "q_retrieval_rrf", "q_text_pmi",
-    "q_tfidf")
+    "q_bm25", "q_bm25_stored", "q_corpus_drift", "q_retrieval_rrf",
+    "q_text_pmi", "q_tfidf")
 
   test("ln( allowlist frozen") {
     assertFrozen("ln(", "\\bln\\(", LnAllowed)
@@ -130,8 +136,11 @@ class OracleExactnessSpec extends AnyFunSuite {
 
   private val SqrtAllowed = Set(
     "q_ann_bruteforce", "q_ann_hamming", "q_ann_ivf_injected",
-    "q_ann_ivf_injected_stored",
-    "q_ann_lsh_injected", "q_ann_pq_injected", "q_dedup_embedding",
+    "q_ann_ivf_injected_stored", "q_ann_ivf_injected_refresh",
+    "q_ann_ivfpq_injected", "q_ann_ivfpq_injected_stored",
+    "q_ann_ivfpq_injected_refresh", "q_ann_ivfpq_stream",
+    "q_ann_lsh_injected", "q_ann_pq_injected",
+    "q_ann_pq_injected_stored", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
     "q_dedup_incr_embedding", "q_dedup_incr_embedding_stream",
     "q_dedup_incr_embedding_stored",
@@ -226,8 +235,12 @@ class OracleExactnessSpec extends AnyFunSuite {
     // per construct makes ANY added or removed use cost one conscious
     // number change here.
     val totals = Seq(
-      "round\\(" -> 87, "log2\\(" -> 32, "\\bln\\(" -> 5,
-      "sqrt\\(" -> 85, "//" -> 149, "quantile_cont" -> 4)
+      // r12 re-freeze: +7 round / +1 ln / +33 sqrt — every delta an
+      // oracle-val SHARED onto a new stored/refresh/stream key
+      // (IvfInjected +1, PqInjected +1, Bm25 +1, IvfPq x4) with the
+      // construct uses identical to the proven twins
+      "round\\(" -> 94, "log2\\(" -> 32, "\\bln\\(" -> 6,
+      "sqrt\\(" -> 118, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
       if (got != want) Some(s"$re: $got (frozen $want)") else None
