@@ -198,6 +198,49 @@ object StoredIndexRehearsal {
           e.filter(col("vec_id") < 5), k = 10, refine = 4).count()
       }
     }
+    // IVF-PQ serving: the trained model (centroids + residual
+    // codebooks) injected into both arms; inline re-assigns and
+    // re-encodes the corpus per query batch, stored reads only the
+    // probed cells' code files; refresh appends the batch quarter as
+    // a segment (O(batch) - contrast the postings/dedup O(index)
+    // merges).
+    face("ivfpq") {
+      import graft.operators.Similarity
+      import graft.sources.AnnIndexStore
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val ev = e.select(col("vec_id"),
+        graft.functions.Vectors.toDoubleVec(col("embedding")).as("v"))
+      val cents = Similarity.ivfCentroids(ev, 16, 2)
+      val cbs = Similarity.pqCodebooks(ev, m = 8, k = 16, dim = 64)
+      arm("ivfpq", "inline") {
+        Similarity.ivfPqTopK(e, col("vec_id") < 5, k = 10, nCells = 16,
+          nProbe = 4, m = 8, refine = 4, dim = 64,
+          centroids = Some(cents), codebooks = Some(cbs)).count()
+      }
+      var idx: AnnIndexStore.IvfPqIndex = null
+      arm("ivfpq", "build") {
+        idx = AnnIndexStore.writeIvfPqIndex(e, cents, cbs,
+          buckets = buckets)
+        spark.read.parquet(idx.paths.head).count()
+      }
+      arm("ivfpq", "stored") {
+        AnnIndexStore.probeIvfPq(spark, idx,
+          e.filter(col("vec_id") < 5), k = 10, nProbe = 4,
+          refine = 4).count()
+      }
+      // refresh is measured against a base-quarter split (v1 build
+      // paid outside the arm — same work "build" measures); the arm
+      // is the O(batch) segment append alone
+      val v1 = AnnIndexStore.writeIvfPqIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), cents, cbs,
+        buckets = buckets)
+      arm("ivfpq", "refresh") {
+        val v2 = AnnIndexStore.refreshIvfPqIndex(spark, v1,
+          e.filter(pmod(col("vec_id"), lit(4)) === 0),
+          buckets = buckets)
+        spark.read.parquet(v2.paths.last).count()
+      }
+    }
     spark.stop()
   }
 }
