@@ -240,6 +240,16 @@ object StoredIndexRehearsal {
           buckets = buckets)
         spark.read.parquet(v2.paths.last).count()
       }
+      // the drained maintenance LOOP (q_ann_ivfpq_stream's shape):
+      // 3 foreachBatch segment appends over the delta replay plus the
+      // final stored serve (v1 reuses the refresh arm's registry hit)
+      arm("ivfpq", "maint_stream") {
+        graft.streaming.EventStreams.drainIvfPqMaintenance(
+          e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+          e.filter(pmod(col("vec_id"), lit(4)) === 0),
+          e.filter(col("vec_id") < 5), cents, cbs, k = 10,
+          nProbe = 4, refine = 4).count()
+      }
     }
     spark.stop()
   }
