@@ -1793,6 +1793,27 @@ object SparkEntry {
         embeddings(s, dir).filter(col("vec_id") < 5), k = 10,
         nProbe = 2, refine = 4)
     }),
+    // ... the COMPACTION face (LSM's third verb): v1 over the base
+    // quarter-split, the delta folds in as an appended segment, then
+    // compaction rewrites the two segments as ONE cell-partitioned
+    // segment in a single O(index) pass (corpus never re-read, model
+    // never re-applied) - probing the compacted index is exactly
+    // probing the segment list, so the oracle is shared verbatim.
+    "q_ann_ivfpq_injected_compact" -> ((s, dir) => {
+      val cents = Array.tabulate(3)(kk =>
+        Array.tabulate(64)(i => if (i == kk) 1.0 else 0.0))
+      val cbs = Array.tabulate(8)(_ => Array(
+        Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+        Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+      val e = embeddings(s, dir)
+      val v1 = graft.sources.AnnIndexStore.writeIvfPqIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), cents, cbs)
+      val v2 = graft.sources.AnnIndexStore.refreshIvfPqIndex(s, v1,
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
+      val v3 = graft.sources.AnnIndexStore.compactIvfPqIndex(s, v2)
+      graft.sources.AnnIndexStore.probeIvfPq(s, v3,
+        e.filter(col("vec_id") < 5), k = 10, nProbe = 2, refine = 4)
+    }),
     // ... the maintenance loop DRAINED: the delta quarter arrives as
     // a vector STREAM, each micro-batch appending a segment via
     // foreachBatch (frozen model, base segments untouched), the grown
@@ -3710,9 +3731,10 @@ object SparkEntry {
     "q_ann_ivfpq_injected" -> IvfPqInjectedOracle,
     "q_ann_ivfpq_injected_stored" -> IvfPqInjectedOracle,
     "q_ann_ivfpq_injected_refresh" -> IvfPqInjectedOracle,
-    // the drained maintenance loop covers the same full relation —
-    // fourth plan on the same answer
+    // the drained maintenance loop and the compacted index cover the
+    // same full relation — fourth and fifth plans on the same answer
     "q_ann_ivfpq_stream" -> IvfPqInjectedOracle,
+    "q_ann_ivfpq_injected_compact" -> IvfPqInjectedOracle,
     // semantic decontamination: rounded-cosine threshold join of the
     // corpus against the broadcast benchmark slice
     "q_sem_decontaminate" ->

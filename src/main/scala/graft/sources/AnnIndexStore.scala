@@ -203,6 +203,42 @@ object AnnIndexStore {
       idx.centroids, idx.codebooks)
   }
 
+  /** Compact a (possibly much-refreshed) segmented index back to ONE
+    * cell-partitioned segment — the LSM discipline's third verb
+    * (build → refresh per ingest → compact on a period): probe cost
+    * grows with the segment count (one pruned scan per segment), so a
+    * deployment periodically rewrites the union. One O(index) pass
+    * over the stored segments; the corpus is never re-read, the model
+    * never re-applied (segments already carry cell + codes), and the
+    * input segments stay readable until swept — probing the compacted
+    * index is EXACTLY probing the segment list (disjoint row sets,
+    * union order irrelevant). Shared by [[IvfIndex]] and
+    * [[IvfPqIndex]] via the segment list. */
+  private def compactSegments(spark: SparkSession, paths: Seq[String],
+      family: String): Seq[String] = {
+    if (paths.size == 1) return paths
+    def write(dir: String): String = {
+      createdDirs.add(dir)
+      paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    Seq(built.computeIfAbsent(
+      md5(s"compact|$family|${paths.mkString(",")}"),
+      h => write(java.nio.file.Files
+        .createTempDirectory(s"graft-$family-c$h").toString)))
+  }
+
+  /** [[compactSegments]] for a stored IVF index. */
+  def compactIvfIndex(spark: SparkSession, idx: IvfIndex): IvfIndex =
+    IvfIndex(compactSegments(spark, idx.paths, "ivf"), idx.centroids)
+
+  /** [[compactSegments]] for a stored IVF-PQ index. */
+  def compactIvfPqIndex(spark: SparkSession,
+      idx: IvfPqIndex): IvfPqIndex =
+    IvfPqIndex(compactSegments(spark, idx.paths, "ivfpq"),
+      idx.vecsTable, idx.centroids, idx.codebooks)
+
   /** Probe a stored IVF-PQ index — output identical to
     * [[Similarity.ivfPqTopK]] with the same injected model: the
     * probed cell ids become a literal partition filter per segment

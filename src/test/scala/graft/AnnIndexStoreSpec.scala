@@ -134,6 +134,40 @@ class AnnIndexStoreSpec extends SparkSpec {
       refine = 4)) == inline)
   }
 
+  test("compacted segmented index: one segment, same probe answers, " +
+      "pruning intact; single-segment compaction is a no-op") {
+    val cents = planes
+    val cbs = Array.tabulate(8)(_ => Array(
+      Array.tabulate(8)(j => if (j == 0) -1.0 else 0.0),
+      Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+    val e = embs(spark)
+    val v1 = AnnIndexStore.writeIvfPqIndex(
+      e.filter(pmod(col("vec_id"), lit(4)) =!= 0), cents, cbs)
+    val v2 = AnnIndexStore.refreshIvfPqIndex(spark, v1,
+      e.filter(pmod(col("vec_id"), lit(4)) === 0))
+    val v3 = AnnIndexStore.compactIvfPqIndex(spark, v2)
+    assert(v3.paths.size == 1 && !v2.paths.contains(v3.paths.head))
+    val queries = e.filter(col("vec_id") < 5)
+    val grown = rows(AnnIndexStore.probeIvfPq(spark, v2, queries,
+      k = 10, nProbe = 2, refine = 4))
+    val probe = AnnIndexStore.probeIvfPq(spark, v3, queries,
+      k = 10, nProbe = 2, refine = 4)
+    assert(rows(probe) == grown)
+    probe.collect()
+    val scans = allNodes(probe.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(v3.paths.head.stripPrefix("/"))) => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      s"compacted scan reads every cell:\n$f"))
+    // compacting a single-segment index returns it unchanged
+    assert(AnnIndexStore.compactIvfPqIndex(spark, v3).paths == v3.paths)
+    assert(AnnIndexStore.compactIvfIndex(spark,
+      AnnIndexStore.writeIvfIndex(e, cents)).paths.size == 1)
+  }
+
   test("streamed IVF-PQ maintenance loop: delta vectors appending " +
       "segments per micro-batch serve the inline answer; empty delta " +
       "serves v1") {

@@ -83,6 +83,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     // construct below is the already-proven use counted once more
     "q_ann_ivfpq_injected", "q_ann_ivfpq_injected_stored",
     "q_ann_ivfpq_injected_refresh", "q_ann_ivfpq_stream",
+    "q_ann_ivfpq_injected_compact",
     "q_ann_lsh_injected", "q_ann_pq_injected",
     "q_ann_pq_injected_stored", "q_bm25", "q_bm25_stored",
     "q_corpus_drift", "q_dedup_containment", "q_dedup_embedding",
@@ -139,6 +140,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_ann_ivf_injected_stored", "q_ann_ivf_injected_refresh",
     "q_ann_ivfpq_injected", "q_ann_ivfpq_injected_stored",
     "q_ann_ivfpq_injected_refresh", "q_ann_ivfpq_stream",
+    "q_ann_ivfpq_injected_compact",
     "q_ann_lsh_injected", "q_ann_pq_injected",
     "q_ann_pq_injected_stored", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
@@ -237,10 +239,10 @@ class OracleExactnessSpec extends AnyFunSuite {
     val totals = Seq(
       // r12 re-freeze: +7 round / +1 ln / +33 sqrt — every delta an
       // oracle-val SHARED onto a new stored/refresh/stream key
-      // (IvfInjected +1, PqInjected +1, Bm25 +1, IvfPq x4) with the
+      // (IvfInjected +1, PqInjected +1, Bm25 +1, IvfPq x5) with the
       // construct uses identical to the proven twins
-      "round\\(" -> 94, "log2\\(" -> 32, "\\bln\\(" -> 6,
-      "sqrt\\(" -> 118, "//" -> 149, "quantile_cont" -> 4)
+      "round\\(" -> 95, "log2\\(" -> 32, "\\bln\\(" -> 6,
+      "sqrt\\(" -> 124, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
       if (got != want) Some(s"$re: $got (frozen $want)") else None
