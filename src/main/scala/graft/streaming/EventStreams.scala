@@ -1790,31 +1790,36 @@ object EventStreams extends Serializable {
   def drainPostingsMaintenance(baseDocs: DataFrame, deltaDocs: DataFrame,
       phrase: Seq[String], nBatches: Int = 3): DataFrame = {
     val spark = baseDocs.sparkSession
-    var idx = graft.sources.PostingsStore.writePostings(baseDocs)
+    // AtomicReference: folds run on the stream-execution thread and
+    // the final handle is read back on this one — AvailableNow
+    // serializes the folds themselves, but the cross-thread handoff
+    // needs explicit publication (the ClusterMapState discipline)
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      graft.sources.PostingsStore.writePostings(baseDocs))
     // empty delta: nothing to fold — serve from v1, matching the batch
     // operator over base ∪ ∅ (replayForDrain requires non-empty rows)
     if (deltaDocs.isEmpty)
-      return graft.sources.PostingsStore.phraseSearch(spark, idx, phrase)
+      return graft.sources.PostingsStore.phraseSearch(spark, idx.get,
+        phrase)
     val (stream, tmp) = replayForDrain(
       deltaDocs.select(col("doc_id"), col("text")), "doc_id", nBatches)
     try withDrainShufflePartitions(spark) {
-      // AvailableNow serializes foreachBatch calls, so the rolling
-      // `idx` handle needs no lock; each fold's registry key chains on
-      // the predecessor table's name, so bench re-runs that hit the
-      // replay-dir cache also reuse the fold tables — the deployment
-      // cost model (an ingest folds once; queries serve from storage)
+      // each fold's registry key chains on the predecessor table's
+      // name, so bench re-runs that hit the replay-dir cache also
+      // reuse the fold tables — the deployment cost model (an ingest
+      // folds once; queries serve from storage)
       val q = stream.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => {
-          idx = graft.sources.PostingsStore.refreshPostings(spark, idx,
-            batch)
+          idx.set(graft.sources.PostingsStore.refreshPostings(spark,
+            idx.get, batch))
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally tmp.foreach(deleteReplayDir)
-    graft.sources.PostingsStore.phraseSearch(spark, idx, phrase)
+    graft.sources.PostingsStore.phraseSearch(spark, idx.get, phrase)
   }
 
   /** [[drainPostingsMaintenance]] for the ANN family: a VECTOR stream
@@ -1833,10 +1838,13 @@ object EventStreams extends Serializable {
       codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
       refine: Int, nBatches: Int = 3): DataFrame = {
     val spark = baseVecs.sparkSession
-    var idx = graft.sources.AnnIndexStore.writeIvfPqIndex(baseVecs,
-      centroids, codebooks)
+    // AtomicReference for the cross-thread handle handoff — see
+    // drainPostingsMaintenance
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      graft.sources.AnnIndexStore.writeIvfPqIndex(baseVecs,
+        centroids, codebooks))
     if (deltaVecs.isEmpty)
-      return graft.sources.AnnIndexStore.probeIvfPq(spark, idx,
+      return graft.sources.AnnIndexStore.probeIvfPq(spark, idx.get,
         queries, k, nProbe, refine)
     val (stream, tmp) = replayForDrain(
       deltaVecs.select(col("vec_id"), col("embedding")), "vec_id",
@@ -1845,15 +1853,15 @@ object EventStreams extends Serializable {
       val q = stream.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => {
-          idx = graft.sources.AnnIndexStore.refreshIvfPqIndex(spark,
-            idx, batch)
+          idx.set(graft.sources.AnnIndexStore.refreshIvfPqIndex(spark,
+            idx.get, batch))
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally tmp.foreach(deleteReplayDir)
-    graft.sources.AnnIndexStore.probeIvfPq(spark, idx, queries, k,
+    graft.sources.AnnIndexStore.probeIvfPq(spark, idx.get, queries, k,
       nProbe, refine)
   }
 }
