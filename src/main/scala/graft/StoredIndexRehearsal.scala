@@ -123,6 +123,9 @@ object StoredIndexRehearsal {
         PostingsStore.bm25Search(spark, idx, terms).count()
       }
       val v1 = PostingsStore.writePostings(base, buckets = buckets)
+      // (the maint_stream arm below passes the same bucket count, so
+      // its internal base build is this registry entry, not a rebuild
+      // inside the timed window)
       arm("postings", "refresh") {
         val v2 = PostingsStore.refreshPostings(spark, v1, batch,
           buckets = buckets)
@@ -134,7 +137,7 @@ object StoredIndexRehearsal {
       // over the delta replay plus the final stored serve
       arm("postings", "maint_stream") {
         graft.streaming.EventStreams.drainPostingsMaintenance(
-          base, batch, phrase).count()
+          base, batch, phrase, buckets = buckets).count()
       }
     }
     face("embedding") {
@@ -211,7 +214,11 @@ object StoredIndexRehearsal {
       val ev = e.select(col("vec_id"),
         graft.functions.Vectors.toDoubleVec(col("embedding")).as("v"))
       val cents = Similarity.ivfCentroids(ev, 16, 2)
-      val cbs = Similarity.pqCodebooks(ev, m = 8, k = 16, dim = 64)
+      // residual-trained codebooks - the model must quantize what it
+      // will encode (ivfPqTopK's own discipline); raw-vector training
+      // would systematically degrade ADC quality at this geometry
+      val cbs = Similarity.ivfPqCodebooks(ev, cents, m = 8,
+        kCodes = 16, dim = 64)
       arm("ivfpq", "inline") {
         Similarity.ivfPqTopK(e, col("vec_id") < 5, k = 10, nCells = 16,
           nProbe = 4, m = 8, refine = 4, dim = 64,
@@ -248,7 +255,7 @@ object StoredIndexRehearsal {
           e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
           e.filter(pmod(col("vec_id"), lit(4)) === 0),
           e.filter(col("vec_id") < 5), cents, cbs, k = 10,
-          nProbe = 4, refine = 4).count()
+          nProbe = 4, refine = 4, buckets = buckets).count()
       }
     }
     spark.stop()

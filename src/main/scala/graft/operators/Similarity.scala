@@ -738,15 +738,22 @@ object Similarity {
     * compressed-domain scan reads the persisted m-byte codes (the
     * relation PQ exists to store — ~32x smaller than the corpus) and
     * only the refine·k candidates per query touch the raw vectors. */
-  private[graft] def pqProbeFrom(codes: DataFrame, vecs: DataFrame,
-      queries: DataFrame, cbs: Array[Array[Array[Double]]], k: Int,
-      refine: Int): DataFrame = {
+  /** Per-query ADC lookup table over `qv`:
+    * lut(mi)(ci) = dot(q_mi, codebook(mi)(ci)) — shared by the PQ and
+    * IVF-PQ probes (one expression, two consumers, kept in sync by
+    * construction). */
+  private def pqLutColumn(cbs: Array[Array[Array[Double]]]): Column = {
     val dsub = cbs(0)(0).length
-    // per-query LUT: lut(mi)(ci) = dot(q_mi, codebook(mi)(ci))
-    val lutCol = array(cbs.zipWithIndex.map { case (cb, mi) =>
+    array(cbs.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(col("qv"), mi * dsub + 1, dsub)
       array(cb.map(c => dot(sub, typedlit(c.toSeq))): _*)
     }: _*)
+  }
+
+  private[graft] def pqProbeFrom(codes: DataFrame, vecs: DataFrame,
+      queries: DataFrame, cbs: Array[Array[Array[Double]]], k: Int,
+      refine: Int): DataFrame = {
+    val lutCol = pqLutColumn(cbs)
     val q = queries
       .select(col("query_id"), col("qv"), lutCol.as("lut"),
         sqrt(normSq(col("qv"))).as("qnorm"))
@@ -796,17 +803,22 @@ object Similarity {
     require(nProbe <= nCells && refine >= 1)
     val e = embs.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     val cents = centroids.getOrElse(ivfCentroids(e, nCells, kmeansIters))
-    val cbs = codebooks.getOrElse {
-      // default training runs on residuals — the model must quantize
-      // what it will encode
-      val assign = ivfAssign(e, cents)
-      pqCodebooks(residuals(assign, cents)
-        .select(col("vec_id"), col("rv").as("v")), m, kCodes, dim)
-    }
+    val cbs = codebooks.getOrElse(
+      ivfPqCodebooks(e, cents, m, kCodes, dim))
     ivfPqProbeFrom(ivfPqIndexRows(e, cents, cbs), e,
       e.filter(queryPred).toDF("query_id", "qv"), cents, cbs, k,
       nProbe, refine)
   }
+
+  /** Train IVF-PQ residual codebooks — [[pqCodebooks]] over the
+    * RESIDUALS v − c(cell), never the raw vectors: the model must
+    * quantize what it will encode (residuals concentrate near the
+    * origin; a raw-scale codebook systematically degrades ADC
+    * quality). The trained-model half callers persist and inject. */
+  def ivfPqCodebooks(e: DataFrame, cents: Array[Array[Double]],
+      m: Int, kCodes: Int, dim: Int): Array[Array[Array[Double]]] =
+    pqCodebooks(residuals(ivfAssign(e, cents), cents)
+      .select(col("vec_id"), col("rv").as("v")), m, kCodes, dim)
 
   /** v − c(cell) per assigned row, via one flat literal of the
     * centroid matrix (codegen-friendly: no per-cell branch). */
@@ -836,12 +848,8 @@ object Similarity {
       queries: DataFrame, cents: Array[Array[Double]],
       cbs: Array[Array[Array[Double]]], k: Int, nProbe: Int,
       refine: Int): DataFrame = {
-    val dsub = cbs(0)(0).length
     // residual-codebook LUT + the q·c(cell) constant, per probed cell
-    val lutCol = array(cbs.zipWithIndex.map { case (cb, mi) =>
-      val sub = slice(col("qv"), mi * dsub + 1, dsub)
-      array(cb.map(c => dot(sub, typedlit(c.toSeq))): _*)
-    }: _*)
+    val lutCol = pqLutColumn(cbs)
     val qcCol = element_at(
       array(cents.map(c => dot(col("qv"), typedlit(c.toSeq))): _*),
       col("cell") + 1)

@@ -122,11 +122,14 @@ object AnnIndexStore {
     * stored: (vec_id, cell, codes, vnorm) segments partitioned by
     * cell (so a probe reads nProbe/nCells of the files) with
     * residual-encoded m-byte codes (so what it reads is ~32x smaller
-    * than raw vectors), plus the raw vectors bucketed by vec_id for
-    * the exact rerank. Centroids + codebooks are the trained model in
-    * the handle; `paths` is the segment list ([[IvfIndex]]'s append
-    * model). */
-  final case class IvfPqIndex(paths: Seq[String], vecsTable: String,
+    * than raw vectors), plus the raw rerank vectors bucketed by
+    * vec_id. Centroids + codebooks are the trained model in the
+    * handle; BOTH relations are segment lists ([[IvfIndex]]'s append
+    * model) — a refresh appends one code segment AND one vecs table
+    * holding only the batch, so the per-ingest cost is genuinely
+    * O(batch), never a rewrite of the base rerank vectors. */
+  final case class IvfPqIndex(paths: Seq[String],
+      vecsTables: Seq[String],
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]])
 
@@ -162,16 +165,21 @@ object AnnIndexStore {
             .createTempDirectory(s"graft-ivfpq-$h").toString))
     }
     IvfPqIndex(Seq(path),
-      DedupIndexStore.table("ivfpq_vecs", key, s"vecs|$buckets|$digest",
-        Seq("vec_id"), buckets)(e),
+      // the raw vectors are MODEL-INDEPENDENT, so the digest stays
+      // out of this key: retraining centroids/codebooks over the same
+      // corpus reuses the (largest) rerank relation as-is
+      Seq(DedupIndexStore.table("ivfpq_vecs", key, s"vecs|$buckets",
+        Seq("vec_id"), buckets)(e)),
       centroids, codebooks)
   }
 
   /** Fold newly accepted vectors into a stored IVF-PQ index — the
-    * [[refreshIvfIndex]] segment-append model: the batch assigns and
-    * residual-encodes against the frozen model and lands as a new
-    * cell-partitioned segment (O(batch); base segments untouched);
-    * the rerank vectors append as a bucketed table version. */
+    * [[refreshIvfIndex]] segment-append model on BOTH relations: the
+    * batch assigns and residual-encodes against the frozen model and
+    * lands as a new cell-partitioned code segment, and the batch's
+    * raw vectors land as a new bucketed vecs table holding ONLY the
+    * batch. O(batch) per ingest; nothing existing is read or
+    * rewritten. */
   def refreshIvfPqIndex(spark: SparkSession, idx: IvfPqIndex,
       accepted: DataFrame, buckets: Int = 8): IvfPqIndex = {
     val e = accepted.select(col("vec_id"),
@@ -196,10 +204,9 @@ object AnnIndexStore {
             .createTempDirectory(s"graft-ivfpqr-$h").toString))
     }
     IvfPqIndex(idx.paths :+ seg,
-      DedupIndexStore.table("ivfpq_vecs_r",
-        key.map(k => s"refresh|${idx.vecsTable}|$k"),
-        s"vecs|$buckets|$digest", Seq("vec_id"), buckets)(
-        spark.table(idx.vecsTable).unionByName(e)),
+      idx.vecsTables :+ DedupIndexStore.table("ivfpq_vecs_r",
+        key.map(k => s"refresh|${idx.vecsTables.mkString(",")}|$k"),
+        s"vecs|$buckets", Seq("vec_id"), buckets)(e),
       idx.centroids, idx.codebooks)
   }
 
@@ -233,11 +240,19 @@ object AnnIndexStore {
   def compactIvfIndex(spark: SparkSession, idx: IvfIndex): IvfIndex =
     IvfIndex(compactSegments(spark, idx.paths, "ivf"), idx.centroids)
 
-  /** [[compactSegments]] for a stored IVF-PQ index. */
-  def compactIvfPqIndex(spark: SparkSession,
-      idx: IvfPqIndex): IvfPqIndex =
+  /** [[compactSegments]] for a stored IVF-PQ index — the code
+    * segments merge to one cell-partitioned directory and the vecs
+    * tables to one bucketed table (the same O(index) pass; the
+    * corpus is never re-read). */
+  def compactIvfPqIndex(spark: SparkSession, idx: IvfPqIndex,
+      buckets: Int = 8): IvfPqIndex =
     IvfPqIndex(compactSegments(spark, idx.paths, "ivfpq"),
-      idx.vecsTable, idx.centroids, idx.codebooks)
+      if (idx.vecsTables.size == 1) idx.vecsTables
+      else Seq(DedupIndexStore.table("ivfpq_vecs_c",
+        Some(s"compact|${idx.vecsTables.mkString(",")}"),
+        s"vecs|$buckets", Seq("vec_id"), buckets)(
+        idx.vecsTables.map(spark.table).reduce(_ unionByName _))),
+      idx.centroids, idx.codebooks)
 
   /** Probe a stored IVF-PQ index — output identical to
     * [[Similarity.ivfPqTopK]] with the same injected model: the
@@ -257,8 +272,8 @@ object AnnIndexStore {
       idx.paths.map(p => spark.read.parquet(p)
           .filter(col("cell").isin(cells.map(Int.box): _*)))
         .reduce(_ unionByName _),
-      spark.table(idx.vecsTable), qs, idx.centroids, idx.codebooks,
-      k, nProbe, refine)
+      idx.vecsTables.map(spark.table).reduce(_ unionByName _),
+      qs, idx.centroids, idx.codebooks, k, nProbe, refine)
   }
 
   /** A persisted PQ index: the m-byte code relation — the ~32x-smaller

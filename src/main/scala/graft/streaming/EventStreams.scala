@@ -1788,14 +1788,15 @@ object EventStreams extends Serializable {
     * base ∪ delta — q_phrase_search's oracle verbatim when the split
     * covers the whole corpus. */
   def drainPostingsMaintenance(baseDocs: DataFrame, deltaDocs: DataFrame,
-      phrase: Seq[String], nBatches: Int = 3): DataFrame = {
+      phrase: Seq[String], nBatches: Int = 3,
+      buckets: Int = 8): DataFrame = {
     val spark = baseDocs.sparkSession
     // AtomicReference: folds run on the stream-execution thread and
     // the final handle is read back on this one — AvailableNow
     // serializes the folds themselves, but the cross-thread handoff
     // needs explicit publication (the ClusterMapState discipline)
     val idx = new java.util.concurrent.atomic.AtomicReference(
-      graft.sources.PostingsStore.writePostings(baseDocs))
+      graft.sources.PostingsStore.writePostings(baseDocs, buckets))
     // empty delta: nothing to fold — serve from v1, matching the batch
     // operator over base ∪ ∅ (replayForDrain requires non-empty rows)
     if (deltaDocs.isEmpty)
@@ -1812,7 +1813,7 @@ object EventStreams extends Serializable {
         .outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => {
           idx.set(graft.sources.PostingsStore.refreshPostings(spark,
-            idx.get, batch))
+            idx.get, batch, buckets))
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1836,13 +1837,13 @@ object EventStreams extends Serializable {
   def drainIvfPqMaintenance(baseVecs: DataFrame, deltaVecs: DataFrame,
       queries: DataFrame, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
-      refine: Int, nBatches: Int = 3): DataFrame = {
+      refine: Int, nBatches: Int = 3, buckets: Int = 8): DataFrame = {
     val spark = baseVecs.sparkSession
     // AtomicReference for the cross-thread handle handoff — see
     // drainPostingsMaintenance
     val idx = new java.util.concurrent.atomic.AtomicReference(
       graft.sources.AnnIndexStore.writeIvfPqIndex(baseVecs,
-        centroids, codebooks))
+        centroids, codebooks, buckets))
     if (deltaVecs.isEmpty)
       return graft.sources.AnnIndexStore.probeIvfPq(spark, idx.get,
         queries, k, nProbe, refine)
@@ -1854,7 +1855,7 @@ object EventStreams extends Serializable {
         .outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => {
           idx.set(graft.sources.AnnIndexStore.refreshIvfPqIndex(spark,
-            idx.get, batch))
+            idx.get, batch, buckets))
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -237,10 +237,12 @@ class OracleExactnessSpec extends AnyFunSuite {
     // per construct makes ANY added or removed use cost one conscious
     // number change here.
     val totals = Seq(
-      // r12 re-freeze: +7 round / +1 ln / +33 sqrt — every delta an
-      // oracle-val SHARED onto a new stored/refresh/stream key
-      // (IvfInjected +1, PqInjected +1, Bm25 +1, IvfPq x5) with the
-      // construct uses identical to the proven twins
+      // r12 re-freeze: +8 round / +1 ln / +39 sqrt — every delta an
+      // oracle-val SHARED onto a new stored/refresh/stream/compact
+      // key with construct uses identical to the proven twins:
+      // IvfInjected (+1 key: 1 round, 4 sqrt), PqInjected (+1 key:
+      // 1 round, 5 sqrt), Bm25 (+1 key: 1 round, 1 ln), IvfPq (new
+      // val x 5 keys: 1 round, 6 sqrt each)
       "round\\(" -> 95, "log2\\(" -> 32, "\\bln\\(" -> 6,
       "sqrt\\(" -> 124, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
