@@ -2095,6 +2095,61 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(4)) === 0),
         phrase = Seq("window", "fast", "query"))
     }),
+    // The O(BATCH) maintenance face (Lucene's segment model, the
+    // refresh regime a high-ingest deployment runs): the accepted
+    // quarter tokenizes ONLY itself and lands as an APPENDED segment
+    // pair — the base postings never read or rewritten — and the
+    // phrase serves from the segment union, every segment's slot scan
+    // bucket-pruned. One answer, now six plans; oracle verbatim.
+    "q_phrase_search_seg" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.PostingsStore.writeSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.PostingsStore.appendSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      graft.sources.PostingsStore.phraseSearchSeg(s, v2,
+        phrase = Seq("window", "fast", "query"))
+    }),
+    // The LSM third verb for the text family: the segment list
+    // compacts back to ONE (postings, doclens) pair — an O(index)
+    // pass over the STORED segments, the corpus never re-tokenized —
+    // and the phrase serves from the compacted table. Compaction ==
+    // rebuild exactly, so the oracle is unchanged.
+    "q_phrase_search_compact" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.PostingsStore.writeSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.PostingsStore.appendSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      val c = graft.sources.PostingsStore.compactSegments(s, v2)
+      graft.sources.PostingsStore.phraseSearch(s, c,
+        phrase = Seq("window", "fast", "query"))
+    }),
+    // BM25 over the segment list: the serve-time regroup must merge
+    // df/tf/dl correctly ACROSS segments (a cross-segment doc_id
+    // counts once in df) — the ranking face of the segment model.
+    // Shares q_bm25's oracle; one answer, three plans.
+    "q_bm25_seg" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.PostingsStore.writeSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.PostingsStore.appendSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      graft.sources.PostingsStore.bm25SearchSeg(s, v2,
+        terms = Seq("spark", "window", "scan"))
+    }),
+    // The segment maintenance loop DRAINED: delta documents arrive as
+    // a stream and each micro-batch APPENDS a segment (O(batch) per
+    // fold — the production regime; q_phrase_index_stream's id-merge
+    // fold pays O(index) per batch), then the final segment list
+    // serves the phrase. Same oracle verbatim.
+    "q_phrase_index_seg_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.streaming.EventStreams.drainPostingsSegMaintenance(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        phrase = Seq("window", "fast", "query"))
+    }),
     // Proximity co-occurrence via one RANGE-frame window.
     "q_phrase_prox" -> ((s, dir) =>
       CorpusOps.proximitySearch(documents(s, dir),
@@ -4881,6 +4936,12 @@ object SparkEntry {
     // ... and so does the drained maintenance LOOP (delta documents
     // folding in as a stream, final index version serving the phrase)
     "q_phrase_index_stream" -> PhraseSearchOracle,
+    // the SEGMENT lifecycle covers the same corpus: O(batch) append,
+    // its drained loop, and the compacted single-table serve all
+    // share the oracle verbatim (one answer, now eight plans)
+    "q_phrase_search_seg" -> PhraseSearchOracle,
+    "q_phrase_search_compact" -> PhraseSearchOracle,
+    "q_phrase_index_seg_stream" -> PhraseSearchOracle,
     // identical answer contract for the stream-safe projection twin
     "q_phrase_projected" -> PhraseSearchOracle,
     // Proximity: |pos('hash') - pos('row')| <= 3 pair counting via
@@ -4894,6 +4955,9 @@ object SparkEntry {
     // lineage (one answer, two plans - q_phrase_search_stored's
     // convention).
     "q_bm25_stored" -> Bm25Oracle,
+    // ... and from the SEGMENT LIST (df/tf/dl merged across segments
+    // at serve time): same answer, third plan.
+    "q_bm25_seg" -> Bm25Oracle,
     "q_line_dedup" ->
       """WITH lined AS (
         |  SELECT doc_id, string_split(

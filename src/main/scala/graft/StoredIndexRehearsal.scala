@@ -42,7 +42,13 @@ object StoredIndexRehearsal {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    // optional arm filter (local iteration; unset = all arms) —
+    // lets a decade re-run measure only NEW arms without re-paying
+    // already-committed ones
+    val onlyArms = sys.env.get("SPARK_GRAFT_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def arm(face: String, name: String)(body: => Long): Unit = {
+      if (!onlyArms.forall(_.exists(name.startsWith))) return
       val t0 = System.nanoTime()
       try {
         val n = body
@@ -138,6 +144,96 @@ object StoredIndexRehearsal {
       arm("postings", "maint_stream") {
         graft.streaming.EventStreams.drainPostingsMaintenance(
           base, batch, phrase, buckets = buckets).count()
+      }
+      // THE SEGMENT REGIME (q_phrase_search_seg's shape): the same
+      // accepted quarter lands as an appended segment — tokenize the
+      // batch only, never touch the base pair. seg_append vs refresh
+      // is the O(batch) vs O(index) fold-cost comparison; at each
+      // decade the refresh arm grows with the corpus while the append
+      // arm grows with the batch alone.
+      var v2s: PostingsStore.SegmentedPostings = null
+      arm("postings", "seg_append") {
+        v2s = PostingsStore.appendSegment(
+          PostingsStore.SegmentedPostings(Seq(v1)), batch,
+          buckets = buckets)
+        spark.table(v2s.segments.last.table).count()
+      }
+      arm("postings", "seg_phrase") {
+        PostingsStore.phraseSearchSeg(spark, v2s, phrase).count()
+      }
+      arm("postings", "seg_bm25") {
+        PostingsStore.bm25SearchSeg(spark, v2s, terms).count()
+      }
+      // the LSM third verb: merge the segment list back to one pair
+      // (O(index), but over the STORED rows — no re-tokenize)
+      arm("postings", "compact") {
+        val c = PostingsStore.compactSegments(spark, v2s,
+          buckets = buckets)
+        spark.table(c.table).count()
+      }
+      // the drained SEGMENT loop (q_phrase_index_seg_stream's shape):
+      // 3 foreachBatch O(batch) appends + the final segment serve
+      arm("postings", "seg_maint_stream") {
+        graft.streaming.EventStreams.drainPostingsSegMaintenance(
+          base, batch, phrase, buckets = buckets).count()
+      }
+      // FIXED-BATCH decade contrast — the honest O(batch)-vs-O(index)
+      // measurement: the quarter-split arms above grow batch AND base
+      // together, so both folds scale linearly and only their ratio
+      // differs. Here the mod is raised 10x per decade
+      // (SPARK_GRAFT_FIXED_BATCH_MOD = 4 / 40 / 400 / 4000) so the
+      // batch stays ~constant-size while the base grows: the id-merge
+      // refresh must grow ~linearly per decade (it rewrites the whole
+      // index) while the segment append stays FLAT (it tokenizes the
+      // batch alone). The v1 base builds are paid outside the arms.
+      val fbMod = sys.env.getOrElse("SPARK_GRAFT_FIXED_BATCH_MOD", "4")
+        .toInt
+      val fbBase = docs.filter(pmod(col("doc_id"), lit(fbMod)) =!= 0)
+      val fbBatch = docs.filter(pmod(col("doc_id"), lit(fbMod)) === 0)
+      val v1fb = PostingsStore.writePostings(fbBase, buckets = buckets)
+      arm("postings", s"refresh_fixed_mod$fbMod") {
+        val v2 = PostingsStore.refreshPostings(spark, v1fb, fbBatch,
+          buckets = buckets)
+        spark.table(v2.table).count()
+      }
+      arm("postings", s"seg_append_fixed_mod$fbMod") {
+        val v2 = PostingsStore.appendSegment(
+          PostingsStore.SegmentedPostings(Seq(v1fb)), fbBatch,
+          buckets = buckets)
+        spark.table(v2.segments.last.table).count()
+      }
+      // PROBE COST vs SEGMENT COUNT — the number compaction exists to
+      // reset: the batch quarter lands as 8 sub-batch segments (9-
+      // segment list incl. base), the phrase probes at 1/3/9 segments,
+      // then compaction folds the list to one pair and the probe is
+      // re-timed. Each probe reads one bucket-pruned scan per segment
+      // per slot, so probe cost should grow ~linearly in segment
+      // count and compaction should restore the single-segment floor.
+      val subs = (0 until 8).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
+          pmod(col("doc_id"), lit(32)) === (i * 4)))
+      var segList = PostingsStore.SegmentedPostings(Seq(v1))
+      arm("postings", "seg9_append_total") {
+        subs.foreach { b =>
+          segList = PostingsStore.appendSegment(segList, b,
+            buckets = buckets)
+        }
+        segList.segments.size.toLong
+      }
+      def probeAt(n: Int): Long = PostingsStore.phraseSearchSeg(spark,
+        PostingsStore.SegmentedPostings(segList.segments.take(n)),
+        phrase).count()
+      arm("postings", "seg_probe_n1") { probeAt(1) }
+      arm("postings", "seg_probe_n3") { probeAt(3) }
+      arm("postings", "seg_probe_n9") { probeAt(9) }
+      var compacted: PostingsStore.PostingsIndex = null
+      arm("postings", "seg9_compact") {
+        compacted = PostingsStore.compactSegments(spark, segList,
+          buckets = buckets)
+        spark.table(compacted.table).count()
+      }
+      arm("postings", "compact_probe") {
+        PostingsStore.phraseSearch(spark, compacted, phrase).count()
       }
     }
     face("embedding") {

@@ -268,12 +268,25 @@ object AnnIndexStore {
       Vectors.toDoubleVec(col("embedding")).as("qv"))
     val cells = Similarity.ivfProbes(qs, idx.centroids, nProbe)
       .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // multi-segment vecs: the rerank joins this union on vec_id, and
+    // Spark 4.1's unionOutputPartitioning claim (default true) would
+    // let the join trust the segments' common bucketing and elide the
+    // vecs-side shuffle — but independently-written bucketed tables
+    // are not one hash space, so the join would silently MISS
+    // cross-segment candidates. The explicit repartition demands the
+    // shuffle a cross-segment join genuinely needs (the PostingsStore
+    // segment-view lesson); the single-table path keeps its
+    // Exchange-free bucket layout.
+    val vecs = idx.vecsTables.map(spark.table) match {
+      case Seq(one) => one
+      case many => many.reduce(_ unionByName _)
+        .repartition(col("vec_id"))
+    }
     Similarity.ivfPqProbeFrom(
       idx.paths.map(p => spark.read.parquet(p)
           .filter(col("cell").isin(cells.map(Int.box): _*)))
         .reduce(_ unionByName _),
-      idx.vecsTables.map(spark.table).reduce(_ unionByName _),
-      qs, idx.centroids, idx.codebooks, k, nProbe, refine)
+      vecs, qs, idx.centroids, idx.codebooks, k, nProbe, refine)
   }
 
   /** A persisted PQ index: the m-byte code relation — the ~32x-smaller

@@ -80,7 +80,14 @@ object PostingsStore {
     * even for a re-ingested doc_id — because the grouping is the same;
     * doclens merges by id-level sum. No cap caveat (nothing is ever
     * dropped from a postings index). Writes NEW versioned tables — the
-    * old version stays readable until swept. */
+    * old version stays readable until swept.
+    *
+    * COST SHAPE: the merge rewrites the whole index — O(index) per
+    * ingest, which a high-ingest deployment cannot pay per batch.
+    * [[appendSegment]] is the O(batch) alternative (Lucene's model);
+    * this single-table merge remains the right call when ingests are
+    * rare and a segment list's per-probe union overhead is not wanted
+    * — it is exactly [[compactSegments]]' verb, fused with the fold. */
   def refreshPostings(spark: SparkSession, idx: PostingsIndex,
       accepted: DataFrame, buckets: Int = 8): PostingsIndex = {
     val key = DedupIndexStore.identityKey(accepted)
@@ -100,5 +107,127 @@ object PostingsStore {
         spark.table(idx.doclensTable)
           .unionByName(CorpusOps.doclensRows(accepted))
           .groupBy("doc_id").agg(sum("dl").as("dl"))))
+  }
+
+  // ---- segment-list lifecycle (Lucene's model; the text-family twin
+  // of AnnIndexStore's IvfIndex segments) --------------------------
+
+  /** A stored postings index as a SEGMENT LIST: each segment is one
+    * ingest batch's (postings bucketed by term, doclens bucketed by
+    * doc_id) pair. An ingest APPENDS a segment built from the batch
+    * alone — O(batch), the base never read or rewritten, readers
+    * holding the old handle keep their exact list — and a probe
+    * serves from the segment union, each segment's term scan
+    * bucket-pruned by the same literal-term filter (the predicate
+    * pushes through the merge regroup and the union into every
+    * segment's scan). At 100 TB this is the difference between an
+    * ingest costing O(batch) and costing an index rewrite
+    * ([[refreshPostings]]'s shape); the price is one pruned scan per
+    * segment per probe, which [[compactSegments]] — the LSM
+    * discipline's third verb — resets on a schedule. */
+  final case class SegmentedPostings(segments: Seq[PostingsIndex])
+
+  /** The base build: one segment from the initial corpus. */
+  def writeSegmented(docs: DataFrame,
+      buckets: Int = 8): SegmentedPostings =
+    SegmentedPostings(Seq(writePostings(docs, buckets)))
+
+  /** O(batch) maintenance: tokenize ONLY the accepted batch and land
+    * it as a NEW segment pair. A segment's content depends on its
+    * batch alone (not on the base it joins), so the build-once
+    * registry key is the batch's own identity — the same batch
+    * appended to two different bases reuses one physical segment. */
+  def appendSegment(idx: SegmentedPostings, accepted: DataFrame,
+      buckets: Int = 8): SegmentedPostings =
+    SegmentedPostings(idx.segments :+ writePostings(accepted, buckets))
+
+  /** The segment union in the stored postings shape: (term, doc_id)
+    * groups that span segments (a re-ingested doc_id) merge by the
+    * SAME regroup a from-scratch build or [[refreshPostings]] applies
+    * — exploded rows unioned then re-collected — so segment serve ==
+    * rebuild exactly, segment order irrelevant. Single segment skips
+    * the regroup (already grouped at build).
+    *
+    * The explicit repartition before each regroup is LOAD-BEARING, not
+    * belt-and-braces: Spark 4.1's `spark.sql.unionOutputPartitioning`
+    * (default true) lets a Union of same-bucketing children CLAIM that
+    * partitioning, and EnsureRequirements then elides the grouping
+    * exchange — but two independently-written bucketed tables are only
+    * bucket-wise co-partitioned, not one hash space, so same-key rows
+    * from different segments never meet and the merge silently emits
+    * per-segment groups (measured: 125 duplicated doc_ids on the
+    * harness corpus; PostingsStoreSpec pins the merged answer). A
+    * cross-segment merge IS a shuffle; demanding it explicitly makes
+    * the plan immune to the claim. */
+  private def postingsView(spark: SparkSession,
+      idx: SegmentedPostings): DataFrame =
+    if (idx.segments.size == 1) spark.table(idx.segments.head.table)
+    else idx.segments.map(s => spark.table(s.table))
+      .reduce(_ unionByName _)
+      .select(col("term"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+      .repartition(col("term"), col("doc_id"))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Doclens across segments: id-level sum (re-ingest adds lengths,
+    * matching the postings merge). Explicit repartition for the same
+    * reason as [[postingsView]] — this is the exact shape the union-
+    * partitioning claim breaks (groupBy on the bucket key itself). */
+  private def doclensView(spark: SparkSession,
+      idx: SegmentedPostings): DataFrame =
+    if (idx.segments.size == 1)
+      spark.table(idx.segments.head.doclensTable)
+    else idx.segments.map(s => spark.table(s.doclensTable))
+      .reduce(_ unionByName _)
+      .repartition(col("doc_id"))
+      .groupBy("doc_id").agg(sum("dl").as("dl"))
+
+  /** [[phraseSearch]] over a segment list — output identical to the
+    * corpus-scan operator over the union of the segments' batches.
+    * Each phrase slot's literal-term filter pushes below the merge
+    * regroup (it references only a grouping key) and through the
+    * union, so every segment's scan stays bucket-pruned. */
+  def phraseSearchSeg(spark: SparkSession, idx: SegmentedPostings,
+      phrase: Seq[String]): DataFrame =
+    CorpusOps.phraseFromPostings(postingsView(spark, idx), phrase)
+
+  /** [[proximitySearch]] over a segment list. */
+  def proximitySearchSeg(spark: SparkSession, idx: SegmentedPostings,
+      anchor: String, near: String, window: Int): DataFrame =
+    CorpusOps.proximityFromPostings(postingsView(spark, idx), anchor,
+      near, window)
+
+  /** [[bm25Search]] over a segment list: tf and df come off the merged
+    * per-term rows (df in particular must count a cross-segment
+    * doc_id ONCE — the regroup guarantees it), dl and the corpus
+    * scalars off the summed doclens view. The single-segment merge
+    * hint is skipped — the multi-segment doclens leg aggregates, so
+    * the no-Exchange bucket-layout read does not apply. */
+  def bm25SearchSeg(spark: SparkSession, idx: SegmentedPostings,
+      terms: Seq[String], k: Int = 10): DataFrame =
+    CorpusOps.bm25FromPostings(postingsView(spark, idx),
+      doclensView(spark, idx), terms, k)
+
+  /** Compact a segment list back to ONE (postings, doclens) pair —
+    * the LSM third verb for the text family: one O(index) pass over
+    * the STORED segments (the corpus is never re-tokenized), writing
+    * new versioned tables; the input segments stay readable until
+    * swept. The merge is exactly the serve-time regroup materialized,
+    * so probing the compacted index == probing the segment list ==
+    * a from-scratch rebuild. */
+  def compactSegments(spark: SparkSession, idx: SegmentedPostings,
+      buckets: Int = 8): PostingsIndex = {
+    if (idx.segments.size == 1) return idx.segments.head
+    val params = s"pt|$buckets"
+    val pKey = Some(
+      s"compact|${idx.segments.map(_.table).mkString(",")}")
+    val dKey = Some(
+      s"compact|${idx.segments.map(_.doclensTable).mkString(",")}")
+    PostingsIndex(
+      DedupIndexStore.table("postings_c", pKey, params, Seq("term"),
+        buckets)(postingsView(spark, idx)),
+      DedupIndexStore.table("doclens_c", dKey, params, Seq("doc_id"),
+        buckets)(doclensView(spark, idx)))
   }
 }

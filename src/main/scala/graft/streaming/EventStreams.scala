@@ -1823,6 +1823,44 @@ object EventStreams extends Serializable {
     graft.sources.PostingsStore.phraseSearch(spark, idx.get, phrase)
   }
 
+  /** [[drainPostingsMaintenance]] in the SEGMENT-APPEND regime — the
+    * production fold for a high-ingest corpus: each micro-batch
+    * tokenizes ONLY itself and lands as an appended segment pair
+    * ([[graft.sources.PostingsStore.appendSegment]], O(batch) per
+    * fold; the id-merge drain above pays O(index) per fold), and the
+    * final segment list serves the phrase. Segments are disjoint row
+    * sets the serve-time regroup unions, so chunking converges to the
+    * same answer — the corpus-scan operator over base ∪ delta,
+    * q_phrase_search's oracle verbatim when the split covers the
+    * whole corpus. */
+  def drainPostingsSegMaintenance(baseDocs: DataFrame,
+      deltaDocs: DataFrame, phrase: Seq[String], nBatches: Int = 3,
+      buckets: Int = 8): DataFrame = {
+    val spark = baseDocs.sparkSession
+    // AtomicReference for the cross-thread handle handoff — see
+    // drainPostingsMaintenance
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      graft.sources.PostingsStore.writeSegmented(baseDocs, buckets))
+    if (deltaDocs.isEmpty)
+      return graft.sources.PostingsStore.phraseSearchSeg(spark,
+        idx.get, phrase)
+    val (stream, tmp) = replayForDrain(
+      deltaDocs.select(col("doc_id"), col("text")), "doc_id", nBatches)
+    try withDrainShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch((batch: DataFrame, _: Long) => {
+          idx.set(graft.sources.PostingsStore.appendSegment(idx.get,
+            batch, buckets))
+          ()
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally tmp.foreach(deleteReplayDir)
+    graft.sources.PostingsStore.phraseSearchSeg(spark, idx.get, phrase)
+  }
+
   /** [[drainPostingsMaintenance]] for the ANN family: a VECTOR stream
     * folds into the stored IVF-PQ index — each micro-batch assigns and
     * residual-encodes against the frozen model and lands as an

@@ -86,6 +86,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_ann_ivfpq_injected_compact",
     "q_ann_lsh_injected", "q_ann_pq_injected",
     "q_ann_pq_injected_stored", "q_bm25", "q_bm25_stored",
+    "q_bm25_seg",
     "q_corpus_drift", "q_dedup_containment", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_dedup_embedding_lsh09",
     "q_dedup_incr_embedding", "q_dedup_incr_embedding_stream",
@@ -128,8 +129,8 @@ class OracleExactnessSpec extends AnyFunSuite {
   }
 
   private val LnAllowed = Set(
-    "q_bm25", "q_bm25_stored", "q_corpus_drift", "q_retrieval_rrf",
-    "q_text_pmi", "q_tfidf")
+    "q_bm25", "q_bm25_stored", "q_bm25_seg", "q_corpus_drift",
+    "q_retrieval_rrf", "q_text_pmi", "q_tfidf")
 
   test("ln( allowlist frozen") {
     assertFrozen("ln(", "\\bln\\(", LnAllowed)
@@ -242,8 +243,11 @@ class OracleExactnessSpec extends AnyFunSuite {
       // key with construct uses identical to the proven twins:
       // IvfInjected (+1 key: 1 round, 4 sqrt), PqInjected (+1 key:
       // 1 round, 5 sqrt), Bm25 (+1 key: 1 round, 1 ln), IvfPq (new
-      // val x 5 keys: 1 round, 6 sqrt each)
-      "round\\(" -> 95, "log2\\(" -> 32, "\\bln\\(" -> 6,
+      // val x 5 keys: 1 round, 6 sqrt each).
+      // r12 segment-lifecycle re-freeze: +1 round / +1 ln — Bm25Oracle
+      // shared onto q_bm25_seg (the segment-list serve; the three
+      // PhraseSearchOracle segment keys add no scanned constructs)
+      "round\\(" -> 96, "log2\\(" -> 32, "\\bln\\(" -> 7,
       "sqrt\\(" -> 124, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum

@@ -163,6 +163,102 @@ class PostingsStoreSpec extends SparkSpec {
       rows(CorpusOps.phraseSearch(base, phrase)))
   }
 
+  test("segment lifecycle: O(batch) append — base segment files " +
+      "untouched, serve == corpus operators, every segment's slot " +
+      "scan bucket-prunes") {
+    val docs = corpus(spark)
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val accepted = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val v1 = PostingsStore.writeSegmented(base)
+    val filesBefore =
+      spark.table(v1.segments.head.table).inputFiles.sorted
+    val v2 = PostingsStore.appendSegment(v1, accepted)
+    // segment model: append never reads or rewrites the base pair
+    assert(v2.segments.startsWith(v1.segments) && v2.segments.size == 2)
+    assert(spark.table(v1.segments.head.table).inputFiles.sorted
+      .sameElements(filesBefore))
+    // base ∪ accepted = the whole corpus: serve == corpus operators
+    assert(rows(PostingsStore.phraseSearchSeg(spark, v2, phrase)) ==
+      rows(CorpusOps.phraseSearch(docs, phrase)))
+    assert(rows(PostingsStore.proximitySearchSeg(spark, v2,
+      anchor = "hash", near = "row", window = 3)) ==
+      rows(CorpusOps.proximitySearch(docs,
+        anchor = "hash", near = "row", window = 3)))
+    val terms = Seq("spark", "window", "scan")
+    assert(rows(PostingsStore.bm25SearchSeg(spark, v2, terms)) ==
+      rows(CorpusOps.bm25(docs, terms)))
+    // each phrase slot's literal-term filter pushes through the merge
+    // regroup and the union into BOTH segments' scans, bucket-pruned
+    val segTables = v2.segments.map(_.table).toSet
+    val probe = PostingsStore.phraseSearchSeg(spark, v2, phrase)
+    probe.collect()
+    val scans = allNodes(probe.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(t => segTables.contains(t.table))
+        => f
+    }
+    assert(scans.size >= 2 * phrase.length,
+      s"expected a scan per (slot x segment), got ${scans.size}")
+    scans.foreach { f =>
+      val pruned = f.optionalBucketSet
+      assert(pruned.isDefined && pruned.get.cardinality() < 8,
+        s"segment slot scan reads every bucket (no term pruning):\n$f")
+    }
+  }
+
+  test("re-ingested doc_ids: cross-segment (term, doc_id) groups " +
+      "merge exactly like refreshPostings' id-level merge") {
+    val docs = corpus(spark)
+    val reingest = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    // id-merge lineage: the whole corpus + the quarter folds in again
+    val ref = PostingsStore.refreshPostings(spark,
+      PostingsStore.writePostings(docs), reingest)
+    // segment lineage: same re-ingest as an appended segment
+    val seg = PostingsStore.appendSegment(
+      PostingsStore.writeSegmented(docs), reingest)
+    assert(rows(PostingsStore.phraseSearchSeg(spark, seg, phrase)) ==
+      rows(PostingsStore.phraseSearch(spark, ref, phrase)))
+    val terms = Seq("spark", "window", "scan")
+    assert(rows(PostingsStore.bm25SearchSeg(spark, seg, terms)) ==
+      rows(PostingsStore.bm25Search(spark, ref, terms)))
+  }
+
+  test("compacted segments == from-scratch build, table for table; " +
+      "single-segment compaction is a no-op") {
+    val docs = corpus(spark)
+    val v2 = PostingsStore.appendSegment(
+      PostingsStore.writeSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+    val c = PostingsStore.compactSegments(spark, v2)
+    assert(!v2.segments.contains(c))
+    val full = PostingsStore.writePostings(docs)
+    assert(rows(spark.table(c.table).orderBy("term", "doc_id")) ==
+      rows(spark.table(full.table).orderBy("term", "doc_id")))
+    assert(rows(spark.table(c.doclensTable).orderBy("doc_id")) ==
+      rows(spark.table(full.doclensTable).orderBy("doc_id")))
+    assert(rows(PostingsStore.phraseSearch(spark, c, phrase)) ==
+      rows(CorpusOps.phraseSearch(docs, phrase)))
+    // single segment: nothing to merge — the pair returns unchanged
+    val one = PostingsStore.writeSegmented(docs)
+    assert(PostingsStore.compactSegments(spark, one) ==
+      one.segments.head)
+  }
+
+  test("streamed segment maintenance loop: delta docs appending " +
+      "segments per micro-batch serve the same phrase answer; empty " +
+      "delta serves the base segment") {
+    val docs = corpus(spark)
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    assert(rows(graft.streaming.EventStreams
+      .drainPostingsSegMaintenance(base, delta, phrase)) ==
+      rows(CorpusOps.phraseSearch(docs, phrase)))
+    assert(rows(graft.streaming.EventStreams
+      .drainPostingsSegMaintenance(base, delta.limit(0), phrase)) ==
+      rows(CorpusOps.phraseSearch(base, phrase)))
+  }
+
   test("duplicate phrase terms and a no-match phrase behave") {
     val docs = corpus(spark)
     val idx = PostingsStore.writePostings(docs)
