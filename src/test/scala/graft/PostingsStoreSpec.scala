@@ -223,6 +223,40 @@ class PostingsStoreSpec extends SparkSpec {
       rows(PostingsStore.bm25Search(spark, ref, terms)))
   }
 
+  test("union-partitioning fence: the cross-segment doclens merge " +
+      "plans a real shuffle between the union and the regroup") {
+    // Spark 4.1's unionOutputPartitioning claim (default true) elides
+    // the grouping exchange over a union of same-bucketing children,
+    // silently splitting (doc_id) groups per segment (125 duplicated
+    // doc_ids on this corpus before the fence). The views repartition
+    // explicitly; this pins that the shuffle is IN THE PLAN — if a
+    // refactor drops the repartition, this fails before the answer
+    // diff does.
+    val docs = corpus(spark)
+    val v2 = PostingsStore.appendSegment(
+      PostingsStore.writeSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+    val served = PostingsStore.bm25SearchSeg(spark, v2,
+      Seq("spark", "window", "scan"))
+    served.collect()
+    val dlTables = v2.segments.map(_.doclensTable).toSet
+    def scansBothDoclens(p: SparkPlan): Boolean = {
+      val seen = allNodes(p).collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(t =>
+          dlTables.contains(t.table)) => f.tableIdentifier.get.table
+      }.toSet
+      seen == dlTables
+    }
+    val fenced = allNodes(served.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if scansBothDoclens(e.child) => e
+    }
+    assert(fenced.nonEmpty,
+      "no shuffle above the doclens segment union — the union-" +
+        "partitioning claim would split per-segment groups:\n" +
+        served.queryExecution.executedPlan)
+  }
+
   test("compacted segments == from-scratch build, table for table; " +
       "single-segment compaction is a no-op") {
     val docs = corpus(spark)
