@@ -1584,6 +1584,38 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(8)) === 0))
         .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
     }),
+    // The same maintenance fold in the SEGMENT regime (Lucene's model,
+    // the PostingsStore lifecycle applied to the one cap-free dedup
+    // index): the accepted %8 = 4 ingest hashes ONLY itself into an
+    // appended segment — the base fp table never read or rewritten —
+    // and the next ingest anti-joins the segment union (duplicate fps
+    // across segments are anti-join-invisible, so no regroup at all).
+    // Same oracle as the id-merge refresh; one answer, two fold
+    // regimes.
+    "q_dedup_incr_exact_seg" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeExactSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.appendExactSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      graft.sources.DedupIndexStore.probeExactSeg(s, v2,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+        .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
+    }),
+    // ... and the LSM third verb: the segment list compacts to one
+    // distinct-fp table (content == the id-merge refresh table,
+    // spec-pinned) and the probe serves from it. Same oracle.
+    "q_dedup_incr_exact_compact" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeExactSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.appendExactSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      val c = graft.sources.DedupIndexStore.compactExactSegments(s, v2)
+      graft.sources.DedupIndexStore.probeExact(s, c,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+        .select(col("doc_id"), col("lang"), col("source"), col("fp_md5"))
+    }),
     "q_dedup_incr_minhash_refresh" -> ((s, dir) => {
       val docs = documents(s, dir)
       val v1 = graft.sources.DedupIndexStore.writeMinhashIndex(
@@ -3262,15 +3294,13 @@ object SparkEntry {
     // refreshed fingerprint set (base %4 != 0 plus the accepted %8 = 4
     // ingest = everything with doc_id %8 != 0); plain integer split,
     // no plants — keep-first within the probing batch.
-    "q_dedup_incr_exact_refresh" ->
-      """SELECT doc_id, lang, source, md5(text) AS fp_md5
-        |FROM documents
-        |WHERE doc_id % 8 = 0
-        |  AND md5(text) NOT IN
-        |    (SELECT md5(text) FROM documents WHERE doc_id % 8 != 0)
-        |QUALIFY row_number() OVER (PARTITION BY md5(text)
-        |  ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incr_exact_refresh" -> IncrExactMaintOracle,
+    // One answer, THREE maintenance regimes: the O(batch) segment
+    // append and the compacted single-table serve cover the same
+    // (base %4 != 0) ∪ (%8 = 4) fingerprint set, probed by the same
+    // %8 = 0 ingest — shared-val convention so they cannot drift.
+    "q_dedup_incr_exact_seg" -> IncrExactMaintOracle,
+    "q_dedup_incr_exact_compact" -> IncrExactMaintOracle,
     // Incremental near-dup probe: exact cross-set 3-gram Jaccard
     // between the batch (doc_id % 4 = 0) and base slices — the
     // minhash banding finds these pairs with ~1e-22 miss probability,
@@ -6685,6 +6715,22 @@ object SparkEntry {
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY vec_batch, vec_base""".stripMargin
+
+  /** Shared oracle for the exact-index MAINTENANCE faces —
+    * q_dedup_incr_exact_refresh (id-merge), q_dedup_incr_exact_seg
+    * (O(batch) segment append), q_dedup_incr_exact_compact (the
+    * compacted single table): all three serve the SAME fingerprint
+    * set ((base %4 != 0) ∪ (%8 = 4) = everything with doc_id %8 != 0)
+    * to the same %8 = 0 probing ingest; keep-first within the batch. */
+  private val IncrExactMaintOracle: String =
+    """SELECT doc_id, lang, source, md5(text) AS fp_md5
+      |FROM documents
+      |WHERE doc_id % 8 = 0
+      |  AND md5(text) NOT IN
+      |    (SELECT md5(text) FROM documents WHERE doc_id % 8 != 0)
+      |QUALIFY row_number() OVER (PARTITION BY md5(text)
+      |  ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for q_dedup_incr_exact AND its drained-stream twin
     * q_dedup_incr_exact_stream: replays splitIncremental's planted

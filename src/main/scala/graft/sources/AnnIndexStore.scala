@@ -271,11 +271,12 @@ object AnnIndexStore {
     // multi-segment vecs: the rerank joins this union on vec_id, and
     // Spark 4.1's unionOutputPartitioning claim (default true) would
     // let the join trust the segments' common bucketing and elide the
-    // vecs-side shuffle — but independently-written bucketed tables
-    // are not one hash space, so the join would silently MISS
-    // cross-segment candidates. The explicit repartition demands the
-    // shuffle a cross-segment join genuinely needs (the PostingsStore
-    // segment-view lesson); the single-table path keeps its
+    // vecs-side shuffle — but bare co-bucketed scans union on the
+    // COLUMNAR path, which concatenates partitions while advertising
+    // the zipped partitioning (the PostingsStore segment-view lesson;
+    // PERF.md has the bytecode attribution), so the join would
+    // silently MISS cross-segment candidates. The explicit
+    // repartition pins the shuffle; the single-table path keeps its
     // Exchange-free bucket layout.
     val vecs = idx.vecsTables.map(spark.table) match {
       case Seq(one) => one

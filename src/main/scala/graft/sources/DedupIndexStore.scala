@@ -236,6 +236,72 @@ object DedupIndexStore {
         .distinct()))
   }
 
+  // ---- segment-list lifecycle for the exact face (the PostingsStore
+  // SegmentedPostings model; the one banded-free dedup index, so the
+  // segment union has NO cap semantics to reconcile — the minhash/
+  // simhash/embedding band indexes keep id-merge + compact because
+  // their per-bucket caps are a GLOBAL property a per-segment build
+  // cannot reproduce) ------------------------------------------------
+
+  /** A stored fingerprint index as a SEGMENT LIST: each segment is one
+    * ingest batch's distinct-fp table. An ingest appends a segment
+    * hashed from the batch alone — O(batch), the base table never read
+    * or rewritten — and the probe anti-joins the segment UNION, which
+    * needs no regroup at all: a fingerprint present in several
+    * segments anti-joins identically to one present once. */
+  final case class SegmentedExact(segments: Seq[ExactIndex])
+
+  /** The base build: one segment from the initial corpus. */
+  def writeExactSegmented(base: DataFrame,
+      buckets: Int = 8): SegmentedExact =
+    SegmentedExact(Seq(writeExactIndex(base, buckets)))
+
+  /** O(batch) maintenance: hash ONLY the accepted batch into a new
+    * segment (same registry independence as
+    * [[graft.sources.PostingsStore.appendSegment]]). */
+  def appendExactSegment(idx: SegmentedExact, accepted: DataFrame,
+      buckets: Int = 8): SegmentedExact =
+    SegmentedExact(idx.segments :+ writeExactIndex(accepted, buckets))
+
+  /** Probe a segment list — output identical to [[probeExact]] against
+    * the equivalent merged index (anti-join ignores cross-segment
+    * duplicates). Multi-segment unions repartition on fp_md5 before
+    * the anti-join: the Spark 4.1 union-partitioning claim would
+    * otherwise let the join trust the segments' common bucketing
+    * while the columnar union path concatenates partitions (the
+    * PostingsStore segment-view lesson; PERF.md has the bytecode
+    * attribution) — silently MISSING base fingerprints, i.e.
+    * duplicate docs would pass the gate. Single segment keeps the
+    * Exchange-free bucket layout. */
+  def probeExactSeg(spark: SparkSession, idx: SegmentedExact,
+      batch: DataFrame): DataFrame = {
+    enableBucketedSortOrder(spark)
+    val fps = idx.segments.map(s => spark.table(s.table)) match {
+      case Seq(one) => one
+      case many => many.reduce(_ unionByName _)
+        .repartition(org.apache.spark.sql.functions.col("fp_md5"))
+    }
+    Dedup.exactProbe(fps.hint("merge"), batch)
+  }
+
+  /** Compact a segment list back to ONE distinct-fp table — identical
+    * content to [[refreshExactIndex]]'s merge over the same batches
+    * (spec-pinned table-for-table). The repartition before the
+    * distinct is the same union-partitioning fence: without it the
+    * distinct would emit per-segment groups and the compacted table
+    * would carry duplicate fingerprints. */
+  def compactExactSegments(spark: SparkSession, idx: SegmentedExact,
+      buckets: Int = 8): ExactIndex = {
+    if (idx.segments.size == 1) return idx.segments.head
+    val key = Some(s"compact|${idx.segments.map(_.table).mkString(",")}")
+    ExactIndex(table("fp_idx_c", key, s"ex|$buckets", Seq("fp_md5"),
+      buckets)(
+      idx.segments.map(s => spark.table(s.table))
+        .reduce(_ unionByName _)
+        .repartition(org.apache.spark.sql.functions.col("fp_md5"))
+        .distinct()))
+  }
+
   /** [[refreshExactIndex]] for the minhash index: the stored
     * (band, bucket → id-list) groups explode back to rows, union the
     * accepted batch's band rows (the only shingling work — the base

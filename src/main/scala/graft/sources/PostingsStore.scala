@@ -150,15 +150,19 @@ object PostingsStore {
     *
     * The explicit repartition before each regroup is LOAD-BEARING, not
     * belt-and-braces: Spark 4.1's `spark.sql.unionOutputPartitioning`
-    * (default true) lets a Union of same-bucketing children CLAIM that
-    * partitioning, and EnsureRequirements then elides the grouping
-    * exchange — but two independently-written bucketed tables are only
-    * bucket-wise co-partitioned, not one hash space, so same-key rows
-    * from different segments never meet and the merge silently emits
-    * per-segment groups (measured: 125 duplicated doc_ids on the
-    * harness corpus; PostingsStoreSpec pins the merged answer). A
-    * cross-segment merge IS a shuffle; demanding it explicitly makes
-    * the plan immune to the claim. */
+    * (default true) lets a Union of same-partitioning children CLAIM
+    * that partitioning, and EnsureRequirements then elides the
+    * grouping exchange. The claim is honored on the row path (the
+    * union ZIPS same-index child partitions) but the COLUMNAR path is
+    * a plain partition concatenation that still advertises the zipped
+    * partitioning — and bare co-bucketed parquet scans are columnar,
+    * so exactly this union takes the broken path and the merge
+    * silently emits per-segment groups (measured: 125 duplicated
+    * doc_ids on the harness corpus; PERF.md has the bytecode-level
+    * attribution, PostingsStoreSpec pins the merged answer and the
+    * fence's presence in the plan). Demanding the shuffle explicitly
+    * makes the answer independent of which union path planning
+    * picks. */
   private def postingsView(spark: SparkSession,
       idx: SegmentedPostings): DataFrame =
     if (idx.segments.size == 1) spark.table(idx.segments.head.table)

@@ -144,6 +144,46 @@ class DedupIndexStoreSpec extends SparkSpec {
         threshold = 0.4, planes = Some(planes))))
   }
 
+  test("segmented exact index: O(batch) append — base table untouched, " +
+      "segment probe == id-merge refresh probe == inline; compaction " +
+      "== refresh table-for-table; single-segment compact is a no-op") {
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val gen2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val grown = corpus.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+    val v1 = DedupIndexStore.writeExactSegmented(base)
+    val filesBefore =
+      spark.table(v1.segments.head.table).inputFiles.sorted
+    val v2 = DedupIndexStore.appendExactSegment(v1, gen1)
+    // append never reads or rewrites the base segment
+    assert(v2.segments.startsWith(v1.segments) && v2.segments.size == 2)
+    assert(spark.table(v1.segments.head.table).inputFiles.sorted
+      .sameElements(filesBefore))
+    val got = rows(DedupIndexStore.probeExactSeg(spark, v2, gen2)
+      .select(col("doc_id"), col("fp_md5")))
+    assert(got.nonEmpty)
+    // one answer, two fold regimes: segment union == id-merge refresh
+    val e2 = DedupIndexStore.refreshExactIndex(spark,
+      DedupIndexStore.writeExactIndex(base), gen1)
+    assert(got == rows(DedupIndexStore.probeExact(spark, e2, gen2)
+      .select(col("doc_id"), col("fp_md5"))))
+    assert(got == rows(Dedup.incrementalExact(grown, gen2)
+      .select(col("doc_id"), col("fp_md5"))))
+    // compaction == the id-merge table, row for row — this is also
+    // the union-partitioning fence's answer-level canary: without the
+    // repartition before the distinct, the compacted table carries
+    // per-segment duplicate fingerprints
+    val c = DedupIndexStore.compactExactSegments(spark, v2)
+    assert(!v2.segments.contains(c))
+    assert(rows(spark.table(c.table).orderBy("fp_md5")) ==
+      rows(spark.table(e2.table).orderBy("fp_md5")))
+    assert(rows(DedupIndexStore.probeExact(spark, c, gen2)
+      .select(col("doc_id"), col("fp_md5"))) == got)
+    // single segment: compaction returns the pair unchanged
+    val one = DedupIndexStore.writeExactSegmented(base)
+    assert(DedupIndexStore.compactExactSegments(spark, one) ==
+      one.segments.head)
+  }
+
   test("compaction restores rebuild-equality where a BINDING cap made " +
       "refresh diverge (rebuilt from the sets table, corpus never read)") {
     // maxBucket = 1 drops every bucket with 2+ BASE members. The
