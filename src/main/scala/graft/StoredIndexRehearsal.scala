@@ -42,11 +42,20 @@ object StoredIndexRehearsal {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-    // optional arm filter (local iteration; unset = all arms) —
-    // lets a decade re-run measure only NEW arms without re-paying
-    // already-committed ones
+    // optional arm filter (prefix match; unset = all arms) — lets a
+    // decade re-run measure only NEW arms without re-paying committed
+    // ones. Arms that CONSUME another arm's product (stored probes
+    // need 'build', seg serves/compacts need their append arm, the
+    // segment-count probes need seg9_append_total) guard with need()/
+    // require below: filtering out a producer yields a loud error row
+    // naming it, never an NPE or a silently mislabeled measurement.
     val onlyArms = sys.env.get("SPARK_GRAFT_ARMS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def need[T](x: T, producer: String): T = {
+      require(x != null,
+        s"producer arm '$producer' filtered out by SPARK_GRAFT_ARMS")
+      x
+    }
     def arm(face: String, name: String)(body: => Long): Unit = {
       if (!onlyArms.forall(_.exists(name.startsWith))) return
       val t0 = System.nanoTime()
@@ -72,7 +81,7 @@ object StoredIndexRehearsal {
         spark.table(idx.table).count()
       }
       arm("exact", "stored") {
-        DedupIndexStore.probeExact(spark, idx, batch).count()
+        DedupIndexStore.probeExact(spark, need(idx, "build"), batch).count()
       }
     }
     face("minhash") {
@@ -85,7 +94,7 @@ object StoredIndexRehearsal {
         spark.table(idx.bucketsTable).count()
       }
       arm("minhash", "stored") {
-        DedupIndexStore.probeMinhash(spark, idx, batch).count()
+        DedupIndexStore.probeMinhash(spark, need(idx, "build"), batch).count()
       }
     }
     face("simhash") {
@@ -98,7 +107,7 @@ object StoredIndexRehearsal {
         spark.table(idx.table).count()
       }
       arm("simhash", "stored") {
-        DedupIndexStore.probeSimhash(spark, idx, batch).count()
+        DedupIndexStore.probeSimhash(spark, need(idx, "build"), batch).count()
       }
     }
     // Text retrieval served from the stored positional index
@@ -123,12 +132,12 @@ object StoredIndexRehearsal {
         spark.table(idx.table).count()
       }
       arm("postings", "stored_phrase") {
-        PostingsStore.phraseSearch(spark, idx, phrase).count()
+        PostingsStore.phraseSearch(spark, need(idx, "build"), phrase).count()
       }
       arm("postings", "stored_bm25") {
-        PostingsStore.bm25Search(spark, idx, terms).count()
+        PostingsStore.bm25Search(spark, need(idx, "build"), terms).count()
       }
-      val v1 = PostingsStore.writePostings(base, buckets = buckets)
+      lazy val v1 = PostingsStore.writePostings(base, buckets = buckets)
       // (the maint_stream arm below passes the same bucket count, so
       // its internal base build is this registry entry, not a rebuild
       // inside the timed window)
@@ -159,15 +168,15 @@ object StoredIndexRehearsal {
         spark.table(v2s.segments.last.table).count()
       }
       arm("postings", "seg_phrase") {
-        PostingsStore.phraseSearchSeg(spark, v2s, phrase).count()
+        PostingsStore.phraseSearchSeg(spark, need(v2s, "seg_append"), phrase).count()
       }
       arm("postings", "seg_bm25") {
-        PostingsStore.bm25SearchSeg(spark, v2s, terms).count()
+        PostingsStore.bm25SearchSeg(spark, need(v2s, "seg_append"), terms).count()
       }
       // the LSM third verb: merge the segment list back to one pair
       // (O(index), but over the STORED rows — no re-tokenize)
       arm("postings", "compact") {
-        val c = PostingsStore.compactSegments(spark, v2s,
+        val c = PostingsStore.compactSegments(spark, need(v2s, "seg_append"),
           buckets = buckets)
         spark.table(c.table).count()
       }
@@ -190,7 +199,7 @@ object StoredIndexRehearsal {
         .toInt
       val fbBase = docs.filter(pmod(col("doc_id"), lit(fbMod)) =!= 0)
       val fbBatch = docs.filter(pmod(col("doc_id"), lit(fbMod)) === 0)
-      val v1fb = PostingsStore.writePostings(fbBase, buckets = buckets)
+      lazy val v1fb = PostingsStore.writePostings(fbBase, buckets = buckets)
       arm("postings", s"refresh_fixed_mod$fbMod") {
         val v2 = PostingsStore.refreshPostings(spark, v1fb, fbBatch,
           buckets = buckets)
@@ -220,20 +229,25 @@ object StoredIndexRehearsal {
         }
         segList.segments.size.toLong
       }
-      def probeAt(n: Int): Long = PostingsStore.phraseSearchSeg(spark,
-        PostingsStore.SegmentedPostings(segList.segments.take(n)),
-        phrase).count()
+      def needSegs(n: Int): PostingsStore.SegmentedPostings = {
+        require(segList.segments.size >= n,
+          s"only ${segList.segments.size} segments built — " +
+            "'seg9_append_total' filtered out by SPARK_GRAFT_ARMS")
+        PostingsStore.SegmentedPostings(segList.segments.take(n))
+      }
+      def probeAt(n: Int): Long =
+        PostingsStore.phraseSearchSeg(spark, needSegs(n), phrase).count()
       arm("postings", "seg_probe_n1") { probeAt(1) }
       arm("postings", "seg_probe_n3") { probeAt(3) }
       arm("postings", "seg_probe_n9") { probeAt(9) }
       var compacted: PostingsStore.PostingsIndex = null
       arm("postings", "seg9_compact") {
-        compacted = PostingsStore.compactSegments(spark, segList,
+        compacted = PostingsStore.compactSegments(spark, needSegs(9),
           buckets = buckets)
         spark.table(compacted.table).count()
       }
       arm("postings", "compact_probe") {
-        PostingsStore.phraseSearch(spark, compacted, phrase).count()
+        PostingsStore.phraseSearch(spark, need(compacted, "seg9_compact"), phrase).count()
       }
     }
     face("embedding") {

@@ -769,7 +769,14 @@ object Similarity {
       .withColumn("r", row_number().over(probeRank))
       .filter(col("r") <= refine * k)
       .select("query_id", "qv", "vec_id")
-    val rescored = cand.join(vecs, Seq("vec_id"))
+    // cand is refine·k rows per query — bounded small by the same
+    // queries-broadcast-small contract the probe side already relies
+    // on — so the rerank builds on the candidates and streams the
+    // vecs side with NO distribution requirement. That is also the
+    // union-partitioning fence for SEGMENTED stored vecs: a broadcast
+    // join never consults the union's claimed partitioning, so the
+    // columnar-concat hazard (see PERF.md) cannot misalign it.
+    val rescored = broadcast(cand).join(vecs, Seq("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     scoredTopK(rescored, k)
   }
@@ -870,7 +877,14 @@ object Similarity {
       .withColumn("r", row_number().over(probeRank))
       .filter(col("r") <= refine * k)
       .select("query_id", "qv", "vec_id")
-    val rescored = cand.join(vecs, Seq("vec_id"))
+    // cand is refine·k rows per query — bounded small by the same
+    // queries-broadcast-small contract the probe side already relies
+    // on — so the rerank builds on the candidates and streams the
+    // vecs side with NO distribution requirement. That is also the
+    // union-partitioning fence for SEGMENTED stored vecs: a broadcast
+    // join never consults the union's claimed partitioning, so the
+    // columnar-concat hazard (see PERF.md) cannot misalign it.
+    val rescored = broadcast(cand).join(vecs, Seq("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     scoredTopK(rescored, k)
   }

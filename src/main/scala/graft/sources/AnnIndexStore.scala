@@ -268,26 +268,20 @@ object AnnIndexStore {
       Vectors.toDoubleVec(col("embedding")).as("qv"))
     val cells = Similarity.ivfProbes(qs, idx.centroids, nProbe)
       .select("cell").distinct().collect().map(_.getInt(0)).sorted
-    // multi-segment vecs: the rerank joins this union on vec_id, and
-    // Spark 4.1's unionOutputPartitioning claim (default true) would
-    // let the join trust the segments' common bucketing and elide the
-    // vecs-side shuffle — but bare co-bucketed scans union on the
-    // COLUMNAR path, which concatenates partitions while advertising
-    // the zipped partitioning (the PostingsStore segment-view lesson;
-    // PERF.md has the bytecode attribution), so the join would
-    // silently MISS cross-segment candidates. The explicit
-    // repartition pins the shuffle; the single-table path keeps its
-    // Exchange-free bucket layout.
-    val vecs = idx.vecsTables.map(spark.table) match {
-      case Seq(one) => one
-      case many => many.reduce(_ unionByName _)
-        .repartition(col("vec_id"))
-    }
+    // multi-segment vecs union is safe WITHOUT a repartition fence
+    // here: ivfPqProbeFrom broadcasts the bounded candidate side of
+    // the rerank join, and a broadcast join never consults the
+    // union's claimed partitioning (the columnar-concat hazard — see
+    // PERF.md — only corrupts plans that TRUST the claim for a
+    // shuffle join or aggregation). Shuffling the whole raw-vector
+    // relation per probe to restore the claim would cost exactly
+    // what storage exists to avoid.
     Similarity.ivfPqProbeFrom(
       idx.paths.map(p => spark.read.parquet(p)
           .filter(col("cell").isin(cells.map(Int.box): _*)))
         .reduce(_ unionByName _),
-      vecs, qs, idx.centroids, idx.codebooks, k, nProbe, refine)
+      idx.vecsTables.map(spark.table).reduce(_ unionByName _),
+      qs, idx.centroids, idx.codebooks, k, nProbe, refine)
   }
 
   /** A persisted PQ index: the m-byte code relation — the ~32x-smaller

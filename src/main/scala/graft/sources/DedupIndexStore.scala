@@ -279,7 +279,7 @@ object DedupIndexStore {
     val fps = idx.segments.map(s => spark.table(s.table)) match {
       case Seq(one) => one
       case many => many.reduce(_ unionByName _)
-        .repartition(org.apache.spark.sql.functions.col("fp_md5"))
+        .repartition(col("fp_md5"))
     }
     Dedup.exactProbe(fps.hint("merge"), batch)
   }
@@ -298,7 +298,7 @@ object DedupIndexStore {
       buckets)(
       idx.segments.map(s => spark.table(s.table))
         .reduce(_ unionByName _)
-        .repartition(org.apache.spark.sql.functions.col("fp_md5"))
+        .repartition(col("fp_md5"))
         .distinct()))
   }
 
