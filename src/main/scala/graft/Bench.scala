@@ -163,8 +163,13 @@ object Bench {
       (if (errors.length > errShown.length)
         Seq("\"+" + (errors.length - errShown.length) + " more\"")
       else Nil)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","errored":${errors.length},"queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
+    // stop BEFORE printing: the JSON line must be the last thing this
+    // main writes to stdout — executor/shutdown chatter landing after
+    // it is the remaining suspect for the driver's parsed:null (the
+    // consumer tail-parses stdout; r12 verdict item 8)
     spark.stop()
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","errored":${errors.length},"queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
+    System.out.flush()
     // A bench with errored queries must not read as clean to automation
     // keying on the exit code (round-5 advice: rc was 0 with 19 errors).
     if (errors.nonEmpty) sys.exit(2)

@@ -21,6 +21,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   - `graft_minhash_mins(text, n, k)` — all k MinHash component
   *     minima of the word-n-gram shingle set, one pass
   *     phrase-occurrence count + first position
+  *   - `graft_simhash_bits(text, bits, portable)` — per-document
+  *     SimHash fingerprint, one pass (portable<>0 = md5-60 token hash)
   *
   * so the engine's SQL entry point ([[graft.SparkEntry]] `q_rel_sql`
   * style queries) reaches the same kernels the DataFrame API uses. In a
@@ -106,6 +108,10 @@ object GraftFunctions {
       ((es: Seq[Expression]) => { arity("graft_minhash_mins", es, 3)
         MinHashMins(es(0), intArg(es(1), "graft_minhash_mins"),
           intArg(es(2), "graft_minhash_mins")) }),
+    "graft_simhash_bits" ->
+      ((es: Seq[Expression]) => { arity("graft_simhash_bits", es, 3)
+        SimhashBits(es(0), intArg(es(1), "graft_simhash_bits"),
+          intArg(es(2), "graft_simhash_bits") != 0) }),
   )
 
   /** Resolve a foldable string argument (the phrase literal). */

@@ -532,7 +532,12 @@ object Dedup {
   /** `bits`-wide SimHash per document: bit i is set iff the token-
     * frequency-weighted sum of (+1/-1 for bit i of hasher(token)) is
     * positive. One shuffle (groupBy doc_id) with `bits` partial-
-    * aggregated sums. */
+    * aggregated sums.
+    *
+    * This is the GENERIC-HASHER WITNESS form (any `Column => Column`
+    * hasher, pure Spark SQL) — the hot paths all use the shuffle-free
+    * [[simhashKernel]] projection instead, and KernelProps pins the
+    * two forms value-identical for both standard hashers. */
   def simhash(docs: DataFrame, bits: Int = 64,
       hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => xxhash64(c)): DataFrame = {
@@ -550,6 +555,23 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Per-document SimHash fingerprint via the codegen'd
+    * [[graft.functions.SimhashBits]] kernel — value-identical to
+    * [[simhash]] with the matching hasher (`portable = true` ↔
+    * [[md5Hash60]], `false` ↔ `xxhash64`; spec-pinned both ways), but
+    * as a PURE PROJECTION: one pass over the text inside the scan
+    * stage, no token explode, no `bits`-sum aggregate, no shuffle.
+    * Token-less documents are dropped (the aggregate form emits no
+    * row for them either). */
+  def simhashKernel(docs: DataFrame, bits: Int = 64,
+      portable: Boolean = false): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SimhashBits(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), bits, portable)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
   /** SimHash near-dup pairs within `maxHamming` (<= bands-1 guaranteed
     * found: `bands` disjoint bit-bands, pigeonhole — a pair differing
     * in fewer bits than bands shares at least one intact band).
@@ -557,11 +579,19 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 10000, bits: Int = 64, bands: Int = 4,
       hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => xxhash64(c)): DataFrame = {
+        c => xxhash64(c)): DataFrame =
+    simhashPairsFromSig(simhash(docs, bits, hasher),
+      maxHamming, maxBucket, bits, bands)
+
+  /** Banding + bucket-pair generation + exact-Hamming verify from a
+    * precomputed (doc_id, simhash) relation — the shared tail of
+    * [[simhashPairs]] (generic-hasher aggregate witness) and
+    * [[simhashPairsPortable]] (kernel fast path). */
+  private[graft] def simhashPairsFromSig(sh: DataFrame, maxHamming: Int,
+      maxBucket: Int, bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0 && maxHamming < bands)
     val bandBits = bits / bands
     val bandMask = (1L << bandBits) - 1L
-    val sh = simhash(docs, bits, hasher)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until bands).map(j =>
           shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(bandMask))): _*)))
@@ -592,8 +622,8 @@ object Dedup {
     * instead of failing the job. */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 65535): DataFrame =
-    simhashPairs(docs, maxHamming, maxBucket, bits = 60, bands = 4,
-      hasher = md5Hash60)
+    simhashPairsFromSig(simhashKernel(docs, bits = 60, portable = true),
+      maxHamming, maxBucket, bits = 60, bands = 4)
 
   /** The portable 60-bit simhash as a PURE PROJECTION over the text
     * column — value-identical to [[simhash]] with [[md5Hash60]]
@@ -611,21 +641,18 @@ object Dedup {
     * on any corpus without empty documents, and the probe path
     * filters empty docs either way.
     *
-    * Interpreted higher-order-function cost (~60 ANDs per token) is
-    * the price of the stateless form — the batch operators keep the
-    * explode+groupBy plan; promote to a codegen kernel (the TextDHash
-    * route) if this face ever carries batch-scale volume. */
+    * Body is the codegen'd [[graft.functions.SimhashBits]] kernel
+    * (one tight pass per document) — it replaced the original
+    * interpreted nested-lambda fold, which allocated a 60-element
+    * array per token; batch and stream now share one kernel. */
   def simhashProjection(text: org.apache.spark.sql.Column):
-      org.apache.spark.sql.Column = {
-    val powers = array((0 until 60).map(i => lit(1L << i)): _*)
-    val hs = transform(wsTokens(text), w => md5Hash60(w))
-    val bitvecs = transform(hs, h => transform(powers, p =>
-      when(h.bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))))
-    val sums = aggregate(bitvecs, array_repeat(lit(0L), 60),
-      (acc, v) => zip_with(acc, v, _ + _))
-    aggregate(zip_with(sums, powers,
-      (s, p) => when(s > 0L, p).otherwise(lit(0L))), lit(0L), _ + _)
-  }
+      org.apache.spark.sql.Column =
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SimhashBits(
+          org.apache.spark.sql.graft.ColumnBridge.expression(text),
+          bits = 60, portable = true)),
+      lit(0L))
 
   /** Incremental SimHash near-dup — the simhash face of the delta
     * family ([[incrementalExact]] / [[incrementalNearDupPairs]] /
@@ -658,7 +685,7 @@ object Dedup {
     * materialize-once relation both incremental faces probe. */
   def simhashBandIndex(base: DataFrame,
       maxBucket: Int = 65535): DataFrame =
-    simhash(base, bits = 60, hasher = md5Hash60)
+    simhashKernel(base, bits = 60, portable = true)
       .select(col("doc_id"), col("simhash"),
         posexplode(simhashBandCols(col("simhash"))))
       .toDF("doc_base", "sh_base", "band", "key")
@@ -685,7 +712,7 @@ object Dedup {
     * per-ingest side of [[simhashProbe]], shared by the inline and
     * stored-index forms. */
   private[graft] def simhashBatchBanded(batch: DataFrame): DataFrame =
-    simhash(batch, bits = 60, hasher = md5Hash60)
+    simhashKernel(batch, bits = 60, portable = true)
       .select(col("doc_id"), col("simhash"),
         posexplode(simhashBandCols(col("simhash"))))
       .toDF("doc_batch", "sh_batch", "band", "key")

@@ -378,6 +378,35 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty) // identical planted dups collide at hamming 0
   }
 
+  test("simhashKernel == aggregate witness fingerprints, both hash modes; " +
+      "token-less docs drop like the aggregate") {
+    import graft.functions.TextAnalysis.md5Hash60
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    // portable md5-60 mode (the oracled face)
+    val kMd5 = Dedup.simhashKernel(corpus, bits = 60, portable = true)
+      .as[(Long, Long)].collect().toMap
+    val wMd5 = Dedup.simhash(corpus, bits = 60, hasher = md5Hash60)
+      .as[(Long, Long)].collect().toMap
+    assert(kMd5 == wMd5)
+    // production xxhash64 mode (the slice-hash offset path)
+    val kXx = Dedup.simhashKernel(corpus, bits = 64, portable = false)
+      .as[(Long, Long)].collect().toMap
+    val wXx = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    assert(kXx == wXx)
+    // empty / whitespace-only / null docs: the aggregate form emits no
+    // row (explode of an empty token array) — the kernel must match;
+    // the streaming projection folds the same docs to fingerprint 0
+    val edge = Seq((1L, ""), (2L, " \t\n "), (3L, "tok"), (4L, null))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashKernel(edge, bits = 60, portable = true)
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    val proj = edge.select($"doc_id",
+      Dedup.simhashProjection($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(proj(1L) == 0L && proj(2L) == 0L && proj(4L) == 0L &&
+      proj(3L) != 0L)
+  }
+
   test("embedding LSH near-dup: subset of exact pairs, high recall") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = Dedup.embeddingNearDup(embs, threshold = 0.4)

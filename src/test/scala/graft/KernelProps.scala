@@ -241,6 +241,37 @@ object KernelProps extends Properties("graft.kernels") {
         got == want
     }
 
+  property("SimhashBits == token-vote model, both hash modes") =
+    forAll(mixedText, Gen.choose(1, 60), Gen.oneOf(true, false)) {
+      (s, bits, portable) =>
+        val got = graft.functions.SimhashBits.fingerprint(
+          UTF8String.fromString(s), bits, portable)
+        val toks = ("\\S+".r).findAllIn(s).toList
+        val want: java.lang.Long =
+          if (toks.isEmpty) null
+          else {
+            // independent hash route: md5 via its HEX STRING (the
+            // kernel derives the 60-bit value from raw digest bytes);
+            // xx via the hashUTF8String entry point (the kernel slices
+            // the document's byte array with an offset)
+            val hs = toks.map { t =>
+              if (portable) {
+                val d = java.security.MessageDigest.getInstance("MD5")
+                  .digest(t.getBytes("UTF-8"))
+                val hex = d.map(b => f"${b & 0xff}%02x").mkString
+                java.lang.Long.parseLong(hex.take(15), 16)
+              } else org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUTF8String(UTF8String.fromString(t), 42L)
+            }
+            (0 until bits).foldLeft(0L) { (acc, b) =>
+              val votes = hs.map(h =>
+                if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+              if (votes > 0) acc | (1L << b) else acc
+            }
+          }
+        got == want
+    }
+
   property("PhraseHits == regex-split sliding-window reference") = {
     val word: Gen[String] = Gen.oneOf("a", "b", "ab", "x")
     val text: Gen[String] = Gen.listOf(Gen.frequency(
