@@ -1625,6 +1625,38 @@ object SparkEntry {
       graft.sources.DedupIndexStore.probeMinhash(s, v2,
         docs.filter(pmod(col("doc_id"), lit(8)) === 0))
     }),
+    // The same three-generation maintenance fold for the SIMHASH
+    // index: base (%4 != 0) builds v1, the accepted %8 = 4 ingest
+    // folds in via refreshSimhashIndex (id-level merge — only the
+    // batch is fingerprinted, via the SimhashBits kernel), and the
+    // next %8 = 0 ingest probes v2. Oracle = the from-scratch
+    // cross-set Hamming join over the grown base (refresh == rebuild
+    // in the uncapped regime; see refreshMinhashIndex's cap caveat).
+    "q_dedup_incr_simhash_refresh" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeSimhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.refreshSimhashIndex(s, v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      graft.sources.DedupIndexStore.probeSimhash(s, v2,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
+    // ... and for the EMBEDDING SRP index. The injected axis planes
+    // are the index's geometry, so the refresh passes the SAME
+    // tables (their digest is part of the registry key — a refresh
+    // under different planes would be a different index).
+    "q_dedup_incr_embedding_refresh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+        Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+      val v1 = graft.sources.DedupIndexStore.writeEmbeddingIndex(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), planes)
+      val v2 = graft.sources.DedupIndexStore.refreshEmbeddingIndex(s, v1,
+        e.filter(pmod(col("vec_id"), lit(8)) === 4), planes)
+      graft.sources.DedupIndexStore.probeEmbedding(s, v2,
+        e.filter(pmod(col("vec_id"), lit(8)) === 0),
+        threshold = 0.4, tables = planes)
+    }),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -3398,6 +3430,10 @@ object SparkEntry {
     "q_dedup_incr_embedding_stream" -> IncrEmbeddingOracle,
     // Stored-index probe: same oracle (the minhash_stored convention).
     "q_dedup_incr_embedding_stored" -> IncrEmbeddingOracle,
+    // Refreshed-index probe: the grown base (vec_id %8 != 0 = original
+    // base plus the accepted %8 = 4 ingest) vs the next %8 = 0 ingest,
+    // same injected-plane candidate + exact-cosine arithmetic.
+    "q_dedup_incr_embedding_refresh" -> IncrEmbeddingMaintOracle,
     // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
     // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
     // the same IEEE double ops Spark's plantNearDups runs, so the
@@ -3492,6 +3528,9 @@ object SparkEntry {
     "q_dedup_incr_simhash_stream" -> IncrSimhashOracle,
     // Stored-index probe: same oracle (the minhash_stored convention).
     "q_dedup_incr_simhash_stored" -> IncrSimhashOracle,
+    // Refreshed-index probe: the grown base (doc_id %8 != 0) vs the
+    // next %8 = 0 ingest — refresh == rebuild in the uncapped regime.
+    "q_dedup_incr_simhash_refresh" -> IncrSimhashMaintOracle,
     // q_dedup_simhash: the 60-bit md5-derived token hash is computed
     // identically by both engines; the oracle is the brute-force
     // self-join, which equals the banded query exactly for
@@ -6657,11 +6696,15 @@ object SparkEntry {
         |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
         |ORDER BY doc_batch, doc_base""".stripMargin
 
-  /** Shared oracle for q_dedup_incr_simhash + its drained-stream
-    * twin: the exact cross-set Hamming join on the portable 60-bit
-    * simhash (4-band pigeonhole is exhaustive for hamming <= 3). */
-  private val IncrSimhashOracle: String =
-    """WITH toks AS (
+  /** Cross-set Hamming-join oracle over the portable 60-bit simhash,
+    * parameterized by the batch/base split predicates (4-band
+    * pigeonhole is exhaustive for hamming <= 3). The %4 instance
+    * serves q_dedup_incr_simhash and its stream/stored twins; the %8
+    * instance serves the refreshed-index probe (grown base = doc_id
+    * %8 != 0, next ingest = %8 = 0). */
+  private def incrSimhashOracleFor(batchPred: String,
+      basePred: String): String =
+    raw"""WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
         |  FROM documents
         |), th AS (
@@ -6680,15 +6723,25 @@ object SparkEntry {
         |SELECT q.doc_id AS doc_batch, b.doc_id AS doc_base,
         |  bit_count(xor(q.simhash, b.simhash)) AS hamming
         |FROM fp q JOIN fp b
-        |  ON q.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+        |  ON $batchPred AND $basePred
         |WHERE bit_count(xor(q.simhash, b.simhash)) <= 3
         |ORDER BY doc_batch, doc_base""".stripMargin
 
-  /** Shared oracle for q_dedup_incr_embedding + its drained-stream
-    * twin: injected axis-plane cross-set co-bucket candidates +
-    * exact-cosine verification, closed-form SQL. */
-  private val IncrEmbeddingOracle: String =
-    """WITH e AS (
+  /** Shared oracle for q_dedup_incr_simhash + its drained-stream and
+    * stored-index twins. */
+  private val IncrSimhashOracle: String =
+    incrSimhashOracleFor("q.doc_id % 4 = 0", "b.doc_id % 4 != 0")
+
+  /** Refreshed-index probe oracle: the grown base. */
+  private val IncrSimhashMaintOracle: String =
+    incrSimhashOracleFor("q.doc_id % 8 = 0", "b.doc_id % 8 != 0")
+
+  /** Injected axis-plane cross-set co-bucket candidates + exact-cosine
+    * verification, closed-form SQL; parameterized by the batch/base
+    * split like [[incrSimhashOracleFor]]. */
+  private def incrEmbeddingOracleFor(batchPred: String,
+      basePred: String): String =
+    s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings
         |), bk AS (
@@ -6701,7 +6754,7 @@ object SparkEntry {
         |), cand AS (
         |  SELECT DISTINCT q.vec_id AS vec_batch, b.vec_id AS vec_base
         |  FROM bk q JOIN bk b ON q.t = b.t AND q.bucket = b.bucket
-        |  WHERE q.vec_id % 4 = 0 AND b.vec_id % 4 != 0
+        |  WHERE $batchPred AND $basePred
         |), p AS (
         |  SELECT vec_batch, vec_base,
         |    list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS dot,
@@ -6715,6 +6768,15 @@ object SparkEntry {
         |FROM p
         |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY vec_batch, vec_base""".stripMargin
+
+  /** Shared oracle for q_dedup_incr_embedding + its drained-stream and
+    * stored-index twins. */
+  private val IncrEmbeddingOracle: String =
+    incrEmbeddingOracleFor("q.vec_id % 4 = 0", "b.vec_id % 4 != 0")
+
+  /** Refreshed-index probe oracle: the grown base. */
+  private val IncrEmbeddingMaintOracle: String =
+    incrEmbeddingOracleFor("q.vec_id % 8 = 0", "b.vec_id % 8 != 0")
 
   /** Shared oracle for the exact-index MAINTENANCE faces —
     * q_dedup_incr_exact_refresh (id-merge), q_dedup_incr_exact_seg
