@@ -83,6 +83,32 @@ object StoredIndexRehearsal {
       arm("exact", "stored") {
         DedupIndexStore.probeExact(spark, need(idx, "build"), batch).count()
       }
+      // PROBE COST vs SEGMENT COUNT (the postings/ivfpq ladder for
+      // the fingerprint family): base + 15 sub-batch segments; the
+      // anti-join probe at each power of two unions + repartitions
+      // that many fp tables, so the curve measures what the union
+      // fence costs as the list grows.
+      var segIdx: DedupIndexStore.SegmentedExact = null
+      arm("exact", "seg16_append_total") {
+        val b0 = DedupIndexStore.writeExactSegmented(base,
+          buckets = buckets)
+        segIdx = (0 until 15).foldLeft(b0) { (acc, i) =>
+          DedupIndexStore.appendExactSegment(acc,
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
+              pmod(col("doc_id"), lit(60)) === (i * 4)),
+            buckets = buckets)
+        }
+        segIdx.segments.size.toLong
+      }
+      Seq(1, 2, 4, 8, 16).foreach { n =>
+        arm("exact", s"seg_probe_n$n") {
+          require(segIdx != null,
+            "'seg16_append_total' filtered out by SPARK_GRAFT_ARMS")
+          DedupIndexStore.probeExactSeg(spark,
+            DedupIndexStore.SegmentedExact(segIdx.segments.take(n)),
+            batch).count()
+        }
+      }
     }
     face("minhash") {
       arm("minhash", "inline") {
@@ -211,18 +237,22 @@ object StoredIndexRehearsal {
           buckets = buckets)
         spark.table(v2.segments.last.table).count()
       }
-      // PROBE COST vs SEGMENT COUNT — the number compaction exists to
-      // reset: the batch quarter lands as 8 sub-batch segments (9-
-      // segment list incl. base), the phrase probes at 1/3/9 segments,
-      // then compaction folds the list to one pair and the probe is
-      // re-timed. Each probe reads one bucket-pruned scan per segment
-      // per slot, so probe cost should grow ~linearly in segment
-      // count and compaction should restore the single-segment floor.
-      val subs = (0 until 8).map(i =>
+      // PROBE COST vs SEGMENT COUNT — the read-amplification curve
+      // compaction exists to reset, measured on the 1/2/4/8/16
+      // doubling ladder (r12 verdict item 5: the knee of this curve
+      // is the compactIfOver trigger threshold). The batch quarter
+      // lands as 15 sub-batch segments (16-segment list incl. base);
+      // the phrase probes at every power of two, then compaction
+      // folds the full list to one pair and the probe is re-timed.
+      // Each probe reads one bucket-pruned scan per segment per slot,
+      // so probe cost grows ~linearly in segment count above a fixed
+      // floor; the knee is where the per-segment slope overtakes the
+      // floor.
+      val subs = (0 until 15).map(i =>
         docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
-          pmod(col("doc_id"), lit(32)) === (i * 4)))
+          pmod(col("doc_id"), lit(60)) === (i * 4)))
       var segList = PostingsStore.SegmentedPostings(Seq(v1))
-      arm("postings", "seg9_append_total") {
+      arm("postings", "seg16_append_total") {
         subs.foreach { b =>
           segList = PostingsStore.appendSegment(segList, b,
             buckets = buckets)
@@ -232,22 +262,22 @@ object StoredIndexRehearsal {
       def needSegs(n: Int): PostingsStore.SegmentedPostings = {
         require(segList.segments.size >= n,
           s"only ${segList.segments.size} segments built — " +
-            "'seg9_append_total' filtered out by SPARK_GRAFT_ARMS")
+            "'seg16_append_total' filtered out by SPARK_GRAFT_ARMS")
         PostingsStore.SegmentedPostings(segList.segments.take(n))
       }
       def probeAt(n: Int): Long =
         PostingsStore.phraseSearchSeg(spark, needSegs(n), phrase).count()
-      arm("postings", "seg_probe_n1") { probeAt(1) }
-      arm("postings", "seg_probe_n3") { probeAt(3) }
-      arm("postings", "seg_probe_n9") { probeAt(9) }
+      Seq(1, 2, 4, 8, 16).foreach { n =>
+        arm("postings", s"seg_probe_n$n") { probeAt(n) }
+      }
       var compacted: PostingsStore.PostingsIndex = null
-      arm("postings", "seg9_compact") {
-        compacted = PostingsStore.compactSegments(spark, needSegs(9),
+      arm("postings", "seg16_compact") {
+        compacted = PostingsStore.compactSegments(spark, needSegs(16),
           buckets = buckets)
         spark.table(compacted.table).count()
       }
       arm("postings", "compact_probe") {
-        PostingsStore.phraseSearch(spark, need(compacted, "seg9_compact"), phrase).count()
+        PostingsStore.phraseSearch(spark, need(compacted, "seg16_compact"), phrase).count()
       }
     }
     face("embedding") {
@@ -356,6 +386,41 @@ object StoredIndexRehearsal {
           e.filter(pmod(col("vec_id"), lit(4)) === 0),
           buckets = buckets)
         spark.read.parquet(v2.paths.last).count()
+      }
+      // PROBE COST vs SEGMENT COUNT for the ANN family (the postings
+      // ladder's shape, r12 verdict item 5): the batch quarter lands
+      // as 15 sub-batch segments on top of the base (16-segment
+      // list); the probe at each power of two reads nProbe pruned
+      // cells per segment plus one rerank join per vecs table.
+      var segIdx: AnnIndexStore.IvfPqIndex = null
+      arm("ivfpq", "seg16_append_total") {
+        segIdx = (0 until 15).foldLeft(v1) { (acc, i) =>
+          AnnIndexStore.refreshIvfPqIndex(spark, acc,
+            e.filter(pmod(col("vec_id"), lit(4)) === 0 &&
+              pmod(col("vec_id"), lit(60)) === (i * 4)),
+            buckets = buckets)
+        }
+        segIdx.paths.size.toLong
+      }
+      def needAnnSegs(n: Int): AnnIndexStore.IvfPqIndex = {
+        require(segIdx != null && segIdx.paths.size >= n,
+          "'seg16_append_total' filtered out by SPARK_GRAFT_ARMS")
+        AnnIndexStore.IvfPqIndex(segIdx.paths.take(n),
+          segIdx.vecsTables.take(n), segIdx.centroids, segIdx.codebooks)
+      }
+      Seq(1, 2, 4, 8, 16).foreach { n =>
+        arm("ivfpq", s"seg_probe_n$n") {
+          AnnIndexStore.probeIvfPq(spark, needAnnSegs(n),
+            e.filter(col("vec_id") < 5), k = 10, nProbe = 4,
+            refine = 4).count()
+        }
+      }
+      arm("ivfpq", "seg16_compact_probe") {
+        val c = AnnIndexStore.compactIvfPqIndex(spark, needAnnSegs(16),
+          buckets = buckets)
+        AnnIndexStore.probeIvfPq(spark, c,
+          e.filter(col("vec_id") < 5), k = 10, nProbe = 4,
+          refine = 4).count()
       }
       // the drained maintenance LOOP (q_ann_ivfpq_stream's shape):
       // 3 foreachBatch segment appends over the delta replay plus the

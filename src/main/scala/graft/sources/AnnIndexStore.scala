@@ -240,6 +240,24 @@ object AnnIndexStore {
   def compactIvfIndex(spark: SparkSession, idx: IvfIndex): IvfIndex =
     IvfIndex(compactSegments(spark, idx.paths, "ivf"), idx.centroids)
 
+  /** Segment ceiling for the ANN family — higher than the text/
+    * fingerprint families' knee of 4 because the IVF-PQ probe
+    * amortizes per-segment pruned scans against its fixed rerank-join
+    * floor: the measured curve (PERF.md §"Compaction trigger policy",
+    * StoredIndexRehearsal ivfpq `seg_probe_n{1,2,4,8,16}` at two
+    * decades) is FLAT through 8 segments and +55% at 16. */
+  val DefaultMaxSegments = 8
+
+  /** The LSM trigger for the ANN family
+    * ([[DedupIndexStore.compactExactIfOver]]'s shape): compact once
+    * the code-segment list exceeds `maxSegments`, else return the
+    * index untouched. */
+  def compactIvfPqIfOver(spark: SparkSession, idx: IvfPqIndex,
+      maxSegments: Int = DefaultMaxSegments,
+      buckets: Int = 8): IvfPqIndex =
+    if (idx.paths.size <= maxSegments) idx
+    else compactIvfPqIndex(spark, idx, buckets)
+
   /** [[compactSegments]] for a stored IVF-PQ index — the code
     * segments merge to one cell-partitioned directory and the vecs
     * tables to one bucketed table (the same O(index) pass; the

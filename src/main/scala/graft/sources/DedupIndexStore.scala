@@ -284,6 +284,29 @@ object DedupIndexStore {
     Dedup.exactProbe(fps.hint("merge"), batch)
   }
 
+  /** Segment-count ceiling the maintenance loops check after every
+    * append — the measured knee of the probe read-amplification curve
+    * (PERF.md §"Compaction trigger policy", StoredIndexRehearsal
+    * `seg_probe_n{1,2,4,8,16}` at two decades): for the union-fence
+    * families (postings, exact fingerprints) probe cost sits on its
+    * fixed floor through 4 segments and then climbs ~linearly —
+    * 2.6-4.1x the floor by 8 segments at the 10x decade — so the
+    * loop compacts when the list EXCEEDS 4. The ANN family's probe
+    * amortizes segments against a rerank-join floor and keeps a
+    * higher ceiling ([[AnnIndexStore.DefaultMaxSegments]]). */
+  val DefaultMaxSegments = 4
+
+  /** The LSM trigger — WHEN to run the third verb: compact once the
+    * list exceeds `maxSegments`, otherwise return it untouched (no
+    * new tables, no reads). Maintenance loops call this after each
+    * append; probing the result is identical either way
+    * (spec-pinned), only the read amplification changes. */
+  def compactExactIfOver(spark: SparkSession, idx: SegmentedExact,
+      maxSegments: Int = DefaultMaxSegments,
+      buckets: Int = 8): SegmentedExact =
+    if (idx.segments.size <= maxSegments) idx
+    else SegmentedExact(Seq(compactExactSegments(spark, idx, buckets)))
+
   /** Compact a segment list back to ONE distinct-fp table — identical
     * content to [[refreshExactIndex]]'s merge over the same batches
     * (spec-pinned table-for-table). The repartition before the

@@ -213,6 +213,19 @@ object PostingsStore {
     CorpusOps.bm25FromPostings(postingsView(spark, idx),
       doclensView(spark, idx), terms, k)
 
+  /** The LSM trigger for the text family
+    * ([[DedupIndexStore.compactExactIfOver]]'s shape): compact once
+    * the list exceeds `maxSegments`, else return it untouched. The
+    * default is the measured knee — the phrase probe pays one
+    * bucket-pruned scan per segment per slot, reads its fixed floor
+    * through 4 segments and 4.1x the floor by 8 at the 10x decade
+    * (PERF.md §"Compaction trigger policy"). */
+  def compactIfOver(spark: SparkSession, idx: SegmentedPostings,
+      maxSegments: Int = DedupIndexStore.DefaultMaxSegments,
+      buckets: Int = 8): SegmentedPostings =
+    if (idx.segments.size <= maxSegments) idx
+    else SegmentedPostings(Seq(compactSegments(spark, idx, buckets)))
+
   /** Compact a segment list back to ONE (postings, doclens) pair —
     * the LSM third verb for the text family: one O(index) pass over
     * the STORED segments (the corpus is never re-tokenized), writing

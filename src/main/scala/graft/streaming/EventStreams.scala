@@ -1835,7 +1835,9 @@ object EventStreams extends Serializable {
     * whole corpus. */
   def drainPostingsSegMaintenance(baseDocs: DataFrame,
       deltaDocs: DataFrame, phrase: Seq[String], nBatches: Int = 3,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8,
+      maxSegments: Int =
+        graft.sources.DedupIndexStore.DefaultMaxSegments): DataFrame = {
     val spark = baseDocs.sparkSession
     // AtomicReference for the cross-thread handle handoff — see
     // drainPostingsMaintenance
@@ -1850,8 +1852,13 @@ object EventStreams extends Serializable {
       val q = stream.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => {
-          idx.set(graft.sources.PostingsStore.appendSegment(idx.get,
-            batch, buckets))
+          // the LSM trigger check rides every fold: append O(batch),
+          // then compact only when the list exceeds the measured knee
+          // (PERF.md §"Compaction trigger policy") — under it the
+          // call returns the list untouched
+          idx.set(graft.sources.PostingsStore.compactIfOver(spark,
+            graft.sources.PostingsStore.appendSegment(idx.get,
+              batch, buckets), maxSegments, buckets))
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1875,7 +1882,9 @@ object EventStreams extends Serializable {
   def drainIvfPqMaintenance(baseVecs: DataFrame, deltaVecs: DataFrame,
       queries: DataFrame, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
-      refine: Int, nBatches: Int = 3, buckets: Int = 8): DataFrame = {
+      refine: Int, nBatches: Int = 3, buckets: Int = 8,
+      maxSegments: Int =
+        graft.sources.AnnIndexStore.DefaultMaxSegments): DataFrame = {
     val spark = baseVecs.sparkSession
     // AtomicReference for the cross-thread handle handoff — see
     // drainPostingsMaintenance
@@ -1892,8 +1901,11 @@ object EventStreams extends Serializable {
       val q = stream.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch((batch: DataFrame, _: Long) => {
-          idx.set(graft.sources.AnnIndexStore.refreshIvfPqIndex(spark,
-            idx.get, batch, buckets))
+          // append O(batch), then the LSM trigger check — compacts
+          // only past the ANN family's measured knee of 8
+          idx.set(graft.sources.AnnIndexStore.compactIvfPqIfOver(spark,
+            graft.sources.AnnIndexStore.refreshIvfPqIndex(spark,
+              idx.get, batch, buckets), maxSegments, buckets))
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

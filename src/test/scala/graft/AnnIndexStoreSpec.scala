@@ -166,6 +166,14 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.compactIvfPqIndex(spark, v3).paths == v3.paths)
     assert(AnnIndexStore.compactIvfIndex(spark,
       AnnIndexStore.writeIvfIndex(e, cents)).paths.size == 1)
+    // the LSM TRIGGER: 2 segments sit under the ANN knee (8) — the
+    // same index back untouched; a forced ceiling of 1 compacts, and
+    // the probe answer survives the fold
+    assert(AnnIndexStore.compactIvfPqIfOver(spark, v2) eq v2)
+    val t = AnnIndexStore.compactIvfPqIfOver(spark, v2, maxSegments = 1)
+    assert(t.paths.size == 1)
+    assert(rows(AnnIndexStore.probeIvfPq(spark, t, queries,
+      k = 10, nProbe = 2, refine = 4)) == grown)
   }
 
   test("streamed IVF-PQ maintenance loop: delta vectors appending " +

@@ -182,6 +182,15 @@ class DedupIndexStoreSpec extends SparkSpec {
     val one = DedupIndexStore.writeExactSegmented(base)
     assert(DedupIndexStore.compactExactSegments(spark, one) ==
       one.segments.head)
+    // the LSM TRIGGER: at or under the measured knee (4) the list
+    // comes back untouched — the same instance, no new tables; above
+    // a tighter ceiling it folds to one segment with the same probe
+    assert(DedupIndexStore.compactExactIfOver(spark, v2) eq v2)
+    val t = DedupIndexStore.compactExactIfOver(spark, v2,
+      maxSegments = 1)
+    assert(t.segments.size == 1)
+    assert(rows(DedupIndexStore.probeExactSeg(spark, t, gen2)
+      .select(col("doc_id"), col("fp_md5"))) == got)
   }
 
   test("compaction restores rebuild-equality where a BINDING cap made " +

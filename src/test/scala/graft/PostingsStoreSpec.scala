@@ -279,6 +279,37 @@ class PostingsStoreSpec extends SparkSpec {
       one.segments.head)
   }
 
+  test("compactIfOver: untouched at or under the threshold, one " +
+      "segment above it, identical probe either way") {
+    val docs = corpus(spark)
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val subs = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
+        pmod(col("doc_id"), lit(12)) === (i * 4)))
+    val v4 = subs.foldLeft(PostingsStore.writeSegmented(base))(
+      (acc, b) => PostingsStore.appendSegment(acc, b))
+    assert(v4.segments.size == 4)
+    // at the default knee (4): under/equal — the SAME list back, no
+    // new tables
+    assert(PostingsStore.compactIfOver(spark, v4) eq v4)
+    // above a tighter ceiling: one segment, same phrase answer
+    val c = PostingsStore.compactIfOver(spark, v4, maxSegments = 2)
+    assert(c.segments.size == 1)
+    assert(rows(PostingsStore.phraseSearchSeg(spark, c, phrase)) ==
+      rows(PostingsStore.phraseSearchSeg(spark, v4, phrase)))
+  }
+
+  test("segment maintenance loop with the trigger forced on " +
+      "(maxSegments = 1): every fold compacts, answer unchanged") {
+    val docs = corpus(spark)
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    assert(rows(graft.streaming.EventStreams
+      .drainPostingsSegMaintenance(base, delta, phrase,
+        maxSegments = 1)) ==
+      rows(CorpusOps.phraseSearch(docs, phrase)))
+  }
+
   test("streamed segment maintenance loop: delta docs appending " +
       "segments per micro-batch serve the same phrase answer; empty " +
       "delta serves the base segment") {
