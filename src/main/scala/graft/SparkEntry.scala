@@ -1657,6 +1657,25 @@ object SparkEntry {
         e.filter(pmod(col("vec_id"), lit(8)) === 0),
         threshold = 0.4, tables = planes)
     }),
+    // The same maintenance fold in the SEGMENT regime — the first
+    // BANDED family with an O(batch) segment path: segments are
+    // written uncapped and the skew cap is applied GLOBALLY at probe
+    // time over the segment union (bit-for-bit the single-build cap
+    // decision, even when the cap binds — see
+    // DedupIndexStore.probeEmbeddingSeg). Same oracle as the
+    // id-merge refresh: one answer, two fold regimes.
+    "q_dedup_incr_embedding_seg" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+        Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+      val v1 = graft.sources.DedupIndexStore.writeEmbeddingSegmented(
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0), planes)
+      val v2 = graft.sources.DedupIndexStore.appendEmbeddingSegment(v1,
+        e.filter(pmod(col("vec_id"), lit(8)) === 4), planes)
+      graft.sources.DedupIndexStore.probeEmbeddingSeg(s, v2,
+        e.filter(pmod(col("vec_id"), lit(8)) === 0),
+        threshold = 0.4, tables = planes)
+    }),
     // ---- similarity search extensions ----
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
@@ -3434,6 +3453,10 @@ object SparkEntry {
     // base plus the accepted %8 = 4 ingest) vs the next %8 = 0 ingest,
     // same injected-plane candidate + exact-cosine arithmetic.
     "q_dedup_incr_embedding_refresh" -> IncrEmbeddingMaintOracle,
+    // One answer, two fold regimes (the exact-face convention): the
+    // O(batch) segment append with the probe-time global cap serves
+    // the same grown base to the same %8 = 0 ingest.
+    "q_dedup_incr_embedding_seg" -> IncrEmbeddingMaintOracle,
     // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
     // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
     // the same IEEE double ops Spark's plantNearDups runs, so the

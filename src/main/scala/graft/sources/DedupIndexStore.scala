@@ -437,6 +437,77 @@ object DedupIndexStore {
           .unionByName(Dedup.embeddingVecs(accepted))))
   }
 
+  // ---- segment-list lifecycle for the embedding face (round 13,
+  // r12 verdict stretch 7). SURVEY argued the banded families keep
+  // id-merge because the per-bucket skew cap is a GLOBAL property a
+  // per-segment build cannot reproduce — that barrier dissolves for
+  // this face by MOVING THE CAP TO PROBE TIME: segments are written
+  // UNCAPPED (the cap guards the candidate pair fan-out B², not
+  // storage B — an uncapped stored list is linear in its batch), and
+  // the probe sums member counts per (t, bucket) ACROSS the unioned
+  // segments before exploding, skipping any bucket whose GLOBAL
+  // total exceeds the cap. That is bit-for-bit the single-build cap
+  // decision — including when the cap BINDS (spec-pinned with a
+  // binding cap), which the id-merge refresh cannot claim (its cap
+  // caveat). Minhash/simhash keep id-merge: their verify legs need
+  // per-doc side tables (shingle sets) whose segment story is the
+  // same, but their bucket members carry no payload needed before
+  // the cap, so nothing new is won there. -------------------------
+
+  /** A stored embedding index as a SEGMENT LIST. */
+  final case class SegmentedEmbedding(segments: Seq[EmbeddingIndex])
+
+  /** The base build: one UNCAPPED segment (see the cap-at-probe note
+    * above). */
+  def writeEmbeddingSegmented(base: DataFrame,
+      tables: Seq[Seq[Seq[Double]]],
+      buckets: Int = 8): SegmentedEmbedding =
+    SegmentedEmbedding(Seq(writeEmbeddingIndex(base, tables,
+      maxBucket = Int.MaxValue, buckets = buckets)))
+
+  /** O(batch) maintenance: bucket ONLY the accepted batch into a new
+    * uncapped segment — base tables never read or rewritten. */
+  def appendEmbeddingSegment(idx: SegmentedEmbedding,
+      accepted: DataFrame, tables: Seq[Seq[Seq[Double]]],
+      buckets: Int = 8): SegmentedEmbedding =
+    SegmentedEmbedding(idx.segments :+ writeEmbeddingIndex(accepted,
+      tables, maxBucket = Int.MaxValue, buckets = buckets))
+
+  /** Probe a segment list — output identical to [[probeEmbedding]]
+    * against the single CAPPED index over the union of the segments'
+    * batches, for ANY cap (the probe-time global cap above). The
+    * explicit repartitions are the Spark 4.1 union-partitioning
+    * fences (the [[probeExactSeg]] lesson): the per-bucket totals
+    * regroup and the vec_id verify join would otherwise trust the
+    * concatenated columnar union's claimed layout and silently
+    * miscount / drop base rows. */
+  def probeEmbeddingSeg(spark: SparkSession, idx: SegmentedEmbedding,
+      batch: DataFrame, threshold: Double,
+      tables: Seq[Seq[Seq[Double]]],
+      maxBucket: Int = 10000): DataFrame = {
+    enableBucketedSortOrder(spark)
+    def unioned(ts: Seq[String], fence: Seq[String]): DataFrame =
+      ts.map(spark.table) match {
+        case Seq(one) => one
+        case many => many.reduce(_ unionByName _)
+          .repartition(fence.map(col): _*)
+      }
+    val uni = unioned(idx.segments.map(_.bucketsTable),
+      Seq("t", "bucket"))
+    // the GLOBAL cap decision, recovered over the union: total
+    // members per (t, bucket) across all segments — only buckets at
+    // or under the cap survive into candidate generation
+    val surviving = uni
+      .select(col("t"), col("bucket"), size(col("base_ds")).as("c"))
+      .groupBy("t", "bucket").agg(sum("c").as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("t"), col("bucket"))
+    Dedup.embeddingProbe(
+      uni.join(surviving, Seq("t", "bucket")),
+      unioned(idx.segments.map(_.vecsTable), Seq("vec_id")),
+      batch, threshold, tables)
+  }
+
   /** Probe a stored embedding index — output identical to
     * [[Dedup.incrementalEmbeddingNearDup]] over the same base with the
     * same planes. */

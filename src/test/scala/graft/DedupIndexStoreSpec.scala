@@ -273,4 +273,60 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(rows(probe) == inline)
     assertNoExchangeLeg(finalPlan(probe), idx.bucketsTable)
   }
+
+  test("segmented embedding index: O(batch) append, probe == id-merge " +
+      "refresh probe == inline over the grown base; the probe-time " +
+      "global cap reproduces the single-build cap decision when it " +
+      "BINDS") {
+    val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+      Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eb = embs.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val eg1 = embs.filter(pmod(col("vec_id"), lit(8)) === 4)
+    val eg2 = embs.filter(pmod(col("vec_id"), lit(8)) === 0)
+    val grown = embs.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+    // O(batch) append: base segment untouched
+    val v1 = DedupIndexStore.writeEmbeddingSegmented(eb, planes)
+    val filesBefore =
+      spark.table(v1.segments.head.bucketsTable).inputFiles.sorted
+    val v2 = DedupIndexStore.appendEmbeddingSegment(v1, eg1, planes)
+    assert(v2.segments.startsWith(v1.segments) && v2.segments.size == 2)
+    assert(spark.table(v1.segments.head.bucketsTable).inputFiles.sorted
+      .sameElements(filesBefore))
+    val got = rows(DedupIndexStore.probeEmbeddingSeg(spark, v2, eg2,
+      threshold = 0.4, tables = planes))
+    assert(got.nonEmpty)
+    // one answer, THREE execution models
+    val r2 = DedupIndexStore.refreshEmbeddingIndex(spark,
+      DedupIndexStore.writeEmbeddingIndex(eb, planes), eg1, planes)
+    assert(got == rows(DedupIndexStore.probeEmbedding(spark, r2, eg2,
+      threshold = 0.4, tables = planes)))
+    assert(got == rows(Dedup.incrementalEmbeddingNearDup(grown, eg2,
+      threshold = 0.4, planes = Some(planes))))
+    // BINDING cap: pick the fullest (t, bucket) of the grown base
+    // under these planes and set the cap just below its population —
+    // the single capped build drops it, and the segment probe's
+    // global sum must reach the same verdict even though EACH
+    // SEGMENT's share sits under the cap (the refresh caveat this
+    // face does not carry)
+    val occ = Dedup.embeddingBandIndex(grown, planes,
+        maxBucket = Int.MaxValue)
+      .select(size(col("base_ds")).as("n"))
+      .agg(max("n")).head.getInt(0)
+    assert(occ >= 2, "fixture needs a shared bucket to bind on")
+    val cap = occ - 1
+    val capped = rows(Dedup.embeddingProbe(
+      Dedup.embeddingBandIndex(grown, planes, maxBucket = cap),
+      Dedup.embeddingVecs(grown), eg2, 0.4, planes))
+    val segCapped = rows(DedupIndexStore.probeEmbeddingSeg(spark, v2,
+      eg2, threshold = 0.4, tables = planes, maxBucket = cap))
+    assert(segCapped == capped)
+    // ... and the cap DID bind: the capped single build carries fewer
+    // buckets than the uncapped one (the dropped bucket is the one
+    // the probe-time global sum must also skip)
+    assert(Dedup.embeddingBandIndex(grown, planes, maxBucket = cap)
+        .count() <
+      Dedup.embeddingBandIndex(grown, planes,
+        maxBucket = Int.MaxValue).count())
+  }
 }
