@@ -410,7 +410,7 @@ object EventStreams extends Serializable {
         tail.map(t => t.schema.catalogString +
           t.collect().mkString(";")).getOrElse(""),
         files.mkString(","),
-        plan.canonicalized.toString).mkString(" ")
+        plan.canonicalized.toString).mkString("\u0000")
       ReplayDirCache.get(key) match {
         case Some(dir) =>
           (spark.readStream.schema(rows.schema)

@@ -507,6 +507,20 @@ class PlanSpec extends SparkSpec {
       s"expected base + batch scans only:\n$p")
   }
 
+  test("simhash pairs: fingerprint is the SimhashBits kernel " +
+      "projection — one scan, no token explode") {
+    // r13: the 64-sum explode/aggregate shape is gone — the only
+    // Generates left are the band fan-out (4 keys/doc) and the
+    // bucket pair explode; a third Generate or a second FileScan
+    // means the per-token row storm crept back.
+    val p = plan(SparkEntry.queries("q_dedup_simhash")(spark, sfDir))
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert("Generate".r.findAllIn(p).size == 2,
+      s"expected banding + pair Generates only:\n$p")
+    assert(p.contains("graft_simhash_bits") || p.contains("SimhashBits"),
+      s"kernel missing from plan:\n$p")
+  }
+
   test("diversity estimator: ONE corpus scan, ONE generate — no " +
       "per-shingle row ever exits the scan stage") {
     // the MinHashMins kernel computes every component minimum inside
