@@ -26,11 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g carried the bench to ~150 queries; at 238 (round 13) the
+  // drained-stream tail — which runs LAST by design — was paying
+  // accumulated-heap GC debt from 200+ earlier queries' registries,
+  // state stores, and codegen caches (isolation cut the worst drain
+  // 15.2 s -> 4.2 s on an unchanged plan, the r7/r10 debris
+  // signature). The box has 125 GiB; a 24g default keeps the tail's
+  // readings about the queries, not the neighbors.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // The full 146-query bench compiles thousands of Janino/whole-stage
   // classes in one JVM; the JDK default 240 MB code cache fills mid-run
   // and the JIT shuts off, slowing the CPU-bound tail queries ~5x
-  // (round-6 bench regression). 512 MB keeps compilation on end-to-end.
-  "-XX:ReservedCodeCacheSize=512m",
+  // (round-6 bench regression). 512 MB kept compilation on through
+  // ~230 queries; 1g gives the 238-query run the same headroom.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq)
   .getOrElse(Nil)
