@@ -1641,6 +1641,31 @@ object SparkEntry {
       graft.sources.DedupIndexStore.probeSimhash(s, v2,
         docs.filter(pmod(col("doc_id"), lit(8)) === 0))
     }),
+    // The SEGMENT regime for the two remaining banded families —
+    // minhash and simhash follow the embedding face's probe-time
+    // global cap (segments written uncapped, the skew-cap decision
+    // recovered over the segment union at probe time), completing
+    // the O(batch) ingest path for ALL FOUR dedup indexes. Same
+    // three-generation split; same maintenance oracles as the
+    // id-merge refreshes — one answer, two fold regimes.
+    "q_dedup_incr_minhash_seg" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeMinhashSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.appendMinhashSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      graft.sources.DedupIndexStore.probeMinhashSeg(s, v2,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
+    "q_dedup_incr_simhash_seg" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v1 = graft.sources.DedupIndexStore.writeSimhashSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val v2 = graft.sources.DedupIndexStore.appendSimhashSegment(v1,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      graft.sources.DedupIndexStore.probeSimhashSeg(s, v2,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
     // ... and for the EMBEDDING SRP index. The injected axis planes
     // are the index's geometry, so the refresh passes the SAME
     // tables (their digest is part of the registry key — a refresh
@@ -3369,30 +3394,10 @@ object SparkEntry {
     // Refreshed-index probe: IncrMinhashOracle's cross-set Jaccard
     // with the refreshed base side (doc_id % 8 != 0 = original base
     // plus the accepted %8 = 4 ingest) vs the next ingest (%8 = 0).
-    "q_dedup_incr_minhash_refresh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(len(t) - 2),
-        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM toks WHERE len(t) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
-        |    count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % 8 != 0 AND b.doc_id % 8 = 0
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_batch, doc_base,
-        |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = doc_base
-        |JOIN sizes sb ON sb.doc_id = doc_batch
-        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
-        |ORDER BY doc_batch, doc_base""".stripMargin,
+    "q_dedup_incr_minhash_refresh" -> IncrMinhashMaintOracle,
+    // One answer, two fold regimes: the O(batch) segment append with
+    // the probe-time global cap serves the same grown base.
+    "q_dedup_incr_minhash_seg" -> IncrMinhashMaintOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -3554,6 +3559,9 @@ object SparkEntry {
     // Refreshed-index probe: the grown base (doc_id %8 != 0) vs the
     // next %8 = 0 ingest — refresh == rebuild in the uncapped regime.
     "q_dedup_incr_simhash_refresh" -> IncrSimhashMaintOracle,
+    // One answer, two fold regimes: the O(batch) segment append with
+    // the probe-time global cap serves the same grown base.
+    "q_dedup_incr_simhash_seg" -> IncrSimhashMaintOracle,
     // q_dedup_simhash: the 60-bit md5-derived token hash is computed
     // identically by both engines; the oracle is the brute-force
     // self-join, which equals the banded query exactly for
@@ -6694,8 +6702,14 @@ object SparkEntry {
         |FROM s WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
 
-  private val IncrMinhashOracle: String =
-    """WITH toks AS (
+  /** Exact cross-set 3-gram-Jaccard oracle, parameterized by the
+    * base/batch split predicates (the [[incrSimhashOracleFor]]
+    * convention): the %4 instance serves q_dedup_incr_minhash and
+    * its stream/stored twins, the %8 instance the two maintenance
+    * regimes (id-merge refresh and the O(batch) segment append). */
+  private def incrMinhashOracleFor(basePred: String,
+      batchPred: String): String =
+    raw"""WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id,
@@ -6708,7 +6722,7 @@ object SparkEntry {
         |  SELECT b.doc_id AS doc_batch, a.doc_id AS doc_base,
         |    count(*) AS common
         |  FROM sh a JOIN sh b ON a.s = b.s
-        |  WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
+        |  WHERE $basePred AND $batchPred
         |  GROUP BY 1, 2
         |)
         |SELECT doc_batch, doc_base,
@@ -6718,6 +6732,13 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_batch
         |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
         |ORDER BY doc_batch, doc_base""".stripMargin
+
+  private val IncrMinhashOracle: String =
+    incrMinhashOracleFor("a.doc_id % 4 != 0", "b.doc_id % 4 = 0")
+
+  /** Maintenance-regime probe oracle: the grown base. */
+  private val IncrMinhashMaintOracle: String =
+    incrMinhashOracleFor("a.doc_id % 8 != 0", "b.doc_id % 8 = 0")
 
   /** Cross-set Hamming-join oracle over the portable 60-bit simhash,
     * parameterized by the batch/base split predicates (4-band

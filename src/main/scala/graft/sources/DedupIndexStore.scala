@@ -437,22 +437,21 @@ object DedupIndexStore {
           .unionByName(Dedup.embeddingVecs(accepted))))
   }
 
-  // ---- segment-list lifecycle for the embedding face (round 13,
-  // r12 verdict stretch 7). SURVEY argued the banded families keep
-  // id-merge because the per-bucket skew cap is a GLOBAL property a
-  // per-segment build cannot reproduce — that barrier dissolves for
-  // this face by MOVING THE CAP TO PROBE TIME: segments are written
-  // UNCAPPED (the cap guards the candidate pair fan-out B², not
-  // storage B — an uncapped stored list is linear in its batch), and
-  // the probe sums member counts per (t, bucket) ACROSS the unioned
-  // segments before exploding, skipping any bucket whose GLOBAL
-  // total exceeds the cap. That is bit-for-bit the single-build cap
-  // decision — including when the cap BINDS (spec-pinned with a
-  // binding cap), which the id-merge refresh cannot claim (its cap
-  // caveat). Minhash/simhash keep id-merge: their verify legs need
-  // per-doc side tables (shingle sets) whose segment story is the
-  // same, but their bucket members carry no payload needed before
-  // the cap, so nothing new is won there. -------------------------
+  // ---- segment-list lifecycle for the BANDED families (round 13).
+  // SURVEY argued the banded families keep id-merge because the
+  // per-bucket skew cap is a GLOBAL property a per-segment build
+  // cannot reproduce — that barrier dissolves by MOVING THE CAP TO
+  // PROBE TIME: segments are written UNCAPPED (the cap guards the
+  // candidate pair fan-out B², not storage B — an uncapped stored
+  // list is linear in its batch), and the probe sums member counts
+  // per bucket ACROSS the unioned segments before exploding,
+  // skipping any bucket whose GLOBAL total exceeds the cap. That is
+  // bit-for-bit the single-build cap decision — including when the
+  // cap BINDS (spec-pinned with a binding cap), which the id-merge
+  // refresh cannot claim (its cap caveat). Applied to all three
+  // banded faces (embedding SRP, minhash, simhash): every dedup
+  // index now has an O(batch) ingest path; id-merge refresh remains
+  // the compaction-free alternative. -------------------------------
 
   /** A stored embedding index as a SEGMENT LIST. */
   final case class SegmentedEmbedding(segments: Seq[EmbeddingIndex])
@@ -486,13 +485,7 @@ object DedupIndexStore {
       tables: Seq[Seq[Seq[Double]]],
       maxBucket: Int = 10000): DataFrame = {
     enableBucketedSortOrder(spark)
-    def unioned(ts: Seq[String], fence: Seq[String]): DataFrame =
-      ts.map(spark.table) match {
-        case Seq(one) => one
-        case many => many.reduce(_ unionByName _)
-          .repartition(fence.map(col): _*)
-      }
-    val uni = unioned(idx.segments.map(_.bucketsTable),
+    val uni = unionFenced(spark, idx.segments.map(_.bucketsTable),
       Seq("t", "bucket"))
     // the GLOBAL cap decision, recovered over the union: total
     // members per (t, bucket) across all segments — only buckets at
@@ -504,9 +497,105 @@ object DedupIndexStore {
       .select(col("t"), col("bucket"))
     Dedup.embeddingProbe(
       uni.join(surviving, Seq("t", "bucket")),
-      unioned(idx.segments.map(_.vecsTable), Seq("vec_id")),
+      unionFenced(spark, idx.segments.map(_.vecsTable), Seq("vec_id")),
       batch, threshold, tables)
   }
+
+  /** A stored minhash index as a SEGMENT LIST (banding params ride
+    * the head segment; appends must match). */
+  final case class SegmentedMinhash(segments: Seq[MinhashIndex])
+
+  /** The base build: one UNCAPPED segment. */
+  def writeMinhashSegmented(base: DataFrame, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      buckets: Int = 8): SegmentedMinhash =
+    SegmentedMinhash(Seq(writeMinhashIndex(base, n, numHashes, bands,
+      maxBucket = Int.MaxValue, buckets = buckets)))
+
+  /** O(batch) maintenance: shingle + sign ONLY the accepted batch
+    * into a new uncapped segment pair (bucket index + shingle sets —
+    * base tables never read or rewritten). */
+  def appendMinhashSegment(idx: SegmentedMinhash, accepted: DataFrame,
+      buckets: Int = 8): SegmentedMinhash = {
+    val h = idx.segments.head
+    SegmentedMinhash(idx.segments :+ writeMinhashIndex(accepted, h.n,
+      h.numHashes, h.bands, maxBucket = Int.MaxValue,
+      buckets = buckets))
+  }
+
+  /** Probe a minhash segment list — output identical to
+    * [[probeMinhash]] against the single CAPPED index over the union
+    * of the segments' batches, for ANY cap ([[probeEmbeddingSeg]]'s
+    * probe-time global cap; fences per the union-partitioning
+    * hazard). The verify-side shingle sets union needs no regroup —
+    * segment batches are disjoint doc_id sets. */
+  def probeMinhashSeg(spark: SparkSession, idx: SegmentedMinhash,
+      batch: DataFrame, threshold: Double = 0.8,
+      maxBucket: Int = 10000): DataFrame = {
+    enableBucketedSortOrder(spark)
+    val h = idx.segments.head
+    val uni = unionFenced(spark, idx.segments.map(_.bucketsTable),
+      Seq("band", "bucket"))
+    val surviving = uni
+      .select(col("band"), col("bucket"), size(col("base_ds")).as("c"))
+      .groupBy("band", "bucket").agg(sum("c").as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    Dedup.minhashProbe(uni.join(surviving, Seq("band", "bucket")),
+      unionFenced(spark, idx.segments.map(_.setsTable), Seq("doc_id")),
+      batch, h.n, threshold, h.numHashes, h.bands)
+  }
+
+  /** A stored simhash index as a SEGMENT LIST. */
+  final case class SegmentedSimhash(segments: Seq[SimhashIndex])
+
+  /** The base build: one UNCAPPED segment. */
+  def writeSimhashSegmented(base: DataFrame,
+      buckets: Int = 8): SegmentedSimhash =
+    SegmentedSimhash(Seq(writeSimhashIndex(base,
+      maxBucket = Int.MaxValue, buckets = buckets)))
+
+  /** O(batch) maintenance: fingerprint ONLY the accepted batch (the
+    * SimhashBits kernel pass) into a new uncapped segment. */
+  def appendSimhashSegment(idx: SegmentedSimhash, accepted: DataFrame,
+      buckets: Int = 8): SegmentedSimhash =
+    SegmentedSimhash(idx.segments :+ writeSimhashIndex(accepted,
+      maxBucket = Int.MaxValue, buckets = buckets))
+
+  /** Probe a simhash segment list — output identical to
+    * [[probeSimhash]] against the single CAPPED index over the union
+    * of the segments' batches, for ANY cap (probe-time global cap
+    * over the unioned member structs). */
+  def probeSimhashSeg(spark: SparkSession, idx: SegmentedSimhash,
+      batch: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 65535): DataFrame = {
+    enableBucketedSortOrder(spark)
+    val uni = unionFenced(spark, idx.segments.map(_.table),
+      Seq("band", "key"))
+    val surviving = uni
+      .select(col("band"), col("key"), size(col("ds")).as("c"))
+      .groupBy("band", "key").agg(sum("c").as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("band"), col("key"))
+    Dedup.simhashProbe(Dedup.simhashBatchBanded(batch),
+        uni.join(surviving, Seq("band", "key")), maxHamming)
+      .distinct()
+      .orderBy("doc_batch", "doc_base")
+  }
+
+  /** Union stored tables with the Spark 4.1 union-partitioning fence
+    * (single table passes through exchange-free): the explicit
+    * repartition makes downstream regroups/joins independent of
+    * which union path planning picks — the columnar path concatenates
+    * partitions while advertising the zipped partitioning (PERF.md
+    * bytecode attribution). */
+  private def unionFenced(spark: SparkSession, tables: Seq[String],
+      fence: Seq[String]): DataFrame =
+    tables.map(spark.table) match {
+      case Seq(one) => one
+      case many => many.reduce(_ unionByName _)
+        .repartition(fence.map(col): _*)
+    }
 
   /** Probe a stored embedding index — output identical to
     * [[Dedup.incrementalEmbeddingNearDup]] over the same base with the

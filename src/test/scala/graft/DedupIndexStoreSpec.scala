@@ -329,4 +329,60 @@ class DedupIndexStoreSpec extends SparkSpec {
       Dedup.embeddingBandIndex(grown, planes,
         maxBucket = Int.MaxValue).count())
   }
+
+  test("segmented minhash + simhash indexes: O(batch) append, probe " +
+      "== refresh probe == inline; probe-time global cap == the " +
+      "single-build cap decision when it BINDS") {
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val gen2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val grown = corpus.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+    // ---- minhash ----
+    val m1 = DedupIndexStore.writeMinhashSegmented(base)
+    val mFiles =
+      spark.table(m1.segments.head.bucketsTable).inputFiles.sorted
+    val m2 = DedupIndexStore.appendMinhashSegment(m1, gen1)
+    assert(m2.segments.startsWith(m1.segments) && m2.segments.size == 2)
+    assert(spark.table(m1.segments.head.bucketsTable).inputFiles.sorted
+      .sameElements(mFiles))
+    val gotM = rows(DedupIndexStore.probeMinhashSeg(spark, m2, gen2))
+    assert(gotM.nonEmpty)
+    val mr2 = DedupIndexStore.refreshMinhashIndex(spark,
+      DedupIndexStore.writeMinhashIndex(base), gen1)
+    assert(gotM == rows(DedupIndexStore.probeMinhash(spark, mr2, gen2)))
+    assert(gotM == rows(Dedup.incrementalNearDupPairs(grown, gen2)))
+    // binding cap: the fullest (band, bucket) of the grown base —
+    // cap just under its population; per-segment shares sit under it
+    val mOcc = Dedup.minhashBandIndex(grown, maxBucket = Int.MaxValue)
+      .select(size(col("base_ds")).as("n")).agg(max("n")).head.getInt(0)
+    assert(mOcc >= 2, "fixture needs a shared minhash bucket")
+    val mCap = mOcc - 1
+    val mCapped = rows(Dedup.minhashProbe(
+      Dedup.minhashBandIndex(grown, maxBucket = mCap),
+      Dedup.shingleSets(grown, 3), gen2, 3, 0.8, 64, 16))
+    assert(rows(DedupIndexStore.probeMinhashSeg(spark, m2, gen2,
+      maxBucket = mCap)) == mCapped)
+    assert(Dedup.minhashBandIndex(grown, maxBucket = mCap).count() <
+      Dedup.minhashBandIndex(grown, maxBucket = Int.MaxValue).count())
+    // ---- simhash ----
+    val s1 = DedupIndexStore.writeSimhashSegmented(base)
+    val s2 = DedupIndexStore.appendSimhashSegment(s1, gen1)
+    val gotS = rows(DedupIndexStore.probeSimhashSeg(spark, s2, gen2))
+    assert(gotS.nonEmpty)
+    val sr2 = DedupIndexStore.refreshSimhashIndex(spark,
+      DedupIndexStore.writeSimhashIndex(base), gen1)
+    assert(gotS == rows(DedupIndexStore.probeSimhash(spark, sr2, gen2)))
+    assert(gotS == rows(Dedup.incrementalSimhashPairs(grown, gen2)))
+    val sOcc = Dedup.simhashBandIndex(grown, maxBucket = Int.MaxValue)
+      .select(size(col("ds")).as("n")).agg(max("n")).head.getInt(0)
+    assert(sOcc >= 2, "fixture needs a shared simhash bucket")
+    val sCap = sOcc - 1
+    val sCapped = rows(Dedup.simhashProbe(
+        Dedup.simhashBatchBanded(gen2),
+        Dedup.simhashBandIndex(grown, maxBucket = sCap), 3)
+      .distinct().orderBy("doc_batch", "doc_base"))
+    assert(rows(DedupIndexStore.probeSimhashSeg(spark, s2, gen2,
+      maxBucket = sCap)) == sCapped)
+    assert(Dedup.simhashBandIndex(grown, maxBucket = sCap).count() <
+      Dedup.simhashBandIndex(grown, maxBucket = Int.MaxValue).count())
+  }
 }
