@@ -1666,6 +1666,46 @@ object SparkEntry {
       graft.sources.DedupIndexStore.probeSimhashSeg(s, v2,
         docs.filter(pmod(col("doc_id"), lit(8)) === 0))
     }),
+    // ... and the LSM third verb for all three banded families: the
+    // segment list compacts to ONE capped single index (stored
+    // bucket rows merged by regroup, global cap applied on full
+    // membership — EXACTLY a from-scratch build, no refresh caveat,
+    // corpus never re-read) and the probe serves from it. Same
+    // maintenance oracles: one answer, three fold regimes per family.
+    "q_dedup_incr_minhash_compact" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v2 = graft.sources.DedupIndexStore.appendMinhashSegment(
+        graft.sources.DedupIndexStore.writeMinhashSegmented(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      val c = graft.sources.DedupIndexStore.compactMinhashSegments(s, v2)
+      graft.sources.DedupIndexStore.probeMinhash(s, c,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
+    "q_dedup_incr_simhash_compact" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val v2 = graft.sources.DedupIndexStore.appendSimhashSegment(
+        graft.sources.DedupIndexStore.writeSimhashSegmented(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+      val c = graft.sources.DedupIndexStore.compactSimhashSegments(s, v2)
+      graft.sources.DedupIndexStore.probeSimhash(s, c,
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
+    "q_dedup_incr_embedding_compact" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val planes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+        Seq.tabulate(64)(i => if (i == 4 * t + j) 1.0 else 0.0)))
+      val v2 = graft.sources.DedupIndexStore.appendEmbeddingSegment(
+        graft.sources.DedupIndexStore.writeEmbeddingSegmented(
+          e.filter(pmod(col("vec_id"), lit(4)) =!= 0), planes),
+        e.filter(pmod(col("vec_id"), lit(8)) === 4), planes)
+      val c =
+        graft.sources.DedupIndexStore.compactEmbeddingSegments(s, v2)
+      graft.sources.DedupIndexStore.probeEmbedding(s, c,
+        e.filter(pmod(col("vec_id"), lit(8)) === 0),
+        threshold = 0.4, tables = planes)
+    }),
     // ... and for the EMBEDDING SRP index. The injected axis planes
     // are the index's geometry, so the refresh passes the SAME
     // tables (their digest is part of the registry key — a refresh
@@ -3398,6 +3438,8 @@ object SparkEntry {
     // One answer, two fold regimes: the O(batch) segment append with
     // the probe-time global cap serves the same grown base.
     "q_dedup_incr_minhash_seg" -> IncrMinhashMaintOracle,
+    // ... and the compacted single-index serve: same grown base.
+    "q_dedup_incr_minhash_compact" -> IncrMinhashMaintOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -3462,6 +3504,8 @@ object SparkEntry {
     // O(batch) segment append with the probe-time global cap serves
     // the same grown base to the same %8 = 0 ingest.
     "q_dedup_incr_embedding_seg" -> IncrEmbeddingMaintOracle,
+    // ... and the compacted single-index serve: same grown base.
+    "q_dedup_incr_embedding_compact" -> IncrEmbeddingMaintOracle,
     // Exact all-pairs cos >= 0.9 over the planted corpus: base vectors
     // in DOUBLE plus one 0.97/0.03 reverse-mix per vec_id % 5 = 0 —
     // the same IEEE double ops Spark's plantNearDups runs, so the
@@ -3562,6 +3606,8 @@ object SparkEntry {
     // One answer, two fold regimes: the O(batch) segment append with
     // the probe-time global cap serves the same grown base.
     "q_dedup_incr_simhash_seg" -> IncrSimhashMaintOracle,
+    // ... and the compacted single-index serve: same grown base.
+    "q_dedup_incr_simhash_compact" -> IncrSimhashMaintOracle,
     // q_dedup_simhash: the 60-bit md5-derived token hash is computed
     // identically by both engines; the oracle is the brute-force
     // self-join, which equals the banded query exactly for

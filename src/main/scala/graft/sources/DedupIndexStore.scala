@@ -583,6 +583,106 @@ object DedupIndexStore {
       .orderBy("doc_batch", "doc_base")
   }
 
+  /** Compact a minhash segment list back to ONE CAPPED index pair —
+    * the LSM third verb for the banded families. The stored segment
+    * bucket rows merge directly (explode members, regroup per
+    * (band, bucket), apply the cap on the GLOBAL membership): because
+    * segments are uncapped, this equals `writeMinhashIndex` over the
+    * union of the batches EXACTLY — the refresh verb's cap caveat
+    * (a bucket dropped at an earlier capped build cannot resurrect)
+    * does not exist here. O(index); the corpus is never re-read or
+    * re-shingled. */
+  def compactMinhashSegments(spark: SparkSession, idx: SegmentedMinhash,
+      maxBucket: Int = 10000, buckets: Int = 8): MinhashIndex = {
+    val h = idx.segments.head
+    val params = s"mh|${h.n}|${h.numHashes}|${h.bands}|$maxBucket|$buckets"
+    val key = Some(
+      s"compact|${idx.segments.map(_.bucketsTable).mkString(",")}")
+    val sKey = Some(
+      s"compact|${idx.segments.map(_.setsTable).mkString(",")}")
+    MinhashIndex(
+      table("mh_buckets_sc", key, params, Seq("band", "bucket"),
+        buckets)(
+        unionFenced(spark, idx.segments.map(_.bucketsTable),
+            Seq("band", "bucket"))
+          .select(col("band"), col("bucket"),
+            explode(col("base_ds")).as("doc_id"))
+          .groupBy("band", "bucket")
+          .agg(collect_list("doc_id").as("base_ds"))
+          .filter(size(col("base_ds")) <= maxBucket)),
+      table("mh_sets_sc", sKey, params, Seq("doc_id"), buckets)(
+        unionFenced(spark, idx.segments.map(_.setsTable),
+          Seq("doc_id"))),
+      h.n, h.numHashes, h.bands)
+  }
+
+  /** [[compactMinhashSegments]] for the simhash list (member structs
+    * carry the fingerprints, so the merge is pure regroup). */
+  def compactSimhashSegments(spark: SparkSession, idx: SegmentedSimhash,
+      maxBucket: Int = 65535, buckets: Int = 8): SimhashIndex = {
+    val key = Some(
+      s"compact|${idx.segments.map(_.table).mkString(",")}")
+    SimhashIndex(
+      table("sh_idx_sc", key, s"sh|$maxBucket|$buckets",
+        Seq("band", "key"), buckets)(
+        unionFenced(spark, idx.segments.map(_.table), Seq("band", "key"))
+          .select(col("band"), col("key"), explode(col("ds")).as("e"))
+          .select(col("e.doc_base").as("doc_base"),
+            col("e.sh_base").as("sh_base"), col("band"), col("key"))
+          .groupBy("band", "key")
+          .agg(collect_list(struct(col("doc_base"), col("sh_base")))
+            .as("ds"))
+          .filter(size(col("ds")) <= maxBucket)))
+  }
+
+  /** [[compactMinhashSegments]] for the embedding list. */
+  def compactEmbeddingSegments(spark: SparkSession,
+      idx: SegmentedEmbedding, maxBucket: Int = 10000,
+      buckets: Int = 8): EmbeddingIndex = {
+    val key = Some(
+      s"compact|${idx.segments.map(_.bucketsTable).mkString(",")}")
+    val vKey = Some(
+      s"compact|${idx.segments.map(_.vecsTable).mkString(",")}")
+    val params = s"emb|$maxBucket|$buckets|compacted"
+    EmbeddingIndex(
+      table("emb_buckets_sc", key, params, Seq("t", "bucket"), buckets)(
+        unionFenced(spark, idx.segments.map(_.bucketsTable),
+            Seq("t", "bucket"))
+          .select(col("t"), col("bucket"),
+            explode(col("base_ds")).as("vec_id"))
+          .groupBy("t", "bucket")
+          .agg(collect_list("vec_id").as("base_ds"))
+          .filter(size(col("base_ds")) <= maxBucket)),
+      table("emb_vecs_sc", vKey, params, Seq("vec_id"), buckets)(
+        unionFenced(spark, idx.segments.map(_.vecsTable),
+          Seq("vec_id"))))
+  }
+
+  /** LSM triggers for the banded segment lists — union-fence probes,
+    * so the measured knee of 4 applies ([[DefaultMaxSegments]];
+    * PERF.md §"Compaction trigger policy"). NOTE the compacted result
+    * is a CAPPED single index: keep probing it with [[probeMinhash]]/
+    * [[probeSimhash]]/[[probeEmbedding]], or re-wrap as a fresh
+    * segment list only under the same cap discipline. */
+  def compactMinhashIfOver(spark: SparkSession, idx: SegmentedMinhash,
+      maxSegments: Int = DefaultMaxSegments, maxBucket: Int = 10000,
+      buckets: Int = 8): Either[SegmentedMinhash, MinhashIndex] =
+    if (idx.segments.size <= maxSegments) Left(idx)
+    else Right(compactMinhashSegments(spark, idx, maxBucket, buckets))
+
+  def compactSimhashIfOver(spark: SparkSession, idx: SegmentedSimhash,
+      maxSegments: Int = DefaultMaxSegments, maxBucket: Int = 65535,
+      buckets: Int = 8): Either[SegmentedSimhash, SimhashIndex] =
+    if (idx.segments.size <= maxSegments) Left(idx)
+    else Right(compactSimhashSegments(spark, idx, maxBucket, buckets))
+
+  def compactEmbeddingIfOver(spark: SparkSession,
+      idx: SegmentedEmbedding, maxSegments: Int = DefaultMaxSegments,
+      maxBucket: Int = 10000, buckets: Int = 8):
+      Either[SegmentedEmbedding, EmbeddingIndex] =
+    if (idx.segments.size <= maxSegments) Left(idx)
+    else Right(compactEmbeddingSegments(spark, idx, maxBucket, buckets))
+
   /** Union stored tables with the Spark 4.1 union-partitioning fence
     * (single table passes through exchange-free): the explicit
     * repartition makes downstream regroups/joins independent of

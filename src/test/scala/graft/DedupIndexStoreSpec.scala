@@ -328,6 +328,17 @@ class DedupIndexStoreSpec extends SparkSpec {
         .count() <
       Dedup.embeddingBandIndex(grown, planes,
         maxBucket = Int.MaxValue).count())
+    // compaction: merged-regroup single index serves the same answer,
+    // under the default AND the binding cap
+    val ec = DedupIndexStore.compactEmbeddingSegments(spark, v2)
+    assert(rows(DedupIndexStore.probeEmbedding(spark, ec, eg2,
+      threshold = 0.4, tables = planes)) == got)
+    val ecCap = DedupIndexStore.compactEmbeddingSegments(spark, v2,
+      maxBucket = cap)
+    assert(rows(DedupIndexStore.probeEmbedding(spark, ecCap, eg2,
+      threshold = 0.4, tables = planes)) == capped)
+    assert(DedupIndexStore.compactEmbeddingIfOver(spark, v2)
+      .left.exists(_ eq v2))
   }
 
   test("segmented minhash + simhash indexes: O(batch) append, probe " +
@@ -384,5 +395,27 @@ class DedupIndexStoreSpec extends SparkSpec {
       maxBucket = sCap)) == sCapped)
     assert(Dedup.simhashBandIndex(grown, maxBucket = sCap).count() <
       Dedup.simhashBandIndex(grown, maxBucket = Int.MaxValue).count())
+    // ---- the LSM third verb: compaction merges stored bucket rows
+    // with the cap applied on GLOBAL membership — probe equality to
+    // the segment list, including under the BINDING caps above (the
+    // regime where compact == from-scratch build but refresh != )
+    val mc = DedupIndexStore.compactMinhashSegments(spark, m2)
+    assert(rows(DedupIndexStore.probeMinhash(spark, mc, gen2)) == gotM)
+    val mcCap = DedupIndexStore.compactMinhashSegments(spark, m2,
+      maxBucket = mCap)
+    assert(rows(DedupIndexStore.probeMinhash(spark, mcCap, gen2))
+      == mCapped)
+    val sc = DedupIndexStore.compactSimhashSegments(spark, s2)
+    assert(rows(DedupIndexStore.probeSimhash(spark, sc, gen2)) == gotS)
+    val scCap = DedupIndexStore.compactSimhashSegments(spark, s2,
+      maxBucket = sCap)
+    assert(rows(DedupIndexStore.probeSimhash(spark, scCap, gen2))
+      == sCapped)
+    // the trigger: at or under the knee the list comes back (Left,
+    // same instance); over a forced ceiling it compacts (Right)
+    assert(DedupIndexStore.compactMinhashIfOver(spark, m2)
+      .left.exists(_ eq m2))
+    assert(DedupIndexStore.compactSimhashIfOver(spark, s2,
+      maxSegments = 1).isRight)
   }
 }

@@ -95,10 +95,11 @@ class OracleExactnessSpec extends AnyFunSuite {
     // identical round(cos, 4)-of-double arithmetic, only the split
     // predicates differ
     "q_dedup_incr_embedding_refresh", "q_dedup_incr_embedding_seg",
+    "q_dedup_incr_embedding_compact",
     "q_dedup_incr_minhash", "q_dedup_incr_minhash_refresh",
     // r13 segment-regime twin of the refresh oracle above — same
     // round(jaccard, 4)-of-double output column, same split
-    "q_dedup_incr_minhash_seg",
+    "q_dedup_incr_minhash_seg", "q_dedup_incr_minhash_compact",
     "q_dedup_incr_minhash_stream", "q_dedup_incr_minhash_stored",
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_cosine",
     "q_dedup_ngram_df", "q_dedup_prefix", "q_dsir_topk",
@@ -156,6 +157,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_dedup_incr_embedding_stored",
     // r13 maintenance twins (same sqrt(na)*sqrt(nb) norm product)
     "q_dedup_incr_embedding_refresh", "q_dedup_incr_embedding_seg",
+    "q_dedup_incr_embedding_compact",
     "q_dedup_ngram_cosine", "q_dedup_semantic",
     "q_dedup_semantic_cells", "q_embed_cohesion", "q_embed_mrl",
     "q_embed_rbo", "q_events_anomaly", "q_events_anomaly_stream",
@@ -256,8 +258,8 @@ class OracleExactnessSpec extends AnyFunSuite {
       // r12 segment-lifecycle re-freeze: +1 round / +1 ln — Bm25Oracle
       // shared onto q_bm25_seg (the segment-list serve; the three
       // PhraseSearchOracle segment keys add no scanned constructs)
-      "round\\(" -> 99, "log2\\(" -> 32, "\\bln\\(" -> 7,
-      "sqrt\\(" -> 132, "//" -> 149, "quantile_cont" -> 4)
+      "round\\(" -> 101, "log2\\(" -> 32, "\\bln\\(" -> 7,
+      "sqrt\\(" -> 136, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
       if (got != want) Some(s"$re: $got (frozen $want)") else None
