@@ -58,7 +58,12 @@ object Plans {
       "q_phrase_search_stored", "q_bm25_stored", "q_phrase_prox_stored",
       "q_phrase_search_refresh", "q_ann_ivfpq_injected",
       "q_ann_ivfpq_injected_stored",
-      "q_phrase_search_seg", "q_bm25_seg", "q_phrase_search_compact")
+      "q_phrase_search_seg", "q_bm25_seg", "q_phrase_search_compact",
+      "q_dedup_simhash", "q_dedup_incr_simhash_refresh",
+      "q_dedup_incr_embedding_refresh", "q_dedup_incr_minhash_seg",
+      "q_dedup_incr_simhash_seg", "q_dedup_incr_embedding_seg",
+      "q_dedup_incr_minhash_compact", "q_dedup_incr_simhash_compact",
+      "q_dedup_incr_embedding_compact")
     // NOT headline: the trainer queries (q_bpe_vocab, q_wordpiece_
     // vocab) and the drained-stream twin (q_dedup_incr_exact_stream)
     // — their returned relation is driver-materialized (rule tables /

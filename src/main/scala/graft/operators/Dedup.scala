@@ -690,8 +690,10 @@ object Dedup {
         posexplode(simhashBandCols(col("simhash"))))
       .toDF("doc_base", "sh_base", "band", "key")
       .groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_base"), col("sh_base"))).as("ds"))
-      .filter(size(col("ds")) <= maxBucket)
+      // stored n_members: see minhashBandIndex
+      .agg(collect_list(struct(col("doc_base"), col("sh_base"))).as("ds"),
+        count("*").cast("int").as("n_members"))
+      .filter(col("n_members") <= maxBucket)
 
   /** Probe (doc_batch, sh_batch, band, key) rows against a
     * [[simhashBandIndex]] with the exact-Hamming verify; multi-band
@@ -1125,8 +1127,13 @@ object Dedup {
     bandBuckets(minhashSignatures(shingleSets(base, n), numHashes),
         numHashes, bands)
       .groupBy("band", "bucket")
-      .agg(collect_list("doc_id").as("base_ds"))
-      .filter(size(col("base_ds")) <= maxBucket)
+      // n_members rides as a stored column so a stored index's
+      // cap/occupancy reads prune the heavy member-list column at the
+      // parquet scan (the segment probes' totals leg); Catalyst drops
+      // it everywhere it goes unused
+      .agg(collect_list("doc_id").as("base_ds"),
+        count("*").cast("int").as("n_members"))
+      .filter(col("n_members") <= maxBucket)
 
   /** Probe half of [[incrementalNearDupPairs]], with the base's two
     * relations passed IN — either freshly built (the inline form) or
@@ -1209,8 +1216,10 @@ object Dedup {
       .select(col("vec_id"),
         posexplode(Vectors.srpBucketsAll(col("v"), tables)))
       .toDF("vec_id", "t", "bucket")
-      .groupBy("t", "bucket").agg(collect_list("vec_id").as("base_ds"))
-      .filter(size(col("base_ds")) <= maxBucket)
+      // stored n_members: see minhashBandIndex
+      .groupBy("t", "bucket").agg(collect_list("vec_id").as("base_ds"),
+        count("*").cast("int").as("n_members"))
+      .filter(col("n_members") <= maxBucket)
 
   /** Probe half of [[incrementalEmbeddingNearDup]] — the base's
     * relations passed in, fresh or read from bucketed parquet.

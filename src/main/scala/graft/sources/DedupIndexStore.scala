@@ -490,9 +490,11 @@ object DedupIndexStore {
     // the GLOBAL cap decision, recovered over the union: total
     // members per (t, bucket) across all segments — only buckets at
     // or under the cap survive into candidate generation
+    // totals leg reads the STORED n_members column only — parquet
+    // prunes the heavy member-list column from this scan
     val surviving = uni
-      .select(col("t"), col("bucket"), size(col("base_ds")).as("c"))
-      .groupBy("t", "bucket").agg(sum("c").as("n"))
+      .select(col("t"), col("bucket"), col("n_members"))
+      .groupBy("t", "bucket").agg(sum("n_members").as("n"))
       .filter(col("n") <= maxBucket)
       .select(col("t"), col("bucket"))
     Dedup.embeddingProbe(
@@ -536,9 +538,11 @@ object DedupIndexStore {
     val h = idx.segments.head
     val uni = unionFenced(spark, idx.segments.map(_.bucketsTable),
       Seq("band", "bucket"))
+    // totals leg reads the STORED n_members column only (see
+    // probeEmbeddingSeg)
     val surviving = uni
-      .select(col("band"), col("bucket"), size(col("base_ds")).as("c"))
-      .groupBy("band", "bucket").agg(sum("c").as("n"))
+      .select(col("band"), col("bucket"), col("n_members"))
+      .groupBy("band", "bucket").agg(sum("n_members").as("n"))
       .filter(col("n") <= maxBucket)
       .select(col("band"), col("bucket"))
     Dedup.minhashProbe(uni.join(surviving, Seq("band", "bucket")),
@@ -572,9 +576,11 @@ object DedupIndexStore {
     enableBucketedSortOrder(spark)
     val uni = unionFenced(spark, idx.segments.map(_.table),
       Seq("band", "key"))
+    // totals leg reads the STORED n_members column only (see
+    // probeEmbeddingSeg)
     val surviving = uni
-      .select(col("band"), col("key"), size(col("ds")).as("c"))
-      .groupBy("band", "key").agg(sum("c").as("n"))
+      .select(col("band"), col("key"), col("n_members"))
+      .groupBy("band", "key").agg(sum("n_members").as("n"))
       .filter(col("n") <= maxBucket)
       .select(col("band"), col("key"))
     Dedup.simhashProbe(Dedup.simhashBatchBanded(batch),

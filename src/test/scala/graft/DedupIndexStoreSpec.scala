@@ -355,8 +355,19 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(m2.segments.startsWith(m1.segments) && m2.segments.size == 2)
     assert(spark.table(m1.segments.head.bucketsTable).inputFiles.sorted
       .sameElements(mFiles))
-    val gotM = rows(DedupIndexStore.probeMinhashSeg(spark, m2, gen2))
+    val segProbe = DedupIndexStore.probeMinhashSeg(spark, m2, gen2)
+    val gotM = rows(segProbe)
     assert(gotM.nonEmpty)
+    // the probe-time cap's totals leg reads the STORED n_members
+    // column with the heavy member-list column PRUNED at the parquet
+    // scan — the 100 TB cost claim, pinned in the plan
+    assert(allNodes(finalPlan(segProbe)).exists {
+      case f: FileSourceScanExec =>
+        f.requiredSchema.fieldNames.contains("n_members") &&
+          !f.requiredSchema.fieldNames.contains("base_ds")
+      case _ => false
+    }, "totals leg must scan n_members without member lists:\n" +
+      finalPlan(segProbe))
     val mr2 = DedupIndexStore.refreshMinhashIndex(spark,
       DedupIndexStore.writeMinhashIndex(base), gen1)
     assert(gotM == rows(DedupIndexStore.probeMinhash(spark, mr2, gen2)))
