@@ -1657,6 +1657,20 @@ object SparkEntry {
       graft.sources.DedupIndexStore.probeMinhashSeg(s, v2,
         docs.filter(pmod(col("doc_id"), lit(8)) === 0))
     }),
+    // ... and the segment fold DRAINED as the maintenance loop it is
+    // in production: the accepted %8 = 4 ingest replays as
+    // micro-batches, each landing as an appended uncapped segment
+    // with the LSM trigger checked per fold (in-loop compaction is a
+    // pure uncapped merge — the skew cap stays a probe-time
+    // decision), and the final list serves the %8 = 0 probe. Shares
+    // the maintenance oracle: one answer, four fold regimes.
+    "q_dedup_incr_minhash_seg_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.streaming.EventStreams.drainMinhashSegMaintenance(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4),
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
     "q_dedup_incr_simhash_seg" -> ((s, dir) => {
       val docs = documents(s, dir)
       val v1 = graft.sources.DedupIndexStore.writeSimhashSegmented(
@@ -3440,6 +3454,9 @@ object SparkEntry {
     "q_dedup_incr_minhash_seg" -> IncrMinhashMaintOracle,
     // ... and the compacted single-index serve: same grown base.
     "q_dedup_incr_minhash_compact" -> IncrMinhashMaintOracle,
+    // ... and the drained segment-fold loop: same grown base, fourth
+    // fold regime.
+    "q_dedup_incr_minhash_seg_stream" -> IncrMinhashMaintOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

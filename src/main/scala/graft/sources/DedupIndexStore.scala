@@ -614,8 +614,9 @@ object DedupIndexStore {
           .select(col("band"), col("bucket"),
             explode(col("base_ds")).as("doc_id"))
           .groupBy("band", "bucket")
-          .agg(collect_list("doc_id").as("base_ds"))
-          .filter(size(col("base_ds")) <= maxBucket)),
+          .agg(collect_list("doc_id").as("base_ds"),
+            count("*").cast("int").as("n_members"))
+          .filter(col("n_members") <= maxBucket)),
       table("mh_sets_sc", sKey, params, Seq("doc_id"), buckets)(
         unionFenced(spark, idx.segments.map(_.setsTable),
           Seq("doc_id"))),
@@ -637,8 +638,9 @@ object DedupIndexStore {
             col("e.sh_base").as("sh_base"), col("band"), col("key"))
           .groupBy("band", "key")
           .agg(collect_list(struct(col("doc_base"), col("sh_base")))
-            .as("ds"))
-          .filter(size(col("ds")) <= maxBucket)))
+            .as("ds"),
+            count("*").cast("int").as("n_members"))
+          .filter(col("n_members") <= maxBucket)))
   }
 
   /** [[compactMinhashSegments]] for the embedding list. */
@@ -657,8 +659,9 @@ object DedupIndexStore {
           .select(col("t"), col("bucket"),
             explode(col("base_ds")).as("vec_id"))
           .groupBy("t", "bucket")
-          .agg(collect_list("vec_id").as("base_ds"))
-          .filter(size(col("base_ds")) <= maxBucket)),
+          .agg(collect_list("vec_id").as("base_ds"),
+            count("*").cast("int").as("n_members"))
+          .filter(col("n_members") <= maxBucket)),
       table("emb_vecs_sc", vKey, params, Seq("vec_id"), buckets)(
         unionFenced(spark, idx.segments.map(_.vecsTable),
           Seq("vec_id"))))

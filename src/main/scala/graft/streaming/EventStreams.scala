@@ -1868,6 +1868,54 @@ object EventStreams extends Serializable {
     graft.sources.PostingsStore.phraseSearchSeg(spark, idx.get, phrase)
   }
 
+  /** [[drainPostingsSegMaintenance]] for the DEDUP family's minhash
+    * face — the O(batch) production fold for a banded index: each
+    * accepted micro-batch shingles ONLY itself and lands as an
+    * appended UNCAPPED segment pair
+    * ([[graft.sources.DedupIndexStore.appendMinhashSegment]]), the
+    * LSM trigger is checked after every fold, and the final list
+    * serves the next ingest's probe with the probe-time GLOBAL cap.
+    * In-loop compaction runs UNCAPPED (maxBucket = MaxValue — a pure
+    * merge of stored segment rows): the skew cap stays a PROBE-TIME
+    * decision, so the loop's answer is independent of when or how
+    * often the trigger fired (spec-pinned with the trigger forced
+    * on) — the capped-compact refresh caveat never enters the
+    * streaming path. */
+  def drainMinhashSegMaintenance(baseDocs: DataFrame,
+      deltaDocs: DataFrame, probeDocs: DataFrame, nBatches: Int = 3,
+      buckets: Int = 8,
+      maxSegments: Int =
+        graft.sources.DedupIndexStore.DefaultMaxSegments): DataFrame = {
+    val spark = baseDocs.sparkSession
+    import graft.sources.DedupIndexStore
+    // AtomicReference for the cross-thread handle handoff — see
+    // drainPostingsMaintenance
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      DedupIndexStore.writeMinhashSegmented(baseDocs, buckets = buckets))
+    if (deltaDocs.isEmpty)
+      return DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
+    val (stream, tmp) = replayForDrain(
+      deltaDocs.select(col("doc_id"), col("text")), "doc_id", nBatches)
+    try withDrainShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch((batch: DataFrame, _: Long) => {
+          val appended = DedupIndexStore.appendMinhashSegment(idx.get,
+            batch, buckets)
+          idx.set(
+            if (appended.segments.size <= maxSegments) appended
+            else DedupIndexStore.SegmentedMinhash(Seq(
+              DedupIndexStore.compactMinhashSegments(spark, appended,
+                maxBucket = Int.MaxValue, buckets = buckets))))
+          ()
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally tmp.foreach(deleteReplayDir)
+    DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
+  }
+
   /** [[drainPostingsMaintenance]] for the ANN family: a VECTOR stream
     * folds into the stored IVF-PQ index — each micro-batch assigns and
     * residual-encodes against the frozen model and lands as an

@@ -429,4 +429,20 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(DedupIndexStore.compactSimhashIfOver(spark, s2,
       maxSegments = 1).isRight)
   }
+
+  test("drained minhash segment-fold loop == the batch segment probe; " +
+      "forcing the trigger every fold changes nothing (in-loop " +
+      "compaction is a pure uncapped merge)") {
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val gen2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val want = rows(DedupIndexStore.probeMinhashSeg(spark,
+      DedupIndexStore.appendMinhashSegment(
+        DedupIndexStore.writeMinhashSegmented(base), gen1), gen2))
+    assert(want.nonEmpty)
+    assert(rows(graft.streaming.EventStreams
+      .drainMinhashSegMaintenance(base, gen1, gen2)) == want)
+    assert(rows(graft.streaming.EventStreams
+      .drainMinhashSegMaintenance(base, gen1, gen2,
+        maxSegments = 1)) == want)
+  }
 }

@@ -100,6 +100,7 @@ class OracleExactnessSpec extends AnyFunSuite {
     // r13 segment-regime twin of the refresh oracle above — same
     // round(jaccard, 4)-of-double output column, same split
     "q_dedup_incr_minhash_seg", "q_dedup_incr_minhash_compact",
+    "q_dedup_incr_minhash_seg_stream",
     "q_dedup_incr_minhash_stream", "q_dedup_incr_minhash_stored",
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_cosine",
     "q_dedup_ngram_df", "q_dedup_prefix", "q_dsir_topk",
@@ -258,7 +259,7 @@ class OracleExactnessSpec extends AnyFunSuite {
       // r12 segment-lifecycle re-freeze: +1 round / +1 ln — Bm25Oracle
       // shared onto q_bm25_seg (the segment-list serve; the three
       // PhraseSearchOracle segment keys add no scanned constructs)
-      "round\\(" -> 101, "log2\\(" -> 32, "\\bln\\(" -> 7,
+      "round\\(" -> 102, "log2\\(" -> 32, "\\bln\\(" -> 7,
       "sqrt\\(" -> 136, "//" -> 149, "quantile_cont" -> 4)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
