@@ -166,9 +166,21 @@ object Bench {
     // stop BEFORE printing: the JSON line must be the last thing this
     // main writes to stdout — executor/shutdown chatter landing after
     // it is the remaining suspect for the driver's parsed:null (the
-    // consumer tail-parses stdout; r12 verdict item 8)
+    // consumer tail-parses stdout; r12 verdict item 8). Raise the log
+    // threshold to ERROR first so stop()'s own WARN chatter (temp
+    // checkpoint cleanup etc.) can't land between stop and the line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","errored":${errors.length},"queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${j3(total)},"unit":"sec","errored":${errors.length},"queries":$qs,"omitted":$omitted,"detail":"${detailFile}","runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
+    // belt + braces vs stdout-parsing consumers (r13 verdict item 3 /
+    // advice): the SAME line also lands in a file, structurally —
+    // BENCH_DETAIL.json has full fidelity, BENCH_SUMMARY.json has the
+    // exact stdout line. build.sbt's StdoutOutput + showSuccess=false
+    // make the stdout copy a bare, final line.
+    val sw = new java.io.PrintWriter(
+      new java.io.File("BENCH_SUMMARY.json").getAbsoluteFile, "UTF-8")
+    try sw.println(summary) finally sw.close()
+    println(summary)
     System.out.flush()
     // A bench with errored queries must not read as clean to automation
     // keying on the exit code (round-5 advice: rc was 0 with 19 errors).

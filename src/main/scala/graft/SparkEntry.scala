@@ -759,6 +759,40 @@ object SparkEntry {
       |GROUP BY word
       |ORDER BY cnt DESC, word""".stripMargin
 
+  /** Shared oracle for the trained-ANN bounded-error gates
+    * (q_ann_{lsh,ivf,pq} → Similarity.recallGate): the Spark relation
+    * is (query_id, recall_ok, panel_ok) — the oracle replays the
+    * query panel (exact, from the table) and expects both gates TRUE
+    * for every query, so estimator drift hash-mismatches while the
+    * estimator's internals stay engine-local. */
+  private val AnnGateOracle: String =
+    """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS panel_ok
+      |FROM embeddings WHERE vec_id < 5
+      |ORDER BY vec_id""".stripMargin
+
+  /** Shared oracle for the HLL bounded-error gates
+    * (q_events_distinct_hll and its drained streaming twin): exact
+    * distinct replayed, gate expected TRUE. */
+  private val HllGateOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS hll_ok
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Shared oracle for the quantile-sketch rank-error gates
+    * (q_rel_quantiles_{approx,kll} →
+    * RelationalOps.quantileRankGate): exact interpolated percentiles
+    * replayed, both rank gates expected TRUE. */
+  private val QuantileGateOracle: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+      |  count(*) AS n_orders, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Rate-anomaly oracle shared by q_events_anomaly and its drained
     * train-batch/serve-stream twin: variance from exact integer sums
     * (n, Σx, Σx²) with the identical explicit formula — never the
@@ -1788,8 +1822,22 @@ object SparkEntry {
       Similarity.hybridRrf(documents(s, dir), embeddings(s, dir),
         terms = Seq("spark", "window", "scan"),
         queryPred = col("vec_id") === 0)),
-    "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(embeddings(s, dir), col("vec_id") < 5, k = 10)),
+    // Trained-LSH face as a bounded-error GATE (r13 verdict item 2):
+    // the bucket choice is approximate by design, so instead of the
+    // raw top-k (whose oracle would have to replay engine-specific
+    // SRP hashes — that exactness lives in q_ann_lsh_injected), the
+    // relation IS the quality check: per-query recall@10 vs the
+    // in-plan brute-force ranking, gated at floors measured by
+    // AnnRecallProbe (PERF.md §"ANN recall floors": per-query min
+    // 5000 bp, panel mean ≥ 7800 bp across all three SFs). Estimator
+    // drift now surfaces as a hash mismatch, not a no_oracle blind
+    // spot.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.recallGate(e,
+        Similarity.lshTopK(e, col("vec_id") < 5, k = 10),
+        col("vec_id") < 5, k = 10, floorBp = 3000, meanFloorBp = 5000)
+    }),
     // Semantic decontamination: corpus vectors within cosine 0.9 of
     // any benchmark vector (vec_id % 97 slice, broadcast) — the
     // paraphrase-level leakage n-gram decontamination cannot see.
@@ -1805,20 +1853,26 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(embeddings(s, dir), col("vec_id") < 5,
         k = 10)),
-    // IVF: rows-only like the LSH path (approximate recall by design);
-    // recall pinned vs brute force in SimilaritySpec. Centroids are
-    // trained once per dataset and cached (the injected-centroids
-    // path) — retraining k-means on every call would pay 1+iters
-    // full-corpus jobs per query; a real deployment trains the index
-    // once and serves many queries from it.
+    // Trained-IVF face as a bounded-error GATE (the q_ann_lsh
+    // convention; r13 verdict item 2): recall@10 vs the in-plan
+    // brute-force ranking, floors measured by AnnRecallProbe
+    // (PERF.md: per-query min 1000 bp at sf0.01, panel mean
+    // 5000–5200 bp at every SF). Centroids are trained once per
+    // dataset and cached (retraining k-means per call would pay
+    // 1+iters full-corpus jobs per query; a real deployment trains
+    // the index once and serves many queries from it). The exact
+    // top-k oracle shape lives in q_ann_ivf_injected.
     "q_ann_ivf" -> ((s, dir) => {
       val cents = ivfCentroidCache.computeIfAbsent(dir, d =>
         Similarity.ivfCentroids(
           embeddings(s, d).select(col("vec_id"),
             graft.functions.Vectors.toDoubleVec(col("embedding")).as("v")),
           nCells = 16, iters = 2))
-      Similarity.ivfTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
-        centroids = Some(cents))
+      val e = embeddings(s, dir)
+      Similarity.recallGate(e,
+        Similarity.ivfTopK(e, col("vec_id") < 5, k = 10,
+          centroids = Some(cents)),
+        col("vec_id") < 5, k = 10, floorBp = 1000, meanFloorBp = 3000)
     }),
     // Fully-ORACLED IVF regime: injected axis-aligned centroids make
     // cell assignment (first-argmax over (v[0], v[1], v[2])) and
@@ -1880,18 +1934,23 @@ object SparkEntry {
     // engines compute the identical identity, output rounded).
     "q_embed_cohesion" -> ((s, dir) =>
       Similarity.labelCohesion(embeddings(s, dir))),
-    // PQ: compressed-domain ADC scan + exact re-rank; rows-only like
-    // LSH/IVF (candidate choice is approximate), recall pinned vs
-    // brute force in SimilaritySpec. Codebooks cached like IVF's
-    // centroids.
+    // Trained-PQ face as a bounded-error GATE (the q_ann_lsh
+    // convention; r13 verdict item 2): compressed-domain ADC scan +
+    // exact re-rank, gated on recall@10 vs the in-plan brute-force
+    // ranking (AnnRecallProbe floors: per-query min 3000 bp, panel
+    // mean 4400–6400 bp). Codebooks cached like IVF's centroids; the
+    // exact ADC-machinery oracle lives in q_ann_pq_injected.
     "q_ann_pq" -> ((s, dir) => {
       val cbs = pqCodebookCache.computeIfAbsent(dir, d =>
         Similarity.pqCodebooks(
           embeddings(s, d).select(col("vec_id"),
             graft.functions.Vectors.toDoubleVec(col("embedding")).as("v")),
           m = 8, k = 16, dim = 64))
-      Similarity.pqTopK(embeddings(s, dir), col("vec_id") < 5, k = 10,
-        codebooks = Some(cbs))
+      val e = embeddings(s, dir)
+      Similarity.recallGate(e,
+        Similarity.pqTopK(e, col("vec_id") < 5, k = 10,
+          codebooks = Some(cbs)),
+        col("vec_id") < 5, k = 10, floorBp = 2000, meanFloorBp = 3000)
     }),
     // Fully-ORACLED PQ regime (the ivf/lsh_injected convention):
     // injected 2-centroid codebooks c = ±e1 per 8-dim subspace fold
@@ -2125,22 +2184,34 @@ object SparkEntry {
     // operator itself now refuses large incident sets loudly.
     "q_events_interval_binned" -> ((s, dir) =>
       EventOps.incidentEventsBinned(events(s, dir))),
-    // Mergeable-sketch distinct: no DuckDB oracle (estimator internals
-    // are engine-specific) — rows-only; error + merge associativity
-    // pinned in EventOpsSpec.
+    // Mergeable-sketch distinct as a bounded-error GATE (r13 verdict
+    // item 2): HLL register layout is engine-specific, so the oracle
+    // can never hash the estimate — instead the relation carries the
+    // exact count (replayable) and `hll_ok` = |est − exact|·20 ≤
+    // exact, i.e. 5% relative error in pure integer arithmetic. lgK
+    // = 14 gives ~0.8% standard error, so 5% is a ≥6σ bound — it
+    // trips on estimator regressions, never on the sketch's own
+    // noise. Merge associativity stays spec-pinned (EventOpsSpec).
     "q_events_distinct_hll" -> ((s, dir) =>
-      EventOps.distinctUsersSketch(events(s, dir))),
-    // The sketch stream DRAINED (COMPLETE mode) — the last spec-only
-    // stream face as a driver row: rows-only like its batch twin (HLL
-    // internals are engine-specific), but the drained relation carries
-    // the exact batch countDistinct alongside, so a reader checks the
-    // estimate against truth in the row itself. The deliberate trade
-    // stands: no exact STREAMING twin exists because exact-distinct
-    // streaming state grows with cardinality — the problem sketches
-    // exist to solve (see distinctUsersSketchStream).
+      EventOps.distinctUsersSketch(events(s, dir))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("n_users_approx") - col("n_users_exact")) * lit(20L)
+            <= col("n_users_exact")).as("hll_ok"))
+        .orderBy("event_type")),
+    // The sketch stream DRAINED (COMPLETE mode), gated like its batch
+    // twin (q_events_distinct_hll): exact batch countDistinct rides
+    // along as the replayable column and `hll_ok` bounds the drained
+    // estimate at 5% relative error in integer arithmetic. The
+    // deliberate trade stands: no exact STREAMING twin exists because
+    // exact-distinct streaming state grows with cardinality — the
+    // problem sketches exist to solve (see distinctUsersSketchStream).
     "q_events_hll_stream" -> ((s, dir) =>
       graft.streaming.EventStreams.drainDistinctUsersSketch(
-        events(s, dir))),
+        events(s, dir))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("n_users_approx") - col("n_users_exact")) * lit(20L)
+            <= col("n_users_exact")).as("hll_ok"))
+        .orderBy("event_type")),
     // Count-min-sketch frequencies: fully oracled against the exact
     // GROUP BY — estimates are provably exact here (no all-rows hash
     // collision among the closed 5-type set at this seed, a property
@@ -2678,16 +2749,19 @@ object SparkEntry {
         table(s, dir, "supplier"))),
     "q_rel_quantiles" -> ((s, dir) =>
       RelationalOps.orderValueQuantiles(table(s, dir, "orders"))),
-    // GK sketch percentiles: rows-only (sketch internals engine-
-    // specific); the result carries exact twins per percentile and
-    // RelationalOpsSpec pins the rank-error bound.
+    // GK sketch percentiles behind the rank-error GATE (r13 verdict
+    // item 2): exact percentiles replay in DuckDB, and p50_ok/p95_ok
+    // re-derive the sketch value's RANK in-plan and bound it within
+    // ε=100 bp of the target rank (the GK guarantee is 1 bp at
+    // accuracy=10000) — integer counts × basis points, so estimator
+    // drift is a hash mismatch. Sketch internals stay engine-local.
     "q_rel_quantiles_approx" -> ((s, dir) =>
-      RelationalOps.orderValueQuantilesApprox(table(s, dir, "orders"))),
-    // KLL sketch percentiles: rows-only like the GK entry (sketch
-    // internals engine-specific); exact twins ride along, rank error
-    // and slice-merge equivalence spec-pinned.
+      RelationalOps.orderValueQuantilesApproxGate(table(s, dir, "orders"))),
+    // KLL sketch percentiles behind the same rank-error gate (ε=300
+    // bp vs KLL k=200's ~165 bp published bound); slice-merge
+    // equivalence stays spec-pinned (RelationalOpsSpec).
     "q_rel_quantiles_kll" -> ((s, dir) =>
-      RelationalOps.orderValueQuantilesKll(table(s, dir, "orders"))),
+      RelationalOps.orderValueQuantilesKllGate(table(s, dir, "orders"))),
     // Z-order (Morton) clustering key: the write-time layout tool
     // (sources/Layout). The interleave is pure integer bit arithmetic
     // — 42 codegen'd shift/mask terms — so the oracle replicates it
@@ -4055,9 +4129,16 @@ object SparkEntry {
         |  END, ',') AS codes_csv
         |FROM s
         |ORDER BY vec_id""".stripMargin,
-    // q_ann_lsh: intentionally no oracle — approximate recall by design
-    // (rows-only check); its precision is asserted against the exact
-    // brute-force path in SimilaritySpec.
+    // q_ann_{lsh,ivf,pq}: the Spark side computes per-query recall@10
+    // of the trained estimator vs the in-plan exact ranking and emits
+    // booleans; the oracle replays the exact side (the query panel)
+    // and expects every gate TRUE — so a recall regression is a hash
+    // mismatch, while sketch/index internals stay engine-local.
+    // Floors are measured constants (AnnRecallProbe; PERF.md §"ANN
+    // recall floors").
+    "q_ann_lsh" -> AnnGateOracle,
+    "q_ann_ivf" -> AnnGateOracle,
+    "q_ann_pq" -> AnnGateOracle,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -4251,6 +4332,10 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // HLL estimate bounded at 5% relative error in-plan; exact side
+    // replayed (batch + drained-stream twins share the oracle).
+    "q_events_distinct_hll" -> HllGateOracle,
+    "q_events_hll_stream" -> HllGateOracle,
     // CMS point-frequency estimates == exact counts in the pinned
     // no-collision regime (see the query comment).
     "q_events_cms" ->
@@ -4492,6 +4577,10 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // sketch quantiles behind the in-plan rank-error gate; exact
+    // percentiles replayed, booleans expected TRUE (GK + KLL twins).
+    "q_rel_quantiles_approx" -> QuantileGateOracle,
+    "q_rel_quantiles_kll" -> QuantileGateOracle,
     "q_rel_salted" ->
       """SELECT s_suppkey, s_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

@@ -122,6 +122,38 @@ object StoredIndexRehearsal {
       arm("minhash", "stored") {
         DedupIndexStore.probeMinhash(spark, need(idx, "build"), batch).count()
       }
+      // PROBE COST vs SEGMENT COUNT for the BANDED family (r13
+      // verdict item 3): the knee=4 trigger was measured on the
+      // union-fence families (postings / exact-fp), whose probes
+      // explode the unioned rows directly; the banded probes differ —
+      // they sum the STORED n_members per bucket across the fenced
+      // union BEFORE exploding (the probe-time global cap), so their
+      // read-amplification curve gets its own ladder.
+      var segIdx: DedupIndexStore.SegmentedMinhash = null
+      arm("minhash", "seg16_append_total") {
+        val b0 = DedupIndexStore.writeMinhashSegmented(base,
+          buckets = buckets)
+        segIdx = (0 until 15).foldLeft(b0) { (acc, i) =>
+          DedupIndexStore.appendMinhashSegment(acc,
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
+              pmod(col("doc_id"), lit(60)) === (i * 4)),
+            buckets = buckets)
+        }
+        segIdx.segments.size.toLong
+      }
+      Seq(1, 2, 4, 8, 16).foreach { n =>
+        arm("minhash", s"seg_probe_n$n") {
+          DedupIndexStore.probeMinhashSeg(spark,
+            DedupIndexStore.SegmentedMinhash(
+              need(segIdx, "seg16_append_total").segments.take(n)),
+            batch).count()
+        }
+      }
+      arm("minhash", "seg16_compact_probe") {
+        val c = DedupIndexStore.compactMinhashSegments(spark,
+          need(segIdx, "seg16_append_total"), buckets = buckets)
+        DedupIndexStore.probeMinhash(spark, c, batch).count()
+      }
     }
     face("simhash") {
       arm("simhash", "inline") {
@@ -134,6 +166,32 @@ object StoredIndexRehearsal {
       }
       arm("simhash", "stored") {
         DedupIndexStore.probeSimhash(spark, need(idx, "build"), batch).count()
+      }
+      // the banded seg ladder (see the minhash face's note)
+      var segIdx: DedupIndexStore.SegmentedSimhash = null
+      arm("simhash", "seg16_append_total") {
+        val b0 = DedupIndexStore.writeSimhashSegmented(base,
+          buckets = buckets)
+        segIdx = (0 until 15).foldLeft(b0) { (acc, i) =>
+          DedupIndexStore.appendSimhashSegment(acc,
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0 &&
+              pmod(col("doc_id"), lit(60)) === (i * 4)),
+            buckets = buckets)
+        }
+        segIdx.segments.size.toLong
+      }
+      Seq(1, 2, 4, 8, 16).foreach { n =>
+        arm("simhash", s"seg_probe_n$n") {
+          DedupIndexStore.probeSimhashSeg(spark,
+            DedupIndexStore.SegmentedSimhash(
+              need(segIdx, "seg16_append_total").segments.take(n)),
+            batch).count()
+        }
+      }
+      arm("simhash", "seg16_compact_probe") {
+        val c = DedupIndexStore.compactSimhashSegments(spark,
+          need(segIdx, "seg16_append_total"), buckets = buckets)
+        DedupIndexStore.probeSimhash(spark, c, batch).count()
       }
     }
     // Text retrieval served from the stored positional index
@@ -311,6 +369,35 @@ object StoredIndexRehearsal {
       }
       arm("embedding", "stored") {
         DedupIndexStore.probeEmbedding(spark, idx, eBatch,
+          threshold = 0.9, tables = tables).count()
+      }
+      // the banded seg ladder (see the minhash face's note); the
+      // planted ids (1e9+) keep %60 sub-batch splits disjoint
+      var segIdx: DedupIndexStore.SegmentedEmbedding = null
+      arm("embedding", "seg16_append_total") {
+        val b0 = DedupIndexStore.writeEmbeddingSegmented(eBase, tables,
+          buckets = buckets)
+        segIdx = (0 until 15).foldLeft(b0) { (acc, i) =>
+          DedupIndexStore.appendEmbeddingSegment(acc,
+            e.filter(pmod(col("vec_id"), lit(4)) === 0 &&
+              pmod(col("vec_id"), lit(60)) === (i * 4)),
+            tables, buckets = buckets)
+        }
+        segIdx.segments.size.toLong
+      }
+      Seq(1, 2, 4, 8, 16).foreach { n =>
+        arm("embedding", s"seg_probe_n$n") {
+          val s16 = need(segIdx, "seg16_append_total")
+          DedupIndexStore.probeEmbeddingSeg(spark,
+            DedupIndexStore.SegmentedEmbedding(s16.segments.take(n),
+              s16.planesDigest),
+            eBatch, threshold = 0.9, tables = tables).count()
+        }
+      }
+      arm("embedding", "seg16_compact_probe") {
+        val c = DedupIndexStore.compactEmbeddingSegments(spark,
+          need(segIdx, "seg16_append_total"), buckets = buckets)
+        DedupIndexStore.probeEmbedding(spark, c, eBatch,
           threshold = 0.9, tables = tables).count()
       }
     }

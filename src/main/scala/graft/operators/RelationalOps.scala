@@ -275,6 +275,65 @@ object RelationalOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Bounded-rank-error GATE for a quantile sketch — the device that
+    * makes an approximate quantile answer-checkable by an engine that
+    * cannot replay the sketch: per group, recompute the RANK of the
+    * sketch's reported value in-plan (one counting pass over the
+    * group) and emit TRUE iff that rank sits inside the guaranteed
+    * window around the target rank. An ε-approximate φ-quantile q
+    * must satisfy |rank(q) − φ·n| ≤ ε·n (Greenwald–Khanna SIGMOD'01
+    * §1; KLL, Karnin et al. FOCS'16) — with ties, rank(q) is the
+    * interval [#\{v<q\}+1, #\{v≤q\}], so the check is
+    * #\{v≤q\}·10⁴ ≥ (φ−ε)·10⁴·n  AND  #\{v<q\}·10⁴ ≤ (φ+ε)·10⁴·n,
+    * all integer arithmetic (counts × basis points) — no float
+    * comparison can flip it across engines. The exact interpolated
+    * percentiles ride along as replayable columns, so the oracle
+    * checks real values AND the booleans. Cost: the tiny per-group
+    * sketch relation broadcasts back against the rows — one extra
+    * counting aggregation, no sort. */
+  private[graft] def quantileRankGate(orders: DataFrame, approx: DataFrame,
+      p50Col: String, p95Col: String, epsBp: Int): DataFrame = {
+    val j = orders.select(col("o_orderstatus"), col("o_totalprice"))
+      .join(broadcast(approx.select(col("o_orderstatus"),
+        col(p50Col), col(p95Col))), Seq("o_orderstatus"))
+    val ranks = j.groupBy("o_orderstatus").agg(
+      sum(when(col("o_totalprice") <= col(p50Col), 1L).otherwise(0L))
+        .as("le50"),
+      sum(when(col("o_totalprice") < col(p50Col), 1L).otherwise(0L))
+        .as("lt50"),
+      sum(when(col("o_totalprice") <= col(p95Col), 1L).otherwise(0L))
+        .as("le95"),
+      sum(when(col("o_totalprice") < col(p95Col), 1L).otherwise(0L))
+        .as("lt95"))
+    def ok(le: String, lt: String, pBp: Long) =
+      (col(le) * lit(10000L) >= lit(pBp - epsBp) * col("n_orders")) &&
+        (col(lt) * lit(10000L) <= lit(pBp + epsBp) * col("n_orders"))
+    approx.join(ranks, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("p50_exact"), col("p95_exact"),
+        col("n_orders"),
+        ok("le50", "lt50", 5000L).as("p50_ok"),
+        ok("le95", "lt95", 9500L).as("p95_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** [[orderValueQuantilesApprox]] behind the [[quantileRankGate]]:
+    * the harness face, fully oracled — exact percentiles replayed,
+    * GK rank error gated at `epsBp` (guarantee is 1/accuracy =
+    * 1 bp at the default; 100 bp leaves margin for the 4-dp output
+    * rounding while still catching any real sketch regression). */
+  def orderValueQuantilesApproxGate(orders: DataFrame,
+      accuracy: Int = 10000, epsBp: Int = 100): DataFrame =
+    quantileRankGate(orders, orderValueQuantilesApprox(orders, accuracy),
+      "p50_approx", "p95_approx", epsBp)
+
+  /** [[orderValueQuantilesKll]] behind the [[quantileRankGate]]: KLL
+    * at k=200 carries ~1.65% normalized rank error at high
+    * confidence (DataSketches' published table) — gated at 300 bp. */
+  def orderValueQuantilesKllGate(orders: DataFrame, k: Int = 200,
+      epsBp: Int = 300): DataFrame =
+    quantileRankGate(orders, orderValueQuantilesKll(orders, k),
+      "p50_kll", "p95_kll", epsBp)
+
   /** Running-total window: cumulative order spend per customer in
     * order-date order (orderkey tie-break makes the summation order —
     * and thus the float result — deterministic on any engine). */

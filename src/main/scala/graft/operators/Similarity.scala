@@ -60,6 +60,60 @@ object Similarity {
     scoredTopK(scored, k)
   }
 
+  /** Per-query recall@k of an approximate top-k relation against the
+    * exact [[bruteForceTopK]] ranking, in basis points — the standard
+    * ANN quality metric (Jégou et al. PAMI'11 §V), computed IN-PLAN so
+    * the harness can gate on it. `approx` must carry (query_id,
+    * vec_id) rows (any extra columns ignored). Both sides are k-row
+    * bounded relations per query, so the intersection join and the
+    * per-query count are |queries|·k-scale work; the only corpus-scale
+    * cost is the exact scorer itself, which is the price of ground
+    * truth (at 100 TB one runs this on a sampled query panel, not
+    * every serve — the panel IS this relation with a tighter
+    * queryPred). Integer bp math: ties in the exact ranking are
+    * resolved by the shared (cos DESC, vec_id ASC) total order, so
+    * recall is deterministic. */
+  def recallAtK(embs: DataFrame, approx: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
+    val exact = bruteForceTopK(embs, queryPred, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.select(col("query_id"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)) * lit(10000L) / col("n_exact"))
+          .cast("long").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  /** Bounded-error GATE over [[recallAtK]]: per query, TRUE iff
+    * recall@k clears the per-query sanity floor `floorBp`, plus a
+    * shared `panel_ok` column, TRUE iff the panel MEAN recall clears
+    * `meanFloorBp` (the spec-pinned aggregate bound made
+    * driver-visible). This is how an estimator becomes
+    * answer-checkable without pretending its internals are portable:
+    * the exact side (the query panel itself) replays in any engine,
+    * and the booleans turn estimator drift into a hash mismatch —
+    * the harness convention for every trained/approximate operator
+    * (q_ann_ivf/lsh/pq). Floors sit under the measured recall
+    * (graft.AnnRecallProbe, PERF.md §"ANN recall floors") so they
+    * trip on regressions, not noise: the trained artifacts are
+    * seed-deterministic, so measured recall per (dataset, family) is
+    * a constant. The mean aggregate is one row over the ≤|queries|
+    * panel — broadcast back, no second corpus pass. */
+  def recallGate(embs: DataFrame, approx: DataFrame, queryPred: Column,
+      k: Int, floorBp: Int, meanFloorBp: Int): DataFrame = {
+    val r = recallAtK(embs, approx, queryPred, k)
+    val m = r.agg(avg(col("recall_bp")).as("mean_bp"))
+    r.crossJoin(broadcast(m))
+      .select(col("query_id"),
+        (col("recall_bp") >= floorBp).as("recall_ok"),
+        (col("mean_bp") >= meanFloorBp).as("panel_ok"))
+      .orderBy("query_id")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * (selected by `queryPred`, broadcast), the exact cosine top-k
     * among vectors with a DIFFERENT label — the near-boundary

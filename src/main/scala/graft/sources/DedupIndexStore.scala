@@ -453,8 +453,63 @@ object DedupIndexStore {
   // index now has an O(batch) ingest path; id-merge refresh remains
   // the compaction-free alternative. -------------------------------
 
-  /** A stored embedding index as a SEGMENT LIST. */
-  final case class SegmentedEmbedding(segments: Seq[EmbeddingIndex])
+  /** Observed-metric names for the banded segment probes' READ
+    * AMPLIFICATION (r13 verdict stretch item; the [[graft.operators.
+    * Dedup.SKEW_GUARD_METRIC]] convention — telemetry rides passes
+    * that run anyway, costing no extra job). Two nodes per probe:
+    *
+    *  - `<family>` pre-prune (on the totals leg): `segments_scanned`,
+    *    `bucket_rows_pre` (stored bucket rows read across the segment
+    *    union — the quantity that grows with segment count at fixed
+    *    corpus), `members_pre` (total stored membership behind them).
+    *  - `<family>_post` (on the cap-surviving candidate rows):
+    *    `bucket_rows_post`, `members_post`.
+    *
+    * `bucket_rows_pre / bucket_rows_post` ≈ the probe's current
+    * read amplification vs a compacted single index (which reads one
+    * row per surviving bucket) — a production maintenance loop
+    * watches this ratio approach the measured knee
+    * (PERF.md §"Compaction trigger policy") instead of counting
+    * segments blind. Read after an action via
+    * `df.queryExecution.observedMetrics(segProbeMetricName(...))`. */
+  def segProbeMetricName(family: String): String =
+    s"graft_seg_probe_$family"
+  def segProbeMetricPostName(family: String): String =
+    s"graft_seg_probe_${family}_post"
+
+  private def segProbeTelemetry(totalsLeg: DataFrame, family: String,
+      nSegments: Int): DataFrame =
+    totalsLeg.observe(segProbeMetricName(family),
+      max(lit(nSegments)).as("segments_scanned"),
+      count(lit(1)).as("bucket_rows_pre"),
+      sum(col("n_members")).as("members_pre"))
+
+  private def segProbeTelemetryPost(candidates: DataFrame,
+      family: String): DataFrame =
+    candidates.observe(segProbeMetricPostName(family),
+      count(lit(1)).as("bucket_rows_post"),
+      sum(col("n_members")).as("members_post"))
+
+  /** A stored embedding index as a SEGMENT LIST. `planesDigest` pins
+    * the SRP plane tables every segment was bucketed under: unlike
+    * the minhash list (whose banding params rederive from the head
+    * segment), the planes live at the CALL SITE, so an append or
+    * probe under different planes would produce a mixed-geometry list
+    * whose bucket collisions mean nothing — silently wrong, never
+    * failing. Appends and probes must present tables with the same
+    * digest (r13 advice). */
+  final case class SegmentedEmbedding(segments: Seq[EmbeddingIndex],
+      planesDigest: String)
+
+  private def requirePlanes(idx: SegmentedEmbedding,
+      tables: Seq[Seq[Seq[Double]]], op: String): Unit = {
+    val d = md5(tables.toString)
+    require(d == idx.planesDigest,
+      s"$op under different SRP planes than the segment list was " +
+        s"built with (digest $d != ${idx.planesDigest}): a " +
+        "mixed-geometry segment list probes silently wrong — rebuild " +
+        "or compact under one plane table instead")
+  }
 
   /** The base build: one UNCAPPED segment (see the cap-at-probe note
     * above). */
@@ -462,15 +517,20 @@ object DedupIndexStore {
       tables: Seq[Seq[Seq[Double]]],
       buckets: Int = 8): SegmentedEmbedding =
     SegmentedEmbedding(Seq(writeEmbeddingIndex(base, tables,
-      maxBucket = Int.MaxValue, buckets = buckets)))
+      maxBucket = Int.MaxValue, buckets = buckets)),
+      md5(tables.toString))
 
   /** O(batch) maintenance: bucket ONLY the accepted batch into a new
-    * uncapped segment — base tables never read or rewritten. */
+    * uncapped segment — base tables never read or rewritten. The
+    * planes must match the list's digest (see [[SegmentedEmbedding]]). */
   def appendEmbeddingSegment(idx: SegmentedEmbedding,
       accepted: DataFrame, tables: Seq[Seq[Seq[Double]]],
-      buckets: Int = 8): SegmentedEmbedding =
+      buckets: Int = 8): SegmentedEmbedding = {
+    requirePlanes(idx, tables, "appendEmbeddingSegment")
     SegmentedEmbedding(idx.segments :+ writeEmbeddingIndex(accepted,
-      tables, maxBucket = Int.MaxValue, buckets = buckets))
+      tables, maxBucket = Int.MaxValue, buckets = buckets),
+      idx.planesDigest)
+  }
 
   /** Probe a segment list — output identical to [[probeEmbedding]]
     * against the single CAPPED index over the union of the segments'
@@ -484,6 +544,7 @@ object DedupIndexStore {
       batch: DataFrame, threshold: Double,
       tables: Seq[Seq[Seq[Double]]],
       maxBucket: Int = 10000): DataFrame = {
+    requirePlanes(idx, tables, "probeEmbeddingSeg")
     enableBucketedSortOrder(spark)
     val uni = unionFenced(spark, idx.segments.map(_.bucketsTable),
       Seq("t", "bucket"))
@@ -492,13 +553,15 @@ object DedupIndexStore {
     // or under the cap survive into candidate generation
     // totals leg reads the STORED n_members column only — parquet
     // prunes the heavy member-list column from this scan
-    val surviving = uni
-      .select(col("t"), col("bucket"), col("n_members"))
+    val surviving = segProbeTelemetry(uni
+        .select(col("t"), col("bucket"), col("n_members")),
+        "embedding", idx.segments.size)
       .groupBy("t", "bucket").agg(sum("n_members").as("n"))
       .filter(col("n") <= maxBucket)
       .select(col("t"), col("bucket"))
     Dedup.embeddingProbe(
-      uni.join(surviving, Seq("t", "bucket")),
+      segProbeTelemetryPost(uni.join(surviving, Seq("t", "bucket")),
+        "embedding"),
       unionFenced(spark, idx.segments.map(_.vecsTable), Seq("vec_id")),
       batch, threshold, tables)
   }
@@ -540,12 +603,15 @@ object DedupIndexStore {
       Seq("band", "bucket"))
     // totals leg reads the STORED n_members column only (see
     // probeEmbeddingSeg)
-    val surviving = uni
-      .select(col("band"), col("bucket"), col("n_members"))
+    val surviving = segProbeTelemetry(uni
+        .select(col("band"), col("bucket"), col("n_members")),
+        "minhash", idx.segments.size)
       .groupBy("band", "bucket").agg(sum("n_members").as("n"))
       .filter(col("n") <= maxBucket)
       .select(col("band"), col("bucket"))
-    Dedup.minhashProbe(uni.join(surviving, Seq("band", "bucket")),
+    Dedup.minhashProbe(
+      segProbeTelemetryPost(uni.join(surviving, Seq("band", "bucket")),
+        "minhash"),
       unionFenced(spark, idx.segments.map(_.setsTable), Seq("doc_id")),
       batch, h.n, threshold, h.numHashes, h.bands)
   }
@@ -578,13 +644,15 @@ object DedupIndexStore {
       Seq("band", "key"))
     // totals leg reads the STORED n_members column only (see
     // probeEmbeddingSeg)
-    val surviving = uni
-      .select(col("band"), col("key"), col("n_members"))
+    val surviving = segProbeTelemetry(uni
+        .select(col("band"), col("key"), col("n_members")),
+        "simhash", idx.segments.size)
       .groupBy("band", "key").agg(sum("n_members").as("n"))
       .filter(col("n") <= maxBucket)
       .select(col("band"), col("key"))
     Dedup.simhashProbe(Dedup.simhashBatchBanded(batch),
-        uni.join(surviving, Seq("band", "key")), maxHamming)
+        segProbeTelemetryPost(uni.join(surviving, Seq("band", "key")),
+          "simhash"), maxHamming)
       .distinct()
       .orderBy("doc_batch", "doc_base")
   }

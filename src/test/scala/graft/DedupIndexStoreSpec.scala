@@ -339,6 +339,21 @@ class DedupIndexStoreSpec extends SparkSpec {
       threshold = 0.4, tables = planes)) == capped)
     assert(DedupIndexStore.compactEmbeddingIfOver(spark, v2)
       .left.exists(_ eq v2))
+    // geometry guard (r13 advice): appending or probing under
+    // DIFFERENT planes than the list was built with must refuse
+    // loudly — a mixed-geometry list would probe silently wrong
+    val otherPlanes = Seq.tabulate(4)(t => Seq.tabulate(4)(j =>
+      Seq.tabulate(64)(i => if (i == (4 * t + j + 1) % 64) 1.0
+        else 0.0)))
+    val eAppend = intercept[IllegalArgumentException] {
+      DedupIndexStore.appendEmbeddingSegment(v2, eg2, otherPlanes)
+    }
+    assert(eAppend.getMessage.contains("different SRP planes"))
+    val eProbe = intercept[IllegalArgumentException] {
+      DedupIndexStore.probeEmbeddingSeg(spark, v2, eg2,
+        threshold = 0.4, tables = otherPlanes)
+    }
+    assert(eProbe.getMessage.contains("different SRP planes"))
   }
 
   test("segmented minhash + simhash indexes: O(batch) append, probe " +
@@ -444,5 +459,31 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(rows(graft.streaming.EventStreams
       .drainMinhashSegMaintenance(base, gen1, gen2,
         maxSegments = 1)) == want)
+  }
+
+  test("segmented probes publish read-amplification telemetry " +
+      "(segments scanned, bucket rows pre/post prune)") {
+    val docs = corpus
+    val v2 = DedupIndexStore.appendMinhashSegment(
+      DedupIndexStore.writeMinhashSegmented(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)),
+      docs.filter(pmod(col("doc_id"), lit(8)) === 4))
+    val probe = DedupIndexStore.probeMinhashSeg(spark, v2,
+      docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    probe.collect()
+    val pre = probe.queryExecution
+      .observedMetrics(DedupIndexStore.segProbeMetricName("minhash"))
+    val post = probe.queryExecution
+      .observedMetrics(DedupIndexStore.segProbeMetricPostName("minhash"))
+    assert(pre.getAs[Int]("segments_scanned") == 2)
+    assert(pre.getAs[Long]("bucket_rows_pre") > 0)
+    assert(pre.getAs[Long]("members_pre") >=
+      pre.getAs[Long]("bucket_rows_pre"))
+    // under the default (non-binding) cap nothing is pruned: the
+    // candidate leg re-reads exactly the pre-prune rows — the 2x
+    // read amplification a compacted single index would reset
+    assert(post.getAs[Long]("bucket_rows_post")
+      <= pre.getAs[Long]("bucket_rows_pre"))
+    assert(post.getAs[Long]("members_post") > 0)
   }
 }

@@ -329,4 +329,28 @@ class RelationalOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("clean", 3L, 0L, 0L), ("dirty", 6L, 1L, 2L)))
   }
+
+  test("quantile rank gates: TRUE on the real sketches, and a " +
+      "corrupted median trips the p50 gate") {
+    import org.apache.spark.sql.functions._
+    val gk = RelationalOps.orderValueQuantilesApproxGate(orders)
+    assert(gk.count() > 0)
+    assert(gk.filter(not(col("p50_ok")) || not(col("p95_ok"))).count()
+      == 0, "GK gate tripped on the real sketch")
+    val kll = RelationalOps.orderValueQuantilesKllGate(orders)
+    assert(kll.filter(not(col("p50_ok")) || not(col("p95_ok"))).count()
+      == 0, "KLL gate tripped on the real sketch")
+    // corruption drill: claim each group's MIN is its median — the
+    // in-plan rank check must fail every group (this is the failure
+    // the harness's all-TRUE oracle would then hash-mismatch)
+    val bad = orders.groupBy("o_orderstatus").agg(
+      min("o_totalprice").as("p50_x"), max("o_totalprice").as("p95_x"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+      round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+      count("*").as("n_orders"))
+    val gated = RelationalOps.quantileRankGate(orders, bad,
+      "p50_x", "p95_x", epsBp = 100)
+    assert(gated.count() > 0 && gated.filter(col("p50_ok")).count() == 0,
+      "min-as-median must fail the p50 rank gate in every group")
+  }
 }

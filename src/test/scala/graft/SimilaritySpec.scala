@@ -615,4 +615,46 @@ class SimilaritySpec extends SparkSpec {
         s"${mean(4)} / ${mean(16)} / ${mean(64)}")
     assert(mean(4) < 10000.0, "a 4-dim prefix should lose something")
   }
+
+  test("recallAtK/recallGate: exact-vs-itself is 10000 bp; an empty " +
+      "approximate relation fails every gate") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(e, col("vec_id") < 5, k = 10)
+    val r = Similarity.recallAtK(e, bf, col("vec_id") < 5, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(r.forall(_._2 == 10000L), s"exact self-recall: $r")
+    val g = Similarity.recallGate(e, bf, col("vec_id") < 5, k = 10,
+      floorBp = 10000, meanFloorBp = 10000)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(g.forall(x => x._2 && x._3))
+    // drift-to-nothing must trip BOTH gates (the harness's hash then
+    // mismatches the all-TRUE oracle)
+    val g0 = Similarity.recallGate(e, bf.filter(lit(false)),
+      col("vec_id") < 5, k = 10, floorBp = 1000, meanFloorBp = 1000)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(g0.length == 5 && g0.forall(x => !x._2 && !x._3))
+  }
+
+  test("recallGate floors hold for the trained families at this SF " +
+      "(the q_ann_{ivf,lsh,pq} harness floors)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ev = e.select(col("vec_id"),
+      Vectors.toDoubleVec(col("embedding")).as("v"))
+    val pred = col("vec_id") < 5
+    val cents = Similarity.ivfCentroids(ev, nCells = 16, iters = 2)
+    val cbs = Similarity.pqCodebooks(ev, m = 8, k = 16, dim = 64)
+    val fams = Seq(
+      ("ivf", Similarity.ivfTopK(e, pred, 10, centroids = Some(cents)),
+        1000, 3000),
+      ("lsh", Similarity.lshTopK(e, pred, 10), 3000, 5000),
+      ("pq", Similarity.pqTopK(e, pred, 10, codebooks = Some(cbs)),
+        2000, 3000))
+    fams.foreach { case (name, approx, floor, meanFloor) =>
+      val g = Similarity.recallGate(e, approx, pred, 10, floor, meanFloor)
+        .as[(Long, Boolean, Boolean)].collect().toSeq
+      assert(g.forall(x => x._2 && x._3),
+        s"$name gate tripped below its measured floor: $g")
+    }
+  }
 }
