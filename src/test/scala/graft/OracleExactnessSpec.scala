@@ -114,6 +114,11 @@ class OracleExactnessSpec extends AnyFunSuite {
     "q_quality_model",
     "q_rel_cube", "q_rel_groupsets", "q_rel_nation_rev",
     "q_rel_pivot", "q_rel_pricing", "q_rel_quantiles",
+    // r14 bounded-error gates: the sketch rows' oracles replay the
+    // SAME round(quantile_cont(...), 4) exact-percentile columns as
+    // the allowlisted q_rel_quantiles twin (the booleans themselves
+    // are integer rank arithmetic, never rounded)
+    "q_rel_quantiles_approx", "q_rel_quantiles_kll",
     "q_rel_rollup", "q_rel_runsum", "q_rel_salted", "q_rel_sql",
     "q_rel_topn", "q_rel_trailing", "q_rel_window",
     "q_retrieval_rrf", "q_sem_decontaminate", "q_text_pmi",
@@ -196,7 +201,11 @@ class OracleExactnessSpec extends AnyFunSuite {
     assertFrozen("//", "//", IntDivAllowed)
   }
 
-  private val QuantileContAllowed = Set("q_rel_quantiles")
+  // r14: the two sketch-gate oracles replay the exact interpolated
+  // percentiles next to their rank-gate booleans — the identical
+  // closed-position arithmetic q_rel_quantiles pinned
+  private val QuantileContAllowed = Set("q_rel_quantiles",
+    "q_rel_quantiles_approx", "q_rel_quantiles_kll")
 
   test("quantile_cont allowlist frozen") {
     assertFrozen("quantile_cont", "quantile_cont", QuantileContAllowed)
@@ -259,8 +268,13 @@ class OracleExactnessSpec extends AnyFunSuite {
       // r12 segment-lifecycle re-freeze: +1 round / +1 ln — Bm25Oracle
       // shared onto q_bm25_seg (the segment-list serve; the three
       // PhraseSearchOracle segment keys add no scanned constructs)
-      "round\\(" -> 102, "log2\\(" -> 32, "\\bln\\(" -> 7,
-      "sqrt\\(" -> 136, "//" -> 149, "quantile_cont" -> 4)
+      // r14 re-freeze: +4 round / +4 quantile_cont — the two
+      // quantile-sketch gate oracles (QuantileGateOracle, shared by
+      // q_rel_quantiles_{approx,kll}) each replay the q_rel_quantiles
+      // twin's two round(quantile_cont(...), 4) exact-percentile
+      // columns; no other construct moved
+      "round\\(" -> 106, "log2\\(" -> 32, "\\bln\\(" -> 7,
+      "sqrt\\(" -> 136, "//" -> 149, "quantile_cont" -> 8)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
       if (got != want) Some(s"$re: $got (frozen $want)") else None
