@@ -39,24 +39,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g carried the bench to ~150 queries; at 238+ (round 13) the
-  // drained-stream tail — which runs LAST by design — was paying
-  // accumulated-heap GC debt from 200+ earlier queries' registries,
-  // state stores, and codegen caches (isolation cut the worst drain
-  // 15.2 s -> 4.2 s on an unchanged plan, the r7/r10 debris
-  // signature). 24g keeps the tail's readings about the queries, not
-  // the neighbors — but only where the box can afford it (r13 advice:
-  // a machine-specific default would swap or fail on small hosts), so
-  // the default scales with physical RAM: 24g on >=64 GiB boxes, 8g
-  // otherwise; SPARK_DRIVER_MEM always wins.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
-    val memKb = try {
-      scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("MemTotal:") =>
-          l.split("\\s+")(1).toLong }.getOrElse(0L)
-    } catch { case _: Throwable => 0L }
-    if (memKb >= 64L * 1024 * 1024) "24g" else "8g"
-  })}",
+  // 8g, measured twice over (r14): the r13 move to 24g was meant to
+  // spare the drained-stream tail the accumulated-heap GC debt of
+  // 200+ earlier queries, but a paired full-bench A/B on a quiet box
+  // reads 233.5 s (8g) vs 234.9 s (24g) over the identical 244
+  // queries — the debt theory was the degraded r13 host, not the
+  // heap. Meanwhile the big LAZY heap actively hurts short jobs on
+  // virtualized hosts: G1 keeps expanding into uncommitted pages and
+  // every fresh region is a first-touch fault taken in parallel by
+  // all 32 executor threads — the 700 MB WordCountApp reads 25-31 s
+  // at -Xmx24g vs 7.5-9.6 s at -Xmx8g (same binary, same box), and
+  // pinning -Xms24g with -XX:+AlwaysPreTouch moves the cost to
+  // startup at 43 CPU-MINUTES of sys time (parallel page-zeroing
+  // contention; single-threaded zeroing on this VM is ~1.6 GB/s).
+  // Commit only what the workload needs; SPARK_DRIVER_MEM always
+  // wins for boxes/workloads that differ (PERF.md §"Driver heap").
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // The full 146-query bench compiles thousands of Janino/whole-stage
   // classes in one JVM; the JDK default 240 MB code cache fills mid-run
   // and the JIT shuts off, slowing the CPU-bound tail queries ~5x

@@ -138,7 +138,10 @@ object Bench {
         s"\"$k\":${if (rs.isEmpty) 1 else 0}"
       }.mkString("{", ",", "}")
       val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"queries":$med,"spread":$spread,"rc":$rc,"runs":$timedRuns,"errors":$errJson,"sf":"$sfDir"}"""
+      // heap: -Xmx as the JVM resolved it — pins WHICH memory regime
+      // produced these numbers (the r14 8g-vs-24g A/B would have been
+      // self-documenting with this field)
+      s"""{"queries":$med,"spread":$spread,"rc":$rc,"runs":$timedRuns,"errors":$errJson,"heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"sf":"$sfDir"}"""
     }
     val pw = new java.io.PrintWriter(detailFile, "UTF-8")
     try pw.println(detail) finally pw.close()
