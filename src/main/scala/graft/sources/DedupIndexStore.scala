@@ -735,9 +735,14 @@ object DedupIndexStore {
           Seq("vec_id"))))
   }
 
-  /** LSM triggers for the banded segment lists — union-fence probes,
-    * so the measured knee of 4 applies ([[DefaultMaxSegments]];
-    * PERF.md §"Compaction trigger policy"). NOTE the compacted result
+  /** LSM triggers for the banded segment lists. The knee of 4
+    * ([[DefaultMaxSegments]]) is MEASURED for these families
+    * directly (r14; PERF.md §"Banded-family segment knee"): their
+    * probes differ from the union-fence families (stored n_members
+    * summed per bucket across the union before exploding), but the
+    * curve has the same shape — flat through 4 segments, +35-70%
+    * over the floor at 8, ~2.4x at 16, at both measured decades.
+    * NOTE the compacted result
     * is a CAPPED single index: keep probing it with [[probeMinhash]]/
     * [[probeSimhash]]/[[probeEmbedding]], or re-wrap as a fresh
     * segment list only under the same cap discipline. */
