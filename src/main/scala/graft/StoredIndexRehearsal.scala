@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * between `inline` and `stored` is the re-derivation a 100 TB corpus
   * cannot afford.
   *
-  * Usage: `SPARK_DRIVER_MEM=48g sbt "runMain graft.StoredIndexRehearsal
-  * [sfDir]"`, optionally SPARK_GRAFT_FACES=exact,minhash,simhash.
+  * Usage: `sbt "runMain graft.StoredIndexRehearsal [sfDir]"`,
+  * optionally SPARK_GRAFT_FACES=exact,minhash,simhash. Raise
+  * SPARK_DRIVER_MEM only as far as the decade needs (16g carries the
+  * 100x documents set) — oversized lazy heaps cost parallel
+  * first-touch page faults on virtualized hosts (PERF.md §"Driver
+  * heap").
   * Prints one JSON line per (face, arm). */
 object StoredIndexRehearsal {
   def main(args: Array[String]): Unit = {

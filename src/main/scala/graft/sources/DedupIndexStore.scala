@@ -477,6 +477,22 @@ object DedupIndexStore {
   def segProbeMetricPostName(family: String): String =
     s"graft_seg_probe_${family}_post"
 
+  /** Third telemetry node, on the cap-SURVIVING bucket groups:
+    * `bucket_groups` = distinct (slot, bucket) pairs that feed
+    * candidate generation. `bucket_rows_pre / bucket_groups` is the
+    * probe's true per-bucket READ AMPLIFICATION — the average number
+    * of stored segment rows behind each logical bucket, i.e. exactly
+    * what a compaction would collapse to 1 (a compacted single index
+    * reads one row per bucket by construction). Segment COUNT only
+    * bounds this ratio from above: appends into disjoint buckets add
+    * scan scheduling but no per-bucket re-reading, while appends that
+    * keep hitting the same buckets (the near-dup-heavy ingest that
+    * actually needs compaction soonest) drive the ratio toward the
+    * count. [[segProbeReadAmpBp]] reads it; the `IfAmplified` verbs
+    * act on it. */
+  def segProbeMetricSurvName(family: String): String =
+    s"graft_seg_probe_${family}_surv"
+
   private def segProbeTelemetry(totalsLeg: DataFrame, family: String,
       nSegments: Int): DataFrame =
     totalsLeg.observe(segProbeMetricName(family),
@@ -484,11 +500,35 @@ object DedupIndexStore {
       count(lit(1)).as("bucket_rows_pre"),
       sum(col("n_members")).as("members_pre"))
 
+  private def segProbeTelemetrySurv(surviving: DataFrame,
+      family: String): DataFrame =
+    surviving.observe(segProbeMetricSurvName(family),
+      count(lit(1)).as("bucket_groups"))
+
   private def segProbeTelemetryPost(candidates: DataFrame,
       family: String): DataFrame =
     candidates.observe(segProbeMetricPostName(family),
       count(lit(1)).as("bucket_rows_post"),
       sum(col("n_members")).as("members_post"))
+
+  /** The last EXECUTED segment probe's read amplification, in basis
+    * points (integer; 10000 = a compacted index's floor of one stored
+    * row per surviving bucket): `bucket_rows_pre · 10⁴ /
+    * bucket_groups`. None until the probe has run an action (observe
+    * metrics materialize with the job) or if `probed` is not a
+    * segment probe of `family`. This is the serve-side signal a
+    * production maintenance loop feeds to [[compactMinhashIfAmplified]]
+    * (etc.): serving runs constantly anyway, so the amplification is
+    * free telemetry, and the loop compacts when serving — not a
+    * segment counter — says the list has gone heavy. */
+  def segProbeReadAmpBp(probed: DataFrame, family: String): Option[Long] =
+    for {
+      pre <- probed.queryExecution.observedMetrics
+        .get(segProbeMetricName(family))
+      surv <- probed.queryExecution.observedMetrics
+        .get(segProbeMetricSurvName(family))
+      groups = surv.getAs[Long]("bucket_groups") if groups > 0
+    } yield pre.getAs[Long]("bucket_rows_pre") * 10000L / groups
 
   /** A stored embedding index as a SEGMENT LIST. `planesDigest` pins
     * the SRP plane tables every segment was bucketed under: unlike
@@ -553,12 +593,13 @@ object DedupIndexStore {
     // or under the cap survive into candidate generation
     // totals leg reads the STORED n_members column only — parquet
     // prunes the heavy member-list column from this scan
-    val surviving = segProbeTelemetry(uni
-        .select(col("t"), col("bucket"), col("n_members")),
-        "embedding", idx.segments.size)
-      .groupBy("t", "bucket").agg(sum("n_members").as("n"))
-      .filter(col("n") <= maxBucket)
-      .select(col("t"), col("bucket"))
+    val surviving = segProbeTelemetrySurv(
+      segProbeTelemetry(uni
+          .select(col("t"), col("bucket"), col("n_members")),
+          "embedding", idx.segments.size)
+        .groupBy("t", "bucket").agg(sum("n_members").as("n"))
+        .filter(col("n") <= maxBucket)
+        .select(col("t"), col("bucket")), "embedding")
     Dedup.embeddingProbe(
       segProbeTelemetryPost(uni.join(surviving, Seq("t", "bucket")),
         "embedding"),
@@ -603,12 +644,13 @@ object DedupIndexStore {
       Seq("band", "bucket"))
     // totals leg reads the STORED n_members column only (see
     // probeEmbeddingSeg)
-    val surviving = segProbeTelemetry(uni
-        .select(col("band"), col("bucket"), col("n_members")),
-        "minhash", idx.segments.size)
-      .groupBy("band", "bucket").agg(sum("n_members").as("n"))
-      .filter(col("n") <= maxBucket)
-      .select(col("band"), col("bucket"))
+    val surviving = segProbeTelemetrySurv(
+      segProbeTelemetry(uni
+          .select(col("band"), col("bucket"), col("n_members")),
+          "minhash", idx.segments.size)
+        .groupBy("band", "bucket").agg(sum("n_members").as("n"))
+        .filter(col("n") <= maxBucket)
+        .select(col("band"), col("bucket")), "minhash")
     Dedup.minhashProbe(
       segProbeTelemetryPost(uni.join(surviving, Seq("band", "bucket")),
         "minhash"),
@@ -644,12 +686,13 @@ object DedupIndexStore {
       Seq("band", "key"))
     // totals leg reads the STORED n_members column only (see
     // probeEmbeddingSeg)
-    val surviving = segProbeTelemetry(uni
-        .select(col("band"), col("key"), col("n_members")),
-        "simhash", idx.segments.size)
-      .groupBy("band", "key").agg(sum("n_members").as("n"))
-      .filter(col("n") <= maxBucket)
-      .select(col("band"), col("key"))
+    val surviving = segProbeTelemetrySurv(
+      segProbeTelemetry(uni
+          .select(col("band"), col("key"), col("n_members")),
+          "simhash", idx.segments.size)
+        .groupBy("band", "key").agg(sum("n_members").as("n"))
+        .filter(col("n") <= maxBucket)
+        .select(col("band"), col("key")), "simhash")
     Dedup.simhashProbe(Dedup.simhashBatchBanded(batch),
         segProbeTelemetryPost(uni.join(surviving, Seq("band", "key")),
           "simhash"), maxHamming)
@@ -763,6 +806,52 @@ object DedupIndexStore {
       maxBucket: Int = 10000, buckets: Int = 8):
       Either[SegmentedEmbedding, EmbeddingIndex] =
     if (idx.segments.size <= maxSegments) Left(idx)
+    else Right(compactEmbeddingSegments(spark, idx, maxBucket, buckets))
+
+  /** Amplification at the measured segment-count knee, in bp: the
+    * count knee is 4 ([[DefaultMaxSegments]], three measured decades,
+    * PERF.md), and per-bucket amplification equals the count exactly
+    * when every append lands in already-occupied buckets — so 4.0 is
+    * the worst-case amplification the count trigger tolerates. The
+    * amp trigger reaches the same decision on overlap-heavy lists
+    * while correctly WAITING longer on disjoint-bucket appends, which
+    * pay scan scheduling (~0.1 s/segment, PERF.md) but no per-bucket
+    * re-reading. */
+  val KneeAmpBp = 40000L
+
+  /** Read-amplification-driven LSM triggers (the serve-telemetry
+    * loop closed; r13 stretch item follow-through): instead of
+    * counting segments blind, feed the last EXECUTED probe of this
+    * list — serving runs constantly in production, so its
+    * [[segProbeReadAmpBp]] is free — and compact when the observed
+    * per-bucket amplification crosses `maxAmpBp`. A probe that has
+    * not run (or a df that is not this family's segment probe) reads
+    * as None and the list passes through untouched, so wiring the
+    * trigger before the first serve is safe. The segment-COUNT
+    * trigger ([[compactMinhashIfOver]]) remains the backstop for
+    * scheduling overhead on disjoint-bucket lists. */
+  def compactMinhashIfAmplified(spark: SparkSession,
+      idx: SegmentedMinhash, lastProbe: DataFrame,
+      maxAmpBp: Long = KneeAmpBp, maxBucket: Int = 10000,
+      buckets: Int = 8): Either[SegmentedMinhash, MinhashIndex] =
+    if (!segProbeReadAmpBp(lastProbe, "minhash").exists(_ > maxAmpBp))
+      Left(idx)
+    else Right(compactMinhashSegments(spark, idx, maxBucket, buckets))
+
+  def compactSimhashIfAmplified(spark: SparkSession,
+      idx: SegmentedSimhash, lastProbe: DataFrame,
+      maxAmpBp: Long = KneeAmpBp, maxBucket: Int = 65535,
+      buckets: Int = 8): Either[SegmentedSimhash, SimhashIndex] =
+    if (!segProbeReadAmpBp(lastProbe, "simhash").exists(_ > maxAmpBp))
+      Left(idx)
+    else Right(compactSimhashSegments(spark, idx, maxBucket, buckets))
+
+  def compactEmbeddingIfAmplified(spark: SparkSession,
+      idx: SegmentedEmbedding, lastProbe: DataFrame,
+      maxAmpBp: Long = KneeAmpBp, maxBucket: Int = 10000,
+      buckets: Int = 8): Either[SegmentedEmbedding, EmbeddingIndex] =
+    if (!segProbeReadAmpBp(lastProbe, "embedding").exists(_ > maxAmpBp))
+      Left(idx)
     else Right(compactEmbeddingSegments(spark, idx, maxBucket, buckets))
 
   /** Union stored tables with the Spark 4.1 union-partitioning fence

@@ -486,4 +486,49 @@ class DedupIndexStoreSpec extends SparkSpec {
       <= pre.getAs[Long]("bucket_rows_pre"))
     assert(post.getAs[Long]("members_post") > 0)
   }
+
+  test("read-amplification trigger: a fresh single-segment list reads " +
+      "exactly 1.0x, an un-executed probe passes through, and a " +
+      "forced threshold compacts to an identical probe") {
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val probe2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val v1 = DedupIndexStore.writeMinhashSegmented(base)
+    // single uncapped segment: one stored row per (band, bucket) by
+    // construction, every group survives the cap -> amp is EXACTLY
+    // the compacted floor of 10000 bp
+    val p1 = DedupIndexStore.probeMinhashSeg(spark, v1, probe2)
+    p1.collect()
+    assert(DedupIndexStore.segProbeReadAmpBp(p1, "minhash")
+      .contains(10000L))
+    // wrong family -> None
+    assert(DedupIndexStore.segProbeReadAmpBp(p1, "simhash").isEmpty)
+    // an un-executed probe has no observed metrics yet: the trigger
+    // must pass the list through untouched (same instance), so wiring
+    // it before the first serve is safe
+    val unexecuted = DedupIndexStore.probeMinhashSeg(spark, v1, probe2)
+    assert(DedupIndexStore.segProbeReadAmpBp(unexecuted, "minhash")
+      .isEmpty)
+    assert(DedupIndexStore
+      .compactMinhashIfAmplified(spark, v1, unexecuted)
+      .left.exists(_ eq v1))
+    // two segments: amp is bounded by the segment count and never
+    // below the floor
+    val v2 = DedupIndexStore.appendMinhashSegment(v1, gen1)
+    val p2 = DedupIndexStore.probeMinhashSeg(spark, v2, probe2)
+    val segRows = rows(p2)
+    val amp = DedupIndexStore.segProbeReadAmpBp(p2, "minhash").get
+    assert(amp >= 10000L && amp <= 20000L)
+    // at-or-under the observed amp -> Left (the trigger is strict-over,
+    // like the count trigger's `<=`)
+    assert(DedupIndexStore
+      .compactMinhashIfAmplified(spark, v2, p2, maxAmpBp = amp)
+      .left.exists(_ eq v2))
+    // forced under the observed amp -> compacts, and the compacted
+    // single-index probe returns the segment probe's exact rows
+    val c = DedupIndexStore
+      .compactMinhashIfAmplified(spark, v2, p2, maxAmpBp = amp - 1)
+    assert(c.isRight)
+    assert(rows(DedupIndexStore.probeMinhash(spark,
+      c.toOption.get, probe2)) == segRows)
+  }
 }
