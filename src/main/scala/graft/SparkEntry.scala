@@ -1705,6 +1705,20 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(8)) === 4),
         docs.filter(pmod(col("doc_id"), lit(8)) === 0))
     }),
+    // ... and the same loop with the maintenance decision made by
+    // SERVE TELEMETRY (r14): each fold serves the probe batch and
+    // compacts only when the executed serve's observed per-bucket
+    // read amplification crosses the measured knee
+    // (DedupIndexStore.KneeAmpBp) — the segment counter never
+    // consulted. Same maintenance oracle: one answer, five fold
+    // regimes.
+    "q_dedup_incr_minhash_amp_stream" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.streaming.EventStreams.drainMinhashAmpMaintenance(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(8)) === 4),
+        docs.filter(pmod(col("doc_id"), lit(8)) === 0))
+    }),
     "q_dedup_incr_simhash_seg" -> ((s, dir) => {
       val docs = documents(s, dir)
       val v1 = graft.sources.DedupIndexStore.writeSimhashSegmented(
@@ -3531,6 +3545,9 @@ object SparkEntry {
     // ... and the drained segment-fold loop: same grown base, fourth
     // fold regime.
     "q_dedup_incr_minhash_seg_stream" -> IncrMinhashMaintOracle,
+    // the serve-telemetry (read-amplification-triggered) fold regime
+    // shares the same answer by construction
+    "q_dedup_incr_minhash_amp_stream" -> IncrMinhashMaintOracle,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

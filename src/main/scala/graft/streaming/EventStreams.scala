@@ -1916,6 +1916,63 @@ object EventStreams extends Serializable {
     DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
   }
 
+  /** [[drainMinhashSegMaintenance]] with the maintenance decision
+    * made by SERVE TELEMETRY instead of a segment counter — the
+    * production wiring of [[graft.sources.DedupIndexStore
+    * .compactMinhashIfAmplified]]: each fold appends the O(batch)
+    * segment, SERVES the probe batch (a production index is serving
+    * continuously anyway — here the serve is also the telemetry
+    * source, executed through its own plan so the observe metrics
+    * land, driver never materializes rows), reads the executed
+    * serve's per-bucket read amplification, and compacts only when
+    * it crosses `maxAmpBp`. In-loop compaction is the same pure
+    * uncapped merge as the count-triggered drain (the skew cap stays
+    * a probe-time decision), so the final answer equals every other
+    * fold regime — the maintenance oracle verbatim. */
+  def drainMinhashAmpMaintenance(baseDocs: DataFrame,
+      deltaDocs: DataFrame, probeDocs: DataFrame, nBatches: Int = 3,
+      buckets: Int = 8,
+      maxAmpBp: Long =
+        graft.sources.DedupIndexStore.KneeAmpBp): DataFrame = {
+    val spark = baseDocs.sparkSession
+    import graft.sources.DedupIndexStore
+    // AtomicReference for the cross-thread handle handoff — see
+    // drainPostingsMaintenance
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      DedupIndexStore.writeMinhashSegmented(baseDocs, buckets = buckets))
+    if (deltaDocs.isEmpty)
+      return DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
+    val (stream, tmp) = replayForDrain(
+      deltaDocs.select(col("doc_id"), col("text")), "doc_id", nBatches)
+    try withDrainShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch((batch: DataFrame, _: Long) => {
+          val appended = DedupIndexStore.appendMinhashSegment(idx.get,
+            batch, buckets)
+          // the per-fold serve: executed exhaustively through its own
+          // QueryExecution (foreachPartition, zero driver rows) so
+          // segProbeReadAmpBp can read the observe accumulators
+          val serve = DedupIndexStore.probeMinhashSeg(spark, appended,
+            probeDocs)
+          serve.foreachPartition((_: Iterator[
+            org.apache.spark.sql.Row]) => ())
+          idx.set(DedupIndexStore.compactMinhashIfAmplified(spark,
+              appended, serve, maxAmpBp,
+              maxBucket = Int.MaxValue, buckets = buckets) match {
+            case Left(still) => still
+            case Right(compacted) =>
+              DedupIndexStore.SegmentedMinhash(Seq(compacted))
+          })
+          ()
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally tmp.foreach(deleteReplayDir)
+    DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
+  }
+
   /** [[drainPostingsMaintenance]] for the ANN family: a VECTOR stream
     * folds into the stored IVF-PQ index — each micro-batch assigns and
     * residual-encodes against the frozen model and lands as an

@@ -459,6 +459,15 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(rows(graft.streaming.EventStreams
       .drainMinhashSegMaintenance(base, gen1, gen2,
         maxSegments = 1)) == want)
+    // the serve-telemetry fold regime: same answer under the default
+    // knee threshold AND with the trigger forced every fold (amp is
+    // always >= the 10000 bp floor, so maxAmpBp = 0 compacts after
+    // every ingest — in-loop compaction is a pure uncapped merge)
+    assert(rows(graft.streaming.EventStreams
+      .drainMinhashAmpMaintenance(base, gen1, gen2)) == want)
+    assert(rows(graft.streaming.EventStreams
+      .drainMinhashAmpMaintenance(base, gen1, gen2,
+        maxAmpBp = 0L)) == want)
   }
 
   test("segmented probes publish read-amplification telemetry " +

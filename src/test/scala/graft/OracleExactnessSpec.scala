@@ -101,6 +101,9 @@ class OracleExactnessSpec extends AnyFunSuite {
     // round(jaccard, 4)-of-double output column, same split
     "q_dedup_incr_minhash_seg", "q_dedup_incr_minhash_compact",
     "q_dedup_incr_minhash_seg_stream",
+    // r14 serve-telemetry fold regime — IncrMinhashMaintOracle
+    // shared verbatim onto one more key
+    "q_dedup_incr_minhash_amp_stream",
     "q_dedup_incr_minhash_stream", "q_dedup_incr_minhash_stored",
     "q_dedup_minhash", "q_dedup_ngram", "q_dedup_ngram_cosine",
     "q_dedup_ngram_df", "q_dedup_prefix", "q_dsir_topk",
@@ -272,8 +275,10 @@ class OracleExactnessSpec extends AnyFunSuite {
       // quantile-sketch gate oracles (QuantileGateOracle, shared by
       // q_rel_quantiles_{approx,kll}) each replay the q_rel_quantiles
       // twin's two round(quantile_cont(...), 4) exact-percentile
-      // columns; no other construct moved
-      "round\\(" -> 106, "log2\\(" -> 32, "\\bln\\(" -> 7,
+      // columns; +1 round — IncrMinhashMaintOracle (1 round(jaccard))
+      // shared verbatim onto the new q_dedup_incr_minhash_amp_stream
+      // key; no other construct moved
+      "round\\(" -> 107, "log2\\(" -> 32, "\\bln\\(" -> 7,
       "sqrt\\(" -> 136, "//" -> 149, "quantile_cont" -> 8)
     val diffs = totals.flatMap { case (re, want) =>
       val got = oracles.values.map(sql => re.r.findAllIn(sql).size).sum
