@@ -265,23 +265,20 @@ object DedupIndexStore {
 
   /** Probe a segment list — output identical to [[probeExact]] against
     * the equivalent merged index (anti-join ignores cross-segment
-    * duplicates). Multi-segment unions repartition on fp_md5 before
-    * the anti-join: the Spark 4.1 union-partitioning claim would
-    * otherwise let the join trust the segments' common bucketing
-    * while the columnar union path concatenates partitions (the
-    * PostingsStore segment-view lesson; PERF.md has the bytecode
-    * attribution) — silently MISSING base fingerprints, i.e.
-    * duplicate docs would pass the gate. Single segment keeps the
-    * Exchange-free bucket layout. */
+    * duplicates). Multi-segment lists read through [[segmentScan]]
+    * (one multi-path scan, no Union node): the Spark 4.1
+    * union-partitioning claim would otherwise let the anti-join trust
+    * the segments' common bucketing while the columnar union path
+    * concatenates partitions — silently MISSING base fingerprints,
+    * i.e. duplicate docs would pass the gate (and when
+    * shuffle.partitions == bucket count the r12 repartition fence
+    * itself gets elided, see segmentScan's doc). Single segment keeps
+    * the Exchange-free bucket layout. */
   def probeExactSeg(spark: SparkSession, idx: SegmentedExact,
       batch: DataFrame): DataFrame = {
     enableBucketedSortOrder(spark)
-    val fps = idx.segments.map(s => spark.table(s.table)) match {
-      case Seq(one) => one
-      case many => many.reduce(_ unionByName _)
-        .repartition(col("fp_md5"))
-    }
-    Dedup.exactProbe(fps.hint("merge"), batch)
+    Dedup.exactProbe(
+      segmentScan(spark, idx.segments.map(_.table)).hint("merge"), batch)
   }
 
   /** Segment-count ceiling the maintenance loops check after every
@@ -309,20 +306,17 @@ object DedupIndexStore {
 
   /** Compact a segment list back to ONE distinct-fp table — identical
     * content to [[refreshExactIndex]]'s merge over the same batches
-    * (spec-pinned table-for-table). The repartition before the
-    * distinct is the same union-partitioning fence: without it the
-    * distinct would emit per-segment groups and the compacted table
-    * would carry duplicate fingerprints. */
+    * (spec-pinned table-for-table). Reads through [[segmentScan]] so
+    * the distinct's regroup exchange is always real — a Union here
+    * could claim the segments' common bucketing and leave per-segment
+    * groups, i.e. duplicate fingerprints in the compacted table. */
   def compactExactSegments(spark: SparkSession, idx: SegmentedExact,
       buckets: Int = 8): ExactIndex = {
     if (idx.segments.size == 1) return idx.segments.head
     val key = Some(s"compact|${idx.segments.map(_.table).mkString(",")}")
     ExactIndex(table("fp_idx_c", key, s"ex|$buckets", Seq("fp_md5"),
       buckets)(
-      idx.segments.map(s => spark.table(s.table))
-        .reduce(_ unionByName _)
-        .repartition(col("fp_md5"))
-        .distinct()))
+      segmentScan(spark, idx.segments.map(_.table)).distinct()))
   }
 
   /** [[refreshExactIndex]] for the minhash index: the stored
@@ -574,20 +568,20 @@ object DedupIndexStore {
 
   /** Probe a segment list — output identical to [[probeEmbedding]]
     * against the single CAPPED index over the union of the segments'
-    * batches, for ANY cap (the probe-time global cap above). The
-    * explicit repartitions are the Spark 4.1 union-partitioning
-    * fences (the [[probeExactSeg]] lesson): the per-bucket totals
-    * regroup and the vec_id verify join would otherwise trust the
-    * concatenated columnar union's claimed layout and silently
-    * miscount / drop base rows. */
+    * batches, for ANY cap (the probe-time global cap above). Segment
+    * tables read through [[segmentScan]] (no Union node): the
+    * per-bucket totals regroup and the vec_id verify join would
+    * otherwise trust a unioned columnar concatenation's claimed
+    * layout and silently miscount / drop base rows (and crash
+    * outright when shuffle.partitions == bucket count — see
+    * segmentScan's doc). */
   def probeEmbeddingSeg(spark: SparkSession, idx: SegmentedEmbedding,
       batch: DataFrame, threshold: Double,
       tables: Seq[Seq[Seq[Double]]],
       maxBucket: Int = 10000): DataFrame = {
     requirePlanes(idx, tables, "probeEmbeddingSeg")
     enableBucketedSortOrder(spark)
-    val uni = unionFenced(spark, idx.segments.map(_.bucketsTable),
-      Seq("t", "bucket"))
+    val uni = segmentScan(spark, idx.segments.map(_.bucketsTable))
     // the GLOBAL cap decision, recovered over the union: total
     // members per (t, bucket) across all segments — only buckets at
     // or under the cap survive into candidate generation
@@ -603,7 +597,7 @@ object DedupIndexStore {
     Dedup.embeddingProbe(
       segProbeTelemetryPost(uni.join(surviving, Seq("t", "bucket")),
         "embedding"),
-      unionFenced(spark, idx.segments.map(_.vecsTable), Seq("vec_id")),
+      segmentScan(spark, idx.segments.map(_.vecsTable)),
       batch, threshold, tables)
   }
 
@@ -632,16 +626,16 @@ object DedupIndexStore {
   /** Probe a minhash segment list — output identical to
     * [[probeMinhash]] against the single CAPPED index over the union
     * of the segments' batches, for ANY cap ([[probeEmbeddingSeg]]'s
-    * probe-time global cap; fences per the union-partitioning
-    * hazard). The verify-side shingle sets union needs no regroup —
-    * segment batches are disjoint doc_id sets. */
+    * probe-time global cap; [[segmentScan]] reads, so the
+    * union-partitioning hazard cannot arise). The verify-side shingle
+    * sets scan needs no regroup — segment batches are disjoint doc_id
+    * sets. */
   def probeMinhashSeg(spark: SparkSession, idx: SegmentedMinhash,
       batch: DataFrame, threshold: Double = 0.8,
       maxBucket: Int = 10000): DataFrame = {
     enableBucketedSortOrder(spark)
     val h = idx.segments.head
-    val uni = unionFenced(spark, idx.segments.map(_.bucketsTable),
-      Seq("band", "bucket"))
+    val uni = segmentScan(spark, idx.segments.map(_.bucketsTable))
     // totals leg reads the STORED n_members column only (see
     // probeEmbeddingSeg)
     val surviving = segProbeTelemetrySurv(
@@ -654,7 +648,7 @@ object DedupIndexStore {
     Dedup.minhashProbe(
       segProbeTelemetryPost(uni.join(surviving, Seq("band", "bucket")),
         "minhash"),
-      unionFenced(spark, idx.segments.map(_.setsTable), Seq("doc_id")),
+      segmentScan(spark, idx.segments.map(_.setsTable)),
       batch, h.n, threshold, h.numHashes, h.bands)
   }
 
@@ -682,8 +676,7 @@ object DedupIndexStore {
       batch: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 65535): DataFrame = {
     enableBucketedSortOrder(spark)
-    val uni = unionFenced(spark, idx.segments.map(_.table),
-      Seq("band", "key"))
+    val uni = segmentScan(spark, idx.segments.map(_.table))
     // totals leg reads the STORED n_members column only (see
     // probeEmbeddingSeg)
     val surviving = segProbeTelemetrySurv(
@@ -720,8 +713,7 @@ object DedupIndexStore {
     MinhashIndex(
       table("mh_buckets_sc", key, params, Seq("band", "bucket"),
         buckets)(
-        unionFenced(spark, idx.segments.map(_.bucketsTable),
-            Seq("band", "bucket"))
+        segmentScan(spark, idx.segments.map(_.bucketsTable))
           .select(col("band"), col("bucket"),
             explode(col("base_ds")).as("doc_id"))
           .groupBy("band", "bucket")
@@ -729,8 +721,7 @@ object DedupIndexStore {
             count("*").cast("int").as("n_members"))
           .filter(col("n_members") <= maxBucket)),
       table("mh_sets_sc", sKey, params, Seq("doc_id"), buckets)(
-        unionFenced(spark, idx.segments.map(_.setsTable),
-          Seq("doc_id"))),
+        segmentScan(spark, idx.segments.map(_.setsTable))),
       h.n, h.numHashes, h.bands)
   }
 
@@ -743,7 +734,7 @@ object DedupIndexStore {
     SimhashIndex(
       table("sh_idx_sc", key, s"sh|$maxBucket|$buckets",
         Seq("band", "key"), buckets)(
-        unionFenced(spark, idx.segments.map(_.table), Seq("band", "key"))
+        segmentScan(spark, idx.segments.map(_.table))
           .select(col("band"), col("key"), explode(col("ds")).as("e"))
           .select(col("e.doc_base").as("doc_base"),
             col("e.sh_base").as("sh_base"), col("band"), col("key"))
@@ -765,8 +756,7 @@ object DedupIndexStore {
     val params = s"emb|$maxBucket|$buckets|compacted"
     EmbeddingIndex(
       table("emb_buckets_sc", key, params, Seq("t", "bucket"), buckets)(
-        unionFenced(spark, idx.segments.map(_.bucketsTable),
-            Seq("t", "bucket"))
+        segmentScan(spark, idx.segments.map(_.bucketsTable))
           .select(col("t"), col("bucket"),
             explode(col("base_ds")).as("vec_id"))
           .groupBy("t", "bucket")
@@ -774,8 +764,7 @@ object DedupIndexStore {
             count("*").cast("int").as("n_members"))
           .filter(col("n_members") <= maxBucket)),
       table("emb_vecs_sc", vKey, params, Seq("vec_id"), buckets)(
-        unionFenced(spark, idx.segments.map(_.vecsTable),
-          Seq("vec_id"))))
+        segmentScan(spark, idx.segments.map(_.vecsTable))))
   }
 
   /** LSM triggers for the banded segment lists. The knee of 4
@@ -854,18 +843,38 @@ object DedupIndexStore {
       Left(idx)
     else Right(compactEmbeddingSegments(spark, idx, maxBucket, buckets))
 
-  /** Union stored tables with the Spark 4.1 union-partitioning fence
-    * (single table passes through exchange-free): the explicit
-    * repartition makes downstream regroups/joins independent of
-    * which union path planning picks — the columnar path concatenates
-    * partitions while advertising the zipped partitioning (PERF.md
-    * bytecode attribution). */
-  private def unionFenced(spark: SparkSession, tables: Seq[String],
-      fence: Seq[String]): DataFrame =
-    tables.map(spark.table) match {
-      case Seq(one) => one
-      case many => many.reduce(_ unionByName _)
-        .repartition(fence.map(col): _*)
+  /** Read a stored segment-table list as ONE relation. A single table
+    * passes through as its bucketed catalog scan (exchange-free
+    * probes); a multi-segment list is read as a single MULTI-PATH
+    * parquet scan of the tables' storage locations — deliberately NOT
+    * a Union of catalog scans, and NOT the r12 fence (explicit
+    * repartition over the union) either. Round-14 lesson: Spark 4.1's
+    * `spark.sql.unionOutputPartitioning` (default true) lets a Union
+    * of co-bucketed scans ADVERTISE the zipped hash partitioning
+    * while the columnar path materializes a plain partition
+    * concatenation — and when `spark.sql.shuffle.partitions` equals
+    * the bucket count (the natural production layout: shuffles sized
+    * to the index), the claim SATISFIES every downstream requirement,
+    * so EnsureRequirements elides the consumer exchanges AND the
+    * fence repartition itself. The plan then either crashes
+    * (SortMergeJoin zip of claimed-N against actual-kN partitions —
+    * how the 100x rehearsal caught this) or silently splits
+    * per-segment groups (the 125-dup wrong-answer mode, PERF.md
+    * §"Wrong-answer hazard"). A multi-path scan has no Union node and
+    * no bucketing claim, so the merge's one owed shuffle is inserted
+    * normally by each consumer under ANY conf — same cost as the
+    * fence when the fence held, correct when it did not. */
+  private[sources] def segmentScan(spark: SparkSession,
+      tables: Seq[String]): DataFrame =
+    tables match {
+      case Seq(one) => spark.table(one)
+      case many =>
+        val paths = many.map(t => spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.toString)
+        spark.read.schema(spark.table(many.head).schema)
+          .parquet(paths: _*)
     }
 
   /** Probe a stored embedding index — output identical to

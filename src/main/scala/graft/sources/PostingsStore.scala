@@ -148,21 +148,25 @@ object PostingsStore {
     * rebuild exactly, segment order irrelevant. Single segment skips
     * the regroup (already grouped at build).
     *
-    * The explicit repartition before each regroup is LOAD-BEARING, not
-    * belt-and-braces: Spark 4.1's `spark.sql.unionOutputPartitioning`
-    * (default true) lets a Union of same-partitioning children CLAIM
-    * that partitioning, and EnsureRequirements then elides the
-    * grouping exchange. The claim is honored on the row path (the
-    * union ZIPS same-index child partitions) but the COLUMNAR path is
-    * a plain partition concatenation that still advertises the zipped
-    * partitioning — and bare co-bucketed parquet scans are columnar,
-    * so exactly this union takes the broken path and the merge
-    * silently emits per-segment groups (measured: 125 duplicated
-    * doc_ids on the harness corpus; PERF.md has the bytecode-level
-    * attribution, PostingsStoreSpec pins the merged answer and the
-    * fence's presence in the plan). Demanding the shuffle explicitly
-    * makes the answer independent of which union path planning
-    * picks. */
+    * The explicit repartition before the regroup is LOAD-BEARING, and
+    * its KEY CHOICE is the load-bearing part (r14 revision of the r12
+    * fence): Spark 4.1's `spark.sql.unionOutputPartitioning` (default
+    * true) lets this Union of term-bucketed children CLAIM
+    * hash(term) while the COLUMNAR path materializes a plain
+    * partition concatenation (PERF.md bytecode attribution), and a
+    * fence keyed on anything hash(term) SATISFIES — (term), or
+    * (term, doc_id) via the subset rule — gets ELIDED whenever
+    * `spark.sql.shuffle.partitions` equals the bucket count (the r14
+    * 100x-rehearsal crash: EnsureRequirements dropped the sibling
+    * stores' same-key fences and a SortMergeJoin zipped claimed-N
+    * against concatenated-kN partitions). Keying the fence on
+    * doc_id ALONE makes it un-elidable — hash(term) can never
+    * satisfy a doc_id distribution — while the (term, doc_id)
+    * regroup still reuses the doc_id exchange (subset rule), so the
+    * merge pays exactly one shuffle under ANY conf. The union (not
+    * [[DedupIndexStore.segmentScan]]) is kept here deliberately:
+    * catalog scans are what bucket-PRUNE per phrase slot, the
+    * segment serve's core I/O property (spec-pinned). */
   private def postingsView(spark: SparkSession,
       idx: SegmentedPostings): DataFrame =
     if (idx.segments.size == 1) spark.table(idx.segments.head.table)
@@ -170,21 +174,24 @@ object PostingsStore {
       .reduce(_ unionByName _)
       .select(col("term"), col("doc_id"),
         explode(col("positions")).as("pos"))
-      .repartition(col("term"), col("doc_id"))
+      .repartition(col("doc_id"))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Doclens across segments: id-level sum (re-ingest adds lengths,
-    * matching the postings merge). Explicit repartition for the same
-    * reason as [[postingsView]] — this is the exact shape the union-
-    * partitioning claim breaks (groupBy on the bucket key itself). */
+    * matching the postings merge). Unlike [[postingsView]] there is
+    * no prunable access path to preserve (the merge regroups the
+    * whole narrow relation, and its group key IS the bucket key, so
+    * no repartition key escapes the claim) — this view reads the
+    * segment tables through [[DedupIndexStore.segmentScan]] (one
+    * multi-path scan, no Union node, no claim) and lets the regroup
+    * insert its one owed exchange under any conf. */
   private def doclensView(spark: SparkSession,
       idx: SegmentedPostings): DataFrame =
     if (idx.segments.size == 1)
       spark.table(idx.segments.head.doclensTable)
-    else idx.segments.map(s => spark.table(s.doclensTable))
-      .reduce(_ unionByName _)
-      .repartition(col("doc_id"))
+    else DedupIndexStore
+      .segmentScan(spark, idx.segments.map(_.doclensTable))
       .groupBy("doc_id").agg(sum("dl").as("dl"))
 
   /** [[phraseSearch]] over a segment list — output identical to the

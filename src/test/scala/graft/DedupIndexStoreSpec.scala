@@ -540,4 +540,43 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(rows(DedupIndexStore.probeMinhash(spark,
       c.toOption.get, probe2)) == segRows)
   }
+
+  test("union-partitioning hazard regression (r14 100x crash shape): " +
+      "segment probes stay correct when shuffle partitions equal the " +
+      "bucket count and nothing broadcasts") {
+    // The natural production conf — shuffles sized to the index's
+    // bucket count — is exactly where Spark 4.1's union-partitioning
+    // claim satisfied every downstream requirement, EnsureRequirements
+    // elided the r12 repartition fence itself, and the plan either
+    // crashed (SortMergeJoin zipping claimed-8 vs concatenated-16
+    // partitions) or split per-segment groups. segmentScan's
+    // multi-path read removes the Union node entirely; this pins the
+    // answers at that conf, with broadcasts disabled so every join
+    // exercises the zip-sensitive SortMergeJoin path.
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val probe2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val mh2 = DedupIndexStore.appendMinhashSegment(
+      DedupIndexStore.writeMinhashSegmented(base), gen1)
+    val ex2 = DedupIndexStore.appendExactSegment(
+      DedupIndexStore.writeExactSegmented(base), gen1)
+    // ground truth under the harness conf (32 partitions != 8 buckets
+    // keeps requirements unsatisfiable by any claim)
+    val wantMh = rows(DedupIndexStore.probeMinhashSeg(spark, mh2, probe2))
+    val wantEx = rows(DedupIndexStore.probeExactSeg(spark, ex2, probe2)
+      .orderBy("doc_id"))
+    assert(wantMh.nonEmpty && wantEx.nonEmpty)
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(rows(DedupIndexStore.probeMinhashSeg(spark, mh2, probe2))
+        == wantMh)
+      assert(rows(DedupIndexStore.probeExactSeg(spark, ex2, probe2)
+        .orderBy("doc_id")) == wantEx)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+    }
+  }
 }

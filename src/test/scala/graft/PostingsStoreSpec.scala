@@ -223,15 +223,19 @@ class PostingsStoreSpec extends SparkSpec {
       rows(PostingsStore.bm25Search(spark, ref, terms)))
   }
 
-  test("union-partitioning fence: the cross-segment doclens merge " +
-      "plans a real shuffle between the union and the regroup") {
-    // Spark 4.1's unionOutputPartitioning claim (default true) elides
-    // the grouping exchange over a union of same-bucketing children,
-    // silently splitting (doc_id) groups per segment (125 duplicated
-    // doc_ids on this corpus before the fence). The views repartition
-    // explicitly; this pins that the shuffle is IN THE PLAN — if a
-    // refactor drops the repartition, this fails before the answer
-    // diff does.
+  test("union-partitioning hazard: the cross-segment doclens merge " +
+      "reads ONE multi-path scan (no Union to claim a layout) and " +
+      "plans a real shuffle before the regroup") {
+    // Spark 4.1's unionOutputPartitioning claim (default true) lets a
+    // Union of same-bucketing children advertise the zipped layout
+    // while the columnar path concatenates partitions, silently
+    // splitting (doc_id) groups per segment (125 duplicated doc_ids
+    // on this corpus, r12) — and when shuffle.partitions == bucket
+    // count even an explicit repartition fence gets elided with the
+    // rest (the r14 100x-rehearsal crash). The views therefore read
+    // the segment tables as a single multi-path scan; this pins that
+    // shape: one FileScan covering BOTH segment locations, with a
+    // real shuffle above it before the regroup.
     val docs = corpus(spark)
     val v2 = PostingsStore.appendSegment(
       PostingsStore.writeSegmented(
@@ -240,21 +244,40 @@ class PostingsStoreSpec extends SparkSpec {
     val served = PostingsStore.bm25SearchSeg(spark, v2,
       Seq("spark", "window", "scan"))
     served.collect()
-    val dlTables = v2.segments.map(_.doclensTable).toSet
-    def scansBothDoclens(p: SparkPlan): Boolean = {
-      val seen = allNodes(p).collect {
-        case f: FileSourceScanExec if f.tableIdentifier.exists(t =>
-          dlTables.contains(t.table)) => f.tableIdentifier.get.table
-      }.toSet
-      seen == dlTables
+    // compare filesystem PATH components (URI scheme/slash forms vary
+    // between catalog metadata and file-index root paths), and accept
+    // roots that are files under the table dir
+    def fsPath(s: String): String =
+      try new java.net.URI(s).getPath catch { case _: Throwable => s }
+    val dlPaths = v2.segments.map(s => fsPath(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier(s.doclensTable))
+      .location.toString).stripSuffix("/")).toSet
+    val nodes = allNodes(served.queryExecution.executedPlan)
+    val multiPathScan = nodes.exists {
+      case f: FileSourceScanExec =>
+        val roots = f.relation.location.rootPaths
+          .map(p => fsPath(p.toString).stripSuffix("/"))
+        dlPaths.forall(dp => roots.exists(_.startsWith(dp)))
+      case _ => false
     }
-    val fenced = allNodes(served.queryExecution.executedPlan).collect {
-      case e: ShuffleExchangeExec if scansBothDoclens(e.child) => e
-    }
-    assert(fenced.nonEmpty,
-      "no shuffle above the doclens segment union — the union-" +
-        "partitioning claim would split per-segment groups:\n" +
+    assert(multiPathScan,
+      "doclens segments are not read as one multi-path scan:\n" +
         served.queryExecution.executedPlan)
+    val unionOverDoclens = nodes.exists {
+      case u: org.apache.spark.sql.execution.UnionExec =>
+        u.children.exists(c => allNodes(c).exists {
+          case f: FileSourceScanExec => f.relation.location.rootPaths
+            .map(p => fsPath(p.toString).stripSuffix("/"))
+            .exists(r => dlPaths.exists(r.startsWith))
+          case _ => false
+        })
+      case _ => false
+    }
+    assert(!unionOverDoclens,
+      "a Union over doclens segment scans reappeared — that shape " +
+        "can claim the zipped bucketing while concatenating " +
+        "partitions (PERF.md):\n" + served.queryExecution.executedPlan)
   }
 
   test("compacted segments == from-scratch build, table for table; " +
