@@ -282,15 +282,21 @@ object DedupIndexStore {
   }
 
   /** Segment-count ceiling the maintenance loops check after every
-    * append — the measured knee of the probe read-amplification curve
-    * (PERF.md §"Compaction trigger policy", StoredIndexRehearsal
-    * `seg_probe_n{1,2,4,8,16}` at two decades): for the union-fence
-    * families (postings, exact fingerprints) probe cost sits on its
-    * fixed floor through 4 segments and then climbs ~linearly —
-    * 2.6-4.1x the floor by 8 segments at the 10x decade — so the
-    * loop compacts when the list EXCEEDS 4. The ANN family's probe
-    * amortizes segments against a rerank-join floor and keeps a
-    * higher ceiling ([[AnnIndexStore.DefaultMaxSegments]]). */
+    * append (PERF.md §"Compaction trigger policy", StoredIndexRehearsal
+    * `seg_probe_n{1,2,4,8,16}`, post-hazard-fix ladders at three
+    * decades). The measured probe-cost knee belongs to POSTINGS —
+    * the one family whose probes pay one bucket-pruned catalog scan
+    * per segment per slot: flat floor through 4 segments, slope at
+    * 8, ~3x the floor at 16, identical at 1x/10x/100x. The families
+    * that read their list through [[segmentScan]] (exact
+    * fingerprints and the banded three) amortize all segments into
+    * one multi-path scan and measure FLAT in segment count — for
+    * them this ceiling is maintenance hygiene (it bounds stored
+    * bucket-row amplification and the cap-recovery aggregation's
+    * input), with [[segProbeReadAmpBp]] + the `IfAmplified` verbs as
+    * the precise instrument. The ANN family amortizes segments
+    * against a rerank-join floor and keeps a higher ceiling
+    * ([[AnnIndexStore.DefaultMaxSegments]]). */
   val DefaultMaxSegments = 4
 
   /** The LSM trigger — WHEN to run the third verb: compact once the
@@ -767,13 +773,12 @@ object DedupIndexStore {
         segmentScan(spark, idx.segments.map(_.vecsTable))))
   }
 
-  /** LSM triggers for the banded segment lists. The knee of 4
-    * ([[DefaultMaxSegments]]) is MEASURED for these families
-    * directly (r14; PERF.md §"Banded-family segment knee"): their
-    * probes differ from the union-fence families (stored n_members
-    * summed per bucket across the union before exploding), but the
-    * curve has the same shape — flat through 4 segments, +35-70%
-    * over the floor at 8, ~2.4x at 16, at both measured decades.
+  /** LSM triggers for the banded segment lists. Post-hazard-fix
+    * (r14), banded probes read the list as one [[segmentScan]] and
+    * measure FLAT in segment count at all three decades (PERF.md
+    * §"Compaction trigger policy"), so [[DefaultMaxSegments]] here
+    * is periodic hygiene — the precise trigger is the served
+    * read-amplification ([[compactMinhashIfAmplified]] below).
     * NOTE the compacted result
     * is a CAPPED single index: keep probing it with [[probeMinhash]]/
     * [[probeSimhash]]/[[probeEmbedding]], or re-wrap as a fresh
