@@ -1071,6 +1071,11 @@ object SparkEntry {
     "q_wordcount_heavy_stream" -> ((s, dir) =>
       graft.streaming.EventStreams.drainHeavyHitters(
         documents(s, dir), 1024)),
+    // README "results comparison" use case (reference README.md:170-176):
+    // case-folded frequency so "Han"/"han" merge, matching the AWS run
+    // the reference compared itself against.
+    "q_wordcount_fold" -> ((s, dir) =>
+      WordCount.byFrequencyFolded(documents(s, dir), col("text"))),
     // K7: formatted sink rows ("word -> count").
     "q_wordcount_fmt" -> ((s, dir) =>
       WordCount.formatted(
@@ -2886,6 +2891,13 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY cnt DESC, word
         |LIMIT 20""".stripMargin,
+    "q_wordcount_fold" ->
+      """SELECT lower(word) AS word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY 1
+        |ORDER BY cnt DESC, word""".stripMargin,
     "q_wordcount_fmt" ->
       """SELECT word || ' -> ' || CAST(cnt AS VARCHAR) AS line
         |FROM (SELECT word, count(*) AS cnt

@@ -63,6 +63,18 @@ object WordCount {
       .orderBy(col("cnt").desc, col("word").asc)
   }
 
+  /** Case-folded frequency output — the reference README's own "results
+    * comparison" use case (README.md:170-176): its AWS counterpart was
+    * case-INSENSITIVE and the author notes `"Han"`/`"han"` should merge.
+    * `lower(word)` before the groupBy keeps the whole pipeline shape
+    * (partial agg → hash exchange → final agg → sort) while folding; the
+    * corpus is ASCII so `lower` = the AWS run's tolower semantics. */
+  def byFrequencyFolded(df: DataFrame, text: Column): DataFrame =
+    words(df, text)
+      .select(lower(col("word")).as("word"))
+      .groupBy("word").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+
   /** Formatted sink rows (K7): `word -> count` (main.cpp:233,263-265).
     * Header lines are emitted by the writer (FormattedTextSink), not the
     * query, so results stay relational. */

@@ -465,10 +465,12 @@ object DedupIndexStore {
     *  - `<family>_post` (on the cap-surviving candidate rows):
     *    `bucket_rows_post`, `members_post`.
     *
-    * `bucket_rows_pre / bucket_rows_post` ≈ the probe's current
-    * read amplification vs a compacted single index (which reads one
-    * row per surviving bucket) — a production maintenance loop
-    * watches this ratio approach the measured knee
+    * `bucket_rows_pre / bucket_rows_post` is the cap's prune ratio
+    * (how much stored-bucket I/O the global cap discarded); the
+    * probe's READ AMPLIFICATION vs a compacted single index is
+    * `bucket_rows_post / bucket_groups` (see
+    * [[segProbeMetricSurvName]]) — a production maintenance loop
+    * watches that ratio approach the measured knee
     * (PERF.md §"Compaction trigger policy") instead of counting
     * segments blind. Read after an action via
     * `df.queryExecution.observedMetrics(segProbeMetricName(...))`. */
@@ -479,11 +481,15 @@ object DedupIndexStore {
 
   /** Third telemetry node, on the cap-SURVIVING bucket groups:
     * `bucket_groups` = distinct (slot, bucket) pairs that feed
-    * candidate generation. `bucket_rows_pre / bucket_groups` is the
+    * candidate generation. `bucket_rows_post / bucket_groups` is the
     * probe's true per-bucket READ AMPLIFICATION — the average number
-    * of stored segment rows behind each logical bucket, i.e. exactly
+    * of stored segment rows behind each SERVED bucket, i.e. exactly
     * what a compaction would collapse to 1 (a compacted single index
-    * reads one row per bucket by construction). Segment COUNT only
+    * reads one row per bucket by construction). Both sides are
+    * counted on the same side of the cap filter (r15 advice: the
+    * earlier `bucket_rows_pre` numerator counted rows the cap then
+    * discarded, so trimming a heavy bucket INFLATED the ratio past
+    * the segment count and fired the trigger early). Segment COUNT
     * bounds this ratio from above: appends into disjoint buckets add
     * scan scheduling but no per-bucket re-reading, while appends that
     * keep hitting the same buckets (the near-dup-heavy ingest that
@@ -513,22 +519,27 @@ object DedupIndexStore {
 
   /** The last EXECUTED segment probe's read amplification, in basis
     * points (integer; 10000 = a compacted index's floor of one stored
-    * row per surviving bucket): `bucket_rows_pre · 10⁴ /
-    * bucket_groups`. None until the probe has run an action (observe
-    * metrics materialize with the job) or if `probed` is not a
-    * segment probe of `family`. This is the serve-side signal a
-    * production maintenance loop feeds to [[compactMinhashIfAmplified]]
-    * (etc.): serving runs constantly anyway, so the amplification is
-    * free telemetry, and the loop compacts when serving — not a
-    * segment counter — says the list has gone heavy. */
+    * row per surviving bucket): `bucket_rows_post · 10⁴ /
+    * bucket_groups` — numerator and denominator BOTH counted after
+    * the probe-time cap filter, so trimming a heavy bucket removes
+    * its rows and its group together and the ratio stays ≤ the
+    * segment count by construction (r15 advice fix; see
+    * [[segProbeMetricSurvName]]). None until the probe has run an
+    * action (observe metrics materialize with the job) or if
+    * `probed` is not a segment probe of `family`. This is the
+    * serve-side signal a production maintenance loop feeds to
+    * [[compactMinhashIfAmplified]] (etc.): serving runs constantly
+    * anyway, so the amplification is free telemetry, and the loop
+    * compacts when serving — not a segment counter — says the list
+    * has gone heavy. */
   def segProbeReadAmpBp(probed: DataFrame, family: String): Option[Long] =
     for {
-      pre <- probed.queryExecution.observedMetrics
-        .get(segProbeMetricName(family))
+      post <- probed.queryExecution.observedMetrics
+        .get(segProbeMetricPostName(family))
       surv <- probed.queryExecution.observedMetrics
         .get(segProbeMetricSurvName(family))
       groups = surv.getAs[Long]("bucket_groups") if groups > 0
-    } yield pre.getAs[Long]("bucket_rows_pre") * 10000L / groups
+    } yield post.getAs[Long]("bucket_rows_post") * 10000L / groups
 
   /** A stored embedding index as a SEGMENT LIST. `planesDigest` pins
     * the SRP plane tables every segment was bucketed under: unlike
@@ -874,12 +885,26 @@ object DedupIndexStore {
     tables match {
       case Seq(one) => spark.table(one)
       case many =>
+        val schema = spark.table(many.head).schema
         val paths = many.map(t => spark.sessionState.catalog
           .getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(t))
           .location.toString)
-        spark.read.schema(spark.table(many.head).schema)
-          .parquet(paths: _*)
+        if (paths.distinct.size == paths.size)
+          spark.read.schema(schema).parquet(paths: _*)
+        else
+          // Duplicate OCCURRENCES (the build-once registry returns
+          // the SAME physical table when an identical file-backed
+          // batch is re-appended): one multi-path scan would
+          // silently collapse them — InMemoryFileIndex keys leaf
+          // files by path — halving that batch's contribution while
+          // union-shaped consumers (the postings merge) still count
+          // it twice (r15 advice). Read each occurrence as its own
+          // path scan and union: plain path scans advertise no
+          // partitioning, so the Union claims nothing and the r14
+          // elision hazard cannot arise (FenceElisionProbeSpec).
+          paths.map(p => spark.read.schema(schema).parquet(p))
+            .reduce(_ unionByName _)
     }
 
   /** Probe a stored embedding index — output identical to

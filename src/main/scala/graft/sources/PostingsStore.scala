@@ -150,21 +150,28 @@ object PostingsStore {
     *
     * The explicit repartition before the regroup is LOAD-BEARING, and
     * its KEY CHOICE is the load-bearing part (r14 revision of the r12
-    * fence): Spark 4.1's `spark.sql.unionOutputPartitioning` (default
-    * true) lets this Union of term-bucketed children CLAIM
-    * hash(term) while the COLUMNAR path materializes a plain
-    * partition concatenation (PERF.md bytecode attribution), and a
-    * fence keyed on anything hash(term) SATISFIES — (term), or
-    * (term, doc_id) via the subset rule — gets ELIDED whenever
-    * `spark.sql.shuffle.partitions` equals the bucket count (the r14
-    * 100x-rehearsal crash: EnsureRequirements dropped the sibling
-    * stores' same-key fences and a SortMergeJoin zipped claimed-N
-    * against concatenated-kN partitions). Keying the fence on
-    * doc_id ALONE makes it un-elidable — hash(term) can never
-    * satisfy a doc_id distribution — while the (term, doc_id)
-    * regroup still reuses the doc_id exchange (subset rule), so the
-    * merge pays exactly one shuffle under ANY conf. The union (not
-    * [[DedupIndexStore.segmentScan]]) is kept here deliberately:
+    * fence, elision model corrected r15): Spark 4.1's
+    * `spark.sql.unionOutputPartitioning` (default true) lets this
+    * Union of term-bucketed children CLAIM hash(term) while the
+    * COLUMNAR path materializes a plain partition concatenation
+    * (PERF.md bytecode attribution). EnsureRequirements'
+    * `optimizeOutRepartition` removes an explicit REPARTITION_BY_COL
+    * fence only when the child's claimed partitioning SEMANTICALLY
+    * EQUALS the fence's (same expressions AND count) — distribution
+    * *satisfaction* elides consumer-inserted exchanges, never the
+    * fence itself (FenceElisionProbeSpec pins all three cases
+    * empirically: exact-key fence elided, superset- and disjoint-key
+    * fences kept). So under buckets == shuffle.partitions the r14
+    * crash hit the sibling dedup stores' SAME-KEY fences (hash(key)
+    * over a hash(key) claim — semantically equal, elided, and a
+    * SortMergeJoin zipped claimed-N against concatenated-kN
+    * partitions); a (term, doc_id) fence over a hash(term) claim was
+    * never elidable. Keying the fence on doc_id alone is kept
+    * anyway: it is un-equalable by ANY term-bucketed claim by
+    * construction, and the (term, doc_id) regroup reuses the doc_id
+    * exchange (requirement satisfaction, which IS subset-friendly),
+    * so the merge pays exactly one shuffle under any conf. The union
+    * (not [[DedupIndexStore.segmentScan]]) is kept here deliberately:
     * catalog scans are what bucket-PRUNE per phrase slot, the
     * segment serve's core I/O property (spec-pinned). */
   private def postingsView(spark: SparkSession,

@@ -223,6 +223,38 @@ class PostingsStoreSpec extends SparkSpec {
       rows(PostingsStore.bm25Search(spark, ref, terms)))
   }
 
+  test("duplicate segment OCCURRENCES (identical batch re-appended " +
+      "hits the build-once registry) keep union multiplicity: seg " +
+      "serve == refresh applied twice") {
+    // The registry intentionally returns the SAME physical table for
+    // an identical file-backed batch, so appending it twice yields a
+    // segment list with a duplicated table name. A single multi-path
+    // scan would silently collapse the duplicate leaf files
+    // (InMemoryFileIndex keys by path) — halving doclens while the
+    // postings union double-counts tf (r15 advice). segmentScan must
+    // preserve per-occurrence multiplicity so both sides agree with
+    // the id-level merge semantics ("re-ingest adds lengths").
+    val docs = corpus(spark)
+    val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val seg = PostingsStore.appendSegment(
+      PostingsStore.appendSegment(
+        PostingsStore.writeSegmented(base), batch), batch)
+    // precondition: the registry really did collapse the two appends
+    // onto one physical segment pair — otherwise this tests nothing
+    assert(seg.segments(1) == seg.segments(2),
+      "expected the identical re-appended batch to reuse one " +
+        s"physical segment, got ${seg.segments}")
+    val ref = PostingsStore.refreshPostings(spark,
+      PostingsStore.refreshPostings(spark,
+        PostingsStore.writePostings(base), batch), batch)
+    val terms = Seq("spark", "window", "scan")
+    assert(rows(PostingsStore.bm25SearchSeg(spark, seg, terms)) ==
+      rows(PostingsStore.bm25Search(spark, ref, terms)))
+    assert(rows(PostingsStore.phraseSearchSeg(spark, seg, phrase)) ==
+      rows(PostingsStore.phraseSearch(spark, ref, phrase)))
+  }
+
   test("union-partitioning hazard: the cross-segment doclens merge " +
       "reads ONE multi-path scan (no Union to claim a layout) and " +
       "plans a real shuffle before the regroup") {
@@ -278,6 +310,24 @@ class PostingsStoreSpec extends SparkSpec {
       "a Union over doclens segment scans reappeared — that shape " +
         "can claim the zipped bucketing while concatenating " +
         "partitions (PERF.md):\n" + served.queryExecution.executedPlan)
+    // ...and the regroup's one owed exchange is REAL: some shuffle's
+    // subtree contains the multi-path doclens scan (an elided regroup
+    // exchange would fail here before the answer diff does).
+    val doclensScanUnderShuffle = nodes.exists {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        allNodes(s).exists {
+          case f: FileSourceScanExec =>
+            val roots = f.relation.location.rootPaths
+              .map(p => fsPath(p.toString).stripSuffix("/"))
+            dlPaths.forall(dp => roots.exists(_.startsWith(dp)))
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(doclensScanUnderShuffle,
+      "no ShuffleExchange above the multi-path doclens scan — the " +
+        "cross-segment regroup's exchange was elided:\n" +
+        served.queryExecution.executedPlan)
   }
 
   test("compacted segments == from-scratch build, table for table; " +

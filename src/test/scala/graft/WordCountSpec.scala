@@ -46,6 +46,17 @@ class WordCountSpec extends SparkSpec {
     assert(ties == ties.sorted)
   }
 
+  test("case-folded frequency merges Han/han/HAN (README comparison use case)") {
+    val got = WordCount.byFrequencyFolded(fixture, col("text"))
+      .as[(String, Long)].collect().toSeq
+    assert(got.head == ("han", 3L) || got.head == ("hello", 3L))
+    val m = got.toMap
+    assert(m("han") == 3L && !m.contains("Han") && !m.contains("HAN"))
+    // tie-break still (cnt DESC, word ASC)
+    val ties = got.filter(_._2 == 1L).map(_._1)
+    assert(ties == ties.sorted)
+  }
+
   test("topK returns k highest") {
     val top = WordCount.topK(fixture, col("text"), 1).as[(String, Long)].collect()
     assert(top.toSeq == Seq(("hello", 3L)))
