@@ -541,6 +541,23 @@ object DedupIndexStore {
       groups = surv.getAs[Long]("bucket_groups") if groups > 0
     } yield post.getAs[Long]("bucket_rows_post") * 10000L / groups
 
+  /** Execute a probe exhaustively through ITS OWN QueryExecution so
+    * its observe accumulators (the [[segProbeReadAmpBp]] source) see
+    * the run, without materializing any row on the driver. The
+    * obvious `probe.foreachPartition(...)` does NOT do this:
+    * `Dataset.foreachPartition` re-plans the dataset through
+    * `Dataset.rdd` (CatalystSerde.deserialize → a NEW QueryExecution
+    * with fresh accumulator instances), so the metrics of the df you
+    * HOLD read zero/None forever — the r14 amp-trigger drain executed
+    * its telemetry serves that way and the trigger could never fire
+    * (caught in the r15 optimization round; the drain's answer is
+    * trigger-invariant by design, so no oracle tripped).
+    * `queryExecution.toRdd` is the executedPlan's own RDD — same
+    * plan instance, same accumulators, zero driver rows. */
+  def executeForTelemetry(probed: DataFrame): Unit =
+    probed.queryExecution.toRdd.foreachPartition(
+      (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+
   /** A stored embedding index as a SEGMENT LIST. `planesDigest` pins
     * the SRP plane tables every segment was bucketed under: unlike
     * the minhash list (whose banding params rederive from the head

@@ -1916,19 +1916,39 @@ object EventStreams extends Serializable {
     DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
   }
 
+  /** 1-in-k deterministic sample for the amp drain's TELEMETRY
+    * serves (r15 optimization round, r14 verdict item 2): production
+    * reads [[graft.sources.DedupIndexStore.segProbeReadAmpBp]] off
+    * its live serves for free, and nobody samples ALL traffic for
+    * telemetry — a fixed hash slice of it carries the same
+    * per-bucket read-amplification signal (the ratio is a property
+    * of the stored segment list, averaged over whichever buckets the
+    * sampled probes touch). The harness loop has no live traffic, so
+    * its telemetry serves are pure added cost: serving the full
+    * probe batch three times purely to read two counters was the
+    * most expensive row in the r14 bench (9.4 s). The ANSWER probe
+    * is never sampled. */
+  private val TelemetryServeSample = 4
+
   /** [[drainMinhashSegMaintenance]] with the maintenance decision
     * made by SERVE TELEMETRY instead of a segment counter — the
     * production wiring of [[graft.sources.DedupIndexStore
     * .compactMinhashIfAmplified]]: each fold appends the O(batch)
-    * segment, SERVES the probe batch (a production index is serving
-    * continuously anyway — here the serve is also the telemetry
-    * source, executed through its own plan so the observe metrics
-    * land, driver never materializes rows), reads the executed
-    * serve's per-bucket read amplification, and compacts only when
-    * it crosses `maxAmpBp`. In-loop compaction is the same pure
-    * uncapped merge as the count-triggered drain (the skew cap stays
-    * a probe-time decision), so the final answer equals every other
-    * fold regime — the maintenance oracle verbatim. */
+    * segment, SERVES a deterministic [[TelemetryServeSample]] slice
+    * of the probe batch (a production index is serving continuously
+    * anyway and samples its serves for telemetry — here the sampled
+    * serve is the telemetry source, executed through its own plan so
+    * the observe metrics land, driver never materializes rows),
+    * reads the executed serve's per-bucket read amplification, and
+    * compacts only when it crosses `maxAmpBp`. The LAST fold appends
+    * without a telemetry serve: its maintenance decision could only
+    * benefit a subsequent serve, and the drain's final answer is
+    * fold-regime-independent by construction (in-loop compaction is
+    * the same pure uncapped merge as the count-triggered drain — the
+    * skew cap stays a probe-time decision), so the answer equals
+    * every other fold regime — the maintenance oracle verbatim, for
+    * ANY sample slice including the empty one (an unexecuted or
+    * empty-sample serve reads as None and the list passes through). */
   def drainMinhashAmpMaintenance(baseDocs: DataFrame,
       deltaDocs: DataFrame, probeDocs: DataFrame, nBatches: Int = 3,
       buckets: Int = 8,
@@ -1942,28 +1962,34 @@ object EventStreams extends Serializable {
       DedupIndexStore.writeMinhashSegmented(baseDocs, buckets = buckets))
     if (deltaDocs.isEmpty)
       return DedupIndexStore.probeMinhashSeg(spark, idx.get, probeDocs)
+    val tele = probeDocs.filter(
+      pmod(xxhash64(col("doc_id")), lit(TelemetryServeSample)) === 0)
     val (stream, tmp) = replayForDrain(
       deltaDocs.select(col("doc_id"), col("text")), "doc_id", nBatches)
     try withDrainShufflePartitions(spark) {
       val q = stream.writeStream
         .outputMode(OutputMode.Update())
-        .foreachBatch((batch: DataFrame, _: Long) => {
+        .foreachBatch((batch: DataFrame, id: Long) => {
           val appended = DedupIndexStore.appendMinhashSegment(idx.get,
             batch, buckets)
-          // the per-fold serve: executed exhaustively through its own
-          // QueryExecution (foreachPartition, zero driver rows) so
-          // segProbeReadAmpBp can read the observe accumulators
-          val serve = DedupIndexStore.probeMinhashSeg(spark, appended,
-            probeDocs)
-          serve.foreachPartition((_: Iterator[
-            org.apache.spark.sql.Row]) => ())
-          idx.set(DedupIndexStore.compactMinhashIfAmplified(spark,
-              appended, serve, maxAmpBp,
-              maxBucket = Int.MaxValue, buckets = buckets) match {
-            case Left(still) => still
-            case Right(compacted) =>
-              DedupIndexStore.SegmentedMinhash(Seq(compacted))
-          })
+          if (id < nBatches - 1) {
+            // the per-fold sampled serve: executed exhaustively
+            // through its own QueryExecution (executeForTelemetry —
+            // Dataset.foreachPartition would re-plan and the observe
+            // accumulators would read None forever, the r14 bug) so
+            // segProbeReadAmpBp can read the observe accumulators;
+            // zero driver rows
+            val serve = DedupIndexStore.probeMinhashSeg(spark, appended,
+              tele)
+            DedupIndexStore.executeForTelemetry(serve)
+            idx.set(DedupIndexStore.compactMinhashIfAmplified(spark,
+                appended, serve, maxAmpBp,
+                maxBucket = Int.MaxValue, buckets = buckets) match {
+              case Left(still) => still
+              case Right(compacted) =>
+                DedupIndexStore.SegmentedMinhash(Seq(compacted))
+            })
+          } else idx.set(appended)
           ()
         })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -496,6 +496,29 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(post.getAs[Long]("members_post") > 0)
   }
 
+  test("executeForTelemetry populates the serve's observe metrics " +
+      "through the probe's OWN QueryExecution (Dataset.foreachPartition " +
+      "re-plans and leaves them unread — the r14 amp-drain bug)") {
+    val gen1 = corpus.filter(pmod(col("doc_id"), lit(8)) === 4)
+    val gen2 = corpus.filter(pmod(col("doc_id"), lit(8)) === 0)
+    val v2 = DedupIndexStore.appendMinhashSegment(
+      DedupIndexStore.writeMinhashSegmented(base), gen1)
+    // the r14 execution path: runs the job, but through a NEW
+    // QueryExecution (Dataset.rdd deserializes via a fresh plan), so
+    // THIS df's accumulators never see it → None. Pinned so nobody
+    // reinstates it believing the two are equivalent.
+    val p1 = DedupIndexStore.probeMinhashSeg(spark, v2, gen2)
+    p1.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    assert(DedupIndexStore.segProbeReadAmpBp(p1, "minhash").isEmpty)
+    // the fixed path: toRdd is the executedPlan's own RDD — same
+    // accumulators, zero driver rows, amp readable
+    val p2 = DedupIndexStore.probeMinhashSeg(spark, v2, gen2)
+    DedupIndexStore.executeForTelemetry(p2)
+    val amp = DedupIndexStore.segProbeReadAmpBp(p2, "minhash")
+    assert(amp.exists(_ >= 10000L),
+      s"expected a readable amp >= the 1.0x floor, got $amp")
+  }
+
   test("read-amplification trigger: a fresh single-segment list reads " +
       "exactly 1.0x, an un-executed probe passes through, and a " +
       "forced threshold compacts to an identical probe") {
