@@ -218,12 +218,23 @@ object RelationalOps {
   def orderValueQuantiles(orders: DataFrame): DataFrame =
     orders
       .groupBy("o_orderstatus")
+      // ONE percentile buffer for all four points (r15 guide §"per-
+      // task work"): the scalar form built four independent
+      // counts-map buffers over the same rows and sorted each at
+      // eval; the array form inserts once and sorts once, reading
+      // all four quantiles from the single sorted run — identical
+      // interpolated values (same aggregate, same evaluation), 4x
+      // less aggregation state and merge traffic.
       .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))")
+          .as("ps"),
         count("*").as("n_orders"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"),
+        col("n_orders"))
       .orderBy("o_orderstatus")
 
   /** The 100 TB form the exact-quantiles doc promises: Greenwald-Khanna
@@ -236,14 +247,20 @@ object RelationalOps {
       accuracy: Int = 10000): DataFrame =
     orders
       .groupBy("o_orderstatus")
+      // one GK sketch and one exact buffer for both points (the
+      // array forms — see orderValueQuantiles; a production serve
+      // would never build two identical sketches side by side)
       .agg(
-        round(expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)"), 4)
-          .as("p50_approx"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-        round(expr(s"approx_percentile(o_totalprice, 0.95, $accuracy)"), 4)
-          .as("p95_approx"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.95), " +
+          s"$accuracy)").as("aps"),
+        expr("percentile(o_totalprice, array(0.5, 0.95))").as("eps"),
         count("*").as("n_orders"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("aps"), 1), 4).as("p50_approx"),
+        round(element_at(col("eps"), 1), 4).as("p50_exact"),
+        round(element_at(col("aps"), 2), 4).as("p95_approx"),
+        round(element_at(col("eps"), 2), 4).as("p95_exact"),
+        col("n_orders"))
       .orderBy("o_orderstatus")
 
   /** The PERSISTABLE quantile-sketch twin: same query through the
@@ -263,15 +280,18 @@ object RelationalOps {
       qs = Seq(0.5, 0.95), k = k).toAggregateExpression())
     orders
       .groupBy("o_orderstatus")
+      // the KLL aggregate already answers both points from one
+      // sketch; the exact anchor now does too (array percentile —
+      // see orderValueQuantiles)
       .agg(kll.as("q"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+        expr("percentile(o_totalprice, array(0.5, 0.95))").as("eps"),
         count("*").as("n_orders"))
       .select(col("o_orderstatus"),
         round(element_at(col("q"), 1), 4).as("p50_kll"),
-        col("p50_exact"),
+        round(element_at(col("eps"), 1), 4).as("p50_exact"),
         round(element_at(col("q"), 2), 4).as("p95_kll"),
-        col("p95_exact"), col("n_orders"))
+        round(element_at(col("eps"), 2), 4).as("p95_exact"),
+        col("n_orders"))
       .orderBy("o_orderstatus")
   }
 
