@@ -103,7 +103,12 @@ object Dedup {
     // deliberately costs a second pass over the shingle lineage: the
     // single-pass alternative (collect_list + count in one groupBy,
     // filter after) re-introduces exactly the stop-shingle buffer this
-    // guard exists to prevent.
+    // guard exists to prevent. (r15 audit: a shared repartition
+    // reuse-point was tried and REVERTED — column pruning reads the
+    // df leg as text-only, so the exchange subtrees can never unify,
+    // and forcing the shared exchange costs the df leg its map-side
+    // partial aggregation: the full exploded relation crosses the
+    // wire where distinct-per-partition counts did. Measured slower.)
     val bounded =
       if (maxDocFreq <= 0) exploded
       else {
@@ -303,11 +308,19 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
       .agg(count("*").as("common"))
-    val ab = pairs.select(col("doc_a").as("doc_sub"),
-      col("doc_b").as("doc_sup"), col("na").as("n_sub"), col("common"))
-    val ba = pairs.select(col("doc_b").as("doc_sub"),
-      col("doc_a").as("doc_sup"), col("nb").as("n_sub"), col("common"))
-    ab.unionByName(ba)
+    // BOTH directions of each unordered pair from ONE pass: the r14
+    // ab/ba union of two projections re-executed the entire pairs
+    // lineage (scan, tokenize, df cap, posting lists) once per
+    // branch — 4 FileScans / 6 Generates in the audited plan. An
+    // explode of the two direction structs emits the same rows from
+    // a single execution.
+    pairs.select(explode(array(
+        struct(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+          col("na").as("n_sub"), col("common")),
+        struct(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+          col("nb").as("n_sub"), col("common")))).as("r"))
+      .select(col("r.doc_sub").as("doc_sub"), col("r.doc_sup").as("doc_sup"),
+        col("r.n_sub").as("n_sub"), col("r.common").as("common"))
       .filter(col("common") * 10000L >= col("n_sub") * tN)
       .select(col("doc_sub"), col("doc_sup"),
         round(col("common").cast("double") / col("n_sub"), 4)
