@@ -745,10 +745,20 @@ object TrainingOps {
       (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val corpus = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
     val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+    // gated and deduped are LAZY checkpoints (r15): the funnel reads
+    // every stage relation as its own union branch, and without a
+    // materialization point each branch re-ran the whole nested
+    // gate/dedup lineage (6 corpus scans + the rules aggregation and
+    // dedup window twice each in the audited funnel plan). Lazy =
+    // materialize on first use, so the single-consumer pipeline path
+    // computes exactly what it did before and merely caches the stage
+    // boundaries — which is what a deployment does anyway (each
+    // curation stage is a written artifact between jobs).
     val gated = corpus.join(
       CorpusOps.qualityRules(corpus).filter(col("pass")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi").localCheckpoint(false)
     val deduped = Dedup.dropDuplicatesKeepFirst(gated)
+      .localCheckpoint(false)
     val contaminated = CorpusOps.decontaminate(deduped, bench)
       .select("doc_id").distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
