@@ -129,6 +129,11 @@ object Dedup {
       .groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
+      // task count must follow FAN-OUT, not input bytes: the grouped
+      // posting rows are KBs of id-lists, so AQE coalesces them onto
+      // ~one task and that task would emit every pairsOf explosion
+      // alone (the minhashProbe / embeddingLshCandidates convention)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
@@ -304,6 +309,8 @@ object Dedup {
       .groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")) > 1)
+      // fan-out repartition before the explosion — see ngramJaccard
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n_sh").as("na"), col("p.b.n_sh").as("nb"))
@@ -471,6 +478,8 @@ object Dedup {
       .groupBy("sh")
       .agg(collect_list(struct(col("doc_id"), col("tf"), col("n2"))).as("ds"))
       .filter(size(col("ds")) > 1)
+      // fan-out repartition before the explosion — see ngramJaccard
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(pairsOf(array_sort(col("ds")))).as("p"))
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.n2").as("na"), col("p.b.n2").as("nb"))
